@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Every read goes through Spark's vectorized Parquet reader, which is the
+  * idiomatic replacement for the reference's paged sequential scan
+  * (reference: `src/regtests/scan_regtest.cpp:28-34`): row groups play the
+  * role of 64 KB pages, and Catalyst pushes filters + column pruning into
+  * the scan, so downstream operators never see bytes they don't need.
+  *
+  * At cluster scale the same code reads a partitioned table from a
+  * distributed FS; nothing here assumes local mode.
+  *
+  * Tables are `lazy val`s so that join conditions written against column
+  * references from this object resolve to the same logical relation.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  lazy val region: DataFrame     = t("region")
+  lazy val nation: DataFrame     = t("nation")
+  lazy val customer: DataFrame   = t("customer")
+  lazy val supplier: DataFrame   = t("supplier")
+  lazy val part: DataFrame       = t("part")
+  lazy val orders: DataFrame     = t("orders")
+  lazy val lineitem: DataFrame   = t("lineitem")
+  lazy val documents: DataFrame  = t("documents")
+  lazy val embeddings: DataFrame = t("embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (microseconds) cannot represent; the reader only admits it as a raw
+    * nanosecond Long via the `nanosAsLong` legacy conf. We convert to
+    * TimestampType by truncating to microseconds — all engine queries
+    * bucket at ≥1-second granularity, so truncation is semantics-free.
+    */
+  lazy val events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+}

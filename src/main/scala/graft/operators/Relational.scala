@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.a–§2.h).
+  *
+  * The reference implements each operator as a hand-fused parallel loop over
+  * raw 64 KB pages; here every query is a declarative DataFrame plan so that
+  * Catalyst supplies the same physical techniques automatically — whole-stage
+  * codegen fuses scan+filter+agg (parity with `scanfilter_regtest.cpp:32-49`),
+  * HashAggregateExec does the partial/final two-phase aggregation the
+  * reference hand-codes (`groupby_regtest.cpp:32-81`), and broadcast hash
+  * join replaces the shared global build table (`hashjoin_regtest.cpp:63-103`).
+  *
+  * Determinism: every query that returns rows (not a single aggregate) ends
+  * in a total-order `orderBy` over its output key columns so result hashes
+  * are stable across partitionings, and all money/ratio aggregates are
+  * rounded so DuckDB double summation order cannot flip the last ulp.
+  */
+object Relational {
+
+  /** Full-scan row count — parity with the sequential page scan,
+    * `scan_regtest.cpp:28-34`. One codegen'd stage, no shuffle beyond the
+    * final partial-count merge. */
+  def scanCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.agg(count(lit(1)).as("cnt"))
+
+  /** Fused scan → filter → count — parity with `scanfilter_regtest.cpp:14-57`
+    * (values > threshold, per-thread partial counters). Catalyst pushes the
+    * predicate into the Parquet scan and fuses the partial count. */
+  def scanFilterCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > lit(30.0))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Projection + filter — column pruning reaches the scan (ReadSchema only
+    * carries 4 of 11 lineitem columns). Parity with the key/value byte
+    * extraction of `hashjoin_regtest.cpp:44-47`. */
+  def projectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_discount") > lit(0.08) && col("l_quantity") > lit(45.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Hash group-by over a low-cardinality key — parity with the per-thread
+    * unordered_map + final merge of `groupby_regtest.cpp:32-81`. Spark's
+    * HashAggregateExec performs the identical partial (map-side) / final
+    * (post-exchange) two-phase shape. */
+  def groupByHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Dense-key group-by — parity with the 256-slot dense-array variant
+    * (`groupby_array_regtest.cpp:30-68`). The key domain (event_type) is
+    * tiny; codegen'd hash agg with map-side combine is the Spark analogue of
+    * the dense-array specialization. */
+  def groupByDense(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Broadcast hash join + sum — parity with `hashjoin_regtest.cpp:30-103`:
+    * build side (customer, small) is broadcast — the idiomatic replacement
+    * for the merged global hash table shared by all probe threads — and the
+    * probe side streams orders, aggregating per key. */
+  def hashJoinSum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer), t.orders("o_custkey") === t.customer("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Shuffle (sort-merge capable) join on the fact table: lineitem ⋈ orders.
+    * Both sides are large, so Spark shuffles on the join key; AQE may still
+    * convert to broadcast at small SFs. Revenue per order priority. */
+  def shuffleJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Multi-way star join (lineitem→orders→customer→nation→region): revenue
+    * by region. Dimension tables are broadcast; only the fact-side join
+    * shuffles. TPC-H Q5-shaped. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join (EXISTS) — customers that have at least one high-value
+    * order. SURVEY §2.c lists semi/anti as capability-gap fills. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > lit(100000.0)),
+        t.customer("c_custkey") === t.orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS) — customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, t.customer("c_custkey") === t.orders("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k: Catalyst rewrites orderBy+limit into TakeOrderedAndProjectExec —
+    * a per-partition bounded heap + driver-side merge, no global sort.
+    * Tie-broken on o_orderkey for determinism. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** Global sort (range-partitioned sample sort, SortExec) — parity with the
+    * fiber-pool parallel merge sort demo (`src/tests/tasking_test.cpp:72-141`). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderstatus"), col("o_custkey"), col("o_orderkey"))
+      .limit(100)
+
+  /** Set operations (SURVEY §2.g): customers in the BUILDING segment vs
+    * customers having an open order — intersect / except / union counts. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val u = building.union(open).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+    val i = building.intersect(open).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val e = building.except(open).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    u.union(i).union(e).orderBy(col("op"))
+  }
+
+  /** Exact distinct (dropDuplicates) over a composite key. */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Aggregate-function battery: min/max/avg/stddev/count distinct. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .agg(
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Rollup (grouping sets / Catalyst Expand) — SURVEY §2.d ABSENT-row fill. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Cube over two keys. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("cnt"), col("sum_price"))
+      .orderBy(col("st"), col("pri"))
+
+  /** Conditional aggregation (sum of CASE WHEN) — the build-side predicate
+    * of `hashjoin_regtest.cpp:49` generalized. */
+  def caseWhenAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar-function battery (SURVEY §2.h — all ABSENT in the reference,
+    * supplied by org.apache.spark.sql.functions): string / math / date,
+    * expressed identically in ANSI SQL for the oracle. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - lit(25)).as("size_dev"),
+        round(col("p_retailprice") * lit(1.1), 2).as("price_up"),
+        (col("p_partkey") % lit(7)).as("k_mod7"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions over orders (year/month extraction + arithmetic). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** JSON extraction from the events.props string column (SURVEY §2.h). */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+      .limit(500)
+}

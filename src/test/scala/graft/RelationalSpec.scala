@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariants for the relational surface. The authoritative
+  * correctness gate is the DuckDB oracle (scripts/check.py / driver); these
+  * specs assert cheap structural invariants that catch regressions fast.
+  */
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every query runs and yields rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.subsetOf(SparkEntry.rowsOnlyQueries),
+      s"queries without oracle nor rows-only declaration: ${missing -- SparkEntry.rowsOnlyQueries}")
+  }
+
+  test("oracle keys all refer to implemented queries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("group-by counts sum to table count") {
+    val t = Tables(spark, sf)
+    val total = t.lineitem.count()
+    val byKey = operators.Relational.groupByHash(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(byKey == total)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
