@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{GraphOps, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,7 +43,27 @@ object SparkEntry {
     "q21_json_funcs"        -> (Relational.jsonFuncs _),
   )
 
-  def queries: Map[String, Q] = relational
+  /** Window / analytic functions (SURVEY §2.e). */
+  private val windows: Map[String, Q] = Map(
+    "q22_window_rank"        -> (Windows.windowRank _),
+    "q23_window_running_sum" -> (Windows.windowRunningSum _),
+    "q24_window_lag"         -> (Windows.windowLag _),
+    "q25_window_moving_avg"  -> (Windows.windowMovingAvg _),
+    "q26_window_ranking"     -> (Windows.windowRanking _),
+  )
+
+  /** Graph analytics (SURVEY §2.i). */
+  private val graph: Map[String, Q] = Map(
+    "q30_adjacency_build" -> (GraphOps.adjacencyBuild _),
+    "q31_degrees"         -> (GraphOps.degrees _),
+    "q32_bfs"             -> ((s: SparkSession, d: String) => GraphOps.bfs(s, d)),
+    "q33_sssp"            -> ((s: SparkSession, d: String) => GraphOps.sssp(s, d)),
+    "q34_triangle_count"  -> (GraphOps.triangleCount _),
+    "q35_connected_components" -> (GraphOps.connectedComponents _),
+    "q36_pagerank"        -> (GraphOps.pageRank _),
+  )
+
+  def queries: Map[String, Q] = relational ++ windows ++ graph
 
   private val relationalOracles: Map[String, String] = Map(
     "q01_scan_count" ->
@@ -160,13 +180,128 @@ object SparkEntry {
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
   )
 
+  private val windowOracles: Map[String, String] = Map(
+    "q22_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q23_window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q24_window_lag" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) - coalesce(lag(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), epoch_us(ts))
+        |    AS BIGINT) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q25_window_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w * 1.0
+        |    / count(*) OVER w) AS BIGINT) AS mavg_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q26_window_ranking" ->
+      """SELECT c_custkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+
+  /** Shared edge-derivation CTEs for the graph oracles: `e` is the directed
+    * deduped edge list, `ue` its symmetrization — identical semantics to
+    * GraphOps.directedEdges/undirectedEdges. */
+  private val edgeCte: String =
+    """e AS (
+      |  SELECT DISTINCT o_custkey AS src,
+      |         1 + (o_orderkey % (SELECT max(c_custkey) FROM customer)) AS dst
+      |  FROM orders
+      |), ue AS (
+      |  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+      |)""".stripMargin
+
+  private val graphOracles: Map[String, String] = Map(
+    "q30_adjacency_build" ->
+      s"""WITH $edgeCte,
+        |adj AS (
+        |  SELECT src, count(*) AS degree,
+        |         string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS nbrs
+        |  FROM ue GROUP BY src)
+        |SELECT src,
+        |  CAST(coalesce(sum(degree) OVER (ORDER BY src
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS first_nbr,
+        |  CAST(degree AS BIGINT) AS degree, nbrs
+        |FROM adj ORDER BY src""".stripMargin,
+    "q31_degrees" ->
+      s"""WITH $edgeCte,
+        |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+        |SELECT coalesce(o.node, i.node) AS node,
+        |       CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        |       CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
+    "q32_bfs" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |walk(node, d) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT ue.dst, w.d + 1 FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.d < 10
+        |)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q33_sssp" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |walk(node, hops, cost) AS (
+        |  SELECT CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT ue.dst, w.hops + 1,
+        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |  FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.hops < 8
+        |)
+        |SELECT node, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q34_triangle_count" ->
+      s"""WITH $edgeCte,
+        |ce AS (SELECT src AS a, dst AS b FROM ue WHERE src < dst)
+        |SELECT count(*) AS n_triangles
+        |FROM ce e1
+        |JOIN ce e2 ON e2.a = e1.b
+        |JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "q35_connected_components" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |walk(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM ue
+        |  UNION
+        |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+        |)
+        |SELECT node, CAST(min(reach) AS BIGINT) AS component
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = relationalOracles
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ windowOracles ++ graphOracles
 
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
-  def rowsOnlyQueries: Set[String] = Set()
+  def rowsOnlyQueries: Set[String] = Set(
+    "q36_pagerank", // float fixpoint — no exact SQL oracle; invariants unit-tested
+  )
 
   /** Headline queries timed by Bench (one per operator family). */
   def benchQueries: Seq[String] = Seq(

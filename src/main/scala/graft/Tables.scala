@@ -39,7 +39,6 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   lazy val events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
