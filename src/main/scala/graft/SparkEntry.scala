@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{GraphOps, Relational, Windows}
+import graft.operators.{Dedup, GraphOps, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,7 +63,25 @@ object SparkEntry {
     "q36_pagerank"        -> (GraphOps.pageRank _),
   )
 
-  def queries: Map[String, Q] = relational ++ windows ++ graph
+  /** LLM-data-pipeline operators (SURVEY §2.l / BASELINE.json north star). */
+  private val pipeline: Map[String, Q] = Map(
+    "q40_exact_dedup"        -> (Dedup.exactDedup _),
+    "q41_ngram_jaccard_topk" -> (Dedup.ngramJaccardTopK _),
+    "q42_minhash_lsh_dedup"  -> (Dedup.minhashLshSummary _),
+    "q43_fingerprints"       -> (Dedup.fingerprints _),
+    "q44_simhash_neardup"    -> (Dedup.simhashNearDupSummary _),
+    "q45_cosine_topk_pairs"  -> (Similarity.cosineTopKPairs _),
+    "q46_ann_bruteforce_topk" -> (Similarity.annBruteForceTopK _),
+    "q47_ann_lsh_topk"       -> (Similarity.annLshTopK _),
+    "q48_text_stats"         -> (TextAnalysis.textStats _),
+    "q49_token_stats"        -> (TextAnalysis.tokenStats _),
+    "q50_language_id"        -> (TextAnalysis.languageId _),
+    "q51_binary_metadata"    -> (Multimodal.binaryMetadata _),
+    "q52_frame_sample"       -> (Multimodal.frameSample _),
+    "q53_decode_features"    -> (Multimodal.decodeFeatures _),
+  )
+
+  def queries: Map[String, Q] = relational ++ windows ++ graph ++ pipeline
 
   private val relationalOracles: Map[String, String] = Map(
     "q01_scan_count" ->
@@ -292,15 +310,150 @@ object SparkEntry {
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
   )
 
+  private val pipelineOracles: Map[String, String] = Map(
+    "q40_exact_dedup" ->
+      """SELECT canonical_id, n_copies FROM (
+        |  SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |ORDER BY canonical_id""".stripMargin,
+    "q41_ngram_jaccard_topk" ->
+      """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, substring(t, CAST(i AS INTEGER), 8) AS s
+        |       FROM docs CROSS JOIN range(1, 4001) r(i) WHERE i <= length(t) - 7),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ninter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ia, ib,
+        |       CAST(floor(1000.0 * ninter / (sa.n + sb.n - ninter)) AS BIGINT) AS jacc_pm
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = ia
+        |JOIN sizes sb ON sb.doc_id = ib
+        |ORDER BY jacc_pm DESC, ia, ib LIMIT 20""".stripMargin,
+    "q45_cosine_topk_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+        |el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |              generate_subscripts(embedding, 1) AS i FROM e),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM el GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d
+        |         FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT ia, ib, round(d / (na.n * nb.n), 4) AS cos4
+        |FROM dots
+        |JOIN nrm na ON na.vec_id = ia
+        |JOIN nrm nb ON nb.vec_id = ib
+        |ORDER BY cos4 DESC, ia, ib LIMIT 20""".stripMargin,
+    "q46_ann_bruteforce_topk" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM el GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                sum(q.x * c.x) AS d
+        |         FROM el q JOIN el c ON q.i = c.i
+        |         WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+        |         GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(d / (nq.n * nc.n), 4) AS cos4,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(d / (nq.n * nc.n), 4) DESC, neighbor_id) AS rn
+        |  FROM dots
+        |  JOIN nrm nq ON nq.vec_id = query_id
+        |  JOIN nrm nc ON nc.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rnk, neighbor_id, cos4
+        |FROM scored WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q48_text_stats" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |         CAST(length(text) AS BIGINT) AS nc,
+        |         CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang, source, n_chars, n_words, n_tokens,
+        |         greatest(0, least(1000,
+        |           200 + n_words
+        |               + 10 * CAST(floor((nc - n_words + 1.0) / n_words) AS BIGINT)
+        |               - 2 * n_punct)) AS quality_pm
+        |  FROM d)
+        |SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(quality_pm) AS BIGINT) AS sum_quality,
+        |       max(n_chars) AS max_chars
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q49_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  greatest(0, least(1000,
+        |    200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |        + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                          / len(string_split(text, ' '))) AS BIGINT)
+        |        - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |  )) AS quality_pm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q50_language_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS lang_claimed, text AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang_claimed,
+        |    CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' und ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' and ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        |    CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' los ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' de ', ''))) / 4 AS BIGINT) AS score_es,
+        |    CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' les ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(t) - length(replace(t, ' des ', ''))) / 5 AS BIGINT) AS score_fr
+        |  FROM s)
+        |SELECT doc_id, lang_claimed,
+        |  CASE
+        |    WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+        |         AND score_de > 0 THEN 'de'
+        |    WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+        |         AND score_en > 0 THEN 'en'
+        |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+        |         AND score_es > 0 THEN 'es'
+        |    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr)
+        |         AND score_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred,
+        |  score_de, score_en, score_es, score_fr
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q51_binary_metadata" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |       md5(substring(text, CAST(f * 64 + 1 AS INTEGER), 64)) AS frame_md5,
+        |       CAST(least(strlen(text) - f * 64, 64) AS BIGINT) AS frame_len
+        |FROM documents CROSS JOIN range(0, 20) r(f)
+        |WHERE f <= ceil(strlen(text) / 64.0) - 1
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relationalOracles ++ windowOracles ++ graphOracles
+    relationalOracles ++ windowOracles ++ graphOracles ++ pipelineOracles
 
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
-    "q36_pagerank", // float fixpoint — no exact SQL oracle; invariants unit-tested
+    "q36_pagerank",         // float fixpoint — no exact SQL oracle; invariants unit-tested
+    "q42_minhash_lsh_dedup", // seeded-hash signatures not SQL-expressible; funnel unit-tested
+    "q43_fingerprints",      // PolyHash/SimHash values not SQL-expressible; property-tested
+    "q44_simhash_neardup",   // same
+    "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
+    "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
   )
 
   /** Headline queries timed by Bench (one per operator family). */

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PolyHash.poly_hash
+import graft.functions.SimHash64.simhash64
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.l; north star
+  * in BASELINE.json). Four tiers, cheapest first — the standard cascade a
+  * 100 TB corpus clean-up runs:
+  *
+  *  1. exact (hash group-by) — one shuffle on the text hash;
+  *  2. minhash + LSH banding — shingle → 64 seeded min-hashes → 16 bands →
+  *     bucket self-join, so candidate generation never goes quadratic;
+  *  3. simhash — one 64-bit fingerprint per doc, near-dups differ in few
+  *     bits (banded by 16-bit chunks for the same sub-quadratic property);
+  *  4. exact n-gram Jaccard — the expensive verifier, run only on small
+  *     candidate sets (here: a bounded id range so the SQL oracle can
+  *     recompute it exactly).
+  *
+  * Scale notes: every self-join is on a bucket/band key (shuffle on that
+  * key, never a cross join); the shingle explosion is the big intermediate
+  * (docs × shingles) and flows straight into a partial-aggregated group-by,
+  * so it never materializes. The hash inner loops are native codegen'd
+  * Catalyst expressions (PolyHash / SimHash64), not Scala UDFs.
+  */
+object Dedup {
+
+  private val K = 8            // shingle length
+  private val NumHashes = 64   // minhash signature width
+  private val NumBands = 16    // LSH bands (4 rows each)
+
+  /** Exact dedup clusters: canonical (min) doc id + multiplicity per
+    * distinct text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  /** doc_id → exploded distinct shingles. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), K)).as("sh"))
+
+  /** Exact n-gram Jaccard top-k similar pairs over a bounded id range
+    * (the verification tier; oracle recomputes it in pure SQL). jacc_pm is
+    * integer parts-per-thousand — floor(1000·|∩| / |∪|). */
+  def ngramJaccardTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.filter(col("doc_id") < 100)
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("ia"), col("sh"))
+    val b = sh.select(col("doc_id").as("ib"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        floor(lit(1000) * col("ninter") / (col("na") + col("nb") - col("ninter")))
+          .cast("long").as("jacc_pm"))
+      .orderBy(col("jacc_pm").desc, col("ia"), col("ib"))
+      .limit(20)
+  }
+
+  /** Minhash signature per document: h_i = min over shingles of the i-th
+    * seeded PolyHash; plus the 16 band keys (xxhash64 of 4 consecutive
+    * signature slots). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val mins: Seq[Column] = (0 until NumHashes).map(i =>
+      min(poly_hash(col("sh"), lit(i.toLong))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols: Seq[Column] = (0 until NumBands).map { b =>
+      xxhash64(lit(b) +: (0 until 4).map(r => col(s"h${4 * b + r}")): _*)
+        .as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i")) ++: bandCols: _*)
+  }
+
+  /** MinHash-LSH near-dup detection, reported as a 1-row summary
+    * (candidate pairs from band-bucket collisions; "duplicates" = estimated
+    * Jaccard ≥ 0.5, i.e. ≥ 32 of 64 signature slots agree). The fixture
+    * corpus has no near-dups (max true Jaccard ≈ 0.11), so the interesting
+    * assertable output is the funnel: docs → candidates → dups. */
+  def minhashLshSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sigs = minhashSignatures(docs).persist()
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // candidates: same band value in any band, deduplicated across bands
+    val bandRows = sigs.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    val withEst = cand
+      .join(sigArr.select(col("doc_id").as("ia"), col("sig").as("sa")), Seq("ia"))
+      .join(sigArr.select(col("doc_id").as("ib"), col("sig").as("sb")), Seq("ib"))
+      .select(col("ia"), col("ib"),
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          x => x)).as("agree"))
+    withEst.agg(
+      lit(docs.count()).as("n_docs"),
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)).as("n_dup_pairs"))
+  }
+
+  /** Per-document fingerprints: rolling PolyHash of the full text + 64-bit
+    * SimHash of the token stream + its four 16-bit band keys (the join keys
+    * a banded Hamming-distance self-join would use). Both hashes are native
+    * codegen'd expressions. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        poly_hash(lower(col("text")), lit(0L)).as("fingerprint"),
+        simhash64(split(lower(col("text")), " ")).as("simhash"))
+      .select(col("doc_id"), col("fingerprint"), col("simhash"),
+        (col("simhash") % lit(65536L)).as("band0"),
+        shiftrightunsigned(col("simhash"), 16).%(65536L).as("band1"),
+        shiftrightunsigned(col("simhash"), 32).%(65536L).as("band2"),
+        shiftrightunsigned(col("simhash"), 48).as("band3"))
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs via banded Hamming join: candidate pairs share
+    * a 16-bit band; verified if Hamming distance ≤ 12. 1-row summary. */
+  def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprints(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+          .as(Seq("band_idx", "band_val")))
+    val cand = fp.alias("x").join(fp.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 12, 1L)
+        .otherwise(0L)).as("n_near_dup_pairs"))
+  }
+}

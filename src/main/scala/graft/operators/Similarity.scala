@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY §2.l).
+  *
+  * Brute-force cosine top-k is the exactness baseline (and the oracle);
+  * the scale path is LSH bucketing (random signed projections) so the
+  * candidate set per query is a bucket, not the corpus. All vector math is
+  * higher-order array functions (`zip_with` + `aggregate`) over
+  * double-cast elements — sequential, deterministic, codegen'd; no UDF.
+  *
+  * Scale notes: queries are broadcast against the corpus (k queries ×
+  * corpus rows is linear, never corpus²); the all-pairs variant is
+  * explicitly bounded to an id range. At 100 TB the LSH variant's bucket
+  * join shuffles on the signature — the same sub-quadratic shape as the
+  * dedup band joins.
+  */
+object Similarity {
+
+  /** Deterministic dot product in double precision, left-to-right. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  /** All-pairs cosine over a bounded id range, top-20 most similar pairs.
+    * cos4 = round(cosine, 4) — both engines compute the same double-
+    * precision expression, so the rounded value is comparable. */
+  def cosineTopKPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(spark, dir).embeddings.filter(col("vec_id") < 120))
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos4"))
+      .orderBy(col("cos4").desc, col("ia"), col("ib"))
+      .limit(20)
+  }
+
+  /** Exact ANN baseline: for each query vector (vec_id < 10), the top-5
+    * nearest corpus vectors by cosine. The query side is broadcast; the
+    * corpus is scanned once — the linear-scan baseline every ANN index is
+    * measured against. */
+  def annBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(spark, dir).embeddings)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos4"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane, dim) — a tiny
+    * splitmix-style mix, reproducible anywhere. */
+  private def planeSign(p: Int, d: Int): Double = {
+    var z = (p.toLong * 0x9e3779b97f4a7c15L) + (d.toLong * 0xbf58476d1ce4e5b9L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  private val Dim = 64
+  private val BitsPerTable = 6
+  private val NumTables = 4
+
+  /** LSH-bucketed ANN (the scale path): 4 independent 6-bit random-signed-
+    * projection signatures; candidates = corpus vectors sharing any
+    * table's bucket with the query; top-5 of candidates by exact cosine.
+    * Output shape matches the brute-force baseline (recall is asserted in
+    * tests against it). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(spark, dir).embeddings)
+
+    def signature(emb: Column, table: Int): Column =
+      (0 until BitsPerTable).map { bit =>
+        val plane = array((0 until Dim).map(d =>
+          lit(planeSign(table * BitsPerTable + bit, d))): _*)
+        when(dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    def withBuckets(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding"), col("nrm"),
+          posexplode(array((0 until NumTables).map(t =>
+            signature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
+
+    val corpus = withBuckets(e, "neighbor_id")
+      .withColumnRenamed("embedding", "ce").withColumnRenamed("nrm", "cn")
+    val queries = withBuckets(e.filter(col("vec_id") < 10), "query_id")
+      .withColumnRenamed("embedding", "qe").withColumnRenamed("nrm", "qn")
+
+    val cand = corpus.join(broadcast(queries), Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("qn"),
+        col("ce"), col("cn"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("cos4"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.PolyHash.poly_hash
+import graft.functions.SimHash64.simhash64
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-behavior tests for the operators that ship without a SQL oracle
+  * (SparkEntry.rowsOnlyQueries) + the custom Catalyst expressions.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("poly_hash: codegen'd expression is deterministic and seed-sensitive") {
+    import spark.implicits._
+    val df = Seq("hello", "hello", "world", "").toDF("s")
+      .select(poly_hash(col("s"), lit(0L)).as("h0"),
+        poly_hash(col("s"), lit(1L)).as("h1"))
+    val rows = df.collect()
+    assert(rows(0) == rows(1))                 // deterministic
+    assert(rows(0).getLong(0) != rows(0).getLong(1)) // seeds differ
+    assert(rows(0).getLong(0) != rows(2).getLong(0)) // inputs differ
+    // interpreted eval agrees with codegen
+    val interp = graft.functions.PolyHash(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("hello"),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(0L)).eval(null)
+    assert(interp == rows(0).getLong(0))
+  }
+
+  test("simhash64: near-identical token streams have small Hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i")
+    val similar = base.updated(5, "CHANGED")
+    val different = (1 to 60).map(i => s"other$i")
+    val df = Seq(base, similar, different).toDF("toks")
+      .select(simhash64(col("toks")).as("h"))
+    val Array(h1, h2, h3) = df.collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h1, h2) < hamming(h1, h3))
+    assert(hamming(h1, h2) <= 16)
+    // interpreted matches codegen
+    val toks = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      base.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    assert(graft.functions.SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        base, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))).eval(
+      org.apache.spark.sql.catalyst.InternalRow.empty) == h1)
+  }
+
+  test("minhash LSH funnel is sane") {
+    val row = Dedup.minhashLshSummary(spark, sf).head()
+    val (nDocs, nCand, nDup) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nDocs == 500)
+    assert(nCand >= 0 && nCand < nDocs * (nDocs - 1) / 2) // sub-quadratic
+    assert(nDup <= nCand)
+  }
+
+  test("simhash near-dup summary is sane") {
+    val row = Dedup.simhashNearDupSummary(spark, sf).head()
+    assert(row.getLong(0) >= row.getLong(1))
+  }
+
+  test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
+    val brute = Similarity.annBruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annLshTopK(spark, sf).collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates at all")
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every LSH hit is a real vector pair; some overlap with exact top-5
+    val recall = (brute intersect lshPairs).size.toDouble / brute.size
+    assert(recall > 0.0, s"zero recall: lsh=${lshPairs.size} brute=${brute.size}")
+  }
+
+  test("decode features: stub decoder matches direct computation") {
+    val feats = Multimodal.decodeFeatures(spark, sf)
+      .filter(col("doc_id") === 0L).head()
+    val text = Tables(spark, sf).documents
+      .filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    assert(feats.getLong(3) == bytes.length)
+    assert(feats.getLong(2) == bytes.map(_ & 0xff).max)
+    assert(math.abs(feats.getDouble(1) -
+      bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-3)
+  }
+
+  test("pagerank: ranks positive, sum ≈ node count") {
+    val pr = GraphOps.pageRank(spark, sf).collect()
+    assert(pr.forall(_.getDouble(1) > 0))
+    val sum = pr.map(_.getDouble(1)).sum
+    assert(math.abs(sum - pr.length) / pr.length < 0.2,
+      s"rank sum $sum vs n=${pr.length}")
+  }
+
+  test("connected components: same component implies BFS-reachable (spot)") {
+    val cc = GraphOps.connectedComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bfs = GraphOps.bfs(spark, sf).collect().map(_.getLong(0)).toSet
+    // node 1's component members reached within 10 hops must share 1's label
+    bfs.foreach(n => assert(cc(n) == cc(1L), s"node $n reached from 1 but in ${cc(n)}"))
+  }
+}
