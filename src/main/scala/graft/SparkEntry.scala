@@ -81,7 +81,17 @@ object SparkEntry {
     "q53_decode_features"    -> (Multimodal.decodeFeatures _),
   )
 
-  def queries: Map[String, Q] = relational ++ windows ++ graph ++ pipeline
+  /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
+    * bodies run as true streams in StreamingSpec. */
+  private val streamingQ: Map[String, Q] = Map(
+    "q60_tumbling_window"  -> (graft.streaming.EventStreams.tumblingWindow _),
+    "q61_sliding_window"   -> (graft.streaming.EventStreams.slidingWindow _),
+    "q62_session_window"   -> (graft.streaming.EventStreams.sessionWindow _),
+    "q63_first_occurrence" -> (graft.streaming.EventStreams.firstOccurrence _),
+  )
+
+  def queries: Map[String, Q] =
+    relational ++ windows ++ graph ++ pipeline ++ streamingQ
 
   private val relationalOracles: Map[String, String] = Map(
     "q01_scan_count" ->
@@ -440,10 +450,49 @@ object SparkEntry {
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
+  private val streamingOracles: Map[String, String] = Map(
+    "q60_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q61_sliding_window" ->
+      """SELECT win_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT CAST((floor(epoch(ts) / 600) - k) * 600 AS BIGINT) AS win_start,
+        |         value
+        |  FROM events CROSS JOIN range(0, 3) r(k))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS eus, value FROM events),
+        |l AS (SELECT user_id, eus, value,
+        |             lag(eus) OVER (PARTITION BY user_id ORDER BY eus) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, eus, value,
+        |             CASE WHEN prev IS NULL OR eus - prev >= 300000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM l),
+        |s AS (SELECT user_id, eus, value,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY eus
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(min(eus) AS BIGINT) AS session_start_us,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "q63_first_occurrence" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relationalOracles ++ windowOracles ++ graphOracles ++ pipelineOracles
+    relationalOracles ++ windowOracles ++ graphOracles ++ pipelineOracles ++
+      streamingOracles
 
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY §2.j — ABSENT in the reference; supplied by
+  * Structured Streaming).
+  *
+  * Each aggregation is defined once over a plain DataFrame, so the same
+  * function body runs in two modes:
+  *  - batch (the `SparkEntry.queries` entries below, with SQL oracles) — in
+  *    batch mode `window`/`session_window` are ordinary grouping
+  *    expressions;
+  *  - streaming (see StreamingSpec): `readStream` → the identical transform
+  *    → `writeStream`, with `withWatermark` bounding state. The equivalence
+  *    of the two modes is exactly what Structured Streaming's incremental
+  *    execution guarantees, and the test suite asserts it on MemoryStream
+  *    input.
+  *
+  * Scale notes: stream aggregations shuffle on (window, key); the watermark
+  * bounds state size to (active windows × keys). Session windows use the
+  * built-in merging state store, not custom state.
+  */
+object EventStreams {
+
+  /** Core tumbling aggregation, mode-agnostic: 10-minute windows × event
+    * type. Window start is emitted as epoch seconds (integer) so oracles
+    * compare integers, not timestamps. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables(spark, dir).events)
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Sliding windows: 30-minute length, 10-minute slide — every event lands
+    * in 3 windows (the overlap amplification a streaming engine must
+    * handle without re-reading input). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("win"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("cnt"), col("sum_value"))
+
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables(spark, dir).events)
+      .orderBy(col("win_start"))
+
+  /** Session windows per user with a 5-minute inactivity gap (built-in
+    * merging session_window — the gaps-and-islands computation, incremental
+    * in streaming mode). Emits session start and event count. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("win.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables(spark, dir).events)
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Streaming dedup equivalent: first occurrence of each (user_id,
+    * event_type) in time order — batch formulation via ranking window; the
+    * streaming formulation is `dropDuplicates` with watermark (asserted
+    * equivalent in tests). */
+  def firstOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** True Structured Streaming runs of the window aggregations: the same
+  * transform body as the batch queries, fed through MemoryStream, must
+  * produce the batch answer — that's the streaming/batch equivalence
+  * Structured Streaming's incremental execution guarantees.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def batchEvents = {
+    import spark.implicits._
+    Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .as[Ev]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .toSeq
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents)
+    val q = EventStreams.tumblingAgg(ms.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStreams.tumblingWindow(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming session window (append + watermark flush) == batch sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = batchEvents
+    val maxTs = evs.map(_.ts.getTime).max
+    // sentinel far in the future advances the watermark so all real
+    // sessions finalize and are emitted in append mode
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+      999999L, "sentinel", 0.0, "{}")
+    val ms = MemoryStream[Ev]
+    val q = EventStreams.sessionAgg(ms.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+        .filter(col("user_id") =!= 999999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStreams.sessionWindow(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates == batch first-occurrence") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents) // already in (ts, event_id) order
+    val q = ms.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = EventStreams.firstOccurrence(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
