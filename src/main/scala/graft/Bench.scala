@@ -21,6 +21,17 @@ object Bench {
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
+    // Untimed warmup at the smallest SF: compiles the same codegen'd
+    // stages so timed runs measure the operators, not JIT/codegen
+    // startup (mirrors the reference's warmup iteration,
+    // scanfilter_regtest.cpp:68-73).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      val warmDir = "/root/testdata/sf0.001"
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

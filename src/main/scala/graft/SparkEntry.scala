@@ -508,5 +508,7 @@ object SparkEntry {
   /** Headline queries timed by Bench (one per operator family). */
   def benchQueries: Seq[String] = Seq(
     "q02_scan_filter_count", "q04_groupby_hash", "q06_hashjoin_sum",
-    "q07_shuffle_join_agg", "q08_star_join", "q11_topk", "q16_rollup")
+    "q07_shuffle_join_agg", "q08_star_join", "q11_topk", "q16_rollup",
+    "q23_window_running_sum", "q32_bfs", "q42_minhash_lsh_dedup",
+    "q46_ann_bruteforce_topk", "q60_tumbling_window")
 }

@@ -70,14 +70,19 @@ object TextFunctions {
       least(lit(1000L), lit(200L) + nWords + lit(10L) * avgWordLen - lit(2L) * nPunct))
   }
 
-  /** Distinct character k-shingles of a document, lowercased — the unit
-    * set for Jaccard similarity / minhash. Built with higher-order array
-    * functions (sequence → transform → array_distinct), no UDF. */
-  def shingles(text: Column, k: Int): Column = {
+  /** All character k-shingles of a document (with duplicates), lowercased.
+    * Built with higher-order array functions (sequence → transform), no
+    * UDF. Min-hashing is multiset-invariant, so the minhash path uses this
+    * directly — `array_distinct` is O(n²) per document and only needed
+    * where set semantics matter (use [[shingles]]). */
+  def shinglesAll(text: Column, k: Int): Column = {
     val lower = org.apache.spark.sql.functions.lower(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(lower) - lit(k - 1), lit(0))),
-        i => lower.substr(i, lit(k))))
+    transform(
+      sequence(lit(1), greatest(length(lower) - lit(k - 1), lit(0))),
+      i => lower.substr(i, lit(k)))
   }
+
+  /** Distinct character k-shingles — the unit set for exact Jaccard. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(shinglesAll(text, k))
 }

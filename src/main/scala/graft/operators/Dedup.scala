@@ -41,10 +41,25 @@ object Dedup {
       .select(col("canonical_id"), col("n_copies"))
       .orderBy(col("canonical_id"))
 
-  /** doc_id → exploded distinct shingles. */
-  private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), K)).as("sh"))
+  /** doc_id → exploded distinct shingles.
+    *
+    * The input is repartitioned first: shingling expands each row ~450×,
+    * so splits must be sized for the *expanded* data (the cluster-scale
+    * analogue is lowering `spark.sql.files.maxPartitionBytes` ahead of an
+    * explode) — a single tiny parquet row group would otherwise serialize
+    * the whole pipeline onto one core. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), K)).as("sh"))
+  }
+
+  /** Same, multiset shingles (cheaper; what minhash consumes). */
+  private def shingleRowsAll(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(p)
+      .select(col("doc_id"), explode(TextFunctions.shinglesAll(col("text"), K)).as("sh"))
+  }
 
   /** Exact n-gram Jaccard top-k similar pairs over a bounded id range
     * (the verification tier; oracle recomputes it in pure SQL). jacc_pm is
@@ -67,19 +82,19 @@ object Dedup {
       .limit(20)
   }
 
-  /** Minhash signature per document: h_i = min over shingles of the i-th
-    * seeded PolyHash; plus the 16 band keys (xxhash64 of 4 consecutive
-    * signature slots). */
+  /** Minhash signature per document via the MinHashSig
+    * TypedImperativeAggregate (one array buffer per doc — see
+    * functions/MinHashSig.scala), plus the 16 band keys (xxhash64 of 4
+    * consecutive signature slots). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
-    val mins: Seq[Column] = (0 until NumHashes).map(i =>
-      min(poly_hash(col("sh"), lit(i.toLong))).as(s"h$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sh = shingleRowsAll(docs)
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSig.minhash_sig(col("sh"), NumHashes).as("sig"))
     val bandCols: Seq[Column] = (0 until NumBands).map { b =>
-      xxhash64(lit(b) +: (0 until 4).map(r => col(s"h${4 * b + r}")): _*)
-        .as(s"band$b")
+      xxhash64(lit(b) +: (0 until 4).map(r =>
+        element_at(col("sig"), 4 * b + r + 1)): _*).as(s"band$b")
     }
-    sigs.select(col("doc_id") +: (0 until NumHashes).map(i => col(s"h$i")) ++: bandCols: _*)
+    sigs.select(col("doc_id") +: col("sig") +: bandCols: _*)
   }
 
   /** MinHash-LSH near-dup detection, reported as a 1-row summary
@@ -90,8 +105,10 @@ object Dedup {
   def minhashLshSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val sigs = minhashSignatures(docs).persist()
-    val sigArr = sigs.select(col("doc_id"),
-      array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    sigs.count() // materialization barrier: the signature scan feeds 4
+                 // downstream branches (2 band sides + 2 signature sides);
+                 // without it each branch recomputes the shingle explosion
+    val sigArr = sigs.select(col("doc_id"), col("sig"))
     // candidates: same band value in any band, deduplicated across bands
     val bandRows = sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
