@@ -41,6 +41,11 @@ object SparkEntry {
     "q19_scalar_funcs"      -> (Relational.scalarFuncs _),
     "q20_date_funcs"        -> (Relational.dateFuncs _),
     "q21_json_funcs"        -> (Relational.jsonFuncs _),
+    "q27_asof_join"         -> (graft.operators.Joins.asofJoin _),
+    "q28_range_join_binned" -> (graft.operators.Joins.rangeJoinBinned _),
+    "q29_dense_groupby"     -> (Relational.denseGroupBy _),
+    "q54_approx_distinct"   -> (Relational.approxDistinct _),
+    "q55_array_funcs"       -> (Relational.arrayFuncs _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -206,6 +211,35 @@ object SparkEntry {
     "q21_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q27_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |       coalesce(epoch_us(l.ts), -1) AS signup_ts_us
+        |FROM p ASOF LEFT JOIN l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q28_range_join_binned" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |WHERE o_orderkey < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_dense_groupby" ->
+      """SELECT CAST(l_linenumber AS BIGINT) AS linenumber, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  string_split(text, ' ')[-1] AS last_word,
+        |  array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), ',') AS sorted3,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   private val windowOracles: Map[String, String] = Map(
@@ -503,6 +537,7 @@ object SparkEntry {
     "q44_simhash_neardup",   // same
     "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
+    "q54_approx_distinct",   // HLL++ sketch value is engine-specific; error bound unit-tested
   )
 
   /** Headline queries timed by Bench (one per operator family). */

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Specialized join shapes Spark has no single operator for (SURVEY §2.c
+  * lists them ABSENT in the reference and composable here): as-of and
+  * range joins, built scale-first.
+  *
+  * - As-of: the union + keyed-window formulation — one shuffle on the key,
+  *   no inequality join at all. This is the standard trick for
+  *   "latest value at or before t" at any scale (an inequality join would
+  *   be quadratic per key; the window is linear after one sort).
+  * - Range: bin both sides to a coarse equi-key (month), equi-join on the
+  *   bin, then apply the precise range predicate — turning an unbounded
+  *   theta join into a shuffle join whose skew is bounded by bin width.
+  */
+object Joins {
+
+  /** As-of join: for every purchase event, the most recent signup of the
+    * same user at or before the purchase time (null if none). Implemented
+    * as union + per-user RANGE window, so ties at equal timestamps match
+    * DuckDB's `ASOF JOIN (p.ts >= l.ts)` semantics exactly. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("signup_ts_us",
+        max(when(col("event_type") === "signup", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        // -1 sentinel instead of null: nullable int64 parquet → pandas
+        // float64 drift would muddy the oracle hash compare
+        coalesce(col("signup_ts_us"), lit(-1L)).as("signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join via binning: lineitems shipped within [o_orderdate,
+    * o_orderdate + 30 days) for a bounded set of orders. The order side
+    * explodes into the month bins its range touches; the lineitem side
+    * bins by ship month; the join is an equi-join on the bin with the
+    * exact range predicate applied after. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders.filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_orderdate").as("range_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("range_end"))
+      .withColumn("bin", explode(sequence(
+        date_trunc("month", col("range_start")),
+        date_trunc("month", col("range_end")),
+        expr("INTERVAL 1 MONTH"))))
+    val items = t.lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      .withColumn("bin", date_trunc("month", col("l_shipdate")))
+    items.join(broadcast(orders), Seq("bin"))
+      .filter(col("l_shipdate") >= col("range_start") &&
+              col("l_shipdate") < col("range_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+}

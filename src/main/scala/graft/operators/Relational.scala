@@ -236,6 +236,44 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("yr"), col("mo"))
 
+  /** Dense-key group-by via the typed DenseCounter Aggregator — parity
+    * with the reference's 256-slot array specialization
+    * (`groupby_array_regtest.cpp:30-68`); the key domain (l_linenumber ∈
+    * 1..7) is provably dense. */
+  def denseGroupBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir).lineitem
+      .select(col("l_linenumber")).as[Int]
+      .select(new graft.functions.DenseCounter(8).toColumn.name("counts"))
+    counts.select(posexplode(col("counts")).as(Seq("linenumber", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("linenumber").cast("long").as("linenumber"), col("cnt"))
+      .orderBy(col("linenumber"))
+  }
+
+  /** Approximate distinct (HLL++) next to the exact count — the sketch is
+    * deterministic but engine-specific, so this ships rows-only with a
+    * relative-error assertion in tests. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Array-function battery over split words (SURVEY §2.h ABSENT-fill):
+    * size/element_at/sort/slice/contains/distinct as codegen'd built-ins. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        element_at(col("words"), 1).as("first_word"),
+        element_at(col("words"), -1).as("last_word"),
+        concat_ws(",", slice(sort_array(col("words")), 1, 3)).as("sorted3"),
+        array_contains(col("words"), "the").as("has_the"),
+        size(array_distinct(col("words"))).cast("long").as("distinct_words"))
+      .orderBy(col("doc_id"))
+
   /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events

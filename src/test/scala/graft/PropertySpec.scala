@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY §5 engine test plan): engine results vs
+  * in-memory Scala models on randomized inputs — the upgrade of the
+  * reference's randomized buffer-pool stress test to query semantics.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Raw-ScalaCheck sampling (the scalatest bridge isn't on the offline
+    * classpath): run the property over N deterministic generator draws. */
+  private def forAllSampled[T](gen: Gen[T], n: Int = 8)(prop: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      prop(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val kvGen = Gen.listOfN(200,
+    Gen.zip(Gen.choose(0, 20), Gen.choose(-100, 100)))
+
+  test("groupBy sum matches in-memory model") {
+    forAllSampled(kvGen) { kvs =>
+      import spark.implicits._
+      val df = kvs.toDF("k", "v")
+      val got = df.groupBy($"k").agg(sum($"v").as("s")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = kvs.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      assert(got == want)
+    }
+  }
+
+  test("inner join + aggregate matches in-memory model") {
+    forAllSampled(Gen.zip(kvGen, kvGen)) { case (l, r) =>
+      import spark.implicits._
+      val left = l.toDF("k", "v")
+      val right = r.distinct.toDF("k", "w")
+      val got = left.join(right, "k")
+        .agg(count(lit(1)), sum($"v" + $"w")).head()
+      val rm = r.distinct.groupBy(_._1)
+      val pairs = for {
+        (k, v) <- l
+        (_, w) <- rm.getOrElse(k, Nil)
+      } yield (v.toLong + w)
+      assert(got.getLong(0) == pairs.size.toLong)
+      assert(Option(got.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L) == pairs.sum)
+    }
+  }
+
+  test("minhash signature agreement estimates Jaccard") {
+    // two documents built from controlled shingle overlap
+    import spark.implicits._
+    val shared = (1 to 60).map(i => f"sh$i%04d")
+    val onlyA = (1 to 40).map(i => f"aa$i%04d")
+    val onlyB = (1 to 40).map(i => f"bb$i%04d")
+    val rows = shared.map(("a", _)) ++ onlyA.map(("a", _)) ++
+      shared.map(("b", _)) ++ onlyB.map(("b", _))
+    val sigs = rows.toDF("doc_id", "sh")
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashSig.minhash_sig($"sh", 64).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    val est = agree.toDouble / 64
+    val trueJacc = 60.0 / 140.0 // |∩|/|∪|
+    assert(math.abs(est - trueJacc) < 0.2,
+      s"minhash estimate $est vs true $trueJacc")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val row = operators.Relational.approxDistinct(spark, sf).head()
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("asof join: every matched signup is at or before its purchase") {
+    val t = Tables(spark, sf)
+    val out = operators.Joins.asofJoin(spark, sf)
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pts"))
+    val joined = out.join(purchases, "event_id")
+      .filter(col("signup_ts_us") =!= -1L)
+    assert(joined.filter(col("signup_ts_us") > col("pts")).count() == 0)
+  }
+}
