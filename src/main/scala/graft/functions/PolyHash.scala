@@ -38,7 +38,7 @@ case class PolyHash(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(str: Any, seed: Any): Any =
-    hash(str.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+    hash(str.asInstanceOf[UTF8String], seed.asInstanceOf[Number].longValue)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, seed) => {

@@ -1,8 +1,18 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event subset for the custom-state sessionizer. */
+final case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    value: Double)
+/** Open-session state carried between micro-batches. */
+final case class SessState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+/** Emitted closed session. */
+final case class SessionOut(user_id: Long, session_start_us: Long,
+    n_events: Long, sum_value: Double)
 
 /** Streaming surface (SURVEY §2.j — ABSENT in the reference; supplied by
   * Structured Streaming).
@@ -65,6 +75,56 @@ object EventStreams {
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
     sessionAgg(Tables(spark, dir).events)
       .orderBy(col("user_id"), col("session_start_us"))
+
+  private val GapUs = 5L * 60 * 1000000
+
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` (SURVEY §7:
+    * "flatMapGroupsWithState only if semantics require" — here it
+    * reimplements session_window to demonstrate the arbitrary-state
+    * surface). Per user: merge in-batch events into the open session,
+    * emit sessions closed by a gap immediately, keep the open one in the
+    * state store with an event-time timeout at lastEvent + gap; the
+    * watermark advancing past that flushes it. Must equal the built-in
+    * session_window aggregation — asserted in StreamingSpec. */
+  def sessionizeCustom(events: Dataset[SEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.startUs, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case Some(s) if us - s.lastUs < GapUs =>
+                  cur = Some(SessState(s.startUs, us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.startUs, s.n, s.sum)
+                  cur = Some(SessState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + GapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Streaming dedup equivalent: first occurrence of each (user_id,
     * event_type) in time order — batch formulation via ranking window; the

@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's custom expressions in a session's function registry
+    * so `spark.sql("SELECT poly_hash(text, 0) ...")` works — the SQL-API
+    * face of the extension surface (SURVEY §2.k). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("poly_hash",
+      exprs => graft.functions.PolyHash(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.functions.SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => graft.functions.MinHashSig(exprs.head).toAggregateExpression(),
+      "scala_udf")
+  }
 }

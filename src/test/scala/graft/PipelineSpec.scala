@@ -50,6 +50,23 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.InternalRow.empty) == h1)
   }
 
+  test("custom expressions are callable from SQL after registration") {
+    org.apache.spark.sql.graft.bridge.registerFunctions(spark)
+    Tables(spark, sf).documents.createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, poly_hash(text, 0) AS fp,
+        |       simhash64(split(lower(text), ' ')) AS sh
+        |FROM docs_sql ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    val viaApi = Tables(spark, sf).documents
+      .select(col("doc_id"), poly_hash(col("text"), lit(0L)).as("fp"),
+        simhash64(split(lower(col("text")), " ")).as("sh"))
+      .orderBy(col("doc_id")).limit(5).collect()
+    assert(viaSql.map(_.toSeq.toList).toList == viaApi.map(_.toSeq.toList).toList)
+    val agg = spark.sql(
+      "SELECT minhash_sig(substring(text, 1, 8)) FROM docs_sql").head()
+    assert(agg.getSeq[Long](0).length == 64)
+  }
+
   test("minhash LSH funnel is sane") {
     val row = Dedup.minhashLshSummary(spark, sf).head()
     val (nDocs, nCand, nDup) = (row.getLong(0), row.getLong(1), row.getLong(2))

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale properties the engine
+  * promises (pushdown, broadcast, no accidental cartesian products) are
+  * pinned here so a refactor can't silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed into the parquet scan, single column read") {
+    val p = plan("q02_scan_filter_count")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"), p)
+  }
+
+  test("q06: dimension side is broadcast") {
+    val p = plan("q06_hashjoin_sum")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q08: star join broadcasts all three dimensions") {
+    val p = plan("q08_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("fact-fact join falls back to sort-merge when broadcast is disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val t = Tables(spark, sf)
+      val p = t.lineitem.join(t.orders,
+          t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("no accidental cartesian products in the query inventory") {
+    // bounded nested-loop joins are by design in the all-pairs similarity
+    // ops (documented); everything else must be hash/merge joins
+    val allowed = Set("q45_cosine_topk_pairs", "q46_ann_bruteforce_topk",
+      "q47_ann_lsh_topk")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
+      val p = try plan(name) catch { case _: Throwable => "" }
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("window queries exchange once on the partition key") {
+    val p = plan("q23_window_running_sum")
+    assert(p.contains("Window"), p)
+    // one hash exchange for the window partition key (+ range for orderBy)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
+  }
+}

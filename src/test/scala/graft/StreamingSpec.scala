@@ -73,6 +73,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer == built-in session_window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = batchEvents
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+      999999L, "sentinel", 0.0, "{}")
+    val ms = MemoryStream[Ev]
+    val stream = ms.toDF().withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[graft.streaming.SEvent]
+    val q = graft.streaming.EventStreams.sessionizeCustom(stream)
+      .writeStream.format("memory").queryName("custom_session_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+      ms.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val got = spark.table("custom_session_out")
+        .filter(col("user_id") =!= 999999L)
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          org.apache.spark.sql.functions.round(col("sum_value"), 2).as("sv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStreams.sessionWindow(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates == batch first-occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
