@@ -66,6 +66,16 @@ object SparkEntry {
     "q34_triangle_count"  -> (GraphOps.triangleCount _),
     "q35_connected_components" -> (GraphOps.connectedComponents _),
     "q36_pagerank"        -> (GraphOps.pageRank _),
+    "q37_bfs_frontier"    -> ((s: SparkSession, d: String) => GraphOps.bfsFrontier(s, d)),
+  )
+
+  /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
+    * its own oracle (ANSI subset valid in both engines). */
+  private val sqlFrontDoor: Map[String, Q] = Map(
+    "q70_tpch_q1_sql" -> (graft.operators.SqlQueries.tpchQ1 _),
+    "q71_tpch_q3_sql" -> (graft.operators.SqlQueries.tpchQ3 _),
+    "q72_tpch_q6_sql" -> (graft.operators.SqlQueries.tpchQ6 _),
+    "q56_skew_salted_join" -> (graft.operators.Skew.saltedJoinAgg _),
   )
 
   /** LLM-data-pipeline operators (SURVEY §2.l / BASELINE.json north star). */
@@ -96,7 +106,7 @@ object SparkEntry {
   )
 
   def queries: Map[String, Q] =
-    relational ++ windows ++ graph ++ pipeline ++ streamingQ
+    relational ++ windows ++ graph ++ pipeline ++ streamingQ ++ sqlFrontDoor
 
   private val relationalOracles: Map[String, String] = Map(
     "q01_scan_count" ->
@@ -343,6 +353,16 @@ object SparkEntry {
         |FROM ce e1
         |JOIN ce e2 ON e2.a = e1.b
         |JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "q37_bfs_frontier" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |walk(node, d) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION
+        |  SELECT ue.dst, w.d + 1 FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.d < 10
+        |)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "q35_connected_components" ->
       s"""WITH RECURSIVE $edgeCte,
         |walk(node, reach) AS (
@@ -522,11 +542,28 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 
+  private val sqlFrontDoorOracles: Map[String, String] = Map(
+    "q70_tpch_q1_sql" -> graft.operators.SqlQueries.q1Sql,
+    "q71_tpch_q3_sql" -> graft.operators.SqlQueries.q3Sql,
+    "q72_tpch_q6_sql" -> graft.operators.SqlQueries.q6Sql,
+    "q56_skew_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN user_id % 50 < 25 THEN CAST(0 AS BIGINT)
+        |              ELSE user_id END AS k,
+        |         value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k, k % 7 AS w FROM fact)
+        |SELECT f.k, count(*) AS cnt, round(sum(f.value), 2) AS sum_value,
+        |       CAST(max(d.w) AS BIGINT) AS w
+        |FROM fact f JOIN dim d ON f.k = d.k
+        |GROUP BY f.k ORDER BY f.k""".stripMargin,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relationalOracles ++ windowOracles ++ graphOracles ++ pipelineOracles ++
-      streamingOracles
+      streamingOracles ++ sqlFrontDoorOracles
 
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */

@@ -113,6 +113,39 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** BFS via iterative DataFrame frontier joins — the DataFrame-only
+    * fallback SURVEY §7 names for when GraphX RDD conversion costs
+    * dominate. Each hop: frontier ⋈ edges → anti-join against settled
+    * nodes → new frontier; early exit on empty frontier. Same semantics
+    * (and oracle) as the Pregel version. At cluster scale each hop is one
+    * shuffle on the join key; `persist` + count materializes per hop and a
+    * real deployment checkpoints every ~10 hops to cut lineage. */
+  def bfsFrontier(spark: SparkSession, dir: String, source: Long = 1L,
+      maxHops: Int = 10): DataFrame = {
+    import spark.implicits._
+    val edges = undirectedEdges(Tables(spark, dir)).persist()
+    var settled = Seq((source, 0L)).toDF("node", "dist").persist()
+    var frontier = settled
+    var hop = 1L
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = frontier.select(col("node")).alias("f")
+        .join(edges.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .persist()
+      if (next.isEmpty) done = true
+      else {
+        settled = settled.union(next).persist()
+        frontier = next
+        hop += 1
+      }
+    }
+    edges.unpersist()
+    settled.orderBy(col("node"))
+  }
+
   /** Weighted SSSP (the reference README's stated "routing" purpose,
     * `README.md:4`, never implemented there). Edge weight is the
     * deterministic `((src*31 + dst) % 7) + 1` so the oracle can recompute

@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: amplify the sf0.1 fixtures N× at runtime (key-shifted
+  * unions, so join fan-outs stay realistic) and time the core operator
+  * shapes at 1× and N×. The point is catching anything that does NOT
+  * scale linearly — driver-side state, accidental broadcasts of big
+  * sides, quadratic candidate generation — before a real cluster does.
+  */
+object ScaleSmoke {
+  private def amplify(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame = {
+    val shift = 10000000L
+    (0 until n).map { i =>
+      keyCols.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * shift)))
+    }.reduce(_ union _)
+  }
+
+  private def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = f
+    println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, dir)
+
+    for (mult <- Seq(1, n)) {
+      val li = amplify(t.lineitem, Seq("l_orderkey"), mult)
+      val ord = amplify(t.orders, Seq("o_orderkey", "o_custkey"), mult)
+      val ev = amplify(t.events, Seq("event_id", "user_id"), mult)
+      println(s"--- amplification ${mult}x ---")
+      time(s"scan_filter_count")(
+        li.filter(col("l_quantity") > 30.0).count())
+      time(s"groupby_hash")(
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity"))).count())
+      time(s"shuffle_join_agg")(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice"))).count())
+      time(s"topk")(
+        spark.sparkContext.parallelize(
+          ord.orderBy(col("o_totalprice").desc).limit(25).collect().toSeq.map(_.getLong(0))).count())
+      time(s"window_running_sum")(
+        ev.withColumn("r", sum(col("value")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Long.MinValue, 0))).count())
+    }
+    spark.stop()
+  }
+}
