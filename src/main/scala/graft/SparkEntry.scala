@@ -46,6 +46,12 @@ object SparkEntry {
     "q29_dense_groupby"     -> (Relational.denseGroupBy _),
     "q54_approx_distinct"   -> (Relational.approxDistinct _),
     "q55_array_funcs"       -> (Relational.arrayFuncs _),
+    "q57_pivot"             -> (Relational.pivotAgg _),
+    "q58_setops_multiset"   -> (Relational.setOpsMultiset _),
+    "q59_left_outer_join"   -> (Relational.leftOuterJoin _),
+    "q73_minmax_by"         -> (Relational.minMaxBy _),
+    "q74_string_funcs"      -> (Relational.stringFuncs _),
+    "q75_full_outer_join"   -> (Relational.fullOuterJoin _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -241,6 +247,58 @@ object SparkEntry {
     "q29_dense_groupby" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS linenumber, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_setops_multiset" ->
+      """SELECT op, n FROM (
+        |  SELECT 'except_all' AS op, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    EXCEPT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    INTERSECT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |) ORDER BY op""".stripMargin,
+    "q59_left_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q73_minmax_by" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |         l_extendedprice * 1e10 + l_orderkey * 10 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       min_by(l_orderkey, v) AS cheapest_order,
+        |       max_by(l_orderkey, v) AS priciest_order
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q74_string_funcs" ->
+      """SELECT c_custkey,
+        |       lpad(c_mktsegment, 12, '*') AS seg_lpad,
+        |       rpad(c_mktsegment, 12, '-') AS seg_rpad,
+        |       trim('  pad  ') AS trimmed,
+        |       reverse(c_name) AS name_rev,
+        |       repeat(substring(c_name, 1, 2), 3) AS rep2x3,
+        |       right(c_name, 3) AS name_last3,
+        |       starts_with(c_name, 'Customer') AS is_cust,
+        |       contains(c_name, '00') AS has_00
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q75_full_outer_join" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_open FROM orders
+        |           WHERE o_orderstatus = 'O' GROUP BY 1),
+        |f AS (SELECT o_custkey AS k, count(*) AS n_fin FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT coalesce(o.k, f.k) AS custkey,
+        |       CAST(coalesce(n_open, 0) AS BIGINT) AS n_open,
+        |       CAST(coalesce(n_fin, 0) AS BIGINT) AS n_fin
+        |FROM o FULL OUTER JOIN f ON o.k = f.k
+        |ORDER BY custkey""".stripMargin,
     "q55_array_funcs" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -24,6 +24,8 @@ case class PolyHash(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
+  // allow Catalyst constant folding when both children are literals
+  override def foldable: Boolean = left.foldable && right.foldable
 
   @inline final def hash(s: UTF8String, seed: Long): Long = {
     var h = seed ^ 0xcbf29ce484222325L

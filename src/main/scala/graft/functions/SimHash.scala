@@ -24,6 +24,8 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  // allow Catalyst constant folding when the input is a literal
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(arr: Any): Any = {
     val tokens = arr.asInstanceOf[ArrayData]

@@ -274,7 +274,88 @@ object Relational {
         size(array_distinct(col("words"))).cast("long").as("distinct_words"))
       .orderBy(col("doc_id"))
 
-  /** JSON extraction from the events.props string column (SURVEY §2.h). */
+  /** Dynamic pivot (Catalyst Pivot operator): order counts status ×
+    * priority. Same semantics as caseWhenAgg, different operator. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL — duplicate-
+    * preserving, unlike §2.g's distinct variants). */
+  def setOpsMultiset(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val open = t.orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val e = open.exceptAll(fin).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    val i = open.intersectAll(fin).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    e.union(i).orderBy(col("op"))
+  }
+
+  /** Left outer join with null-aware aggregation: every customer with
+    * their order count, zero included (count(col) skips nulls). */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.join(t.orders,
+        t.customer("c_custkey") === t.orders("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join of two aggregates: open vs finished order counts per
+    * customer, null branches coalesced to 0. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_open"))
+    val fin = t.orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_fin"))
+    open.withColumnRenamed("k", "ko")
+      .join(fin.withColumnRenamed("k", "kf"),
+        col("ko") === col("kf"), "full_outer")
+      .select(coalesce(col("ko"), col("kf")).as("custkey"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_fin"), lit(0L)).as("n_fin"))
+      .orderBy(col("custkey"))
+  }
+
+  /** min_by / max_by (argmin/argmax): cheapest and priciest lineitem per
+    * return flag. The ordering value folds in a unique row id
+    * (price·10¹⁰ + orderkey·10 + linenumber, exact in a double) so
+    * argmin/argmax are deterministic in both engines despite price ties. */
+  def minMaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .withColumn("v",
+        col("l_extendedprice") * lit(1e10) + col("l_orderkey") * lit(10L)
+          + col("l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(min_by(col("l_orderkey"), col("v")).as("cheapest_order"),
+        max_by(col("l_orderkey"), col("v")).as("priciest_order"))
+      .orderBy(col("l_returnflag"))
+
+  /** Extended string-function battery (lpad/rpad/trim/reverse/repeat/
+    * left/right/startswith/contains). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, "*").as("seg_lpad"),
+        rpad(col("c_mktsegment"), 12, "-").as("seg_rpad"),
+        trim(lit("  pad  ")).as("trimmed"),
+        reverse(col("c_name")).as("name_rev"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep2x3"),
+        substring(col("c_name"), -3, 3).as("name_last3"),
+        col("c_name").startsWith("Customer").as("is_cust"),
+        col("c_name").contains("00").as("has_00"))
+      .orderBy(col("c_custkey"))
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(
