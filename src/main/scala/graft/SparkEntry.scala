@@ -52,6 +52,10 @@ object SparkEntry {
     "q73_minmax_by"         -> (Relational.minMaxBy _),
     "q74_string_funcs"      -> (Relational.stringFuncs _),
     "q75_full_outer_join"   -> (Relational.fullOuterJoin _),
+    "q76_grouping_sets"     -> (Relational.groupingSetsAgg _),
+    "q77_percentiles"       -> (Relational.percentiles _),
+    "q78_stats_agg"         -> (Relational.statsAgg _),
+    "q79_histogram"         -> (Relational.histogram _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -299,6 +303,28 @@ object SparkEntry {
         |       CAST(coalesce(n_fin, 0) AS BIGINT) AS n_fin
         |FROM o FULL OUTER JOIN f ON o.k = f.k
         |ORDER BY custkey""".stripMargin,
+    "q76_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS s,
+        |       coalesce(o_orderpriority, 'ALL') AS p,
+        |       count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY s, p""".stripMargin,
+    "q77_percentiles" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_stats_agg" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_discount), 6) AS var_disc,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem""".stripMargin,
+    "q79_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_array_funcs" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

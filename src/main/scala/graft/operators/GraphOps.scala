@@ -129,15 +129,18 @@ object GraphOps {
     var hop = 1L
     var done = false
     while (hop <= maxHops && !done) {
+      // localCheckpoint truncates lineage each hop — without it the plan
+      // tree (and Catalyst planning time) grows exponentially with hops;
+      // a cluster deployment uses reliable checkpoint instead
       val next = frontier.select(col("node")).alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-        .persist()
+        .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        settled = settled.union(next).persist()
+        settled = settled.union(next).localCheckpoint(true)
         frontier = next
         hop += 1
       }

@@ -356,6 +356,47 @@ object Relational {
         col("c_name").startsWith("Customer").as("is_cust"),
         col("c_name").contains("00").as("has_00"))
       .orderBy(col("c_custkey"))
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-status totals,
+    * per-priority totals, and the grand total in one pass (one Expand). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("s"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("p"),
+        col("cnt"))
+      .orderBy(col("s"), col("p"))
+
+  /** Exact interpolated percentiles (median / p90) per order status. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Statistical aggregates: correlation, stddev, variance, covariance. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+
+  /** Fixed-width histogram via integer bucket arithmetic (30k-wide
+    * buckets over order totals). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(floor(col("o_totalprice") / lit(30000.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+
+  /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(
