@@ -27,6 +27,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+STRICT = True  # driver hashes values: require exact equality, even floats
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -37,6 +40,8 @@ def cells_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
+        if STRICT:
+            return af == bf
         return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
     return str(a) == str(b)
 

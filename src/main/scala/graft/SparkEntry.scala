@@ -56,6 +56,10 @@ object SparkEntry {
     "q77_percentiles"       -> (Relational.percentiles _),
     "q78_stats_agg"         -> (Relational.statsAgg _),
     "q79_histogram"         -> (Relational.histogram _),
+    "q80_null_handling"     -> (Relational.nullHandling _),
+    "q81_regex_funcs"       -> (Relational.regexFuncs _),
+    "q82_date_arith"        -> (Relational.dateArith _),
+    "q83_typed_pipeline"    -> (Relational.typedPipeline _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -325,6 +329,37 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
         |       count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_null_handling" ->
+      """SELECT o_orderpriority,
+        |       count(nullif(o_orderstatus, 'P')) AS n_not_p,
+        |       CAST(sum(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'P'
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_regex_funcs" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS id_str,
+        |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+        |       regexp_matches(c_name, '[0-9]+$') AS ends_num,
+        |       regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q82_date_arith" ->
+      """SELECT o_orderkey,
+        |       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+        |       CAST(year(o_orderdate + INTERVAL 3 MONTH) * 10000
+        |            + month(o_orderdate + INTERVAL 3 MONTH) * 100
+        |            + day(o_orderdate + INTERVAL 3 MONTH) AS BIGINT) AS plus3m_ymd,
+        |       CAST(year(last_day(CAST(o_orderdate AS DATE))) * 10000
+        |            + month(last_day(CAST(o_orderdate AS DATE))) * 100
+        |            + day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS eom_ymd,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q83_typed_pipeline" ->
+      """SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_array_funcs" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

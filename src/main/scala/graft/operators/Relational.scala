@@ -4,6 +4,10 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Typed row for the Dataset[T] pipeline demo. */
+final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+    o_totalprice: Double, o_orderstatus: String)
+
 /** Relational operator surface (SURVEY.md §2.a–§2.h).
   *
   * The reference implements each operator as a hand-fused parallel loop over
@@ -395,6 +399,66 @@ object Relational {
       .groupBy(floor(col("o_totalprice") / lit(30000.0)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("bucket"))
+
+  /** Null-handling semantics: nullif, null-skipping count, null-safe
+    * equality (<=> / IS NOT DISTINCT FROM). */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(nullif(col("o_orderstatus"), lit("P"))).as("n_not_p"),
+        sum(when(col("o_orderstatus") <=> lit("P"), 1L).otherwise(0L)).as("n_p"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Regex battery: extract, extract+cast, rlike, replace-all. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_str"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("id_num"),
+        col("c_name").rlike("[0-9]+$").as("ends_num"),
+        regexp_replace(col("c_name"), "[0-9]", "x").as("masked"))
+      .orderBy(col("c_custkey"))
+
+  /** Date arithmetic battery: day diffs, month addition (with month-end
+    * clamping), last_day, quarter, ISO week — calendar outputs emitted as
+    * ymd integers so no timestamp type crosses the compare boundary. */
+  def dateArith(spark: SparkSession, dir: String): DataFrame = {
+    def ymd(c: org.apache.spark.sql.Column) =
+      (year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("long")
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          .cast("long").as("days_since_95"),
+        ymd(add_months(col("o_orderdate"), 3)).as("plus3m_ymd"),
+        ymd(last_day(col("o_orderdate"))).as("eom_ymd"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Typed Dataset pipeline (SURVEY §1.1: ITypedTable ≈ Dataset[T]):
+    * case-class rows, lambda filter, groupByKey + mapGroups with exact
+    * integer-cents accumulation. Demonstrates the typed API; the
+    * DataFrame formulation is preferred on hot paths (codegen). */
+  def typedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .as[OrderRow]
+      .filter(_.o_orderstatus == "O")
+      .groupByKey(_.o_custkey)
+      .mapGroups { (k, rows) =>
+        var n = 0L
+        var cents = 0L
+        rows.foreach { r => n += 1; cents += math.round(r.o_totalprice * 100) }
+        (k, n, cents)
+      }
+      .toDF("custkey", "n_orders", "sum_cents")
+      .orderBy(col("custkey"))
+  }
 
   /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
