@@ -81,6 +81,8 @@ object SparkEntry {
     "q35_connected_components" -> (GraphOps.connectedComponents _),
     "q36_pagerank"        -> (GraphOps.pageRank _),
     "q37_bfs_frontier"    -> ((s: SparkSession, d: String) => GraphOps.bfsFrontier(s, d)),
+    "q38_label_propagation" -> (GraphOps.labelPropagation _),
+    "q39_scc"             -> (GraphOps.stronglyConnectedComponents _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -482,6 +484,17 @@ object SparkEntry {
         |)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q39_scc" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |fwd(node, reach) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT f.node, e.dst FROM fwd f JOIN e ON e.src = f.reach
+        |)
+        |SELECT a.node, CAST(min(a.reach) AS BIGINT) AS scc
+        |FROM fwd a JOIN fwd b ON a.node = b.reach AND a.reach = b.node
+        |GROUP BY a.node ORDER BY a.node""".stripMargin,
     "q35_connected_components" ->
       s"""WITH RECURSIVE $edgeCte,
         |walk(node, reach) AS (
@@ -688,6 +701,7 @@ object SparkEntry {
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
     "q36_pagerank",         // float fixpoint — no exact SQL oracle; invariants unit-tested
+    "q38_label_propagation", // LPA tie-break is iteration-order-sensitive; invariants unit-tested
     "q42_minhash_lsh_dedup", // seeded-hash signatures not SQL-expressible; funnel unit-tested
     "q43_fingerprints",      // PolyHash/SimHash values not SQL-expressible; property-tested
     "q44_simhash_neardup",   // same

@@ -205,6 +205,31 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Strongly connected components over the directed graph (GraphX colors
+    * each SCC by its lowest member id — the mutual-reachability-closure
+    * oracle recomputes exactly that). */
+  def stronglyConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = toGraph(directedEdges(Tables(spark, dir)))
+    org.apache.spark.graphx.lib.StronglyConnectedComponents.run(g, 50)
+      .vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("node", "scc")
+      .orderBy(col("node"))
+  }
+
+  /** Label propagation community detection (rows-only: LPA tie-breaking is
+    * iteration-order-sensitive; structural invariants unit-tested). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = toGraph(undirectedEdges(Tables(spark, dir)))
+    org.apache.spark.graphx.lib.LabelPropagation.run(g, 5)
+      .vertices
+      .map { case (id, label) => (id, label) }
+      .toDF("node", "community")
+      .orderBy(col("node"))
+  }
+
   /** Static PageRank, 10 iterations (no SQL oracle — float fixpoint; the
     * driver records a rows-only check, invariants are unit-tested). */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {

@@ -111,6 +111,13 @@ class PipelineSpec extends AnyFunSuite {
       s"rank sum $sum vs n=${pr.length}")
   }
 
+  test("label propagation: labels are real node ids, one per node") {
+    val lp = GraphOps.labelPropagation(spark, sf).collect()
+    val nodes = lp.map(_.getLong(0)).toSet
+    assert(lp.map(_.getLong(1)).forall(nodes.contains))
+    assert(nodes.size == lp.length)
+  }
+
   test("connected components: same component implies BFS-reachable (spot)") {
     val cc = GraphOps.connectedComponents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
