@@ -60,6 +60,7 @@ object SparkEntry {
     "q81_regex_funcs"       -> (Relational.regexFuncs _),
     "q82_date_arith"        -> (Relational.dateArith _),
     "q83_typed_pipeline"    -> (Relational.typedPipeline _),
+    "q84_firstwins_join"    -> (Relational.firstWinsJoin _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -361,6 +362,14 @@ object SparkEntry {
       """SELECT o_custkey AS custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_firstwins_join" ->
+      """WITH build AS (
+        |  SELECT o_custkey AS k, min_by(o_totalprice, o_orderkey) AS first_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, count(*) AS cnt,
+        |       round(sum(first_price), 2) AS sum_first_price
+        |FROM orders JOIN build ON o_custkey = k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_array_funcs" ->
       """SELECT doc_id,

@@ -460,6 +460,24 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** First-wins duplicate-key build side — the reference's hash-join build
+    * keeps the first value seen per key (`hashjoin_regtest.cpp:51-53`),
+    * which is scan-order-dependent; the engine replaces it with the
+    * deterministic rule SURVEY §7 prescribes (min_by lowest orderkey), so
+    * an oracle can express it. Build: one row per customer (their lowest-
+    * keyed order's price); probe: orders joined against it. */
+  def firstWinsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val build = t.orders
+      .groupBy(col("o_custkey").as("k"))
+      .agg(min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"))
+    t.orders.join(broadcast(build), col("o_custkey") === col("k"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("first_price")), 2).as("sum_first_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
