@@ -120,6 +120,7 @@ object SparkEntry {
     "q61_sliding_window"   -> (graft.streaming.EventStreams.slidingWindow _),
     "q62_session_window"   -> (graft.streaming.EventStreams.sessionWindow _),
     "q63_first_occurrence" -> (graft.streaming.EventStreams.firstOccurrence _),
+    "q64_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
   )
 
   def queries: Map[String, Q] =
@@ -674,6 +675,18 @@ object SparkEntry {
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    "q64_stream_stream_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |pairs AS (
+        |  SELECT p.event_id AS pid, count(*) AS n
+        |  FROM p JOIN s ON p.user_id = s.user_id
+        |    AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOUR
+        |  GROUP BY 1)
+        |SELECT p.event_id, CAST(coalesce(n, 0) AS BIGINT) AS n_signups_24h
+        |FROM p LEFT OUTER JOIN pairs ON p.event_id = pid
+        |ORDER BY p.event_id""".stripMargin,
     "q63_first_occurrence" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,

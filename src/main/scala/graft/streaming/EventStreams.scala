@@ -126,6 +126,38 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join, mode-agnostic core: purchase events
+    * matched to signup events of the same user within the preceding 24
+    * hours. In streaming mode both sides carry watermarks and the time
+    * bound lets Spark expire join state (see StreamingSpec); in batch mode
+    * it is an ordinary interval equi-join. */
+  def purchaseSignupPairs(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"))
+    val s = signups.select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+      col("ts").as("s_ts"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+  }
+
+  /** Batch query entry: per purchase, how many signups by the same user
+    * in the last 24h (left join keeps zero-match purchases). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val pairs = purchaseSignupPairs(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "signup"))
+      .groupBy(col("p_id")).agg(count(lit(1)).as("n_signups_24h"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"))
+      .join(pairs, col("event_id") === col("p_id"), "left_outer")
+      .select(col("event_id"),
+        coalesce(col("n_signups_24h"), lit(0L)).as("n_signups_24h"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming dedup equivalent: first occurrence of each (user_id,
     * event_type) in time order — batch formulation via ranking window; the
     * streaming formulation is `dropDuplicates` with watermark (asserted

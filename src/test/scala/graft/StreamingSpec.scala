@@ -104,6 +104,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = batchEvents
+    val msP = MemoryStream[Ev]
+    val msS = MemoryStream[Ev]
+    val purchases = msP.toDF().withWatermark("ts", "1 hour")
+    val signups = msS.toDF().withWatermark("ts", "25 hours")
+    val joined = EventStreams.purchaseSignupPairs(purchases, signups)
+      .select(col("p_id"), col("s_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      msP.addData(evs.filter(_.event_type == "purchase"))
+      msS.addData(evs.filter(_.event_type == "signup"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = Tables(spark, sf)
+      val want = EventStreams.purchaseSignupPairs(
+          t.events.filter(col("event_type") === "purchase"),
+          t.events.filter(col("event_type") === "signup"))
+        .select(col("p_id"), col("s_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes parquet per micro-batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fe").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      ms.addData(batchEvents.take(100))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 100)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates == batch first-occurrence") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
