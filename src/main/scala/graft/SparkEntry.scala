@@ -61,6 +61,8 @@ object SparkEntry {
     "q82_date_arith"        -> (Relational.dateArith _),
     "q83_typed_pipeline"    -> (Relational.typedPipeline _),
     "q84_firstwins_join"    -> (Relational.firstWinsJoin _),
+    "q85_approx_percentile" -> (Relational.approxPercentile _),
+    "q86_bloom_membership"  -> (Relational.bloomMembership _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -730,6 +732,8 @@ object SparkEntry {
     "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
     "q54_approx_distinct",   // HLL++ sketch value is engine-specific; error bound unit-tested
+    "q85_approx_percentile", // sketch-based; error bound unit-tested
+    "q86_bloom_membership",  // bloom sketch engine-specific; no-false-negative invariant tested
   )
 
   /** Headline queries timed by Bench (one per operator family). */

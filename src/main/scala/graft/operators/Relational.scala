@@ -478,6 +478,43 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch) next to exact —
+    * rows-only (sketch is engine-specific); error bound unit-tested. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("approx"),
+        expr("percentile(o_totalprice, array(0.5, 0.9))").as("exact"))
+      .select(
+        round(element_at(col("approx"), 1), 2).as("ap50"),
+        round(element_at(col("approx"), 2), 2).as("ap90"),
+        round(element_at(col("exact"), 1), 2).as("p50"),
+        round(element_at(col("exact"), 2), 2).as("p90"))
+
+  /** Bloom-filter membership (the runtime-filter pattern Spark uses for
+    * join pruning, exposed as an operator): build a bloom filter over
+    * high-value order keys, probe the fact table with might_contain, and
+    * report the funnel vs the exact semi-join count. Rows-only; the
+    * no-false-negatives invariant is unit-tested. */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bridge = org.apache.spark.sql.graft.bridge
+    val hot = t.orders.filter(col("o_totalprice") > 300000.0)
+    // the sketch itself is tiny (~numBits/8 bytes): materialize and inline
+    // as a constant — the same broadcast-a-filter shape Spark's injected
+    // runtime filters use (might_contain requires a constant bloom input)
+    val bf: Array[Byte] = hot
+      .agg(bridge.bloomFilterAgg(xxhash64(col("o_orderkey")), 50000L, 400000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probed = t.lineitem
+      .filter(bridge.mightContain(lit(bf), xxhash64(col("l_orderkey"))))
+      .agg(count(lit(1)).as("n_bloom_pass"))
+    val exact = t.lineitem.join(hot.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_exact"))
+    probed.crossJoin(exact)
+  }
+
   /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events

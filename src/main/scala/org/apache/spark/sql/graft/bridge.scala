@@ -14,6 +14,19 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Bloom-filter build/probe (Spark's internal runtime-filter
+    * expressions, not SQL-registered) exposed as Columns. */
+  def bloomFilterAgg(hashed: Column, numItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  def mightContain(bloom: Column, hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(hashed)))
+
   /** Register graft's custom expressions in a session's function registry
     * so `spark.sql("SELECT poly_hash(text, 0) ...")` works — the SQL-API
     * face of the extension surface (SURVEY §2.k). */

@@ -77,6 +77,23 @@ class PropertySpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("approx_percentile within 1% of exact") {
+    val r = operators.Relational.approxPercentile(spark, sf).head()
+    val (ap50, ap90, p50, p90) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(ap50 - p50) / p50 < 0.01, s"$ap50 vs $p50")
+    assert(math.abs(ap90 - p90) / p90 < 0.01, s"$ap90 vs $p90")
+  }
+
+  test("bloom membership has no false negatives") {
+    val r = operators.Relational.bloomMembership(spark, sf).head()
+    val (nBloom, nExact) = (r.getLong(0), r.getLong(1))
+    assert(nBloom >= nExact, s"bloom $nBloom < exact $nExact — false negative!")
+    assert(nExact > 0)
+    // and the filter is actually selective (not pass-everything)
+    val total = Tables(spark, sf).lineitem.count()
+    assert(nBloom < total)
+  }
+
   test("asof join: every matched signup is at or before its purchase") {
     val t = Tables(spark, sf)
     val out = operators.Joins.asofJoin(spark, sf)
