@@ -94,6 +94,29 @@ class PropertySpec extends AnyFunSuite {
     assert(nBloom < total)
   }
 
+  test("bernoulli sample is statistically sane and seed-reproducible in-session") {
+    val li = Tables(spark, sf).lineitem
+    val n = li.count()
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 == s2, "same seed+plan must reproduce")
+    assert(math.abs(s1 - 0.1 * n) < 0.03 * n, s"sample $s1 of $n far from 10%")
+  }
+
+  test("stratified sampleBy approximates requested fractions") {
+    val li = Tables(spark, sf).lineitem
+    val fractions = Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.1)
+    val sampled = li.stat.sampleBy("l_returnflag", fractions, seed = 7L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (k, f) =>
+      val got = sampled.getOrElse(k, 0L).toDouble / totals(k)
+      assert(math.abs(got - f) < 0.05, s"stratum $k: got $got want $f")
+    }
+  }
+
   test("asof join: every matched signup is at or before its purchase") {
     val t = Tables(spark, sf)
     val out = operators.Joins.asofJoin(spark, sf)
