@@ -32,11 +32,18 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Min of N timed iterations per query (the reference's regtests time
+    // 10 iterations, scanfilter_regtest.cpp:68-80); min isolates the
+    // operator cost from scheduler noise.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
