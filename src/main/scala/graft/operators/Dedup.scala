@@ -102,8 +102,12 @@ object Dedup {
     * Jaccard ≥ 0.5, i.e. ≥ 32 of 64 signature slots agree). The fixture
     * corpus has no near-dups (max true Jaccard ≈ 0.11), so the interesting
     * assertable output is the funnel: docs → candidates → dups. */
-  def minhashLshSummary(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def minhashLshSummary(spark: SparkSession, dir: String): DataFrame =
+    minhashLshSummaryFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
+    * synthetic near-duplicates and assert the funnel finds them. */
+  def minhashLshSummaryFrom(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs).persist()
     sigs.count() // materialization barrier: the signature scan feeds 4
                  // downstream branches (2 band sides + 2 signature sides);
@@ -137,7 +141,11 @@ object Dedup {
     * a banded Hamming-distance self-join would use). Both hashes are native
     * codegen'd expressions. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    fingerprintsFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def fingerprintsFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         poly_hash(lower(col("text")), lit(0L)).as("fingerprint"),
         simhash64(split(lower(col("text")), " ")).as("simhash"))
@@ -150,8 +158,12 @@ object Dedup {
 
   /** SimHash near-dup pairs via banded Hamming join: candidate pairs share
     * a 16-bit band; verified if Hamming distance ≤ 12. 1-row summary. */
-  def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprints(spark, dir)
+  def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupSummaryFrom(fingerprints(spark, dir))
+
+  /** Same, over precomputed fingerprints (testable with planted dups). */
+  def simhashNearDupSummaryFrom(fps: DataFrame): DataFrame = {
+    val fp = fps
       .select(col("doc_id"), col("simhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
           .as(Seq("band_idx", "band_val")))

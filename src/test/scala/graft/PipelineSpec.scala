@@ -75,6 +75,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(nDup <= nCand)
   }
 
+  test("minhash LSH finds planted near-duplicates") {
+    // derive a corpus with 100 planted near-dups: each doc gets a copy
+    // whose tail is replaced (true Jaccard ≈ 0.9)
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val mutated = base
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 20)"),
+          lit(" zz mutated tail zz")).as("text"))
+    val corpus = base.union(mutated)
+    val row = Dedup.minhashLshSummaryFrom(corpus).head()
+    val (nDocs, nCand, nDup) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nDocs == 200)
+    assert(nDup >= 90, s"planted 100 near-dup pairs, LSH verified only $nDup " +
+      s"(candidates: $nCand)")
+    assert(nCand < 200L * 199 / 2, "candidate generation went quadratic")
+  }
+
+  test("simhash banding finds planted near-duplicates") {
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    // token-level mutation: change the last 2 words of ~60-100
+    val mutated = base
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ",
+          slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - lit(2)),
+          lit("mutated tokens")).as("text"))
+    val corpus = base.union(mutated)
+    val row = Dedup.simhashNearDupSummaryFrom(Dedup.fingerprintsFrom(corpus)).head()
+    val (nCand, nNear) = (row.getLong(0), row.getLong(1))
+    assert(nNear >= 80, s"planted 100 simhash near-dups, found $nNear " +
+      s"(candidates: $nCand)")
+  }
+
   test("simhash near-dup summary is sane") {
     val row = Dedup.simhashNearDupSummary(spark, sf).head()
     assert(row.getLong(0) >= row.getLong(1))
