@@ -51,10 +51,17 @@ object Similarity {
     * corpus is scanned once — the linear-scan baseline every ANN index is
     * measured against. */
   def annBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(spark, dir).embeddings)
-    val queries = e.filter(col("vec_id") < 10)
+    val e = Tables(spark, dir).embeddings
+    annBruteForceTopKFrom(e, e.filter(col("vec_id") < 10))
+  }
+
+  /** Same, over arbitrary corpus/query frames (vec_id, embedding) — lets
+    * tests plant perturbed copies and assert recovery. */
+  def annBruteForceTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame): DataFrame = {
+    val queries = withNorm(queriesRaw)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val corpus = withNorm(corpusRaw)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4).as("cos4"))
@@ -87,7 +94,12 @@ object Similarity {
     * Output shape matches the brute-force baseline (recall is asserted in
     * tests against it). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(spark, dir).embeddings)
+    val e = Tables(spark, dir).embeddings
+    annLshTopKFrom(e, e.filter(col("vec_id") < 10))
+  }
+
+  /** Same, over arbitrary corpus/query frames. */
+  def annLshTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame): DataFrame = {
 
     def signature(emb: Column, table: Int): Column =
       (0 until BitsPerTable).map { bit =>
@@ -101,9 +113,9 @@ object Similarity {
           posexplode(array((0 until NumTables).map(t =>
             signature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
 
-    val corpus = withBuckets(e, "neighbor_id")
+    val corpus = withBuckets(withNorm(corpusRaw), "neighbor_id")
       .withColumnRenamed("embedding", "ce").withColumnRenamed("nrm", "cn")
-    val queries = withBuckets(e.filter(col("vec_id") < 10), "query_id")
+    val queries = withBuckets(withNorm(queriesRaw), "query_id")
       .withColumnRenamed("embedding", "qe").withColumnRenamed("nrm", "qn")
 
     val cand = corpus.join(broadcast(queries), Seq("table_idx", "bucket"))

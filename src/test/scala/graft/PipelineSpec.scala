@@ -125,6 +125,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.0, s"zero recall: lsh=${lshPairs.size} brute=${brute.size}")
   }
 
+  test("ANN recovers planted nearest neighbors (brute force exactly, LSH mostly)") {
+    import org.apache.spark.sql.DataFrame
+    val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    // queries = 10 corpus vectors, slightly perturbed (cosine ≈ 0.9999
+    // with their source) under shifted ids
+    val queries: DataFrame = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001) + lit(0.0005)).cast("float"))
+          .as("embedding"))
+    def top1(df: DataFrame): Map[Long, Long] =
+      df.filter(col("rnk") === 1).collect()
+        .map(r => (r.getLong(0) - 100000L) -> r.getLong(2)).toMap
+    val brute = top1(operators.Similarity.annBruteForceTopKFrom(corpus, queries))
+    assert((0L until 10L).forall(q => brute(q) == q),
+      s"brute force must recover every planted neighbor: $brute")
+    val lsh = top1(operators.Similarity.annLshTopKFrom(corpus, queries))
+    val recovered = (0L until 10L).count(q => lsh.get(q).contains(q))
+    assert(recovered >= 8,
+      s"LSH recovered only $recovered/10 planted neighbors: $lsh")
+  }
+
   test("decode features: stub decoder matches direct computation") {
     val feats = Multimodal.decodeFeatures(spark, sf)
       .filter(col("doc_id") === 0L).head()
