@@ -72,6 +72,7 @@ object SparkEntry {
     "q24_window_lag"         -> (Windows.windowLag _),
     "q25_window_moving_avg"  -> (Windows.windowMovingAvg _),
     "q26_window_ranking"     -> (Windows.windowRanking _),
+    "q87_window_range_frame" -> (Windows.windowRangeFrame _),
   )
 
   /** Graph analytics (SURVEY §2.i). */
@@ -423,6 +424,19 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
   )
 
+  private val windowOracles2: Map[String, String] = Map(
+    "q87_window_range_frame" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       CAST(sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY cents
+        |         RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS near_sum_cents
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+  )
+
   /** Shared edge-derivation CTEs for the graph oracles: `e` is the directed
     * deduped edge list, `ue` its symmetrization — identical semantics to
     * GraphOps.directedEdges/undirectedEdges. */
@@ -718,8 +732,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relationalOracles ++ windowOracles ++ graphOracles ++ pipelineOracles ++
-      streamingOracles ++ sqlFrontDoorOracles
+    relationalOracles ++ windowOracles ++ windowOracles2 ++ graphOracles ++
+      pipelineOracles ++ streamingOracles ++ sqlFrontDoorOracles
 
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */

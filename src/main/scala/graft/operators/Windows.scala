@@ -71,6 +71,20 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Numeric RANGE frame: for each order, the sum (in exact cents) of all
+    * same-status orders priced within 10,000 below it — a value-based
+    * frame (includes ties), not a row-count frame. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cents"))
+      .rangeBetween(-1000000L, Window.currentRow)
+    Tables(spark, dir).orders
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .withColumn("near_sum_cents", sum(col("cents")).over(w))
+      .select(col("o_orderkey"), col("near_sum_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Ranking battery: rank / dense_rank / ntile / percent_rank over a
     * global total order (single-partition window — deliberately exercises
     * the unpartitioned path; input is one small dimension table). */
