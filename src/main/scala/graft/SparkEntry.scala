@@ -63,6 +63,8 @@ object SparkEntry {
     "q84_firstwins_join"    -> (Relational.firstWinsJoin _),
     "q85_approx_percentile" -> (Relational.approxPercentile _),
     "q86_bloom_membership"  -> (Relational.bloomMembership _),
+    "q88_variant_json"      -> (Relational.variantJson _),
+    "q89_from_json_struct"  -> (Relational.fromJsonStruct _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -240,6 +242,12 @@ object SparkEntry {
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q21_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q88_variant_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q89_from_json_struct" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "q27_asof_join" ->

@@ -515,6 +515,27 @@ object Relational {
     probed.crossJoin(exact)
   }
 
+  /** Spark 4 VariantType: parse_json into a variant column, typed
+    * extraction with variant_get — the semi-structured path for schema-
+    * fluid columns (same oracle as plain JSON extraction). */
+  def variantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
+  /** Schema-projected JSON: from_json with an explicit struct schema,
+    * then field access (the strict-schema counterpart of get_json_object). */
+  def fromJsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+      .limit(500)
+
   /** JSON extraction from the events.props string column (SURVEY §2.h). */
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
