@@ -117,6 +117,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("map functions: create/transform/concat round-trip an in-memory model") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "name", "v")
+      .select(col("k"),
+        map(lit("name"), col("name")).as("m1"),
+        map(lit("v2"), (col("v") * 2).cast("string")).as("m2"))
+      .select(col("k"), map_concat(col("m1"), col("m2")).as("m"))
+      .select(col("k"), map_keys(col("m")).as("ks"),
+        transform_values(col("m"), (_, v) => upper(v)).as("mu"))
+    val rows = df.orderBy("k").collect()
+    assert(rows(0).getSeq[String](1).toSet == Set("name", "v2"))
+    assert(rows(0).getMap[String, String](2) == Map("name" -> "A", "v2" -> "20"))
+    assert(rows(1).getMap[String, String](2) == Map("name" -> "B", "v2" -> "40"))
+  }
+
+  test("typed cogroup matches full-outer-join model") {
+    import spark.implicits._
+    val l = Seq((1, "x"), (1, "y"), (3, "z")).toDS()
+    val r = Seq((1, 10), (2, 20)).toDS()
+    val got = l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) {
+      (k, ls, rs) => Iterator((k, ls.size, rs.size))
+    }.collect().toSet
+    assert(got == Set((1, 2, 1), (3, 1, 0), (2, 0, 1)))
+  }
+
   test("asof join: every matched signup is at or before its purchase") {
     val t = Tables(spark, sf)
     val out = operators.Joins.asofJoin(spark, sf)
