@@ -65,6 +65,7 @@ object SparkEntry {
     "q86_bloom_membership"  -> (Relational.bloomMembership _),
     "q88_variant_json"      -> (Relational.variantJson _),
     "q89_from_json_struct"  -> (Relational.fromJsonStruct _),
+    "q90_bool_bit_agg"      -> (Relational.boolBitAgg _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -244,6 +245,14 @@ object SparkEntry {
     "q21_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q90_bool_bit_agg" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 1.0) AS all_qty_gt1,
+        |       bool_or(l_discount > 0.09) AS any_disc_gt9,
+        |       bit_and(l_partkey) AS band,
+        |       bit_or(l_partkey) AS bor,
+        |       bit_xor(l_partkey) AS bxor
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q88_variant_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,

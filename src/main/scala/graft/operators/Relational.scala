@@ -515,6 +515,19 @@ object Relational {
     probed.crossJoin(exact)
   }
 
+  /** Boolean and bitwise aggregates (order-independent, so exactly
+    * comparable): bool_and/bool_or + bit_and/bit_or/bit_xor per key. */
+  def boolBitAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > lit(1.0)).as("all_qty_gt1"),
+        bool_or(col("l_discount") > lit(0.09)).as("any_disc_gt9"),
+        bit_and(col("l_partkey")).as("band"),
+        bit_or(col("l_partkey")).as("bor"),
+        bit_xor(col("l_partkey")).as("bxor"))
+      .orderBy(col("l_returnflag"))
+
   /** Spark 4 VariantType: parse_json into a variant column, typed
     * extraction with variant_get — the semi-structured path for schema-
     * fluid columns (same oracle as plain JSON extraction). */

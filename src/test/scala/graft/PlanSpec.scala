@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join plans as a keyed window, not an inequality join") {
+    val p = plan("q27_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+  }
+
   test("no accidental cartesian products in the query inventory") {
     // bounded nested-loop joins are by design in the all-pairs similarity
     // ops (documented); everything else must be hash/merge joins
