@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic dot product in double precision, left-to-right. */
+  /** Deterministic dot product in double precision, left-to-right — the
+    * codegen'd DotProduct expression (see functions/DotProduct.scala);
+    * IEEE-identical to the aggregate(zip_with(...)) formulation it
+    * replaced, so oracle results are unchanged to the bit. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))

@@ -58,6 +58,26 @@ object ScaleSmoke {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
             .rowsBetween(Long.MinValue, 0))).count())
+      // LLM-pipeline north-star ops: mutate text per copy so amplified
+      // docs are near- but not exact dups (the hard case for LSH)
+      val docs = (0 until mult).map { i =>
+        t.documents.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copyvariant$i tail")).as("text"))
+      }.reduce(_ union _)
+      time(s"minhash_lsh_dedup") {
+        val r = graft.operators.Dedup.minhashLshSummaryFrom(docs).head()
+        println(s"[scale]   minhash funnel: docs=${r.getLong(0)} " +
+          s"candidates=${r.getLong(1)} dups=${r.getLong(2)}")
+        r.getLong(0)
+      }
+      val vecs = (0 until mult).map { i =>
+        t.embeddings.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding"))
+      }.reduce(_ union _)
+      time(s"ann_lsh_topk")(
+        graft.operators.Similarity.annLshTopKFrom(
+          vecs, vecs.filter(col("vec_id") < 10)).count())
     }
     spark.stop()
   }
