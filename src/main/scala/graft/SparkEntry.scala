@@ -90,6 +90,7 @@ object SparkEntry {
     "q37_bfs_frontier"    -> ((s: SparkSession, d: String) => GraphOps.bfsFrontier(s, d)),
     "q38_label_propagation" -> (GraphOps.labelPropagation _),
     "q39_scc"             -> (GraphOps.stronglyConnectedComponents _),
+    "q91_sssp_paths"      -> ((s: SparkSession, d: String) => GraphOps.ssspPaths(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -765,6 +766,7 @@ object SparkEntry {
     "q54_approx_distinct",   // HLL++ sketch value is engine-specific; error bound unit-tested
     "q85_approx_percentile", // sketch-based; error bound unit-tested
     "q86_bloom_membership",  // bloom sketch engine-specific; no-false-negative invariant tested
+    "q91_sssp_paths",        // path argmin not SQL-expressible; cost==q33 + path validity tested
   )
 
   /** Headline queries timed by Bench (one per operator family). */

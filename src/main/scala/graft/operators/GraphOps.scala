@@ -179,6 +179,55 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Routing: weighted shortest path WITH path reconstruction — the
+    * reference README's stated purpose (`README.md:4`). Pregel vertices
+    * carry (cost, path); ties broken by lexicographically smallest path so
+    * the result is deterministic. Costs must equal the oracle-checked
+    * q33 SSSP (asserted in tests); paths are returned as "a->b->c"
+    * strings. Rows-only (path argmin is not SQL-expressible). */
+  def ssspPaths(spark: SparkSession, dir: String, source: Long = 1L,
+      maxHops: Int = 8): DataFrame = {
+    import spark.implicits._
+    val ue = undirectedEdges(Tables(spark, dir))
+    val edgeRdd = ue.select(col("src"), col("dst")).rdd.map { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      Edge(s, d, (s * 31L + d) % 7L + 1L)
+    }
+    val g = Graph.fromEdges(edgeRdd, 0L,
+        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+
+    type Attr = (Long, List[Long]) // (cost, path from source)
+    def better(a: Attr, b: Attr): Attr = {
+      if (a._1 != b._1) { if (a._1 < b._1) a else b }
+      else {
+        // same cost: lexicographically smallest path wins (deterministic)
+        val cmp = a._2.zip(b._2).collectFirst {
+          case (x, y) if x != y => x < y
+        }
+        val aWins = cmp.getOrElse(a._2.length <= b._2.length)
+        if (aWins) a else b
+      }
+    }
+    val inf: Attr = (Long.MaxValue, Nil)
+    val init = g.mapVertices((id, _) =>
+      if (id == source) (0L, List(source)) else inf)
+    val res = init.pregel(inf, maxIterations = maxHops)(
+      (_, attr, msg) => better(attr, msg),
+      t => if (t.srcAttr._1 != Long.MaxValue) {
+             val cand: Attr = (t.srcAttr._1 + t.attr, t.srcAttr._2 :+ t.dstId)
+             if (better(cand, t.dstAttr) == cand && cand != t.dstAttr)
+               Iterator((t.dstId, cand))
+             else Iterator.empty
+           } else Iterator.empty,
+      (a, b) => better(a, b))
+    res.vertices.filter(_._2._1 != Long.MaxValue)
+      .map { case (id, (cost, path)) => (id, cost, path.mkString("->")) }
+      .toDF("node", "cost", "path")
+      .orderBy(col("node"))
+  }
+
   /** Triangle count over the canonicalized (src < dst) undirected edge set,
     * as two shuffle equi-joins — the declarative DataFrame shape lets
     * Catalyst/AQE pick join strategies; identical SQL runs in the oracle. */

@@ -174,6 +174,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(nodes.size == lp.length)
   }
 
+  test("routing: sssp-with-paths costs match oracle-checked SSSP; paths are valid") {
+    val costs = GraphOps.sssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val routed = GraphOps.ssspPaths(spark, sf).collect()
+    assert(routed.map(_.getLong(0)).toSet == costs.keySet)
+    val edges = GraphOps.undirectedEdges(Tables(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def w(s: Long, d: Long) = (s * 31L + d) % 7L + 1L
+    routed.foreach { r =>
+      val (node, cost, path) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(cost == costs(node), s"node $node: path cost $cost != sssp ${costs(node)}")
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.head == 1L && hops.last == node)
+      val pairCosts = hops.sliding(2).collect { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"edge $a->$b not in graph")
+        w(a, b)
+      }.sum
+      assert(pairCosts == cost, s"node $node: telescoped $pairCosts != $cost")
+    }
+  }
+
   test("connected components: same component implies BFS-reachable (spot)") {
     val cc = GraphOps.connectedComponents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
