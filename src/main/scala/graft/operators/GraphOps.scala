@@ -44,10 +44,20 @@ object GraphOps {
       .distinct()
   }
 
-  /** Undirected (symmetrized) edge list. */
+  /** Undirected (symmetrized) edge list, deduplicated — for operators
+    * where edge multiplicity matters (adjacency, degrees, triangles). */
   def undirectedEdges(t: Tables): DataFrame = {
     val d = directedEdges(t)
     d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Symmetrized edges WITHOUT the final dedup — one full shuffle cheaper.
+    * Safe for min-semantics traversals (BFS/SSSP/CC): a duplicate edge
+    * (present when both directions exist in the directed set) changes no
+    * minimum. Multiplicity-sensitive operators must use undirectedEdges. */
+  def symmetrizedEdges(t: Tables): DataFrame = {
+    val d = directedEdges(t)
+    d.union(d.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   private def toGraph(edges: DataFrame): Graph[Long, Long] = {
@@ -99,7 +109,7 @@ object GraphOps {
   def bfs(spark: SparkSession, dir: String, source: Long = 1L,
       maxHops: Int = 10): DataFrame = {
     import spark.implicits._
-    val g = toGraph(undirectedEdges(Tables(spark, dir)))
+    val g = toGraph(symmetrizedEdges(Tables(spark, dir)))
     val init = g.mapVertices((id, _) => if (id == source) 0L else Long.MaxValue)
     val res = init.pregel(Long.MaxValue, maxIterations = maxHops)(
       (_, dist, msg) => math.min(dist, msg),
@@ -157,7 +167,7 @@ object GraphOps {
   def sssp(spark: SparkSession, dir: String, source: Long = 1L,
       maxHops: Int = 8): DataFrame = {
     import spark.implicits._
-    val ue = undirectedEdges(Tables(spark, dir))
+    val ue = symmetrizedEdges(Tables(spark, dir))
     val edgeRdd = ue.select(col("src"), col("dst")).rdd.map { r =>
       val (s, d) = (r.getLong(0), r.getLong(1))
       Edge(s, d, (s * 31L + d) % 7L + 1L)
@@ -188,7 +198,7 @@ object GraphOps {
   def ssspPaths(spark: SparkSession, dir: String, source: Long = 1L,
       maxHops: Int = 8): DataFrame = {
     import spark.implicits._
-    val ue = undirectedEdges(Tables(spark, dir))
+    val ue = symmetrizedEdges(Tables(spark, dir))
     val edgeRdd = ue.select(col("src"), col("dst")).rdd.map { r =>
       val (s, d) = (r.getLong(0), r.getLong(1))
       Edge(s, d, (s * 31L + d) % 7L + 1L)
@@ -247,7 +257,7 @@ object GraphOps {
     * oracle recomputes exactly that). */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = toGraph(undirectedEdges(Tables(spark, dir)))
+    val g = toGraph(symmetrizedEdges(Tables(spark, dir)))
     g.connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }
       .toDF("node", "component")
