@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Default to the JVM's visible processor count (cgroup-aware) rather
+    // than a hardcoded 32: oversubscribing a CPU-capped container with
+    // 32 threads + 32 shuffle partitions multiplies wall time.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,19 +40,31 @@ object Bench {
     // 10 iterations, scanfilter_regtest.cpp:68-80); min isolates the
     // operator cost from scheduler noise.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // A crashing query must not fold its time-to-failure into the
+    // headline number: it records -1 and the process exits nonzero.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: $t")
+            -1.0
+        }
       }
-      name -> times.min
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILED QUERIES: ${failed.mkString(",")}")
+      sys.exit(3)
+    }
   }
 }

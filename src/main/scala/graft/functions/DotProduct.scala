@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -27,6 +28,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
   override def foldable: Boolean = left.foldable && right.foldable
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "dot_product expects two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true
@@ -40,7 +52,9 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"dot_product: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -63,7 +77,11 @@ case class DotProduct(left: Expression, right: Expression)
                  else s"$y.getDouble($i)"
       s"""
          |double $acc = 0.0;
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $getX * $getY;
          |}

@@ -36,6 +36,13 @@ case class MinHashSig(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // Hash-family parameters sized to numHashes (not a fixed 64-entry
+  // table), so any signature width is valid; one lazy init per task.
+  @transient private lazy val A: Array[Long] =
+    Array.tabulate(numHashes)(i => MinHashSig.splitmix(2L * i) | 1L)
+  @transient private lazy val B: Array[Long] =
+    Array.tabulate(numHashes)(i => MinHashSig.splitmix(2L * i + 1L))
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
@@ -46,7 +53,7 @@ case class MinHashSig(
       var i = 0
       while (i < numHashes) {
         // universal family: odd multiplier + increment from splitmix64(i)
-        val h = MinHashSig.A(i) * base + MinHashSig.B(i)
+        val h = A(i) * base + B(i)
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -98,16 +105,13 @@ object MinHashSig {
     h
   }
 
+  /** Mix for the universal-family multipliers (odd) and increments. */
   private def splitmix(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
-
-  /** Multipliers (forced odd) and increments for the universal family. */
-  val A: Array[Long] = Array.tabulate(64)(i => splitmix(2L * i) | 1L)
-  val B: Array[Long] = Array.tabulate(64)(i => splitmix(2L * i + 1L))
 
   /** Column-API entry point: aggregate a shingle column into an n-slot
     * minhash signature array. */

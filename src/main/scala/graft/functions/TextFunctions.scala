@@ -77,8 +77,11 @@ object TextFunctions {
     * where set semantics matter (use [[shingles]]). */
   def shinglesAll(text: Column, k: Int): Column = {
     val lower = org.apache.spark.sql.functions.lower(text)
+    val last = length(lower) - lit(k - 1)
+    // Guard: sequence(1, 0) steps DOWN ([1, 0]), it is not empty — a
+    // text shorter than k must yield zero shingles, not two partials.
     transform(
-      sequence(lit(1), greatest(length(lower) - lit(k - 1), lit(0))),
+      when(last >= 1, sequence(lit(1), last)).otherwise(array().cast("array<int>")),
       i => lower.substr(i, lit(k)))
   }
 

@@ -150,9 +150,11 @@ object Dedup {
         poly_hash(lower(col("text")), lit(0L)).as("fingerprint"),
         simhash64(split(lower(col("text")), " ")).as("simhash"))
       .select(col("doc_id"), col("fingerprint"), col("simhash"),
-        (col("simhash") % lit(65536L)).as("band0"),
-        shiftrightunsigned(col("simhash"), 16).%(65536L).as("band1"),
-        shiftrightunsigned(col("simhash"), 32).%(65536L).as("band2"),
+        // bitwiseAND, not %: signed remainder of a negative simhash is
+        // negative, which would split the low-16-bit band into two buckets
+        col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
+        shiftrightunsigned(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
+        shiftrightunsigned(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
         shiftrightunsigned(col("simhash"), 48).as("band3"))
       .orderBy(col("doc_id"))
 

@@ -142,6 +142,61 @@ class PropertySpec extends AnyFunSuite {
     assert(got == Set((1, 2, 1), (3, 1, 0), (2, 0, 1)))
   }
 
+  test("shingles of text shorter than k are empty, not bogus partials") {
+    import spark.implicits._
+    val rows = Seq("abc", "abcdefg", "abcdefgh", "abcdefghi").toDF("text")
+      .select(col("text"),
+        functions.TextFunctions.shinglesAll(col("text"), 8).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("abc").isEmpty)
+    assert(rows("abcdefg").isEmpty)
+    assert(rows("abcdefgh") == Seq("abcdefgh"))
+    assert(rows("abcdefghi") == Seq("abcdefgh", "bcdefghi"))
+  }
+
+  test("simhash band0 is the unsigned low 16 bits even for negative simhash") {
+    val fps = operators.Dedup.fingerprints(spark, sf)
+      .select(col("simhash"), col("band0"), col("band1"), col("band2"), col("band3"))
+      .collect()
+    assert(fps.exists(_.getLong(0) < 0), "fixture should contain a negative simhash")
+    fps.foreach { r =>
+      val sh = r.getLong(0)
+      assert(r.getLong(1) == (sh & 0xFFFFL))
+      assert(r.getLong(2) == ((sh >>> 16) & 0xFFFFL))
+      assert(r.getLong(3) == ((sh >>> 32) & 0xFFFFL))
+      assert(r.getLong(4) == (sh >>> 48))
+      (1 to 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) <= 0xFFFFL))
+    }
+  }
+
+  test("minhash_sig supports signature widths beyond 64") {
+    import spark.implicits._
+    val sig = Seq(("a", "tok1"), ("a", "tok2"), ("a", "tok3")).toDF("doc_id", "sh")
+      .groupBy($"doc_id")
+      .agg(functions.MinHashSig.minhash_sig($"sh", 128).as("sig"))
+      .head().getSeq[Long](1)
+    assert(sig.length == 128)
+    assert(sig.forall(_ != Long.MaxValue))
+  }
+
+  test("dot_product rejects dimension mismatch instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(functions.DotProduct.dot_product(col("a"), col("b")))
+    val e = intercept[Exception](df.head())
+    assert(e.toString.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.toString.contains("dimension mismatch")))
+  }
+
+  test("dot_product type-checks its inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq(("x", 1)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(functions.DotProduct.dot_product(col("a"), col("b"))).head()
+    }
+    assert(e.getMessage.contains("dot_product expects"))
+  }
+
   test("asof join: every matched signup is at or before its purchase") {
     val t = Tables(spark, sf)
     val out = operators.Joins.asofJoin(spark, sf)
