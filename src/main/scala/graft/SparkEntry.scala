@@ -100,7 +100,9 @@ object SparkEntry {
     "q71_tpch_q3_sql" -> (graft.operators.SqlQueries.tpchQ3 _),
     "q72_tpch_q6_sql" -> (graft.operators.SqlQueries.tpchQ6 _),
     "q56_skew_salted_join" -> (graft.operators.Skew.saltedJoinAgg _),
-  )
+  ) ++ graft.operators.SqlQueries.battery2.map { case (name, sql) =>
+    name -> ((s: SparkSession, d: String) => graft.operators.SqlQueries.run(sql)(s, d))
+  }
 
   /** LLM-data-pipeline operators (SURVEY §2.l / BASELINE.json north star). */
   private val pipeline: Map[String, Q] = Map(
@@ -734,6 +736,7 @@ object SparkEntry {
     "q70_tpch_q1_sql" -> graft.operators.SqlQueries.q1Sql,
     "q71_tpch_q3_sql" -> graft.operators.SqlQueries.q3Sql,
     "q72_tpch_q6_sql" -> graft.operators.SqlQueries.q6Sql,
+  ) ++ graft.operators.SqlQueries.battery2 ++ Map(
     "q56_skew_salted_join" ->
       """WITH fact AS (
         |  SELECT CASE WHEN user_id % 50 < 25 THEN CAST(0 AS BIGINT)
