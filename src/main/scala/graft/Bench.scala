@@ -60,7 +60,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
+    // driver's bench artifact) — also write it as a file the driver can read.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
+    catch { case t: Throwable => System.err.println(s"bench.json write failed: $t") }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED QUERIES: ${failed.mkString(",")}")

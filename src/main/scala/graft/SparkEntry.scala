@@ -66,6 +66,8 @@ object SparkEntry {
     "q88_variant_json"      -> (Relational.variantJson _),
     "q89_from_json_struct"  -> (Relational.fromJsonStruct _),
     "q90_bool_bit_agg"      -> (Relational.boolBitAgg _),
+    "q65_bulk_write"        -> (graft.operators.Sources.bulkWrite _),
+    "q66_cached_reuse"      -> (graft.operators.Sources.cachedReuse _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -160,12 +162,14 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q07_shuffle_join_agg" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_star_join" ->
       """SELECT r_name, count(*) AS cnt,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4
         |FROM lineitem
         |JOIN orders   ON l_orderkey  = o_orderkey
         |JOIN customer ON o_custkey   = c_custkey
@@ -395,6 +399,24 @@ object SparkEntry {
         |       round(sum(first_price), 2) AS sum_first_price
         |FROM orders JOIN build ON o_custkey = k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       true AS approx_in_bounds
+        |FROM lineitem""".stripMargin,
+    "q65_bulk_write" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q66_cached_reuse" ->
+      """WITH hot AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT 'all' AS metric, count(*) AS n,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents FROM hot
+        |UNION ALL
+        |SELECT 'repeat' AS metric, count(*) AS n,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+        |FROM hot WHERE n_orders >= 2
+        |ORDER BY metric""".stripMargin,
     "q55_array_funcs" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -469,7 +491,40 @@ object SparkEntry {
       |  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
       |)""".stripMargin
 
+  /** q91 oracle: the bounded Bellman-Ford DP unrolled to maxHops=8 levels.
+    * Each level keeps the best (cost, path) per node — cost first, then
+    * lexicographically smallest path, encoded as a zero-padded sort key so
+    * string order == elementwise numeric order (and a strict prefix sorts
+    * first, matching GraphOps.better's shorter-path rule). A naive
+    * recursive CTE carrying paths would enumerate every distinct walk
+    * (exponential); the per-level argmin keeps it at O(nodes + edges) rows
+    * per level — exactly one Pregel superstep. */
+  private val ssspPathsOracle: String = {
+    val levels = (1 to 8).map { k =>
+      s"""l$k AS (
+         |  SELECT node, cost, path, pk FROM (
+         |    SELECT node, cost, path, pk,
+         |           row_number() OVER (PARTITION BY node ORDER BY cost, pk) AS rn
+         |    FROM (
+         |      SELECT node, cost, path, pk FROM l${k - 1}
+         |      UNION ALL
+         |      SELECT ue.dst AS node,
+         |             p.cost + ((ue.src * 31 + ue.dst) % 7) + 1 AS cost,
+         |             p.path || '->' || CAST(ue.dst AS VARCHAR) AS path,
+         |             p.pk || '.' || lpad(CAST(ue.dst AS VARCHAR), 8, '0') AS pk
+         |      FROM l${k - 1} p JOIN ue ON ue.src = p.node) cand
+         |  ) ranked WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |l0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+       |              '1' AS path, lpad('1', 8, '0') AS pk),
+       |$levels
+       |SELECT node, CAST(cost AS BIGINT) AS cost, path
+       |FROM l8 ORDER BY node""".stripMargin
+  }
+
   private val graphOracles: Map[String, String] = Map(
+    "q91_sssp_paths" -> ssspPathsOracle,
     "q30_adjacency_build" ->
       s"""WITH $edgeCte,
         |adj AS (
@@ -766,10 +821,10 @@ object SparkEntry {
     "q44_simhash_neardup",   // same
     "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
-    "q54_approx_distinct",   // HLL++ sketch value is engine-specific; error bound unit-tested
     "q85_approx_percentile", // sketch-based; error bound unit-tested
     "q86_bloom_membership",  // bloom sketch engine-specific; no-false-negative invariant tested
-    "q91_sssp_paths",        // path argmin not SQL-expressible; cost==q33 + path validity tested
+    // q54 and q91 were rows-only through round 2; both now carry full
+    // oracles (exact-count+flag projection; unrolled Bellman-Ford DP).
   )
 
   /** Headline queries timed by Bench (one per operator family). */
@@ -777,5 +832,5 @@ object SparkEntry {
     "q02_scan_filter_count", "q04_groupby_hash", "q06_hashjoin_sum",
     "q07_shuffle_join_agg", "q08_star_join", "q11_topk", "q16_rollup",
     "q23_window_running_sum", "q32_bfs", "q42_minhash_lsh_dedup",
-    "q46_ann_bruteforce_topk", "q60_tumbling_window")
+    "q46_ann_bruteforce_topk", "q60_tumbling_window", "q65_bulk_write")
 }

@@ -80,9 +80,13 @@ object TextFunctions {
     val last = length(lower) - lit(k - 1)
     // Guard: sequence(1, 0) steps DOWN ([1, 0]), it is not empty — a
     // text shorter than k must yield zero shingles, not two partials.
-    transform(
-      when(last >= 1, sequence(lit(1), last)).otherwise(array().cast("array<int>")),
-      i => lower.substr(i, lit(k)))
+    // The outer when() preserves NULL-in → NULL-out (the short-text guard
+    // alone would silently map NULL text to an empty array, changing the
+    // contract for callers that distinguish the two).
+    when(lower.isNotNull,
+      transform(
+        when(last >= 1, sequence(lit(1), last)).otherwise(array().cast("array<int>")),
+        i => lower.substr(i, lit(k))))
   }
 
   /** Distinct character k-shingles — the unit set for exact Jaccard. */

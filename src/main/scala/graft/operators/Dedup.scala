@@ -109,9 +109,12 @@ object Dedup {
     * synthetic near-duplicates and assert the funnel finds them. */
   def minhashLshSummaryFrom(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs).persist()
-    sigs.count() // materialization barrier: the signature scan feeds 4
-                 // downstream branches (2 band sides + 2 signature sides);
-                 // without it each branch recomputes the shingle explosion
+    // Materialization barrier (the signature scan feeds 4 downstream
+    // branches — 2 band sides + 2 signature sides — which would each
+    // recompute the shingle explosion otherwise) AND the corpus size:
+    // one signature row per document, so counting the cached signatures
+    // avoids a second full scan of `docs` just for the summary column.
+    val nDocs = sigs.count()
     val sigArr = sigs.select(col("doc_id"), col("sig"))
     // candidates: same band value in any band, deduplicated across bands
     val bandRows = sigs.select(col("doc_id"),
@@ -131,7 +134,7 @@ object Dedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           x => x)).as("agree"))
     withEst.agg(
-      lit(docs.count()).as("n_docs"),
+      lit(nDocs).as("n_docs"),
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)).as("n_dup_pairs"))
   }

@@ -72,19 +72,45 @@ object GraphOps {
   /** CSR-equivalent adjacency build — parity with the `firstNbr`/`Nbr`
     * arrays of `loadgraph_regtest.cpp:49-66`. `nbrs` is the sorted
     * neighbor list (the `Nbr` segment for this node), `degree` its length,
-    * and `first_nbr` the running offset (exactly the CSR `firstNbr` entry),
-    * computed with a prefix-sum window over node order. */
+    * and `first_nbr` the running offset (exactly the CSR `firstNbr` entry).
+    *
+    * The prefix sum is DISTRIBUTED (an unpartitioned window would move
+    * every row to one task — the classic 100×-scale killer): nodes are
+    * range-bucketed by id (deterministic width, no sampling), each bucket
+    * computes its local running sum in parallel, and the per-bucket totals
+    * — O(#buckets) rows, metadata scale — are cumulated on the driver and
+    * broadcast-joined back as bucket base offsets. */
   def adjacencyBuild(spark: SparkSession, dir: String): DataFrame = {
-    val ue = undirectedEdges(Tables(spark, dir))
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    val ue = undirectedEdges(t)
     val adj = ue.groupBy(col("src"))
       .agg(
         count(lit(1)).as("degree"),
         concat_ws(",", sort_array(collect_list(col("dst")))).as("nbrs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("src"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    adj.withColumn("first_nbr", coalesce(sum(col("degree")).over(w), lit(0L)))
-      .select(col("src"), col("first_nbr"), col("degree"), col("nbrs"))
+      // feeds two passes (bucket totals + local prefix); cache so the
+      // edge shuffle + aggregation runs once
+      .persist()
+    val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
+    val width = math.max(1L, (m + nBuckets) / nBuckets) // ceil((m+1)/buckets)
+    val bucketed = adj.withColumn("bucket", (col("src") / lit(width)).cast("long"))
+    // pass 1: per-bucket degree totals → exclusive cumulative base offsets
+    // (≤ #buckets rows on the driver — same metadata scale as maxCust)
+    var acc = 0L
+    val offsetRows = bucketed.groupBy(col("bucket")).agg(sum(col("degree")).as("bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, s) => val base = acc; acc += s; (b, base) }.toSeq
+    import spark.implicits._
+    val offsets = offsetRows.toDF("bucket", "bucket_base")
+    // pass 2: per-bucket local prefix sums, parallel across buckets
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("src"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("local_off", coalesce(sum(col("degree")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("src"), (col("bucket_base") + col("local_off")).as("first_nbr"),
+        col("degree"), col("nbrs"))
       .orderBy(col("src"))
   }
 

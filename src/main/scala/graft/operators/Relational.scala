@@ -96,7 +96,10 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        // integer fixed-point (1e-4 currency): BIGINT sums are associative,
+        // so partial-aggregation order can never flip a rounded cent
+        sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_fp4"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -113,7 +116,8 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_fp4"))
       .orderBy(col("r_name"))
   }
 
@@ -255,14 +259,19 @@ object Relational {
       .orderBy(col("linenumber"))
   }
 
-  /** Approximate distinct (HLL++) next to the exact count — the sketch is
-    * deterministic but engine-specific, so this ships rows-only with a
-    * relative-error assertion in tests. */
+  /** Approximate distinct (HLL++) next to the exact count. The sketch
+    * value itself is engine-specific, so the hashable output is the exact
+    * count plus an in-bounds flag (default rsd 0.05; the 20% acceptance
+    * band makes the flag deterministic-in-practice, and the tight relative
+    * error is additionally asserted in tests). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (col("approx_parts") >= col("exact_parts") * 0.8 &&
+         col("approx_parts") <= col("exact_parts") * 1.2).as("approx_in_bounds"))
 
   /** Array-function battery over split words (SURVEY §2.h ABSENT-fill):
     * size/element_at/sort/slice/contains/distinct as codegen'd built-ins. */

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink + dataset-lifecycle operators (SURVEY §2.a).
+  *
+  * The reference's storage engine owns a bulk writer (`alloc_regtest.cpp:
+  * 24-36` times a 4 GB allocation+write) and a buffer pool with
+  * pin/eviction/dirty-writeback (`buffer_pool.cpp:268-518`). The
+  * Spark-native analogues are the parquet sink (measured by `bulkWrite`,
+  * wired into Bench so write throughput is tracked round-over-round) and
+  * `persist`/`unpersist` (demonstrated by `cachedReuse`: one hot aggregate
+  * is cached and answers two queries — the second reads InMemoryRelation,
+  * not the source; pinned in PlanSpec).
+  */
+object Sources {
+
+  /** Bulk parquet write + readback count. The write is the timed payload
+    * (the readback count both verifies the sink and gives the oracle-
+    * checkable output: row count must equal the source's). Snappy parquet,
+    * one file per input partition — the same layout a 100 TB export uses,
+    * where per-partition files keep the write embarrassingly parallel. */
+  def bulkWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bulk_write"
+    Tables(spark, dir).lineitem.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Cached-dataset reuse — the buffer-pool pattern: materialize one hot
+    * aggregate, answer multiple queries from the cache. Both output rows
+    * read the same InMemoryRelation; only the first evaluation scans
+    * `orders`. Money is summed in integer cents (associative → engine-
+    * order-independent). */
+  def cachedReuse(spark: SparkSession, dir: String): DataFrame = {
+    val hot = hotAggregate(spark, dir)
+    val all = hot.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .select(lit("all").as("metric"), col("n"), col("sum_cents"))
+    val repeat = hot.filter(col("n_orders") >= 2)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .select(lit("repeat").as("metric"), col("n"), col("sum_cents"))
+    all.union(repeat).orderBy(col("metric"))
+  }
+
+  /** The persisted hot table backing [[cachedReuse]] — exposed so tests can
+    * pin InMemoryRelation in dependent plans and exercise unpersist. */
+  def hotAggregate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .persist()
+}

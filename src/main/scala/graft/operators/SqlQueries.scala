@@ -27,13 +27,26 @@ object SqlQueries {
     spark.sql(sql)
   }
 
+  // Money arithmetic convention for every battery query: integer
+  // fixed-point. Prices/balances are cent-quantized doubles, discounts and
+  // taxes 2-decimal fractions; `round(x*100)` recovers the exact integer,
+  // and all sums run in BIGINT — associative, so Spark's and DuckDB's
+  // different summation orders cannot disagree (a `round(sum(double),2)`
+  // flips at half-cent boundaries; see graft-oracle-parity-rules).
+  // `_fp4` = units of 1e-4 currency (cents × percent), `_fp6` = 1e-6.
+  // BIGINT headroom: |fp6| < 1e11/row → overflows past ~1e7 rows × 1e4
+  // groups only at >> sf100; quantize to cents before summing there.
+
   /** TPC-H Q1 shape: pricing summary report. */
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_fp4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_fp6,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,7 +61,8 @@ object SqlQueries {
   /** TPC-H Q3 shape: shipping-priority revenue top-10. */
   val q3Sql: String =
     """SELECT l_orderkey,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4,
       |       CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
       |            + day(o_orderdate) AS BIGINT) AS o_ymd,
       |       o_orderpriority
@@ -59,7 +73,7 @@ object SqlQueries {
       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
       |GROUP BY 1, 3, 4
-      |ORDER BY revenue DESC, o_ymd, l_orderkey
+      |ORDER BY revenue_fp4 DESC, o_ymd, l_orderkey
       |LIMIT 10""".stripMargin
 
   def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
@@ -70,7 +84,8 @@ object SqlQueries {
   /** TPC-H Q6 shape: forecasting revenue change (fused scan-filter-agg —
     * the scanfilter_regtest workload as plain SQL). */
   val q6Sql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_fp4
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -106,7 +121,9 @@ object SqlQueries {
 
   /** Q5: local-supplier volume — the 6-way snowflake join. */
   val q5Sql: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -117,23 +134,29 @@ object SqlQueries {
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name
-      |ORDER BY revenue DESC, n_name""".stripMargin
+      |ORDER BY revenue_fp4 DESC, n_name""".stripMargin
 
-  /** Q7: volume shipping between two nations (self-join of nation). */
+  /** Q7: volume shipping between two nation groups (self-join of nation).
+    * Adapted: a fixed nation PAIR yields zero rows on the sf0.001 fixture
+    * (only 10 suppliers exist there), so the bidirectional pair predicate
+    * is expressed over even/odd nationkey groups — same self-join +
+    * disjunctive-pair plan shape, rows at every SF. */
   val q7Sql: String =
-    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS BIGINT) AS revenue_fp4
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |         l_extendedprice * (1.0 - l_discount) AS volume
+      |         CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
       |  FROM supplier
       |  JOIN lineitem ON s_suppkey = l_suppkey
       |  JOIN orders   ON o_orderkey = l_orderkey
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE ((n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+      |      OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0))
       |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
       |                       AND TIMESTAMP '1997-12-31 00:00:00'
       |) shipping
@@ -145,11 +168,12 @@ object SqlQueries {
     * bit-stable; the consumer divides). */
   val q8Sql: String =
     """SELECT o_year,
-      |       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END), 2) AS nation_volume,
-      |       round(sum(volume), 2) AS total_volume
+      |       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT) AS nation_volume_fp4,
+      |       CAST(sum(volume) AS BIGINT) AS total_volume_fp4
       |FROM (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |         l_extendedprice * (1.0 - l_discount) AS volume,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
       |         n1.n_name AS nation
       |  FROM part
       |  JOIN lineitem ON p_partkey = l_partkey
@@ -169,10 +193,11 @@ object SqlQueries {
   /** Q9: product-type profit. Adapted: profit = discounted revenue (fixture
     * has no partsupp/supplycost); LIKE-driven part filter retained. */
   val q9Sql: String =
-    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    """SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS sum_profit_fp4
       |FROM (
       |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |         l_extendedprice * (1.0 - l_discount) AS amount
+      |         CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS amount
       |  FROM part
       |  JOIN lineitem ON p_partkey = l_partkey
       |  JOIN supplier ON s_suppkey = l_suppkey
@@ -186,8 +211,9 @@ object SqlQueries {
   /** Q10: returned-item reporting, top 20 customers by lost revenue. */
   val q10Sql: String =
     """SELECT c_custkey, c_name,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-      |       c_acctbal, n_name
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -196,7 +222,7 @@ object SqlQueries {
       |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
       |  AND l_returnflag = 'R'
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
-      |ORDER BY revenue DESC, c_custkey
+      |ORDER BY revenue_fp4 DESC, c_custkey
       |LIMIT 20""".stripMargin
 
   /** Q13: customer order-count distribution (outer join + double group-by).
@@ -216,28 +242,32 @@ object SqlQueries {
   /** Q14: promotion effect. Adapted: numerator/denominator emitted
     * separately (see q8) — p_type = 'PROMO' is the fixture's promo class. */
   val q14Sql: String =
-    """SELECT round(sum(CASE WHEN p_type = 'PROMO'
-      |                      THEN l_extendedprice * (1.0 - l_discount)
-      |                      ELSE 0.0 END), 2) AS promo_revenue,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |                      ELSE 0 END) AS BIGINT) AS promo_revenue_fp4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_fp4
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
 
-  /** Q15: top supplier (CTE + scalar-subquery max over an aggregate). */
+  /** Q15: top supplier (CTE + scalar-subquery max over an aggregate).
+    * Fixed-point revenue makes the max-equality predicate exact. */
   val q15Sql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_fp4
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       |  GROUP BY l_suppkey)
-      |SELECT s_suppkey, s_name, total_revenue
+      |SELECT s_suppkey, s_name, total_revenue_fp4
       |FROM supplier
       |JOIN revenue ON s_suppkey = supplier_no
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |WHERE total_revenue_fp4 = (SELECT max(total_revenue_fp4) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
   /** Q16: parts/supplier relationship. Adapted: the part↔supplier relation
@@ -254,7 +284,7 @@ object SqlQueries {
     * subquery per part. avg() of exactly-representable integer quantities
     * is bit-identical cross-engine, so the predicate is stable. */
   val q17Sql: String =
-    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#3'
@@ -277,7 +307,8 @@ object SqlQueries {
   /** Q19: discounted revenue over OR'd multi-column predicate brackets
     * (disjunctive predicate pushdown through a join). */
   val q19Sql: String =
-    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_fp4
       |FROM lineitem
       |JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -289,19 +320,49 @@ object SqlQueries {
 
   /** Q22: global sales opportunity. Adapted: "no orders" never happens in
     * the fixture, so the anti-join is "no URGENT orders"; country code is
-    * nationkey mod 5 (no phone column). */
+    * nationkey mod 5 (no phone column). The avg() comparison is made exact
+    * by cross-multiplying in integer cents: bal > sum/cnt ⇔ bal·cnt > sum. */
   val q22Sql: String =
-    """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    """SELECT cntrycode, count(*) AS numcust,
+      |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
       |FROM (
-      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
       |  FROM customer
-      |  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      |          * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |        > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |           FROM customer WHERE c_acctbal > 0.0)
       |    AND NOT EXISTS (SELECT 1 FROM orders
       |                    WHERE o_custkey = c_custkey
       |                      AND o_orderpriority = '1-URGENT')
       |) custsale
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
+
+  /** Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS over the
+    * same table under different aliases, the classic double semi/anti-join
+    * against one scan. Adapted (no commit/receipt dates): "kept waiting" =
+    * this supplier shipped strictly last among multi-supplier 'F' orders.
+    * Both subqueries carry the non-equi correlated predicate
+    * (l_suppkey <>, l_shipdate >) that forces real decorrelation. */
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders   ON o_orderkey = l1.l_orderkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 
   /** name → SQL for the round-2 battery (wired into SparkEntry). */
   val battery2: Seq[(String, String)] = Seq(
@@ -319,5 +380,6 @@ object SqlQueries {
     "q103_tpch_q18_sql" -> q18Sql,
     "q104_tpch_q19_sql" -> q19Sql,
     "q105_tpch_q22_sql" -> q22Sql,
+    "q106_tpch_q21_sql" -> q21Sql,
   )
 }

@@ -70,6 +70,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q30: CSR prefix sum is distributed — no single-partition window") {
+    val p = plan("q30_adjacency_build")
+    // the local running sums window on the bucket key, in parallel...
+    assert("hashpartitioning\\(bucket".r.findAllIn(p).nonEmpty, p)
+    // ...and nothing funnels the whole adjacency into one task
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q30 moves all rows to a single partition:\n$p")
+  }
+
+  test("cached reuse: hot aggregate reads InMemoryRelation; unpersist evicts") {
+    val out = SparkEntry.queries("q66_cached_reuse")(spark, sf)
+    assert(out.collect().length == 2)
+    assert(out.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      out.queryExecution.optimizedPlan.toString)
+    // the cache entry is keyed by logical plan: ANY query over the same
+    // subtree now reads the cache instead of rescanning orders
+    def probe = Tables(spark, sf).orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .agg(count(lit(1)).as("n"))
+    assert(probe.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    // unpersist = the reference's buffer-pool eviction: back to source scans
+    operators.Sources.hotAggregate(spark, sf).unpersist(true)
+    assert(!probe.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+  }
+
   test("window queries exchange once on the partition key") {
     val p = plan("q23_window_running_sum")
     assert(p.contains("Window"), p)

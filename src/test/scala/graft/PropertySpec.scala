@@ -71,10 +71,16 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    val row = operators.Relational.approxDistinct(spark, sf).head()
+    val li = Tables(spark, sf).lineitem
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")),
+      countDistinct(col("l_partkey"))).head()
     val (approx, exact) = (row.getLong(0), row.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
+    // and the oracle-checked q54 surface reports the flag as true
+    val q54 = operators.Relational.approxDistinct(spark, sf).head()
+    assert(q54.getLong(0) == exact && q54.getBoolean(1), q54.toString)
   }
 
   test("approx_percentile within 1% of exact") {

@@ -56,6 +56,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() == want)
   }
 
+  test("schema catalog: saveAsTable + spark.catalog round-trip") {
+    // parity with the reference's persisted type catalog (schema.cpp:26-146):
+    // register a table in the catalog, read it back by name, verify the
+    // schema survived, then drop it.
+    spark.sql("DROP TABLE IF EXISTS graft_orders_cat")
+    val orders = Tables(spark, sf).orders
+    orders.write.mode("overwrite").saveAsTable("graft_orders_cat")
+    assert(spark.catalog.tableExists("graft_orders_cat"))
+    val cols = spark.catalog.listColumns("graft_orders_cat")
+      .collect().map(c => c.name -> c.dataType).toMap
+    val want = orders.schema.fields.map(f =>
+      f.name -> f.dataType.simpleString).toMap
+    assert(cols == want, s"catalog columns $cols != source schema $want")
+    val back = spark.table("graft_orders_cat")
+    assert(back.count() == orders.count())
+    assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
+    spark.sql("DROP TABLE graft_orders_cat")
+    assert(!spark.catalog.tableExists("graft_orders_cat"))
+  }
+
   test("edge-list text source roundtrip (loadgraph parity)") {
     // parity with the reference's whitespace edge-list reader
     // (loadgraph_regtest.cpp:39-68): header line + src dst pairs
