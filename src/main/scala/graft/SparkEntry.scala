@@ -88,9 +88,9 @@ object SparkEntry {
     "q33_sssp"            -> ((s: SparkSession, d: String) => GraphOps.sssp(s, d)),
     "q34_triangle_count"  -> (GraphOps.triangleCount _),
     "q35_connected_components" -> (GraphOps.connectedComponents _),
-    "q36_pagerank"        -> (GraphOps.pageRank _),
+    "q36_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "q37_bfs_frontier"    -> ((s: SparkSession, d: String) => GraphOps.bfsFrontier(s, d)),
-    "q38_label_propagation" -> (GraphOps.labelPropagation _),
+    "q38_label_propagation" -> ((s, d) => GraphOps.labelPropagation(s, d)),
     "q39_scc"             -> (GraphOps.stronglyConnectedComponents _),
     "q91_sssp_paths"      -> ((s: SparkSession, d: String) => GraphOps.ssspPaths(s, d)),
   )
@@ -403,6 +403,17 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |       true AS approx_in_bounds
         |FROM lineitem""".stripMargin,
+    "q85_approx_percentile" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |       true AS ap50_in_bounds,
+        |       true AS ap90_in_bounds
+        |FROM orders""".stripMargin,
+    "q86_bloom_membership" ->
+      """SELECT count(*) AS n_exact, true AS no_false_negatives
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 300000.0)""".stripMargin,
     "q65_bulk_write" ->
       "SELECT count(*) AS n_rows FROM lineitem",
     "q66_cached_reuse" ->
@@ -523,8 +534,56 @@ object SparkEntry {
        |FROM l8 ORDER BY node""".stripMargin
   }
 
+  /** q36 oracle: the integer fixed-point PageRank recurrence unrolled to
+    * 10 levels — BIGINT sums and `//` (floor division ≡ Spark `div` on
+    * positives) make every level bit-identical to GraphOps.pageRank. */
+  private val pageRankOracle: String = {
+    val levels = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * CAST(coalesce(sum(r.rank // d.out_deg), 0) AS BIGINT)) // 100
+         |           AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${k - 1} r ON r.node = e.src
+         |  LEFT JOIN outdeg d ON d.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$levels
+       |SELECT node, rank AS rank_micro FROM r10 ORDER BY node""".stripMargin
+  }
+
+  /** q38 oracle: synchronous min-tie-break label propagation unrolled to
+    * 5 rounds — per-round neighbor-label counts + per-node argmax with
+    * (cnt DESC, label ASC) ordering, identical to GraphOps
+    * .labelPropagation's deterministic rule. */
+  private val labelPropOracle: String = {
+    val levels = (1 to 5).map { k =>
+      s"""l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |             ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT ue.src AS node, l.label, count(*) AS cnt
+         |      FROM ue JOIN l${k - 1} l ON l.node = ue.dst
+         |      GROUP BY ue.src, l.label) c
+         |  ) ranked WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ue),
+       |$levels
+       |SELECT node, label AS community FROM l5 ORDER BY node""".stripMargin
+  }
+
   private val graphOracles: Map[String, String] = Map(
     "q91_sssp_paths" -> ssspPathsOracle,
+    "q36_pagerank" -> pageRankOracle,
+    "q38_label_propagation" -> labelPropOracle,
     "q30_adjacency_build" ->
       s"""WITH $edgeCte,
         |adj AS (
@@ -814,17 +873,15 @@ object SparkEntry {
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
-    "q36_pagerank",         // float fixpoint — no exact SQL oracle; invariants unit-tested
-    "q38_label_propagation", // LPA tie-break is iteration-order-sensitive; invariants unit-tested
     "q42_minhash_lsh_dedup", // seeded-hash signatures not SQL-expressible; funnel unit-tested
     "q43_fingerprints",      // PolyHash/SimHash values not SQL-expressible; property-tested
     "q44_simhash_neardup",   // same
     "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
-    "q85_approx_percentile", // sketch-based; error bound unit-tested
-    "q86_bloom_membership",  // bloom sketch engine-specific; no-false-negative invariant tested
-    // q54 and q91 were rows-only through round 2; both now carry full
-    // oracles (exact-count+flag projection; unrolled Bellman-Ford DP).
+    // Converted to full oracles in rounds 2-3: q54/q85/q86 (exact value +
+    // deterministic in-bounds flag projections), q91 (unrolled Bellman-
+    // Ford DP), q36 (integer fixed-point PageRank), q38 (synchronous
+    // min-tie-break label propagation).
   )
 
   /** Headline queries timed by Bench (one per operator family). */

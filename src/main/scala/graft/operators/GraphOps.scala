@@ -303,27 +303,73 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
-  /** Label propagation community detection (rows-only: LPA tie-breaking is
-    * iteration-order-sensitive; structural invariants unit-tested). */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val g = toGraph(undirectedEdges(Tables(spark, dir)))
-    org.apache.spark.graphx.lib.LabelPropagation.run(g, 5)
-      .vertices
-      .map { case (id, label) => (id, label) }
-      .toDF("node", "community")
+  /** Synchronous label propagation, 5 rounds, DETERMINISTIC: every round
+    * each node takes the most frequent label among its neighbors, ties
+    * broken by smallest label (GraphX's LPA breaks ties by hash-map
+    * iteration order, which is run-dependent — this re-expression fixes
+    * the tie-break so the result is exact and SQL-oracleable). Per round:
+    * one join to fetch neighbor labels + one count aggregation + one
+    * per-node argmax window — all partitioned by node id, no global
+    * barrier beyond the shuffles. localCheckpoint truncates lineage. */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = undirectedEdges(Tables(spark, dir)).persist()
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrLabels = labels
+        .join(edges, col("node") === col("dst"))
+        .select(col("src").as("node"), col("label"))
+      val counts = nbrLabels.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("community"))
       .orderBy(col("node"))
   }
 
-  /** Static PageRank, 10 iterations (no SQL oracle — float fixpoint; the
-    * driver records a rows-only check, invariants are unit-tested). */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val g = toGraph(directedEdges(Tables(spark, dir)))
-    g.staticPageRank(10).vertices
-      .map { case (id, pr) => (id, pr) }
-      .toDF("node", "rank")
-      .select(col("node"), round(col("rank"), 6).as("rank"))
+  /** PageRank, 10 iterations, in INTEGER fixed point (micro-units of
+    * rank): rank' = 0.15 + 0.85·Σ rank/outdeg becomes
+    * `150000 + (85 * Σ (rank div outdeg)) div 100` over BIGINTs. Integer
+    * division and BIGINT sums are order-independent, so the fixpoint is
+    * bit-identical across engines and summation orders — unlike a double
+    * PageRank, this carries an exact SQL oracle. Error vs the real-valued
+    * iteration is ≤ 1 micro-rank per node per superstep. Per iteration:
+    * one broadcast-or-shuffle join of ranks onto edges + one sum shuffle
+    * on dst — the standard 2-shuffle PR round; lineage cut per round. */
+  def pageRank(spark: SparkSession, dir: String,
+      iterations: Int = 10): DataFrame = {
+    val de = directedEdges(Tables(spark, dir))
+    val outdeg = de.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesWithDeg = de.join(outdeg, Seq("src")).persist()
+    val nodes = de.select(col("src").as("node"))
+      .union(de.select(col("dst").as("node")))
+      .distinct().persist()
+    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val sums = ranks
+        .join(edgesWithDeg, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          expr("rank div out_deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edgesWithDeg.unpersist(); nodes.unpersist()
+    ranks.select(col("node"), col("rank").as("rank_micro"))
       .orderBy(col("node"))
   }
 }

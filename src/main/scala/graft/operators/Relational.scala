@@ -487,41 +487,69 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  /** Approximate percentiles (t-digest-style sketch) next to exact —
-    * rows-only (sketch is engine-specific); error bound unit-tested. */
+  /** Approximate percentiles (t-digest-style sketch) next to exact. The
+    * sketch value is engine-specific, so the hashable output is the exact
+    * interpolated percentile (the formulation q77 already oracles) plus
+    * in-bounds flags with a generous 5% band — deterministic-in-practice;
+    * the tight 1% error bound is additionally asserted in tests. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .agg(
         expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("approx"),
         expr("percentile(o_totalprice, array(0.5, 0.9))").as("exact"))
       .select(
-        round(element_at(col("approx"), 1), 2).as("ap50"),
-        round(element_at(col("approx"), 2), 2).as("ap90"),
         round(element_at(col("exact"), 1), 2).as("p50"),
-        round(element_at(col("exact"), 2), 2).as("p90"))
+        round(element_at(col("exact"), 2), 2).as("p90"),
+        (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1))
+          <= element_at(col("exact"), 1) * 0.05).as("ap50_in_bounds"),
+        (abs(element_at(col("approx"), 2) - element_at(col("exact"), 2))
+          <= element_at(col("exact"), 2) * 0.05).as("ap90_in_bounds"))
 
   /** Bloom-filter membership (the runtime-filter pattern Spark uses for
     * join pruning, exposed as an operator): build a bloom filter over
-    * high-value order keys, probe the fact table with might_contain, and
-    * report the funnel vs the exact semi-join count. Rows-only; the
-    * no-false-negatives invariant is unit-tested. */
+    * high-value order keys, probe the fact table with might_contain. The
+    * bloom-pass count is sketch/hash-specific, so the hashable output is
+    * the exact semi-join count plus the no-false-negatives flag — true by
+    * bloom construction, hence deterministic (the funnel's false-positive
+    * rate is additionally bounded in tests). */
   def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val bridge = org.apache.spark.sql.graft.bridge
+    val (hot, bf) = bloomBuild(t)
+    t.lineitem.join(hot.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        (coalesce(sum(when(
+          bridge.mightContain(lit(bf), xxhash64(col("l_orderkey"))),
+          0L).otherwise(1L)), lit(0L)) === 0L).as("no_false_negatives"))
+  }
+
+  /** The bloom build behind q86: hot keys + the serialized filter. The
+    * sketch itself is tiny (~numBits/8 bytes): materialize and inline as a
+    * constant — the same broadcast-a-filter shape Spark's injected runtime
+    * filters use (might_contain requires a constant bloom input). */
+  private def bloomBuild(t: Tables): (DataFrame, Array[Byte]) = {
+    val bridge = org.apache.spark.sql.graft.bridge
     val hot = t.orders.filter(col("o_totalprice") > 300000.0)
-    // the sketch itself is tiny (~numBits/8 bytes): materialize and inline
-    // as a constant — the same broadcast-a-filter shape Spark's injected
-    // runtime filters use (might_contain requires a constant bloom input)
     val bf: Array[Byte] = hot
       .agg(bridge.bloomFilterAgg(xxhash64(col("o_orderkey")), 50000L, 400000L).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val probed = t.lineitem
+    (hot, bf)
+  }
+
+  /** Test hook: the raw (bloom-pass, exact) funnel counts behind q86 — the
+    * pass count is hash-specific so it stays out of the oracled surface. */
+  private[graft] def bloomFunnel(spark: SparkSession, dir: String): (Long, Long) = {
+    val t = Tables(spark, dir)
+    val bridge = org.apache.spark.sql.graft.bridge
+    val (hot, bf) = bloomBuild(t)
+    val nBloom = t.lineitem
       .filter(bridge.mightContain(lit(bf), xxhash64(col("l_orderkey"))))
-      .agg(count(lit(1)).as("n_bloom_pass"))
-    val exact = t.lineitem.join(hot.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .agg(count(lit(1)).as("n_exact"))
-    probed.crossJoin(exact)
+      .count()
+    val nExact = t.lineitem.join(hot.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    (nBloom, nExact)
   }
 
   /** Boolean and bitwise aggregates (order-independent, so exactly

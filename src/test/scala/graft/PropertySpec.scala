@@ -84,20 +84,27 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("approx_percentile within 1% of exact") {
-    val r = operators.Relational.approxPercentile(spark, sf).head()
-    val (ap50, ap90, p50, p90) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    assert(math.abs(ap50 - p50) / p50 < 0.01, s"$ap50 vs $p50")
-    assert(math.abs(ap90 - p90) / p90 < 0.01, s"$ap90 vs $p90")
+    val r = Tables(spark, sf).orders.agg(
+      expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"),
+      expr("percentile(o_totalprice, array(0.5, 0.9))")).head()
+    val (approx, exact) = (r.getSeq[Double](0), r.getSeq[Double](1))
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"$a vs $e") }
+    // and the oracle-checked q85 surface reports both flags as true
+    val q85 = operators.Relational.approxPercentile(spark, sf).head()
+    assert(q85.getBoolean(2) && q85.getBoolean(3), q85.toString)
   }
 
   test("bloom membership has no false negatives") {
-    val r = operators.Relational.bloomMembership(spark, sf).head()
-    val (nBloom, nExact) = (r.getLong(0), r.getLong(1))
+    val (nBloom, nExact) = operators.Relational.bloomFunnel(spark, sf)
     assert(nBloom >= nExact, s"bloom $nBloom < exact $nExact — false negative!")
     assert(nExact > 0)
     // and the filter is actually selective (not pass-everything)
     val total = Tables(spark, sf).lineitem.count()
     assert(nBloom < total)
+    // the oracle-checked q86 surface reports the same funnel as a flag
+    val q86 = operators.Relational.bloomMembership(spark, sf).head()
+    assert(q86.getLong(0) == nExact && q86.getBoolean(1), q86.toString)
   }
 
   test("bernoulli sample is statistically sane and seed-reproducible in-session") {
