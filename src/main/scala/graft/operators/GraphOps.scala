@@ -81,10 +81,15 @@ object GraphOps {
     * — O(#buckets) rows, metadata scale — are cumulated on the driver and
     * broadcast-joined back as bucket base offsets. */
   def adjacencyBuild(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val m = maxCust(t)
-    val ue = undirectedEdges(t)
+    adjacencyBuildFrom(spark, undirectedEdges(t), maxCust(t))
+  }
+
+  /** Edge-parameterized CSR build (ScaleSmoke runs this on amplified edge
+    * sets); `m` bounds the node-id domain for bucket sizing. */
+  private[graft] def adjacencyBuildFrom(spark: SparkSession, ue: DataFrame,
+      m: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val adj = ue.groupBy(col("src"))
       .agg(
         count(lit(1)).as("degree"),
@@ -348,8 +353,13 @@ object GraphOps {
     * one broadcast-or-shuffle join of ranks onto edges + one sum shuffle
     * on dst — the standard 2-shuffle PR round; lineage cut per round. */
   def pageRank(spark: SparkSession, dir: String,
+      iterations: Int = 10): DataFrame =
+    pageRankFrom(spark, directedEdges(Tables(spark, dir)), iterations)
+
+  /** Edge-parameterized fixed-point PageRank (ScaleSmoke runs this on
+    * amplified edge sets). */
+  private[graft] def pageRankFrom(spark: SparkSession, de: DataFrame,
       iterations: Int = 10): DataFrame = {
-    val de = directedEdges(Tables(spark, dir))
     val outdeg = de.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesWithDeg = de.join(outdeg, Seq("src")).persist()
     val nodes = de.select(col("src").as("node"))

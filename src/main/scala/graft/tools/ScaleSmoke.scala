@@ -78,6 +78,20 @@ object ScaleSmoke {
       time(s"ann_lsh_topk")(
         graft.operators.Similarity.annLshTopKFrom(
           vecs, vecs.filter(col("vec_id") < 10)).count())
+      // graph shapes: edges derived from the amplified orders copy (each
+      // copy is a shifted sub-graph — node count grows with mult)
+      val de = ord.select(
+        col("o_custkey").as("src"),
+        (lit(1L) + (col("o_orderkey") % lit(15000L))
+          + (col("o_custkey") - col("o_custkey") % lit(10000000L))).as("dst"))
+        .distinct()
+      val ue = de.union(de.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      time(s"csr_adjacency_build")(
+        graft.operators.GraphOps.adjacencyBuildFrom(
+          spark, ue, mult * 10000000L + 15001L).count())
+      time(s"pagerank_10iter")(
+        graft.operators.GraphOps.pageRankFrom(spark, de).count())
     }
     spark.stop()
   }
