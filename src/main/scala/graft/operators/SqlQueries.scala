@@ -364,6 +364,39 @@ object SqlQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** Q12: shipping modes and order priority — conditional counts over a
+    * fact-fact join. Adapted (no l_shipmode/commitdate columns): the mode
+    * class is l_returnflag and the lateness predicate is the ship-date
+    * window alone. */
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Q11: important stock identification — group sums kept only when they
+    * exceed a fraction of the global total. Adapted to customer order
+    * value (no partsupp); the fraction predicate is cross-multiplied in
+    * integer cents (value > total·0.0015 ⇔ value·10000 > total·15) so the
+    * comparison is exact on both engines. */
+  val q11Sql: String =
+    """SELECT c_custkey, value_cents
+      |FROM (
+      |  SELECT o_custkey AS c_custkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM orders GROUP BY o_custkey) v
+      |WHERE value_cents * 10000 >
+      |      (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) * 15
+      |       FROM orders)
+      |ORDER BY value_cents DESC, c_custkey""".stripMargin
+
   /** name → SQL for the round-2 battery (wired into SparkEntry). */
   val battery2: Seq[(String, String)] = Seq(
     "q92_tpch_q4_sql"  -> q4Sql,
@@ -381,5 +414,7 @@ object SqlQueries {
     "q104_tpch_q19_sql" -> q19Sql,
     "q105_tpch_q22_sql" -> q22Sql,
     "q106_tpch_q21_sql" -> q21Sql,
+    "q107_tpch_q12_sql" -> q12Sql,
+    "q108_tpch_q11_sql" -> q11Sql,
   )
 }

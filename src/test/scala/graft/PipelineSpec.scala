@@ -159,6 +159,21 @@ class PipelineSpec extends AnyFunSuite {
       bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-3)
   }
 
+  test("minhash summary runs one corpus pass: job count is pinned") {
+    val tracker = spark.sparkContext.statusTracker
+    def jobs() = { Thread.sleep(300); tracker.getJobIdsForGroup(null).length }
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val before = jobs()
+    Dedup.minhashLshSummaryFrom(docs).collect()
+    val delta = jobs() - before
+    // one materialization job for the cached signatures + the final
+    // multi-branch aggregate, which AQE stages into 9 more (fixed Spark
+    // version + fixed shuffle partitions → deterministic count). The
+    // pre-round-3 version re-scanned `docs` for a cosmetic count — one
+    // extra corpus job (11 total); this pin catches that regression class.
+    assert(delta <= 10, s"minhash summary ran $delta jobs — corpus rescan?")
+  }
+
   test("pagerank: ranks positive, micro-rank sum ≈ node count") {
     val pr = GraphOps.pageRank(spark, sf).collect()
     assert(pr.forall(_.getLong(1) >= 150000L)) // base rank is the floor
