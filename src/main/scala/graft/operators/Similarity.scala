@@ -134,4 +134,45 @@ object Similarity {
         col("neighbor_id"), col("cos4"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Embedding-cosine near-duplicate detection — the vector-space sibling
+    * of the minhash/simhash text funnels: LSH signed-projection buckets
+    * generate candidate pairs (corpus self-join on (table, bucket), never
+    * all-pairs), exact cosine verifies them against the threshold. Output
+    * is the funnel summary. Rows-only by design (bucket candidate counts
+    * are projection-specific); planted-duplicate recovery is spec'd. */
+  def embeddingNearDupSummary(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupSummaryFrom(Tables(spark, dir).embeddings, 0.9)
+
+  /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
+    * perturbed copies and assert the funnel recovers them. */
+  def embeddingNearDupSummaryFrom(vecs: DataFrame, tau: Double): DataFrame = {
+    def signature(emb: Column, table: Int): Column =
+      (0 until BitsPerTable).map { bit =>
+        val plane = array((0 until Dim).map(d =>
+          lit(planeSign(table * BitsPerTable + bit, d))): _*)
+        when(dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val e = withNorm(vecs).persist()
+    // materialization barrier: the normed scan feeds both self-join sides
+    // — and one row per vector, so this count IS the corpus size
+    val nVecs = e.count()
+    val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until NumTables).map(t =>
+        signature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
+    val a = bucketed.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("ib"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val cand = a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .dropDuplicates("ia", "ib")
+    cand.select(
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .agg(
+        lit(nVecs).as("n_vecs"),
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(col("cos") >= tau, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_pairs"))
+  }
 }

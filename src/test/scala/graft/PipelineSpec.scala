@@ -147,6 +147,29 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recovered only $recovered/10 planted neighbors: $lsh")
   }
 
+  test("embedding near-dup funnel recovers planted duplicates, stays sub-quadratic") {
+    val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    val n = corpus.count()
+    // plant 20 near-duplicates: perturbed copies under shifted ids
+    // (cosine ≈ 0.9999 with their source, so they must verify at τ=0.9)
+    val planted = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001) + lit(0.0005)).cast("float"))
+          .as("embedding"))
+    val r = operators.Similarity
+      .embeddingNearDupSummaryFrom(corpus.union(planted), 0.9).head()
+    val (nVecs, nCand, nDups) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nVecs == n + 20)
+    assert(nDups >= 20L, s"only $nDups dup pairs found of >= 20 planted")
+    val allPairs = nVecs * (nVecs - 1) / 2
+    assert(nCand < allPairs / 10,
+      s"candidate funnel is not sub-quadratic: $nCand of $allPairs pairs")
+    // the raw fixture has no accidental near-dups at this threshold
+    val raw = operators.Similarity.embeddingNearDupSummaryFrom(corpus, 0.9).head()
+    assert(raw.getLong(2) == 0L, s"unexpected raw near-dups: $raw")
+  }
+
   test("decode features: stub decoder matches direct computation") {
     val feats = Multimodal.decodeFeatures(spark, sf)
       .filter(col("doc_id") === 0L).head()
