@@ -151,7 +151,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(avg(l_discount), 6) AS avg_disc
+        |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q05_groupby_dense" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -348,8 +348,8 @@ object SparkEntry {
         |ORDER BY s, p""".stripMargin,
     "q77_percentiles" ->
       """SELECT o_orderstatus,
-        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |       CAST(round(quantile_cont(o_totalprice, 0.5) * 1000) AS BIGINT) AS p50_mills,
+        |       CAST(round(quantile_cont(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_mills
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_stats_agg" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
@@ -405,8 +405,8 @@ object SparkEntry {
         |       true AS approx_in_bounds
         |FROM lineitem""".stripMargin,
     "q85_approx_percentile" ->
-      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      """SELECT CAST(round(quantile_cont(o_totalprice, 0.5) * 1000) AS BIGINT) AS p50_mills,
+        |       CAST(round(quantile_cont(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_mills,
         |       true AS ap50_in_bounds,
         |       true AS ap90_in_bounds
         |FROM orders""".stripMargin,

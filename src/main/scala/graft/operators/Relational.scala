@@ -60,7 +60,10 @@ object Relational {
         count(lit(1)).as("cnt"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"))
+        // integer percent sum, not round(avg(double),6): the avg's true
+        // value lies on a 1/(100n) grid that can coincide with a rounding
+        // boundary, where engine summation order decides the flip
+        sum(round(col("l_discount") * 100).cast("long")).as("sum_disc_pct"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Dense-key group-by — parity with the 256-slot dense-array variant
@@ -383,13 +386,18 @@ object Relational {
         col("cnt"))
       .orderBy(col("s"), col("p"))
 
-  /** Exact interpolated percentiles (median / p90) per order status. */
+  /** Exact interpolated percentiles (median / p90) per order status,
+    * reported in mills (0.001 currency, BIGINT). The interpolated value of
+    * cent-quantized data at g ∈ {0, .1, …, .9} lies exactly ON the mills
+    * grid, so rounding to mills absorbs the engines' different
+    * interpolation formulas — while round(·, 2) would sit exactly on a
+    * half-cent boundary whenever a median midpoint has an odd cent sum. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .groupBy(col("o_orderstatus"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        round(expr("percentile(o_totalprice, 0.5)") * 1000).cast("long").as("p50_mills"),
+        round(expr("percentile(o_totalprice, 0.9)") * 1000).cast("long").as("p90_mills"))
       .orderBy(col("o_orderstatus"))
 
   /** Statistical aggregates: correlation, stddev, variance, covariance. */
@@ -498,8 +506,8 @@ object Relational {
         expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("approx"),
         expr("percentile(o_totalprice, array(0.5, 0.9))").as("exact"))
       .select(
-        round(element_at(col("exact"), 1), 2).as("p50"),
-        round(element_at(col("exact"), 2), 2).as("p90"),
+        round(element_at(col("exact"), 1) * 1000).cast("long").as("p50_mills"),
+        round(element_at(col("exact"), 2) * 1000).cast("long").as("p90_mills"),
         (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1))
           <= element_at(col("exact"), 1) * 0.05).as("ap50_in_bounds"),
         (abs(element_at(col("approx"), 2) - element_at(col("exact"), 2))
