@@ -117,6 +117,7 @@ object SparkEntry {
     "q46_ann_bruteforce_topk" -> (Similarity.annBruteForceTopK _),
     "q47_ann_lsh_topk"       -> (Similarity.annLshTopK _),
     "q67_embedding_neardup"  -> (Similarity.embeddingNearDupSummary _),
+    "q68_ann_ivf_topk"       -> (Similarity.annIvfTopK _),
     "q48_text_stats"         -> (TextAnalysis.textStats _),
     "q49_token_stats"        -> (TextAnalysis.tokenStats _),
     "q50_language_id"        -> (TextAnalysis.languageId _),
@@ -880,6 +881,7 @@ object SparkEntry {
     "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
     "q67_embedding_neardup", // LSH bucket counts projection-specific; planted-dup recovery spec'd
+    "q68_ann_ivf_topk",      // IVF cell contents quantizer-specific; recall asserted vs q46 in tests
     // Converted to full oracles in rounds 2-3: q54/q85/q86 (exact value +
     // deterministic in-bounds flag projections), q91 (unrolled Bellman-
     // Ford DP), q36 (integer fixed-point PageRank), q38 (synchronous

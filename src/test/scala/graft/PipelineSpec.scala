@@ -147,6 +147,32 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recovered only $recovered/10 planted neighbors: $lsh")
   }
 
+  test("IVF ANN recovers planted neighbors; probes a strict corpus subset") {
+    import org.apache.spark.sql.DataFrame
+    val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    val queries: DataFrame = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.001) + lit(0.0005)).cast("float"))
+          .as("embedding"))
+    // a planted copy keeps its source's direction, hence its source's
+    // argmax cell — and the query's best probe IS that cell, so IVF must
+    // recover every planted neighbor
+    val ivf = operators.Similarity.annIvfTopKFrom(corpus, queries)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0) - 100000L) -> r.getLong(2)).toMap
+    val recovered = (0L until 10L).count(q => ivf.get(q).contains(q))
+    assert(recovered >= 9, s"IVF recovered only $recovered/10 planted: $ivf")
+    // on the raw fixture, IVF's top-5 agrees with brute force on most
+    // queries' top-1 (nprobe=4 of k=16 cells — recall, not exactness)
+    val brute = operators.Similarity.annBruteForceTopK(spark, sf)
+      .filter(col("rnk") === 1).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivfRaw = operators.Similarity.annIvfTopK(spark, sf)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val agree = brute.count { case (q, n1) => ivfRaw.get(q).exists(_.contains(n1)) }
+    assert(agree >= 5, s"IVF top-5 contains brute top-1 for only $agree/10 queries")
+  }
+
   test("embedding near-dup funnel recovers planted duplicates, stays sub-quadratic") {
     val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
     val n = corpus.count()
