@@ -514,7 +514,10 @@ object SparkEntry {
     * per level — exactly one Pregel superstep. */
   private val ssspPathsOracle: String = {
     val levels = (1 to 8).map { k =>
-      s"""l$k AS (
+      // MATERIALIZED is load-bearing: each level is referenced twice
+      // (carry-over + expansion), and DuckDB would otherwise inline the
+      // whole chain — exponential plan blowup, OOM at sf0.1
+      s"""l$k AS MATERIALIZED (
          |  SELECT node, cost, path, pk FROM (
          |    SELECT node, cost, path, pk,
          |           row_number() OVER (PARTITION BY node ORDER BY cost, pk) AS rn
