@@ -92,6 +92,27 @@ object ScaleSmoke {
           spark, ue, mult * 10000000L + 15001L).count())
       time(s"pagerank_10iter")(
         graft.operators.GraphOps.pageRankFrom(spark, de).count())
+      // skew: half the keys collapse onto one hot key (mult×50k rows on a
+      // single join key at 10×). AQE's skew splitting is disabled so the
+      // comparison isolates the explicit salting pattern (Skew.scala).
+      val factSk = ev.select(
+        when(col("user_id") % 50 < 25, 0L).otherwise(col("user_id")).as("k"),
+        col("value"), col("event_id"))
+      val dimSk = factSk.select(col("k")).distinct()
+        .withColumn("w", (col("k") % 7).cast("long"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time(s"skew_join_plain")(
+        factSk.join(dimSk, Seq("k"))
+          .groupBy(col("k")).agg(sum(col("value")), max(col("w"))).count())
+      time(s"skew_join_salted") {
+        val s = 8L
+        val factSalted = factSk.withColumn("salt", pmod(col("event_id"), lit(s)))
+        val dimSalted = dimSk.withColumn("salt",
+          explode(sequence(lit(0L), lit(s - 1))))
+        factSalted.join(dimSalted, Seq("k", "salt"))
+          .groupBy(col("k")).agg(sum(col("value")), max(col("w"))).count()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     spark.stop()
   }

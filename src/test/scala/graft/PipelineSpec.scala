@@ -223,6 +223,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(delta <= 10, s"minhash summary ran $delta jobs — corpus rescan?")
   }
 
+  test("pagerank: fixed-point agrees with GraphX's double implementation") {
+    // cross-validation against an INDEPENDENT PageRank: same recurrence
+    // (0.15 + 0.85·Σ rank/outdeg, 10 iterations, no dangling
+    // redistribution), different arithmetic. Integer truncation error is
+    // bounded by Σ 0.85^i·(in-degree micro-units) ≪ 0.01.
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.storage.StorageLevel
+    val edges = GraphOps.directedEdges(Tables(spark, sf))
+    val edgeRdd = spark.sparkContext.parallelize(
+      edges.collect().map(r => Edge(r.getLong(0), r.getLong(1), 1L)).toSeq)
+    val g = Graph.fromEdges(edgeRdd, 0L,
+      StorageLevel.MEMORY_ONLY, StorageLevel.MEMORY_ONLY)
+    val gx = g.staticPageRank(10).vertices.collect().toMap
+    val fp = GraphOps.pageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1) / 1e6).toMap
+    assert(fp.keySet == gx.keySet.map(_.toLong))
+    val maxDiff = fp.map { case (n, v) => math.abs(v - gx(n)) }.max
+    assert(maxDiff < 0.01, s"fixed-point diverges from GraphX: max |diff| = $maxDiff")
+  }
+
   test("pagerank: ranks positive, micro-rank sum ≈ node count") {
     val pr = GraphOps.pageRank(spark, sf).collect()
     assert(pr.forall(_.getLong(1) >= 150000L)) // base rank is the floor
