@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The summary persists its signature scan for the 4-branch funnel; keep
+    * at most one such cache per session (a lazily-returned result may
+    * still reference the old one — unpersist falls back to recompute,
+    * results unchanged). */
+  private var lastSigCache: Option[DataFrame] = None
+  private def rotateSigCache(df: DataFrame): DataFrame = synchronized {
+    lastSigCache.filter(_ ne df).foreach(_.unpersist())
+    lastSigCache = Some(df)
+    df
+  }
+
   private val K = 8            // shingle length
   private val NumHashes = 64   // minhash signature width
   private val NumBands = 16    // LSH bands (4 rows each)
@@ -108,12 +119,16 @@ object Dedup {
   /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
     * synthetic near-duplicates and assert the funnel finds them. */
   def minhashLshSummaryFrom(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs).persist()
+    val sigs = rotateSigCache(minhashSignatures(docs).persist())
     // Materialization barrier (the signature scan feeds 4 downstream
     // branches — 2 band sides + 2 signature sides — which would each
-    // recompute the shingle explosion otherwise) AND the corpus size:
-    // one signature row per document, so counting the cached signatures
-    // avoids a second full scan of `docs` just for the summary column.
+    // recompute the shingle explosion otherwise) AND the funnel
+    // denominator: `n_docs` counts SIGNABLE documents (≥ 1 shingle, i.e.
+    // non-null text of ≥ K chars). Unsignable docs cannot participate in
+    // near-dup detection, so they are intentionally outside the funnel —
+    // and counting the cached signatures avoids a second full scan of
+    // `docs` just for a cosmetic total. (Filter/report empties upstream;
+    // a mass of empty docs would otherwise need its own trivial-dup rule.)
     val nDocs = sigs.count()
     val sigArr = sigs.select(col("doc_id"), col("sig"))
     // candidates: same band value in any band, deduplicated across bands

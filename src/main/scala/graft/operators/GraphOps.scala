@@ -85,6 +85,17 @@ object GraphOps {
     adjacencyBuildFrom(spark, undirectedEdges(t), maxCust(t))
   }
 
+  /** The CSR build persists its aggregated adjacency for the two-pass
+    * prefix sum; keep at most one such cache per session (a lazily-
+    * returned result may still reference the old one — unpersist falls
+    * back to recompute, results unchanged). */
+  private var lastAdjCache: Option[DataFrame] = None
+  private def rotateAdjCache(df: DataFrame): DataFrame = synchronized {
+    lastAdjCache.filter(_ ne df).foreach(_.unpersist())
+    lastAdjCache = Some(df)
+    df
+  }
+
   /** Edge-parameterized CSR build (ScaleSmoke runs this on amplified edge
     * sets); `m` bounds the node-id domain for bucket sizing. */
   private[graft] def adjacencyBuildFrom(spark: SparkSession, ue: DataFrame,
@@ -97,6 +108,7 @@ object GraphOps {
       // feeds two passes (bucket totals + local prefix); cache so the
       // edge shuffle + aggregation runs once
       .persist()
+    rotateAdjCache(adj)
     val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
     val width = math.max(1L, (m + nBuckets) / nBuckets) // ceil((m+1)/buckets)
     val bucketed = adj.withColumn("bucket", (col("src") / lit(width)).cast("long"))

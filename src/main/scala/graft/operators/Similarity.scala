@@ -27,6 +27,17 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)
 
+  /** The summary funnel persists its normed scan for the self-join; keep
+    * at most one such cache per session (a lazily-returned result may
+    * still reference the old one — unpersist just falls back to
+    * recompute, results unchanged). */
+  private var lastCache: Option[DataFrame] = None
+  private def rotateCache(df: DataFrame): DataFrame = synchronized {
+    lastCache.filter(_ ne df).foreach(_.unpersist())
+    lastCache = Some(df)
+    df
+  }
+
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -88,6 +99,16 @@ object Similarity {
   private val BitsPerTable = 6
   private val NumTables = 4
 
+  /** The `table`-th LSH bucket signature of an embedding: BitsPerTable
+    * signed random projections packed into an int. Shared by the ANN path
+    * and the near-dup funnel — the two must bucket identically. */
+  private def lshSignature(emb: Column, table: Int): Column =
+    (0 until BitsPerTable).map { bit =>
+      val plane = array((0 until Dim).map(d =>
+        lit(planeSign(table * BitsPerTable + bit, d))): _*)
+      when(dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** LSH-bucketed ANN (the scale path): 4 independent 6-bit random-signed-
     * projection signatures; candidates = corpus vectors sharing any
     * table's bucket with the query; top-5 of candidates by exact cosine.
@@ -101,17 +122,10 @@ object Similarity {
   /** Same, over arbitrary corpus/query frames. */
   def annLshTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame): DataFrame = {
 
-    def signature(emb: Column, table: Int): Column =
-      (0 until BitsPerTable).map { bit =>
-        val plane = array((0 until Dim).map(d =>
-          lit(planeSign(table * BitsPerTable + bit, d))): _*)
-        when(dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
-      }.reduce(_ + _)
-
     def withBuckets(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding"), col("nrm"),
           posexplode(array((0 until NumTables).map(t =>
-            signature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
+            lshSignature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
 
     val corpus = withBuckets(withNorm(corpusRaw), "neighbor_id")
       .withColumnRenamed("embedding", "ce").withColumnRenamed("nrm", "cn")
@@ -213,19 +227,13 @@ object Similarity {
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * perturbed copies and assert the funnel recovers them. */
   def embeddingNearDupSummaryFrom(vecs: DataFrame, tau: Double): DataFrame = {
-    def signature(emb: Column, table: Int): Column =
-      (0 until BitsPerTable).map { bit =>
-        val plane = array((0 until Dim).map(d =>
-          lit(planeSign(table * BitsPerTable + bit, d))): _*)
-        when(dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val e = withNorm(vecs).persist()
+    val e = rotateCache(withNorm(vecs).persist())
     // materialization barrier: the normed scan feeds both self-join sides
     // — and one row per vector, so this count IS the corpus size
     val nVecs = e.count()
     val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until NumTables).map(t =>
-        signature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
+        lshSignature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
     val a = bucketed.select(col("table_idx"), col("bucket"),
       col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = bucketed.select(col("table_idx"), col("bucket"),

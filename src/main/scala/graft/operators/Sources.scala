@@ -23,7 +23,10 @@ object Sources {
     * one file per input partition — the same layout a 100 TB export uses,
     * where per-partition files keep the write embarrassingly parallel. */
   def bulkWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bulk_write"
+    // unique dir per invocation: a fixed path would let two concurrent
+    // runs (test suite + bench, or two scale dirs) race overwrite-vs-read
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bulk_write").toString
     Tables(spark, dir).lineitem.write.mode("overwrite").parquet(out)
     spark.read.parquet(out).agg(count(lit(1)).as("n_rows"))
   }

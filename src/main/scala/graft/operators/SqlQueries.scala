@@ -33,20 +33,24 @@ object SqlQueries {
   // and all sums run in BIGINT — associative, so Spark's and DuckDB's
   // different summation orders cannot disagree (a `round(sum(double),2)`
   // flips at half-cent boundaries; see graft-oracle-parity-rules).
-  // `_fp4` = units of 1e-4 currency (cents × percent), `_fp6` = 1e-6.
-  // BIGINT headroom: |fp6| < 1e11/row → overflows past ~1e7 rows × 1e4
-  // groups only at >> sf100; quantize to cents before summing there.
+  // `_fp4` = units of 1e-4 currency (cents × percent). BIGINT headroom:
+  // |fp4| < 1e9/row → a single group overflows past ~9e9 rows (far beyond
+  // sf1000's largest group). Three-factor fp6 terms (~1e11/row) WOULD
+  // overflow near sf150 in q1's 4-group shape, so charge is quantized to
+  // cents per row (floor(fp6/1e4) — deterministic in both engines: the
+  // quotient of a <2^53 integer-valued double is correctly rounded and
+  // never within an ulp of a wrong integer) before the BIGINT sum.
 
   /** TPC-H Q1 shape: pricing summary report. */
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
       |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
       |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_fp4,
-      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |       CAST(sum(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
       |                * (100 - CAST(round(l_discount * 100) AS BIGINT))
-      |                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_fp6,
+      |                * (100 + CAST(round(l_tax * 100) AS BIGINT)) / 10000.0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
