@@ -60,13 +60,31 @@ object GraphOps {
     d.union(d.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  private def toGraph(edges: DataFrame): Graph[Long, Long] = {
-    val edgeRdd = edges.select(col("src"), col("dst")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
-    Graph.fromEdges(edgeRdd, defaultValue = 0L,
-        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .partitionBy(PartitionStrategy.EdgePartition2D)
+  /** GraphX graph per edge relation, memoized on the analyzed edge plan —
+    * the Spark analogue of the reference building its CSR once and
+    * traversing it repeatedly (`loadgraph` then N×`bfsgraph`): repeated
+    * traversals over the same dataset reuse the partitioned, cached graph
+    * instead of re-deriving edges and re-partitioning. At most one graph
+    * retained; a different edge relation evicts the old one. */
+  private var lastGraph: Option[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     Graph[Long, Long])] = None
+
+  private def toGraph(edges: DataFrame): Graph[Long, Long] = synchronized {
+    val plan = edges.queryExecution.analyzed
+    lastGraph match {
+      case Some((p, g)) if p.sameResult(plan) => g
+      case _ =>
+        lastGraph.foreach(_._2.unpersist(blocking = false))
+        val edgeRdd = edges.select(col("src"), col("dst")).rdd
+          .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+        val g = Graph.fromEdges(edgeRdd, defaultValue = 0L,
+            edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+            vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+          .partitionBy(PartitionStrategy.EdgePartition2D)
+        lastGraph = Some((plan, g))
+        g
+    }
   }
 
   /** CSR-equivalent adjacency build — parity with the `firstNbr`/`Nbr`
