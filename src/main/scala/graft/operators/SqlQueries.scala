@@ -401,6 +401,39 @@ object SqlQueries {
       |       FROM orders)
       |ORDER BY value_cents DESC, c_custkey""".stripMargin
 
+  /** Q2: minimum-cost supplier — the correlated scalar-min subquery.
+    * Adapted (no partsupp/supplycost): part cost = extended price on
+    * lineitem in integer cents; each surviving row's price equals the
+    * correlated per-part minimum. DISTINCT collapses tied line items of
+    * the same (part, supplier). */
+  val q2Sql: String =
+    """SELECT DISTINCT
+      |       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |       s_name, p_partkey, p_name
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE p_size = 15
+      |  AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+      |      (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+      |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |ORDER BY acctbal_cents DESC, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Q20: excess-stock suppliers — nested IN subqueries with a grouped
+    * HAVING threshold (IN → semi join, HAVING → aggregate-then-filter
+    * decorrelation). Adapted: "stock" = shipped quantity of bolt parts. */
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE '%bolt%')
+      |  GROUP BY l_suppkey
+      |  HAVING sum(l_quantity) > 100)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** name → SQL for the round-2 battery (wired into SparkEntry). */
   val battery2: Seq[(String, String)] = Seq(
     "q92_tpch_q4_sql"  -> q4Sql,
@@ -420,5 +453,7 @@ object SqlQueries {
     "q106_tpch_q21_sql" -> q21Sql,
     "q107_tpch_q12_sql" -> q12Sql,
     "q108_tpch_q11_sql" -> q11Sql,
+    "q109_tpch_q2_sql"  -> q2Sql,
+    "q110_tpch_q20_sql" -> q20Sql,
   )
 }

@@ -223,6 +223,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(delta <= 10, s"minhash summary ran $delta jobs — corpus rescan?")
   }
 
+  test("iterative fixpoints are run-to-run deterministic (pagerank, LPA)") {
+    // the design claim behind their SQL oracles: integer arithmetic +
+    // fixed tie-breaks make the iteration independent of partitioning and
+    // scheduling — two runs must produce byte-identical sequences
+    def runPr() = GraphOps.pageRank(spark, sf).collect().toSeq
+    def runLp() = GraphOps.labelPropagation(spark, sf).collect().toSeq
+    assert(runPr() == runPr())
+    assert(runLp() == runLp())
+  }
+
   test("pagerank: fixed-point agrees with GraphX's double implementation") {
     // cross-validation against an INDEPENDENT PageRank: same recurrence
     // (0.15 + 0.85·Σ rank/outdeg, 10 iterations, no dangling
