@@ -65,7 +65,10 @@ object GraphOps {
     * traversing it repeatedly (`loadgraph` then N×`bfsgraph`): repeated
     * traversals over the same dataset reuse the partitioned, cached graph
     * instead of re-deriving edges and re-partitioning. At most one graph
-    * retained; a different edge relation evicts the old one. */
+    * retained; a different edge relation evicts the old one. Caveat
+    * (shared with RotatingCache and Spark's CacheManager): plan equality
+    * compares source paths, not contents — do not rewrite a fixture dir
+    * in place within a session. */
   private var lastGraph: Option[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
      Graph[Long, Long])] = None
@@ -103,21 +106,8 @@ object GraphOps {
     adjacencyBuildFrom(spark, undirectedEdges(t), maxCust(t))
   }
 
-  /** The CSR build persists its aggregated adjacency for the two-pass
-    * prefix sum; keep at most one such cache per session (a lazily-
-    * returned result may still reference the old one — unpersist falls
-    * back to recompute, results unchanged). */
-  private var lastAdjCache: Option[DataFrame] = None
-  private def rotateAdjCache(df: DataFrame): DataFrame = synchronized {
-    // evict only when the input changed: an identical plan shares one
-    // CacheManager entry, and repeated runs (bench warmup + timed pass)
-    // must keep reusing it
-    lastAdjCache
-      .filter(!_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
-      .foreach(_.unpersist())
-    lastAdjCache = Some(df)
-    df
-  }
+  /** Bounded cache slot for the aggregated adjacency (see [[RotatingCache]]). */
+  private val adjCache = new RotatingCache
 
   /** Edge-parameterized CSR build (ScaleSmoke runs this on amplified edge
     * sets); `m` bounds the node-id domain for bucket sizing. */
@@ -131,7 +121,7 @@ object GraphOps {
       // feeds two passes (bucket totals + local prefix); cache so the
       // edge shuffle + aggregation runs once
       .persist()
-    rotateAdjCache(adj)
+    adjCache.rotate(adj)
     val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
     val width = math.max(1L, (m + nBuckets) / nBuckets) // ceil((m+1)/buckets)
     val bucketed = adj.withColumn("bucket", (col("src") / lit(width)).cast("long"))

@@ -27,21 +27,8 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)
 
-  /** The summary funnel persists its normed scan for the self-join; keep
-    * at most one such cache per session (a lazily-returned result may
-    * still reference the old one — unpersist just falls back to
-    * recompute, results unchanged). */
-  private var lastCache: Option[DataFrame] = None
-  private def rotateCache(df: DataFrame): DataFrame = synchronized {
-    // evict only when the input changed: an identical plan shares one
-    // CacheManager entry, and repeated runs (bench warmup + timed pass)
-    // must keep reusing it
-    lastCache
-      .filter(!_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
-      .foreach(_.unpersist())
-    lastCache = Some(df)
-    df
-  }
+  /** Bounded cache slot for the near-dup normed scan (see [[RotatingCache]]). */
+  private val normCache = new RotatingCache
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -232,7 +219,7 @@ object Similarity {
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * perturbed copies and assert the funnel recovers them. */
   def embeddingNearDupSummaryFrom(vecs: DataFrame, tau: Double): DataFrame = {
-    val e = rotateCache(withNorm(vecs).persist())
+    val e = normCache.rotate(withNorm(vecs).persist())
     // materialization barrier: the normed scan feeds both self-join sides
     // — and one row per vector, so this count IS the corpus size
     val nVecs = e.count()
