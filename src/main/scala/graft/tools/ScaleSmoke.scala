@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * scale linearly — driver-side state, accidental broadcasts of big
   * sides, quadratic candidate generation — before a real cluster does.
   */
+/** Row shape fed to the MemoryStream throughput probe. */
+case class SmokeEv(event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
 object ScaleSmoke {
   private def amplify(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame = {
     val shift = 10000000L
@@ -113,6 +117,27 @@ object ScaleSmoke {
           .groupBy(col("k")).agg(sum(col("value")), max(col("w"))).count()
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // true-stream throughput: the amplified events pushed through the
+      // tumbling-window aggregation as a real micro-batch run (MemoryStream
+      // feed is driver-side test scaffolding; the measured work is the
+      // streaming engine's stateful aggregation)
+      val evRows = ev.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .collect()
+        .map(r => SmokeEv(r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+      time(s"stream_tumbling") {
+        import spark.implicits._
+        implicit val ctx = spark.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SmokeEv]
+        // one micro-batch per run: times per-batch scaling, not batch count
+        ms.addData(evRows)
+        val q = graft.streaming.EventStreams
+          .tumblingAgg(ms.toDF().withWatermark("ts", "1 hour"))
+          .writeStream.format("memory").queryName(s"smoke_tumbling_$mult")
+          .outputMode("complete").start()
+        try { q.processAllAvailable(); spark.table(s"smoke_tumbling_$mult").count() }
+        finally q.stop()
+      }
     }
     spark.stop()
   }
