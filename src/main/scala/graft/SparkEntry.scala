@@ -352,12 +352,37 @@ object SparkEntry {
         |       CAST(round(quantile_cont(o_totalprice, 0.5) * 1000) AS BIGINT) AS p50_mills,
         |       CAST(round(quantile_cont(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_mills
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact-moment statistics: BIGINT second moments (order-independent),
+    // then the same IEEE double expression as the Spark side — bit-exact,
+    // no round(). `//` is DuckDB floor division ≡ Spark DIV on positives.
     "q78_stats_agg" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |       round(var_samp(l_discount), 6) AS var_disc,
-        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
-        |FROM lineitem""".stripMargin,
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq,
+        |         CAST(sum(p) AS BIGINT) AS sp, CAST(sum(p * p) AS BIGINT) AS spp,
+        |         CAST(sum(q * p) AS BIGINT) AS sqp,
+        |         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd
+        |  FROM v)
+        |SELECT
+        |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |    AS corr_qp,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    AS sd_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0
+        |    AS var_disc,
+        |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |    AS cov_qp
+        |FROM m""".stripMargin,
     "q79_histogram" ->
       """SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
         |       count(*) AS cnt

@@ -401,13 +401,44 @@ object Relational {
       .orderBy(col("o_orderstatus"))
 
   /** Statistical aggregates: correlation, stddev, variance, covariance. */
-  def statsAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    // corr/stddev/var/covar from exact BIGINT second moments: per-row
+    // integers (qty is integral; price quantized to whole currency via
+    // exact cents DIV 100 — floor division, no half-way rounding; discount
+    // in pct), summed in BIGINT (order-independent), then ONE double
+    // expression per statistic whose text is identical in the DuckDB
+    // oracle — IEEE +,-,*,/ and sqrt are correctly rounded in both
+    // engines, so the output is bit-exact with no round() at all.
+    // (The built-in corr()/stddev() stream doubles in partition order,
+    // which is nondeterministic in the last ulp across engines/splits.)
+    // Headroom: sum(p*p) <= 1e10/row — BIGINT-safe to ~9e8 rows (sf~150),
+    // the same envelope as the battery's fp4 revenue sums.
+    val m = Tables(spark, dir).lineitem
+      .select(
+        round(col("l_quantity")).cast("long").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100").as("p"),
+        round(col("l_discount") * 100).cast("long").as("d"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_discount")), 6).as("var_disc"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("p")).as("sp"), sum(col("p") * col("p")).as("spp"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+    m.selectExpr(
+      """(CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+         AS corr_qp""",
+      """sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS sd_qty""",
+      """(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0
+         AS var_disc""",
+      """(CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+         AS cov_qp""")
+  }
 
   /** Fixed-width histogram via integer bucket arithmetic (30k-wide
     * buckets over order totals). */
