@@ -85,18 +85,91 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Bounded cache slot for the bucketed ranking input (see
+    * [[RotatingCache]]) — it feeds two passes (bucket totals + local
+    * ranks), so the scan + bucketing runs once. */
+  private val rankCache = new RotatingCache
+
   /** Ranking battery: rank / dense_rank / ntile / percent_rank over a
-    * global total order (single-partition window — deliberately exercises
-    * the unpartitioned path; input is one small dimension table). */
+    * global total order — DISTRIBUTED. An unpartitioned `Window.orderBy`
+    * funnels the whole table into ONE task (exactly what global quantile
+    * binning over 100 TB of quality scores must not do), so this uses the
+    * same two-pass pattern as the CSR prefix sum (GraphOps.adjacencyBuildFrom):
+    *
+    *   1. value-bucket rows by the leading sort key (fixed-width bins over
+    *      the observed [min,max] — deterministic, no sampling; equal keys
+    *      always land in the same bucket, so ties never span buckets);
+    *   2. per-bucket counts + distinct-key counts (≤ #buckets rows,
+    *      metadata scale) are cumulated on the driver into exclusive
+    *      rank/dense-rank base offsets and broadcast back;
+    *   3. each bucket computes local rank/dense_rank/row_number in
+    *      parallel; global rank = bucket base + local rank, and
+    *      ntile/percent_rank derive arithmetically from the global
+    *      row_number + total count.
+    *
+    * The ordering here (`c_acctbal DESC, c_custkey`) has a unique
+    * tiebreaker, but the derivation stays general: rank offsets use row
+    * counts, dense-rank offsets use distinct-full-key counts. */
   def windowRanking(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables(spark, dir).customer
-      .select(
-        col("c_custkey"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"))
+    val cust = Tables(spark, dir).customer
+      // exact integer sort key: monotone in c_acctbal (2-decimal money)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
+    // metadata-scale: 1-row min/max aggregate sizes the value bins
+    val mm = cust.agg(min(col("cents")), max(col("cents"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
+    val width = math.max(1L, (hi - lo + nBuckets) / nBuckets)
+    // descending order ⇒ bucket 0 holds the largest values
+    val bucketed = cust
+      .withColumn("bucket", ((lit(hi) - col("cents")) / lit(width)).cast("long"))
+      .persist()
+    rankCache.rotate(bucketed)
+    // pass 1: per-bucket (row count, distinct-ordering-key count) →
+    // exclusive cumulative bases, computed on ≤ #buckets rows
+    var rankAcc = 0L
+    var denseAcc = 0L
+    val bases = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(struct(col("cents"), col("c_custkey"))).as("dcnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .map { case (b, cnt, dcnt) =>
+        val rb = rankAcc; val db = denseAcc
+        rankAcc += cnt; denseAcc += dcnt
+        (b, rb, db)
+      }.toSeq
+    val total = rankAcc
+    import spark.implicits._
+    val offsets = bases.toDF("bucket", "rank_base", "dense_base")
+    // pass 2: local ranks within each bucket, parallel across buckets
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val n = lit(total)
+    val ranked = bucketed
+      .withColumn("lrnk", rank().over(wLocal).cast("long"))
+      .withColumn("ldrnk", dense_rank().over(wLocal).cast("long"))
+      .withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rnk", col("rank_base") + col("lrnk"))
+      .withColumn("drnk", col("dense_base") + col("ldrnk"))
+      .withColumn("rn", col("rank_base") + col("lrn"))
+    // ntile(k): first (total mod k) tiles get ceil(total/k) rows — the SQL
+    // spec's formula, computed from the global row_number
+    val k = 4L
+    val q = lit(total / k)
+    val r = lit(total % k)
+    val quartile = when(col("rn") <= (q + 1) * r,
+        floor((col("rn") - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((col("rn") - r * (q + 1) - 1) / q) + 1)
+    val prank =
+      if (total <= 1) lit(0.0)
+      else round((col("rnk") - 1).cast("double") / lit((total - 1).toDouble), 6)
+    ranked.select(
+      col("c_custkey"),
+      col("rnk"),
+      col("drnk"),
+      quartile.cast("long").as("quartile"),
+      prank.as("prank"))
       .orderBy(col("c_custkey"))
   }
 }

@@ -97,6 +97,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!probe.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
   }
 
+  test("no unpartitioned window anywhere in the query inventory") {
+    // an empty partitionSpec means "move every row to one task" — the
+    // classic 100×-scale killer. q26's global ranking is two-pass
+    // distributed (Windows.windowRanking); nothing may reintroduce one.
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.keys.foreach { name =>
+      val exec = try {
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      } catch { case _: Throwable => null }
+      if (exec != null) {
+        val bad = exec.collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$name has an unpartitioned window:\n$exec")
+      }
+    }
+  }
+
+  test("q26: global ranking is distributed — no single-partition funnel") {
+    val p = plan("q26_window_ranking")
+    assert("hashpartitioning\\(bucket".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q26 moves all rows to a single partition:\n$p")
+  }
+
   test("window queries exchange once on the partition key") {
     val p = plan("q23_window_running_sum")
     assert(p.contains("Window"), p)
