@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through to the real stdout/stderr:
+// sbt's logger otherwise rewraps every line ("[info] " on stdout and
+// "[error] " on the child's stderr — both on sbt's stdout), which breaks
+// line-oriented JSON consumers of the Bench main.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
