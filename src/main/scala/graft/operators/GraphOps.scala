@@ -382,26 +382,42 @@ object GraphOps {
     pageRankFrom(spark, directedEdges(Tables(spark, dir)), iterations)
 
   /** Edge-parameterized fixed-point PageRank (ScaleSmoke runs this on
-    * amplified edge sets). */
+    * amplified edge sets).
+    *
+    * Lineage-cut policy: by default every round ends in
+    * `localCheckpoint(true)` — fast, but executor-local and
+    * non-recoverable (an executor loss mid-run kills the job). With
+    * `durableEvery = N > 0`, every Nth round instead writes a RELIABLE
+    * `checkpoint()` to `spark.sparkContext.getCheckpointDir` (set it to a
+    * fault-tolerant FS first) — the Spark analogue of the reference's
+    * buffer-pool `checkpoint()` flushing all dirty pages to disk
+    * (`buffer_pool.cpp:363-377`): a lost executor recomputes at most N-1
+    * rounds from the last durable snapshot instead of restarting the job.
+    * Results are bit-identical in both modes (the fixpoint is integer
+    * arithmetic; checkpointing only changes recovery, not values). */
   private[graft] def pageRankFrom(spark: SparkSession, de: DataFrame,
-      iterations: Int = 10): DataFrame = {
+      iterations: Int = 10, durableEvery: Int = 0): DataFrame = {
+    require(durableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
+      "durableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
     val outdeg = de.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val edgesWithDeg = de.join(outdeg, Seq("src")).persist()
     val nodes = de.select(col("src").as("node"))
       .union(de.select(col("dst").as("node")))
       .distinct().persist()
-    var ranks = nodes.withColumn("rank", lit(1000000L)).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (durableEvery > 0 && round % durableEvery == 0) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var ranks = cut(nodes.withColumn("rank", lit(1000000L)), 0)
+    for (i <- 1 to iterations) {
       val sums = ranks
         .join(edgesWithDeg, col("node") === col("src"))
         .select(col("dst").as("node"),
           expr("rank div out_deg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("s"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      ranks = cut(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(true)
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank")), i)
     }
     edgesWithDeg.unpersist(); nodes.unpersist()
     ranks.select(col("node"), col("rank").as("rank_micro"))

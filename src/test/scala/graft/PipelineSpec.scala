@@ -289,6 +289,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank durable checkpoint: reliable snapshots on disk, lineage cut, same fixpoint") {
+    // The reference's checkpoint() flushes all dirty pages to durable
+    // storage (buffer_pool.cpp:363-377); the Spark analogue is a reliable
+    // RDD checkpoint every N rounds so an executor loss replays at most
+    // N-1 rounds. Values must be bit-identical to the local-only mode.
+    import java.nio.file.{Files, Paths}
+    val ckptDir = Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val de = GraphOps.directedEdges(graft.Tables(spark, sf))
+    val durable = GraphOps.pageRankFrom(spark, de, iterations = 4, durableEvery = 2)
+    val durableRows = durable.collect().toSeq
+    // checkpoint files actually exist on (what stands in for) durable storage
+    val written = Files.walk(ckptDir).filter(Files.isRegularFile(_)).count()
+    assert(written > 0, s"no reliable checkpoint files under $ckptDir")
+    // lineage is truncated: the returned plan reads the checkpointed RDD,
+    // not the 4-round join tree
+    val plan = durable.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
+    val localRows = GraphOps.pageRankFrom(spark, de, iterations = 4).collect().toSeq
+    assert(durableRows == localRows)
+  }
+
   test("connected components: same component implies BFS-reachable (spot)") {
     val cc = GraphOps.connectedComponents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
