@@ -68,6 +68,7 @@ object SparkEntry {
     "q90_bool_bit_agg"      -> (Relational.boolBitAgg _),
     "q65_bulk_write"        -> (graft.operators.Sources.bulkWrite _),
     "q66_cached_reuse"      -> (graft.operators.Sources.cachedReuse _),
+    "q69_parse_timestamps"  -> (graft.operators.Sources.parseTimestamps _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -443,6 +444,20 @@ object SparkEntry {
         |                     WHERE o_totalprice > 300000.0)""".stripMargin,
     "q65_bulk_write" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    // q69 parses STRING timestamps/numerics (the reference's
+    // types_utils.cpp format "%Y-%m-%dT%H:%M:%S"); the CSV text hop is
+    // value-exact (ISO seconds; shortest-roundtrip doubles), so the oracle
+    // reproduces it as strftime→strptime on the parquet source.
+    "q69_parse_timestamps" ->
+      """SELECT CAST(year(t) AS BIGINT) AS y, CAST(month(t) AS BIGINT) AS m,
+        |       CAST(day(t) AS BIGINT) AS d,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM (SELECT strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+        |                      '%Y-%m-%dT%H:%M:%S') AS t,
+        |             CAST(CAST(value AS VARCHAR) AS DOUBLE) AS v
+        |      FROM events)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q66_cached_reuse" ->
       """WITH hot AS (
         |  SELECT o_custkey, count(*) AS n_orders,
