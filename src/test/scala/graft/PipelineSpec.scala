@@ -289,6 +289,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("maxCust is memoized per fixture dir — graph queries reuse the constant") {
+    // Deterministic proof of no re-derivation (no job counting, no
+    // sleeps): poison the cached constant and observe that the next edge
+    // derivation embeds the poisoned literal instead of rescanning.
+    GraphOps.maxCustCache.clear()
+    GraphOps.directedEdges(graft.Tables(spark, sf))
+    assert(GraphOps.maxCustCache.contains(sf))
+    val real = GraphOps.maxCustCache(sf)
+    try {
+      GraphOps.maxCustCache(sf) = real + 9999L
+      val plan = GraphOps.directedEdges(graft.Tables(spark, sf))
+        .queryExecution.analyzed.toString
+      assert(plan.contains((real + 9999L).toString), plan)
+    } finally GraphOps.maxCustCache(sf) = real
+  }
+
   test("pagerank durable checkpoint: reliable snapshots on disk, lineage cut, same fixpoint") {
     // The reference's checkpoint() flushes all dirty pages to durable
     // storage (buffer_pool.cpp:363-377); the Spark analogue is a reliable
