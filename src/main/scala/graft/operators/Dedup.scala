@@ -109,8 +109,12 @@ object Dedup {
     minhashLshSummaryFrom(Tables(spark, dir).documents)
 
   /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
-    * synthetic near-duplicates and assert the funnel finds them. */
-  def minhashLshSummaryFrom(docs: DataFrame): DataFrame = {
+    * synthetic near-duplicates and assert the funnel finds them.
+    * `maxBucket` is the [[BucketGuard]] cap: band buckets holding more
+    * documents than this are excluded from candidate generation and
+    * reported as skipped mass (columns 4-5 of the summary), bounding the
+    * worst case on a degenerate corpus at maxBucket²/2 pairs per bucket. */
+  def minhashLshSummaryFrom(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sigs = sigCache.rotate(minhashSignatures(docs).persist())
     // Materialization barrier (the signature scan feeds 4 downstream
     // branches — 2 band sides + 2 signature sides — which would each
@@ -127,8 +131,10 @@ object Dedup {
     val bandRows = sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_val")))
-    val cand = bandRows.alias("x")
-      .join(bandRows.alias("y"),
+    val (keptRows, skipped) =
+      BucketGuard(bandRows, Seq("band_idx", "band_val"), maxBucket)
+    val cand = keptRows.alias("x")
+      .join(keptRows.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -141,9 +147,11 @@ object Dedup {
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           x => x)).as("agree"))
     withEst.agg(
-      lit(nDocs).as("n_docs"),
-      count(lit(1)).as("n_candidate_pairs"),
-      sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)).as("n_dup_pairs"))
+        lit(nDocs).as("n_docs"),
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)),
+          lit(0L)).as("n_dup_pairs"))
+      .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
   }
 
   /** Per-document fingerprints: rolling PolyHash of the full text + 64-bit
@@ -173,13 +181,15 @@ object Dedup {
   def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupSummaryFrom(fingerprints(spark, dir))
 
-  /** Same, over precomputed fingerprints (testable with planted dups). */
-  def simhashNearDupSummaryFrom(fps: DataFrame): DataFrame = {
+  /** Same, over precomputed fingerprints (testable with planted dups).
+    * `maxBucket` caps the per-band bucket size (see [[BucketGuard]]). */
+  def simhashNearDupSummaryFrom(fps: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val fp = fps
       .select(col("doc_id"), col("simhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
           .as(Seq("band_idx", "band_val")))
-    val cand = fp.alias("x").join(fp.alias("y"),
+    val (kept, skipped) = BucketGuard(fp, Seq("band_idx", "band_val"), maxBucket)
+    val cand = kept.alias("x").join(kept.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -187,8 +197,9 @@ object Dedup {
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct()
     cand.agg(
-      count(lit(1)).as("n_candidate_pairs"),
-      sum(when(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 12, 1L)
-        .otherwise(0L)).as("n_near_dup_pairs"))
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 12, 1L)
+          .otherwise(0L)), lit(0L)).as("n_near_dup_pairs"))
+      .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
   }
 }

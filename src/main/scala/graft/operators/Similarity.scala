@@ -170,18 +170,29 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(x => if (n == 0) 0.0 else x / n)
       }
+    // the nrm > 0 guard is redundant at runtime (zero-norm rows are
+    // filtered below) but required at plan time: ANSI constant folding
+    // evaluates the division for an all-literal row (e.g. a planted zero
+    // vector in a union branch) before the filter can prune it
     def cosArr(emb: Column, nrm: Column): Column =
       array(cents.map { c =>
-        dot(emb, array(c.map(lit): _*)) / nrm
+        when(nrm > 0, dot(emb, array(c.map(lit): _*)) / nrm).otherwise(lit(0.0))
       }: _*)
+    // Zero-norm guard: a zero vector has no cosine direction — on the
+    // corpus side its NaN cell scores would null out array_position and
+    // silently drop the row; on the query side NaN sorts FIRST under desc,
+    // selecting bogus probe cells. Excluding them is the only coherent
+    // semantics (cosine similarity is undefined at the origin).
     // corpus side: argmax cell (first-position tie-break — deterministic)
     val corpus = withNorm(corpusRaw)
+      .filter(col("nrm") > 0)
       .withColumn("ca", cosArr(col("embedding"), col("nrm")))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("nrm").as("cn"),
         array_position(col("ca"), array_max(col("ca"))).as("cell"))
     // query side: the nprobe best cells each
     val qScored = withNorm(queriesRaw)
+      .filter(col("nrm") > 0)
       .withColumn("ca", cosArr(col("embedding"), col("nrm")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"),
@@ -217,15 +228,21 @@ object Similarity {
     embeddingNearDupSummaryFrom(Tables(spark, dir).embeddings, 0.9)
 
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
-    * perturbed copies and assert the funnel recovers them. */
-  def embeddingNearDupSummaryFrom(vecs: DataFrame, tau: Double): DataFrame = {
+    * perturbed copies and assert the funnel recovers them. `maxBucket`
+    * caps the per-(table, bucket) size (see [[BucketGuard]]): projection
+    * buckets holding more vectors than this are excluded from candidate
+    * generation and reported as skipped mass. */
+  def embeddingNearDupSummaryFrom(vecs: DataFrame, tau: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val e = normCache.rotate(withNorm(vecs).persist())
     // materialization barrier: the normed scan feeds both self-join sides
     // — and one row per vector, so this count IS the corpus size
     val nVecs = e.count()
-    val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+    val raw = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until NumTables).map(t =>
         lshSignature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
+    val (bucketed, skipped) =
+      BucketGuard(raw, Seq("table_idx", "bucket"), maxBucket)
     val a = bucketed.select(col("table_idx"), col("bucket"),
       col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = bucketed.select(col("table_idx"), col("bucket"),
@@ -240,5 +257,6 @@ object Similarity {
         count(lit(1)).as("n_candidate_pairs"),
         coalesce(sum(when(col("cos") >= tau, 1L).otherwise(0L)), lit(0L))
           .as("n_dup_pairs"))
+      .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
   }
 }

@@ -27,6 +27,14 @@ object bridge {
     column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       expression(bloom), expression(hashed)))
 
+  /** Test/diagnostic hook: block until every queued listener event
+    * (including QueryExecutionListener callbacks, which are delivered
+    * asynchronously on the listener bus) has been processed — the
+    * deterministic replacement for sleep-and-poll in specs that assert on
+    * per-query execution signals. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register graft's custom expressions in a session's function registry
     * so `spark.sql("SELECT poly_hash(text, 0) ...")` works — the SQL-API
     * face of the extension surface (SURVEY §2.k). */

@@ -114,6 +114,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(0) >= row.getLong(1))
   }
 
+  test("bucket guard bounds a degenerate corpus; planted dups still found") {
+    // 300 byte-identical documents: every band bucket holds all 300 docs,
+    // so unguarded candidate generation is exactly quadratic — the LSH
+    // worst case no banding can fix. The guard must (a) bound it, (b)
+    // report the skipped mass, (c) leave small buckets (real near-dups)
+    // untouched.
+    val text = Tables(spark, sf).documents
+      .filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val degen = spark.range(300)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val quad = 300L * 299 / 2
+
+    // unguarded (default cap 1000 > 300): the quadratic blowup is real
+    val off = Dedup.minhashLshSummaryFrom(degen).head()
+    assert(off.getLong(1) == quad, s"expected full quadratic candidates: $off")
+    assert(off.getLong(3) == 0L && off.getLong(4) == 0L)
+
+    // guarded: zero candidates, mass reported (16 bands × 300 docs)
+    val on = Dedup.minhashLshSummaryFrom(degen, maxBucket = 100).head()
+    assert(on.getLong(1) == 0L, s"guard leaked candidates: $on")
+    assert(on.getLong(3) == 16L && on.getLong(4) == 16L * 300)
+
+    // mixed corpus: the degenerate mass is capped but a planted near-dup
+    // pair OUTSIDE the hot buckets is still found
+    val pair = Tables(spark, sf).documents
+      .filter(col("doc_id") === 1L).select(col("doc_id"), col("text"))
+    val pairDup = pair.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" zz mutated tail zz")).as("text"))
+    val mixed = Dedup
+      .minhashLshSummaryFrom(degen.union(pair).union(pairDup), maxBucket = 100)
+      .head()
+    assert(mixed.getLong(2) >= 1L, s"guard swallowed the planted pair: $mixed")
+    assert(mixed.getLong(1) < quad / 10, s"candidates not bounded: $mixed")
+
+    // simhash funnel: same degenerate corpus, same guarantee (4 bands)
+    val sOn = Dedup
+      .simhashNearDupSummaryFrom(Dedup.fingerprintsFrom(degen), maxBucket = 100)
+      .head()
+    assert(sOn.getLong(0) == 0L && sOn.getLong(2) == 4L && sOn.getLong(3) == 4L * 300)
+
+    // embedding funnel: 300 identical vectors land in one bucket per table
+    val vec = Tables(spark, sf).embeddings
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+    val degenVecs = spark.range(300).crossJoin(vec)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val eOn = Similarity
+      .embeddingNearDupSummaryFrom(degenVecs, 0.9, maxBucket = 100).head()
+    assert(eOn.getLong(1) == 0L, s"guard leaked embedding candidates: $eOn")
+    assert(eOn.getLong(3) == 4L && eOn.getLong(4) == 4L * 300)
+    val eOff = Similarity
+      .embeddingNearDupSummaryFrom(degenVecs, 0.9).head()
+    assert(eOff.getLong(1) == quad && eOff.getLong(2) == quad)
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -173,6 +228,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree >= 5, s"IVF top-5 contains brute top-1 for only $agree/10 queries")
   }
 
+  test("IVF ANN excludes zero-norm vectors instead of corrupting results") {
+    // a zero vector has no cosine direction: unguarded, its NaN cell
+    // scores null out array_position (corpus row vanishes silently) and
+    // NaN-sort-first picks bogus probe cells on the query side
+    val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 10)
+    val zero = spark.range(1).select(lit(900000L).as("vec_id"),
+      array_repeat(lit(0.0f), 64).as("embedding"))
+    val base = operators.Similarity.annIvfTopKFrom(corpus, queries)
+      .collect().map(_.toSeq).toSeq
+    val guarded = operators.Similarity
+      .annIvfTopKFrom(corpus.union(zero), queries.union(zero))
+      .collect()
+    // the zero vector appears as neither query nor neighbor, and every
+    // other result is untouched (id 900000 > the 16 centroid-source ids,
+    // so the quantizer is identical)
+    assert(guarded.forall(r => r.getLong(0) != 900000L && r.getLong(2) != 900000L))
+    assert(guarded.map(_.toSeq).toSeq == base)
+  }
+
   test("embedding near-dup funnel recovers planted duplicates, stays sub-quadratic") {
     val corpus = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
     val n = corpus.count()
@@ -208,19 +283,61 @@ class PipelineSpec extends AnyFunSuite {
       bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-3)
   }
 
-  test("minhash summary runs one corpus pass: job count is pinned") {
-    val tracker = spark.sparkContext.statusTracker
-    def jobs() = { Thread.sleep(300); tracker.getJobIdsForGroup(null).length }
-    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
-    val before = jobs()
-    Dedup.minhashLshSummaryFrom(docs).collect()
-    val delta = jobs() - before
-    // one materialization job for the cached signatures + the final
-    // multi-branch aggregate, which AQE stages into 9 more (fixed Spark
-    // version + fixed shuffle partitions → deterministic count). The
-    // pre-round-3 version re-scanned `docs` for a cosmetic count — one
-    // extra corpus job (11 total); this pin catches that regression class.
-    assert(delta <= 10, s"minhash summary ran $delta jobs — corpus rescan?")
+  test("minhash summary scans the corpus exactly once (plan-level signal)") {
+    // Direct signal instead of a job tally (job counts shift with AQE
+    // staging and listener timing): across EVERY query execution the
+    // funnel triggers, the documents parquet must appear in NO executed
+    // plan directly — the corpus is only read inside the one cached
+    // signature materialization (whose parquet scan lives in the
+    // InMemoryRelation's cached plan, not the query plan). The
+    // pre-round-3 regression — a cosmetic `docs.count()` rescan — would
+    // surface as a direct FileSourceScan here. The companion signal
+    // (≥ 1 InMemoryTableScan) proves the cache path is actually in play.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    def docScans(p: SparkPlan): Int = {
+      val self = p match {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+        case _ => 0
+      }
+      // descend through the AQE wrappers (both are leaves to collect())
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(docScans).sum + p.subqueries.map(docScans).sum
+    }
+    def cacheScans(p: SparkPlan): Int = {
+      val self = p match { case _: InMemoryTableScanExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self + kids.map(cacheScans).sum
+    }
+    val direct = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cached = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        direct.addAndGet(docScans(qe.executedPlan))
+        cached.addAndGet(cacheScans(qe.executedPlan))
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+      Dedup.minhashLshSummaryFrom(docs).collect()
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark)
+      assert(direct.get() == 0,
+        s"funnel re-scanned the corpus parquet ${direct.get()} times directly")
+      assert(cached.get() >= 1, "no InMemoryTableScan — signature cache not in play")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("iterative fixpoints are run-to-run deterministic (pagerank, LPA)") {
