@@ -96,6 +96,8 @@ object ScaleSmoke {
           spark, ue, mult * 10000000L + 15001L).count())
       time(s"pagerank_10iter")(
         graft.operators.GraphOps.pageRankFrom(spark, de).count())
+      time(s"triangle_count")(
+        graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
       // skew: half the keys collapse onto one hot key (mult×50k rows on a
       // single join key at 10×). AQE's skew splitting is disabled so the
       // comparison isolates the explicit salting pattern (Skew.scala).

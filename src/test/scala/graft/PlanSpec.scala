@@ -97,6 +97,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!probe.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
   }
 
+  test("AQE splits a fabricated hot key: final SMJ shows skew=true") {
+    // The adaptive complement to the manual salted join (q56): AQE
+    // detects the oversized shuffle partition at runtime and splits it,
+    // so moderate skew needs no query rewrite. Thresholds are lowered to
+    // make a ~200k-row hot key "skewed" at test scale; the marker
+    // asserted is the skew=true flag on the final sort-merge join.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ~200k rows pile onto ONE join key; the rest are uniform
+      val hot = spark.range(200000).select(lit(0L).as("k"), col("id").as("v"))
+      val rest = spark.range(2000)
+        .select((pmod(col("id"), lit(50)) + 1).as("k"), col("id").as("v"))
+      val right = spark.range(51).select(col("id").as("k"), (col("id") * 7).as("w"))
+      val joined = hot.union(rest).join(right, "k")
+      assert(joined.collect().length == 202000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no unpartitioned window anywhere in the query inventory") {
     // an empty partitionSpec means "move every row to one task" — the
     // classic 100×-scale killer. q26's global ranking is two-pass
