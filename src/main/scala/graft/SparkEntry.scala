@@ -125,6 +125,8 @@ object SparkEntry {
     "q51_binary_metadata"    -> (Multimodal.binaryMetadata _),
     "q52_frame_sample"       -> (Multimodal.frameSample _),
     "q53_decode_features"    -> (Multimodal.decodeFeatures _),
+    "q111_token_budget_select" -> (graft.operators.CorpusOps.tokenBudgetSelect _),
+    "q112_stratified_sample"   -> (graft.operators.CorpusOps.stratifiedSample _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -827,6 +829,42 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred,
         |  score_de, score_en, score_es, score_fr
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // q111: the running token sum is Spark-side distributed (two-pass
+    // bucket prefix sum); the oracle states the same semantics as one
+    // global SUM() OVER — integer tokens + a unique tiebreaker make the
+    // cumsum engine-order-independent. Budget = floor(total/2): Spark
+    // Long division ≡ DuckDB // on positives.
+    "q111_token_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, quality_pm, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality_pm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, quality_pm, n_tokens, cum_tokens,
+        |  cum_tokens <= (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 FROM scored) AS selected
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+    // q112: Knuth multiplicative hash folded to [0,1000) — pure BIGINT
+    // arithmetic, bit-identical in any dialect (no RNG, no engine hash).
+    "q112_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket_pm,
+        |  CAST(CASE WHEN lang = 'en' THEN 100 WHEN lang = 'fr' THEN 250
+        |            WHEN lang = 'de' THEN 500 ELSE 750 END AS BIGINT) AS rate_pm,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |  ((doc_id * 2654435761) % 4294967296) % 1000 <
+        |    CASE WHEN lang = 'en' THEN 100 WHEN lang = 'fr' THEN 250
+        |         WHEN lang = 'de' THEN 500 ELSE 750 END AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bucket-size guard for LSH candidate generation (minhash bands, simhash
@@ -22,17 +21,20 @@ private[operators] object BucketGuard {
 
   /** Splits `rows` into (kept rows, 1-row skipped-mass summary
     * `(n_skipped_buckets, n_skipped_rows)`) by the size of the bucket
-    * identified by `keys`. The size derivation is a window count over the
-    * bucket key — the same hash-partitioning the downstream self-join
-    * shuffles on, so the guard introduces no new shuffle class. */
+    * identified by `keys`. Oversized buckets are found with a map-side-
+    * combined group-by (cheap: partial counts collapse to one row per
+    * bucket per task) and removed with an anti join on the bucket key —
+    * on a healthy corpus the hot-bucket list is empty or tiny, so AQE
+    * plans the anti join as a broadcast and the kept side never
+    * shuffles. */
   def apply(rows: DataFrame, keys: Seq[String], cap: Int): (DataFrame, DataFrame) = {
-    val sized = rows.withColumn("_bsz",
-      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-    val kept = sized.filter(col("_bsz") <= cap).drop("_bsz")
-    val skipped = sized.filter(col("_bsz") > cap)
-      .agg(
-        count_distinct(struct(keys.map(col): _*)).as("n_skipped_buckets"),
-        count(lit(1)).as("n_skipped_rows"))
+    val kcols = keys.map(col)
+    val hot = rows.groupBy(kcols: _*).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap)
+    val kept = rows.join(hot.select(kcols: _*), keys, "left_anti")
+    val skipped = hot.agg(
+      count(lit(1)).as("n_skipped_buckets"),
+      coalesce(sum(col("_bsz")), lit(0L)).as("n_skipped_rows"))
     (kept, skipped)
   }
 }

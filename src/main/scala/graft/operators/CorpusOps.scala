@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the selection/mixing steps of an
+  * LLM-training-data pipeline that sit downstream of cleaning (Dedup) and
+  * scoring (TextAnalysis): pick the best documents under a token budget,
+  * and rebalance the language/source mixture with deterministic sampling.
+  * Both are exact-oracle queries (integer arithmetic end to end).
+  */
+object CorpusOps {
+
+  /** Bounded cache slot for the scored scan (see [[RotatingCache]]) — it
+    * feeds three passes (budget total, bucket totals, final cumsum). */
+  private val scoreCache = new RotatingCache
+
+  /** Greedy corpus selection under a token budget: order documents by
+    * (quality_pm DESC, doc_id), accumulate token counts in that order,
+    * and select every document whose running total fits the budget (here:
+    * half the corpus's tokens, so the query is scale-free).
+    *
+    * The global running sum is DISTRIBUTED with the same two-pass shape as
+    * the CSR prefix sum (GraphOps.adjacencyBuildFrom) and the global
+    * ranking (Windows.windowRanking) — an unpartitioned `SUM() OVER` would
+    * funnel the whole corpus into one task, which is exactly what this
+    * query must not do at 100 TB:
+    *
+    *   1. value-bucket rows by the leading sort key (fixed-width bins over
+    *      the observed quality [min,max]; equal keys share a bucket, so
+    *      the within-bucket order extends to the global order);
+    *   2. per-bucket token totals (≤ #buckets rows, metadata scale) are
+    *      cumulated on the driver into exclusive prefix offsets and
+    *      broadcast back;
+    *   3. each bucket computes its local running sum in parallel; the
+    *      global cumsum = bucket offset + local cumsum.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents.select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality_pm"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .persist()
+    scoreCache.rotate(scored)
+    // metadata pass: quality range sizes the value bins; the token total
+    // fixes the budget (integer half, engine-order-independent)
+    val mm = scored
+      .agg(min(col("quality_pm")), max(col("quality_pm")), sum(col("n_tokens")))
+      .head()
+    val (lo, hi, budget) = (mm.getLong(0), mm.getLong(1), mm.getLong(2) / 2)
+    val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
+    val width = math.max(1L, (hi - lo + nBuckets) / nBuckets)
+    // descending quality ⇒ bucket 0 holds the best documents
+    val bucketed = scored.withColumn("bucket",
+      ((lit(hi) - col("quality_pm")) / lit(width)).cast("long"))
+    // pass 1: per-bucket token totals → exclusive cumulative offsets
+    var acc = 0L
+    val bases = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, t) => val o = acc; acc += t; (b, o) }.toSeq
+    import spark.implicits._
+    val offsets = bases.toDF("bucket", "tok_base")
+    // pass 2: local running sums, parallel across buckets
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("quality_pm"), col("n_tokens"),
+        (col("tok_base") + col("lcum")).as("cum_tokens"),
+        ((col("tok_base") + col("lcum")) <= budget).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling — the mixture-rebalancing step: each
+    * language keeps a fixed fraction of its documents, decided by an
+    * arithmetic hash of the doc id (Knuth multiplicative, folded to
+    * [0, 1000)) rather than an RNG, so the sample is reproducible across
+    * engines, runs, and partitionings, and any SQL dialect can replay it.
+    * One codegen'd map pass, no shuffle before the presentation sort. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % lit(1000L)
+    val rate = when(col("lang") === "en", lit(100L))
+      .when(col("lang") === "fr", lit(250L))
+      .when(col("lang") === "de", lit(500L))
+      .otherwise(lit(750L))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), h.as("bucket_pm"), rate.as("rate_pm"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("kept", col("bucket_pm") < col("rate_pm"))
+      .orderBy(col("doc_id"))
+  }
+}
