@@ -127,6 +127,7 @@ object SparkEntry {
     "q53_decode_features"    -> (Multimodal.decodeFeatures _),
     "q111_token_budget_select" -> (graft.operators.CorpusOps.tokenBudgetSelect _),
     "q112_stratified_sample"   -> (graft.operators.CorpusOps.stratifiedSample _),
+    "q113_sequence_pack"       -> (graft.operators.CorpusOps.sequencePack _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -865,6 +866,23 @@ object SparkEntry {
         |    CASE WHEN lang = 'en' THEN 100 WHEN lang = 'fr' THEN 250
         |         WHEN lang = 'de' THEN 500 ELSE 750 END AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q113: integer div/% only — the pack index map must be exact at any
+    // corpus size (DuckDB // ≡ Spark div on positives).
+    "q113_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 2048 AS pack_id,
+        |  start_tok % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -45,25 +45,17 @@ object CorpusOps {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .persist()
     scoreCache.rotate(scored)
-    // metadata pass: quality range sizes the value bins; the token total
-    // fixes the budget (integer half, engine-order-independent)
-    val mm = scored
-      .agg(min(col("quality_pm")), max(col("quality_pm")), sum(col("n_tokens")))
-      .head()
-    val (lo, hi, budget) = (mm.getLong(0), mm.getLong(1), mm.getLong(2) / 2)
-    val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
-    val width = math.max(1L, (hi - lo + nBuckets) / nBuckets)
     // descending quality ⇒ bucket 0 holds the best documents
-    val bucketed = scored.withColumn("bucket",
-      ((lit(hi) - col("quality_pm")) / lit(width)).cast("long"))
-    // pass 1: per-bucket token totals → exclusive cumulative offsets
-    var acc = 0L
-    val bases = bucketed.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      .map { case (b, t) => val o = acc; acc += t; (b, o) }.toSeq
+    val bucketed = GlobalOrder
+      .bucketizeByValue(scored, col("quality_pm"), desc = true)
+    // pass 1: per-bucket token totals → exclusive cumulative offsets; the
+    // grand total fixes the budget (integer half: Spark Long division ≡
+    // DuckDB // on positives, engine-order-independent)
+    val (bases, totals) = GlobalOrder.exclusiveOffsets(bucketed,
+      Seq(sum(col("n_tokens")).as("t")))
+    val budget = totals.head / 2
     import spark.implicits._
-    val offsets = bases.toDF("bucket", "tok_base")
+    val offsets = bases.map { case (b, Seq(t)) => (b, t) }.toDF("bucket", "tok_base")
     // pass 2: local running sums, parallel across buckets
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("quality_pm").desc, col("doc_id"))
@@ -74,6 +66,37 @@ object CorpusOps {
       .select(col("doc_id"), col("quality_pm"), col("n_tokens"),
         (col("tok_base") + col("lcum")).as("cum_tokens"),
         ((col("tok_base") + col("lcum")) <= budget).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Context = 2048L
+
+  /** Sequence packing — the batch-construction step of LLM training:
+    * documents are concatenated in doc_id (arrival) order and split into
+    * fixed Context-token windows; each document reports its global start
+    * token, the pack (context window) its first token lands in, and the
+    * offset inside that pack. The running token sum is the same
+    * distributed two-pass prefix as [[tokenBudgetSelect]] ([[GlobalOrder]]),
+    * here ordered by doc_id. All arithmetic is integer (`div`/`%`), so
+    * the pack index map is exact at any corpus size. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val bucketed = GlobalOrder.bucketizeByValue(toks, col("doc_id"), desc = false)
+    val (bases, _) = GlobalOrder.exclusiveOffsets(bucketed,
+      Seq(sum(col("n_tokens")).as("t")))
+    import spark.implicits._
+    val offsets = bases.map { case (b, Seq(t)) => (b, t) }.toDF("bucket", "tok_base")
+    val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok", col("tok_base") + col("lcum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $Context").as("pack_id"),
+        (col("start_tok") % lit(Context)).as("pack_offset"))
       .orderBy(col("doc_id"))
   }
 

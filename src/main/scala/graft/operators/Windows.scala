@@ -114,33 +114,20 @@ object Windows {
     val cust = Tables(spark, dir).customer
       // exact integer sort key: monotone in c_acctbal (2-decimal money)
       .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("cents"))
-    // metadata-scale: 1-row min/max aggregate sizes the value bins
-    val mm = cust.agg(min(col("cents")), max(col("cents"))).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val nBuckets = math.max(spark.sparkContext.defaultParallelism, 1)
-    val width = math.max(1L, (hi - lo + nBuckets) / nBuckets)
     // descending order ⇒ bucket 0 holds the largest values
-    val bucketed = cust
-      .withColumn("bucket", ((lit(hi) - col("cents")) / lit(width)).cast("long"))
+    val bucketed = GlobalOrder
+      .bucketizeByValue(cust, col("cents"), desc = true)
       .persist()
     rankCache.rotate(bucketed)
     // pass 1: per-bucket (row count, distinct-ordering-key count) →
     // exclusive cumulative bases, computed on ≤ #buckets rows
-    var rankAcc = 0L
-    var denseAcc = 0L
-    val bases = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cnt"),
-        count_distinct(struct(col("cents"), col("c_custkey"))).as("dcnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-      .map { case (b, cnt, dcnt) =>
-        val rb = rankAcc; val db = denseAcc
-        rankAcc += cnt; denseAcc += dcnt
-        (b, rb, db)
-      }.toSeq
-    val total = rankAcc
+    val (bases, totals) = GlobalOrder.exclusiveOffsets(bucketed, Seq(
+      count(lit(1)).as("cnt"),
+      count_distinct(struct(col("cents"), col("c_custkey"))).as("dcnt")))
+    val total = totals.head
     import spark.implicits._
-    val offsets = bases.toDF("bucket", "rank_base", "dense_base")
+    val offsets = bases.map { case (b, Seq(rb, db)) => (b, rb, db) }
+      .toDF("bucket", "rank_base", "dense_base")
     // pass 2: local ranks within each bucket, parallel across buckets
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("cents").desc, col("c_custkey"))
