@@ -128,6 +128,8 @@ object SparkEntry {
     "q111_token_budget_select" -> (graft.operators.CorpusOps.tokenBudgetSelect _),
     "q112_stratified_sample"   -> (graft.operators.CorpusOps.stratifiedSample _),
     "q113_sequence_pack"       -> (graft.operators.CorpusOps.sequencePack _),
+    "q114_quality_deciles"     -> (graft.operators.CorpusOps.qualityDeciles _),
+    "q115_corpus_pipeline"     -> (graft.operators.CorpusOps.corpusPipeline _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -883,6 +885,40 @@ object SparkEntry {
         |  start_tok // 2048 AS pack_id,
         |  start_tok % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q114: Spark side is the distributed two-pass ntile; the oracle
+    // states the semantics as one global ntile(10) (unique tiebreaker ⇒
+    // identical assignment).
+    "q114_quality_deciles" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm
+        |  FROM documents)
+        |SELECT doc_id, quality_pm,
+        |  CAST(ntile(10) OVER (ORDER BY quality_pm DESC, doc_id) AS BIGINT) AS decile
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q115_corpus_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |dd AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+        |sc AS (
+        |  SELECT lang, source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS q,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS t
+        |  FROM dd)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(q) AS BIGINT) AS sum_quality
+        |FROM sc WHERE q >= 300 AND t >= 50
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,
@@ -992,5 +1028,7 @@ object SparkEntry {
     "q02_scan_filter_count", "q04_groupby_hash", "q06_hashjoin_sum",
     "q07_shuffle_join_agg", "q08_star_join", "q11_topk", "q16_rollup",
     "q23_window_running_sum", "q32_bfs", "q42_minhash_lsh_dedup",
-    "q46_ann_bruteforce_topk", "q60_tumbling_window", "q65_bulk_write")
+    "q46_ann_bruteforce_topk", "q60_tumbling_window", "q65_bulk_write",
+    // round 4: track the GlobalOrder corpus family round-over-round
+    "q113_sequence_pack")
 }

@@ -100,6 +100,69 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded cache slot for the decile-bucketed scan. */
+  private val decileCache = new RotatingCache
+
+  /** Global quality deciles — binning every document of the corpus into
+    * ntile(10) buckets of its quality score: THE canonical global-order
+    * operation an LLM pipeline runs over 100 TB of quality scores (keep
+    * the top deciles, drop the tail). Naively this is one unpartitioned
+    * ntile window = the whole corpus through ONE task; here it is the
+    * [[GlobalOrder]] two-pass — per-bucket row numbers in parallel +
+    * metadata-scale offsets — and the decile derives arithmetically from
+    * the global row number (the SQL-spec ntile formula: the first
+    * total%10 tiles get one extra row). */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality_pm"))
+    val bucketed = GlobalOrder
+      .bucketizeByValue(scored, col("quality_pm"), desc = true)
+      .persist()
+    decileCache.rotate(bucketed)
+    val (bases, totals) = GlobalOrder.exclusiveOffsets(bucketed,
+      Seq(count(lit(1)).as("cnt")))
+    val total = totals.head
+    import spark.implicits._
+    val offsets = bases.map { case (b, Seq(c)) => (b, c) }.toDF("bucket", "rn_base")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+    val k = 10L
+    val q = lit(total / k)
+    val r = lit(total % k)
+    val rn = col("rn_base") + row_number().over(wLocal)
+    val decile = when(rn <= (q + 1) * r, floor((rn - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
+    bucketed
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("quality_pm"),
+        decile.cast("long").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end corpus build — the stages composed the way a real
+    * training-data pipeline chains them: exact-dedup (canonical min id
+    * per distinct text) → quality/length gate → per-(lang, source)
+    * mixture report. Each stage is an operator this library ships
+    * standalone; the composition is one declarative plan, so Catalyst
+    * fuses the scoring into the dedup output and the gate prunes before
+    * the final shuffle. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val scored = docs.join(keep, Seq("doc_id"))
+      .select(col("lang"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+    scored.filter(col("q") >= 300 && col("t") >= 50)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("sum_tokens"),
+        sum(col("q")).as("sum_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Deterministic stratified sampling — the mixture-rebalancing step: each
     * language keeps a fixed fraction of its documents, decided by an
     * arithmetic hash of the doc id (Knuth multiplicative, folded to

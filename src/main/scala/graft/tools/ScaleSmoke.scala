@@ -131,13 +131,21 @@ object ScaleSmoke {
         import spark.implicits._
         implicit val ctx = spark.sqlContext
         val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SmokeEv]
-        // one micro-batch per run: times per-batch scaling, not batch count
-        ms.addData(evRows)
+        // bounded micro-batches (500k events each): a MemoryStream batch
+        // is serialized whole into the task binary, so one 2M-row batch
+        // OOMs an 8g driver — and real streams arrive in bounded batches
+        // anyway; the measured work is the stateful aggregation across
+        // batches either way
         val q = graft.streaming.EventStreams
           .tumblingAgg(ms.toDF().withWatermark("ts", "1 hour"))
           .writeStream.format("memory").queryName(s"smoke_tumbling_$mult")
           .outputMode("complete").start()
-        try { q.processAllAvailable(); spark.table(s"smoke_tumbling_$mult").count() }
+        try {
+          evRows.grouped(500000).foreach { chunk =>
+            ms.addData(chunk); q.processAllAvailable()
+          }
+          spark.table(s"smoke_tumbling_$mult").count()
+        }
         finally q.stop()
       }
     }

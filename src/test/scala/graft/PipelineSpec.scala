@@ -67,6 +67,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.getSeq[Long](0).length == 64)
   }
 
+  test("GraftExtensions: spark.sql.extensions registers the custom functions") {
+    // the spark-submit deployment path: spark.sql.extensions is a STATIC
+    // conf on the SparkContext (set in SparkTestSession), and every
+    // session built over that context gets the functions injected into
+    // its own fresh registry — bridge.registerFunctions calls on other
+    // sessions cannot leak in (temp-function registries are
+    // session-local), so resolution here proves the extension ran
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().getOrCreate()
+      assert(s2 ne orig)
+      val r = s2.sql(
+        "SELECT poly_hash('hello', 0) AS h, simhash64(array('a','b')) AS s").head()
+      val direct = graft.functions.PolyHash(
+        org.apache.spark.sql.catalyst.expressions.Literal.create("hello"),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(0L)).eval(null)
+      assert(r.getLong(0) == direct)
+      // do NOT s2.stop(): the SparkContext is shared with the suite session
+    } finally {
+      SparkSession.setDefaultSession(orig); SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("minhash LSH funnel is sane") {
     val row = Dedup.minhashLshSummary(spark, sf).head()
     val (nDocs, nCand, nDup) = (row.getLong(0), row.getLong(1), row.getLong(2))

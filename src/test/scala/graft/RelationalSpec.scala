@@ -7,6 +7,10 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // static conf, read at context level: lets the GraftExtensions
+      // spec build a second session over this context and observe the
+      // extension-injected functions in its fresh registry
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
