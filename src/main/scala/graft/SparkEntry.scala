@@ -130,6 +130,7 @@ object SparkEntry {
     "q113_sequence_pack"       -> (graft.operators.CorpusOps.sequencePack _),
     "q114_quality_deciles"     -> (graft.operators.CorpusOps.qualityDeciles _),
     "q115_corpus_pipeline"     -> (graft.operators.CorpusOps.corpusPipeline _),
+    "q116_group_topk"          -> (graft.operators.CorpusOps.groupTopK _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -901,6 +902,22 @@ object SparkEntry {
         |SELECT doc_id, quality_pm,
         |  CAST(ntile(10) OVER (ORDER BY quality_pm DESC, doc_id) AS BIGINT) AS decile
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q116_group_topk" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, quality_pm FROM (
+        |  SELECT lang, doc_id, quality_pm,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY quality_pm DESC, doc_id) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q115_corpus_pipeline" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |dd AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),

@@ -163,6 +163,23 @@ object CorpusOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Best-N-per-stratum selection — keep each language's top documents by
+    * quality (champion selection before expensive downstream stages).
+    * A per-stratum window: one hash exchange on `lang`, per-partition
+    * bounded work — scale-safe by construction, unlike its global cousin
+    * ([[qualityDeciles]]) which needs the two-pass primitive. */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality_pm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("rk"), col("doc_id"), col("quality_pm"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Deterministic stratified sampling — the mixture-rebalancing step: each
     * language keeps a fixed fraction of its documents, decided by an
     * arithmetic hash of the doc id (Knuth multiplicative, folded to
