@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *      version of its running quantity in parallel and adds the bucket's
   *      base.
   */
-private[operators] object GlobalOrder {
+private[graft] object GlobalOrder {
 
   /** Adds a `bucket` column: fixed-width bins over the observed [lo, hi]
     * of the integer `key` (one 1-row min/max metadata aggregate). Bucket 0
@@ -32,6 +32,7 @@ private[operators] object GlobalOrder {
     * order equals global key order. */
   def bucketizeByValue(df: DataFrame, key: Column, desc: Boolean): DataFrame = {
     val mm = df.agg(min(key), max(key)).head()
+    if (mm.isNullAt(0)) return df.withColumn("bucket", lit(0L)) // empty input
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     val width = math.max(1L, (hi - lo + n) / n)

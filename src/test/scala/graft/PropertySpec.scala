@@ -219,4 +219,58 @@ class PropertySpec extends AnyFunSuite {
       .filter(col("signup_ts_us") =!= -1L)
     assert(joined.filter(col("signup_ts_us") > col("pts")).count() == 0)
   }
+
+  test("GlobalOrder two-pass rank/cumsum ≡ unpartitioned window on tie-heavy data") {
+    // The primitive behind q26/q111/q113/q114: value-bucket + local
+    // window + driver-cumulated offsets must equal the single-partition
+    // window EXACTLY — the risky case is ties, which must never span a
+    // bucket boundary. Keys are drawn from a small domain so nearly
+    // every key value carries many ties.
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.choose(-15L, 15L), Gen.choose(1L, 50L)))
+    forAllSampled(gen, n = 4) { rows =>
+      import spark.implicits._
+      // unique id per row (the tiebreaker every caller carries)
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val bucketed = operators.GlobalOrder
+        .bucketizeByValue(df, col("k"), desc = true)
+      val (bases, totals) = operators.GlobalOrder.exclusiveOffsets(bucketed,
+        Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sv")))
+      val offsets = bases.map { case (b, Seq(c, s)) => (b, c, s) }
+        .toDF("bucket", "rn_base", "cum_base")
+      val wLocal = Window.partitionBy(col("bucket"))
+        .orderBy(col("k").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = bucketed
+        .withColumn("lrn", count(lit(1)).over(wLocal))
+        .withColumn("lcum", sum(col("v")).over(wLocal))
+        .join(broadcast(offsets), Seq("bucket"))
+        .select(col("id"),
+          (col("rn_base") + col("lrn")).as("rn"),
+          (col("cum_base") + col("lcum")).as("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val wGlobal = Window.orderBy(col("k").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("rn", count(lit(1)).over(wGlobal))
+        .withColumn("cum", sum(col("v")).over(wGlobal))
+        .select(col("id"), col("rn"), col("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(totals == Seq(rows.size.toLong, rows.map(_._2).sum))
+    }
+  }
+
+  test("GlobalOrder handles an empty input (no min/max to bucket on)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "k")
+    val bucketed = operators.GlobalOrder
+      .bucketizeByValue(empty, col("k"), desc = false)
+    val (bases, totals) = operators.GlobalOrder.exclusiveOffsets(bucketed,
+      Seq(count(lit(1)).as("cnt")))
+    assert(bucketed.count() == 0 && bases.isEmpty && totals == Seq(0L))
+  }
 }
