@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink coverage (SURVEY §2.a): the engine must read/write the
-  * formats a pipeline meets — parquet (primary), csv, json, text — and
-  * use partitioned layouts with partition pruning.
+  * formats a pipeline meets — parquet (primary), orc, csv, json, text —
+  * and use partitioned layouts with partition pruning.
   */
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -36,6 +36,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
     assert(back.select(sum(length(col("text")))).head().getLong(0) ==
       docs.select(sum(length(col("text")))).head().getLong(0))
+  }
+
+  test("orc sink/source roundtrip preserves rows and sums") {
+    // second columnar format (built-in ORC writer/reader) — same
+    // predicate-pushdown/column-pruning machinery as parquet
+    val dir = tmp("graft_orc")
+    val li = Tables(spark, sf).lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == li.count())
+    assert(back.agg(sum(round(col("l_quantity") * 100).cast("long"))).head().getLong(0) ==
+      li.agg(sum(round(col("l_quantity") * 100).cast("long"))).head().getLong(0))
+    val pushed = back.filter(col("l_returnflag") === "R")
+    assert(pushed.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "no pushed filter on the ORC scan")
   }
 
   test("text source reads lines") {
