@@ -45,9 +45,12 @@ object CorpusOps {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .persist()
     scoreCache.rotate(scored)
-    // descending quality ⇒ bucket 0 holds the best documents
+    // descending quality ⇒ bucket 0 holds the best documents; the order
+    // (quality DESC, doc_id) is unique, so ties may split across buckets
+    // — a clamp-saturated corpus cannot concentrate one window task
     val bucketed = GlobalOrder
-      .bucketizeByValue(scored, col("quality_pm"), desc = true)
+      .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
+        col("doc_id"))
     // pass 1: per-bucket token totals → exclusive cumulative offsets; the
     // grand total fixes the budget (integer half: Spark Long division ≡
     // DuckDB // on positives, engine-order-independent)
@@ -117,7 +120,8 @@ object CorpusOps {
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality_pm"))
     val bucketed = GlobalOrder
-      .bucketizeByValue(scored, col("quality_pm"), desc = true)
+      .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
+        col("doc_id"))
       .persist()
     decileCache.rotate(bucketed)
     val (bases, totals) = GlobalOrder.exclusiveOffsets(bucketed,

@@ -40,6 +40,36 @@ private[graft] object GlobalOrder {
     df.withColumn("bucket", (pos / lit(width)).cast("long"))
   }
 
+  /** Bucketize for a UNIQUE total order `(key [desc], id asc)` with `id`
+    * unique: when the key domain is small (≤ 4096 distinct representable
+    * values — exactly the parts-per-thousand score case), each key VALUE
+    * gets its own bin and rows inside it are further split by value-bins
+    * of `id`. A clamp-heavy corpus (half the documents at score 0 or
+    * 1000 — routine after templated/boilerplate text) then still spreads
+    * across ~parallelism buckets, where single-key value-binning would
+    * concentrate it in ONE window task. Splitting ties across buckets is
+    * sound here because no running quantity can tie across the boundary
+    * when the window order carries the unique id — it is NOT sound for
+    * rank/dense_rank, which must see all key ties together (those use
+    * [[bucketizeByValue]]). Wide key domains fall back to plain value
+    * bins (a wide domain cannot mass-tie on one value in the first
+    * place, and per-value bins would blow the offsets collect). */
+  def bucketizeForUniqueOrder(df: DataFrame, key: Column, desc: Boolean,
+      id: Column): DataFrame = {
+    val mm = df.agg(min(key), max(key), min(id), max(id)).head()
+    if (mm.isNullAt(0)) return df.withColumn("bucket", lit(0L)) // empty input
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (ilo, ihi) = (mm.getLong(2), mm.getLong(3))
+    val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if (hi - lo + 1 <= 4096) {
+      val iwidth = math.max(1L, (ihi - ilo + n) / n)
+      val kpos = if (desc) lit(hi) - key else key - lit(lo)
+      // observed buckets ≤ domain × (n+1): still a metadata-scale collect
+      df.withColumn("bucket", kpos.cast("long") * lit(n + 1L)
+        + ((id - lit(ilo)) / lit(iwidth)).cast("long"))
+    } else bucketizeByValue(df, key, desc)
+  }
+
   /** Exclusive per-bucket prefix bases of the given long-valued
     * aggregates: `(bucket, [base_0..base_k])` where `base_i` is the sum
     * of aggregate i over all LOWER buckets, plus the grand totals. The

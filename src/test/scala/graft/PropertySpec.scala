@@ -264,6 +264,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalOrder unique-order bucketizer ≡ global window when one key value dominates") {
+    // the clamp-saturation case: most rows share ONE key value (a score
+    // clamped at its bound). bucketizeForUniqueOrder may split those
+    // ties across buckets (the order carries the unique id) — results
+    // must still equal the global window, and the tie mass must actually
+    // occupy multiple buckets (the point of the variant).
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(400, Gen.zip(
+      Gen.frequency(7 -> Gen.const(1000L), 1 -> Gen.choose(0L, 999L)),
+      Gen.choose(1L, 50L)))
+    forAllSampled(gen, n = 4) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val bucketed = operators.GlobalOrder
+        .bucketizeForUniqueOrder(df, col("k"), desc = true, col("id"))
+      val hotBuckets = bucketed.filter(col("k") === 1000L)
+        .select(col("bucket")).distinct().count()
+      assert(hotBuckets > 1, "tie mass was not spread across buckets")
+      val (bases, _) = operators.GlobalOrder.exclusiveOffsets(bucketed,
+        Seq(count(lit(1)).as("cnt"), sum(col("v")).as("sv")))
+      val offsets = bases.map { case (b, Seq(c, s)) => (b, c, s) }
+        .toDF("bucket", "rn_base", "cum_base")
+      val wLocal = Window.partitionBy(col("bucket"))
+        .orderBy(col("k").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = bucketed
+        .withColumn("lrn", count(lit(1)).over(wLocal))
+        .withColumn("lcum", sum(col("v")).over(wLocal))
+        .join(broadcast(offsets), Seq("bucket"))
+        .select(col("id"),
+          (col("rn_base") + col("lrn")).as("rn"),
+          (col("cum_base") + col("lcum")).as("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val wGlobal = Window.orderBy(col("k").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("rn", count(lit(1)).over(wGlobal))
+        .withColumn("cum", sum(col("v")).over(wGlobal))
+        .select(col("id"), col("rn"), col("cum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    }
+  }
+
   test("GlobalOrder handles an empty input (no min/max to bucket on)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "k")
