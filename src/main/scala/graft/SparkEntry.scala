@@ -718,10 +718,12 @@ object SparkEntry {
   )
 
   private val pipelineOracles: Map[String, String] = Map(
+    // q40 groups by the md5 content hash (16-byte shuffle key, not the
+    // document) — both engines compute the identical digest.
     "q40_exact_dedup" ->
       """SELECT canonical_id, n_copies FROM (
         |  SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
-        |  FROM documents GROUP BY text)
+        |  FROM documents GROUP BY md5(text))
         |ORDER BY canonical_id""".stripMargin,
     "q41_ngram_jaccard_topk" ->
       """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
@@ -919,7 +921,7 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q115_corpus_pipeline" ->
-      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |dd AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
         |sc AS (
         |  SELECT lang, source,

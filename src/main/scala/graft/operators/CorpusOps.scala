@@ -153,7 +153,10 @@ object CorpusOps {
     * the final shuffle. */
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val keep = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    // content-hash dedup key (16-byte digest, not the document — see
+    // Dedup.exactDedup for the shuffle-volume rationale)
+    val keep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val scored = docs.join(keep, Seq("doc_id"))
       .select(col("lang"), col("source"),

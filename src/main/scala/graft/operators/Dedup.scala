@@ -36,10 +36,15 @@ object Dedup {
   private val NumBands = 16    // LSH bands (4 rows each)
 
   /** Exact dedup clusters: canonical (min) doc id + multiplicity per
-    * distinct text. */
+    * distinct text. The group-by key is the CONTENT HASH (md5), not the
+    * text itself: the shuffle then carries 16-byte digests instead of
+    * whole documents — at corpus scale the difference between shuffling
+    * ~100 TB and ~a few GB. Collision probability is 2⁻¹²⁸ (the standard
+    * exact-dedup key in production corpus pipelines); the oracle computes
+    * the identical digest, so the compare stays bit-exact. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
       .orderBy(col("canonical_id"))
