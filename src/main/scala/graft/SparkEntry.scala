@@ -131,6 +131,10 @@ object SparkEntry {
     "q114_quality_deciles"     -> (graft.operators.CorpusOps.qualityDeciles _),
     "q115_corpus_pipeline"     -> (graft.operators.CorpusOps.corpusPipeline _),
     "q116_group_topk"          -> (graft.operators.CorpusOps.groupTopK _),
+    "q117_decontaminate"       -> (TextAnalysis.decontaminate _),
+    "q120_winnow_fingerprints" -> (Dedup.winnowFingerprints _),
+    "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
+    "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -718,6 +722,64 @@ object SparkEntry {
   )
 
   private val pipelineOracles: Map[String, String] = Map(
+    // q117: word 8-gram overlap against the held-out benchmark subset
+    // (every 5th doc). DuckDB list slicing is 1-based inclusive:
+    // ws[i:i+7] is 8 words; starts run 1..len-7.
+    "q117_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM grams c JOIN bench USING (g)
+        |WHERE c.doc_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q118: the oracle states the top-word share via the direct
+    // unnest + group-by formulation; the Spark side computes the same
+    // count as the longest equal-run in the sorted word array (no shuffle).
+    "q118_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) AS n_words,
+        |        list_transform(range(1, len(ws) - 2 + 2),
+        |          i -> array_to_string(ws[i:i+1], ' ')) AS bi
+        |      FROM w),
+        |tw AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |topw AS (SELECT doc_id, max(c) AS maxc FROM
+        |         (SELECT doc_id, word, count(*) AS c FROM tw GROUP BY 1, 2)
+        |         GROUP BY 1)
+        |SELECT g.doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(1000 * maxc // greatest(n_words, 1) AS BIGINT) AS topword_pm,
+        |  CAST(1000 * (len(bi) - len(list_distinct(bi)))
+        |       // greatest(len(bi), 1) AS BIGINT) AS dup_bigram_pm
+        |FROM g JOIN topw USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q119_ngram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |grams AS (SELECT unnest(list_transform(range(1, len(ws) - 3 + 2),
+        |            i -> array_to_string(ws[i:i+2], ' '))) AS g FROM w)
+        |SELECT g, count(*) AS cnt FROM grams GROUP BY g
+        |ORDER BY cnt DESC, g LIMIT 20""".stripMargin,
+    // q120: bit-exact replay of the winnow (char codes → 16-gram poly
+    // hash mod 1e9+7 → window-8 min → distinct → per-doc summary).
+    // list_reduce has no initial accumulator, so 0 is prepended; list
+    // slicing is 1-based inclusive; list_sum of an empty list is NULL
+    // (Spark's aggregate starts at 0), hence the coalesce.
+    "q120_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |c AS (SELECT doc_id, list_transform(string_split(t, ''),
+        |        s -> CAST(ascii(s) AS BIGINT)) AS cs FROM d),
+        |h AS (SELECT doc_id, list_transform(range(1, len(cs) - 16 + 2),
+        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+15]),
+        |          (a, x) -> (a * 31 + x) % 1000000007)) AS hs FROM c),
+        |w AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, len(hs) - 8 + 2), i -> list_min(hs[i:i+7]))) AS fps
+        |      FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+        |       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+        |FROM w ORDER BY doc_id""".stripMargin,
     // q40 groups by the md5 content hash (16-byte shuffle key, not the
     // document) — both engines compute the identical digest.
     "q40_exact_dedup" ->

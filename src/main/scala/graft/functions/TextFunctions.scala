@@ -92,4 +92,16 @@ object TextFunctions {
   /** Distinct character k-shingles — the unit set for exact Jaccard. */
   def shingles(text: Column, k: Int): Column =
     array_distinct(shinglesAll(text, k))
+
+  /** All word k-grams in order (space-joined), the decontamination /
+    * repetition unit. Same guard discipline as [[shinglesAll]]: short
+    * text yields an empty array, NULL stays NULL. */
+  def wordGrams(text: Column, k: Int): Column = {
+    val ws = split(text, " ")
+    val last = size(ws) - lit(k - 1)
+    when(text.isNotNull,
+      transform(
+        when(last >= 1, sequence(lit(1), last)).otherwise(array().cast("array<int>")),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+  }
 }

@@ -181,6 +181,74 @@ object Dedup {
         shiftrightunsigned(col("simhash"), 48).as("band3"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (the MOSS scheme, Schleimer et al. 2003):
+    * polynomial hash of every char 16-gram, then the minimum hash of each
+    * window of 8 consecutive gram hashes, deduplicated per document. Two
+    * documents sharing any ≥23-char substring are GUARANTEED to share a
+    * fingerprint (window+gram-1), which is what makes this the
+    * position-robust substring analogue of q40's whole-text hash.
+    *
+    * Scale shape: the whole selection is higher-order array functions in
+    * one codegen'd projection — per-document work, NO shuffle before the
+    * output explode; a downstream near-dup join would bucket on `fp`
+    * exactly like the minhash bands. The hash is (h*31+c) mod 1e9+7 so
+    * the DuckDB oracle can replay it bit-exactly in BIGINT (no overflow,
+    * no unsigned mismatch). */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsFrom(Tables(spark, dir).documents)
+
+  /** Per-document fingerprint SET (doc_id, fps array) — the testable unit.
+    *
+    * Cost discipline (higher-order functions run interpreted, so the
+    * expression shape IS the algorithm):
+    *   - char codes come from `split(text, "")` — one O(L) pass; indexing
+    *     a gram is then an O(K) numeric-array slice. A per-char
+    *     `substr(text, i, 1)` would walk the UTF8 bytes from the start
+    *     every call: O(L²) per document, fatal on long documents;
+    *   - each stage is its OWN projection column, referenced twice
+    *     (size guard + slice), which stops CollapseProject from inlining
+    *     an array subtree into a downstream lambda — an inlined array is
+    *     re-evaluated per lambda ELEMENT, turning O(L·K) into
+    *     O(L²·K);
+    *   - the query-facing summary below aggregates the array instead of
+    *     exploding it: a Generate would let InferFiltersFromGenerate
+    *     plant a `size(fps) > 0` filter with the whole pipeline inlined,
+    *     recomputing it once more per row. */
+  def winnowFingerprintSetsFrom(docs: DataFrame): DataFrame = {
+    val K = 16 // gram length (chars)
+    val W = 8  // winnow window (grams)
+    val P = 1000000007L
+    val nGram = size(col("cs")) - lit(K - 1)
+    val nWin = size(col("hs")) - lit(W - 1)
+    docs
+      .select(col("doc_id"),
+        transform(filter(split(lower(col("text")), ""), c => c =!= ""),
+          c => ascii(c).cast("long")).as("cs"))
+      .select(col("doc_id"),
+        transform(
+          when(nGram >= 1, sequence(lit(1), nGram))
+            .otherwise(array().cast("array<int>")),
+          i => aggregate(slice(col("cs"), i, lit(K)), lit(0L),
+            (acc, c) => (acc * 31L + c) % P)).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          when(nWin >= 1, sequence(lit(1), nWin))
+            .otherwise(array().cast("array<int>")),
+          i => array_min(slice(col("hs"), i, lit(W))))).as("fps"))
+  }
+
+  /** Same, summarized one row per document for the oracle compare: the
+    * fingerprint count plus min/max/sum of the set (order-independent,
+    * bit-exact in BIGINT). */
+  def winnowFingerprintsFrom(docs: DataFrame): DataFrame =
+    winnowFingerprintSetsFrom(docs)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
+      .orderBy(col("doc_id"))
+
   /** SimHash near-dup pairs via banded Hamming join: candidate pairs share
     * a 16-bit band; verified if Hamming distance ≤ 12. 1-row summary. */
   def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame =

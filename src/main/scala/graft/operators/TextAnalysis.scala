@@ -52,4 +52,70 @@ object TextAnalysis {
         langScore(col("text"), "es").as("score_es"),
         langScore(col("text"), "fr").as("score_fr"))
       .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: corpus documents that share at least one
+    * word 8-gram with the held-out benchmark set (here: every 5th doc —
+    * the standard eval-leakage check an LLM pipeline runs before
+    * training). The benchmark side is distinct-gram deduplicated and
+    * BROADCAST: eval suites are fixed-size (MBs) no matter how big the
+    * corpus is, so the probe is one shuffle-free scan of the corpus grams
+    * followed by a per-doc count — the contamination check stays linear
+    * in corpus size at 100 TB. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
+    val bench = grams.filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
+    grams.filter(col("doc_id") % 5 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document repetition signals (Gopher-style quality rules): the
+    * most-frequent-word share and the duplicate-bigram fraction, both in
+    * integer per-mille. Computed entirely with higher-order array
+    * functions inside one codegen'd projection — NO shuffle: per-document
+    * signals over 100 TB must not pay an explode + group-by when a
+    * per-row fold computes the same number. The top-word count is the
+    * longest run in the sorted word array. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    // longest run of equal adjacent words in sorted order == max word count
+    val maxWordCnt = aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bi = wordGrams(col("text"), 2)
+    val nBi = size(bi).cast("long")
+    val uBi = size(array_distinct(bi)).cast("long")
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        (lit(1000L) * maxWordCnt / greatest(size(ws).cast("long"), lit(1L)))
+          .cast("long").as("topword_pm"),
+        (lit(1000L) * (nBi - uBi) / greatest(nBi, lit(1L)))
+          .cast("long").as("dup_bigram_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide frequent word 3-grams (boilerplate detection): explode →
+    * partial-aggregated count → top-20. The group-by carries map-side
+    * partial aggregation and the final ordering is a TakeOrderedAndProject
+    * (top-k heap per partition, k rows to the driver), so the only full
+    * shuffle is on the gram key. */
+  def ngramTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(wordGrams(col("text"), 3)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g"))
+      .limit(20)
 }

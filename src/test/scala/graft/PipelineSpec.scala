@@ -296,6 +296,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw.getLong(2) == 0L, s"unexpected raw near-dups: $raw")
   }
 
+  test("winnow fingerprints: shared-substring guarantee, Scala-model equality, short-text edge") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog" // 43 chars > 23
+    val docs = Seq(
+      (1L, s"aaa bbb ccc $shared ddd eee"),
+      (2L, s"zzz yyy $shared xxx uuu www"),
+      (3L, "qqq rrr sss ttt qqq rrr sss ttt qqq rrr sss ttt qqq rrr"),
+      (4L, "shorter than 23")).toDF("doc_id", "text")
+    val byDoc = Dedup.winnowFingerprintSetsFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // MOSS guarantee: any shared substring of >= w+k-1 = 23 chars forces a
+    // shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "planted shared substring missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "unrelated docs share fingerprints")
+    assert(byDoc(4L).isEmpty, "sub-23-char text must yield no fingerprints")
+    // bit-exact Scala model on one doc
+    val text = s"aaa bbb ccc $shared ddd eee".toLowerCase
+    val hs = text.sliding(16).map(
+      _.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)).toVector
+    val model = hs.sliding(8).map(_.min).toSet
+    assert(byDoc(1L) == model, s"engine=${byDoc(1L)} model=$model")
+  }
+
   test("decode features: stub decoder matches direct computation") {
     val feats = Multimodal.decodeFeatures(spark, sf)
       .filter(col("doc_id") === 0L).head()

