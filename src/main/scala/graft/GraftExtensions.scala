@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft.functions.MinHashSig", "minhash_sig"),
       (exprs: Seq[Expression]) =>
         graft.functions.MinHashSig(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      info("graft.functions.WinnowFps", "winnow_fps"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.WinnowFps(exprs.head)))
   }
 }

@@ -1111,5 +1111,7 @@ object SparkEntry {
     "q23_window_running_sum", "q32_bfs", "q42_minhash_lsh_dedup",
     "q46_ann_bruteforce_topk", "q60_tumbling_window", "q65_bulk_write",
     // round 4: track the GlobalOrder corpus family round-over-round
-    "q113_sequence_pack")
+    "q113_sequence_pack",
+    // round 4: track the interpreted higher-order text path (winnowing)
+    "q120_winnow_fingerprints")
 }

@@ -198,6 +198,17 @@ object Dedup {
     winnowFingerprintsFrom(Tables(spark, dir).documents)
 
   /** Per-document fingerprint SET (doc_id, fps array) — the testable unit.
+    * One codegen'd [[graft.functions.WinnowFps]] evaluation per document;
+    * see [[winnowFingerprintSetsHofFrom]] for the built-in-only reference
+    * formulation this is cross-checked against. */
+  def winnowFingerprintSetsFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WinnowFps.winnow_fps(lower(col("text"))).as("fps"))
+
+  /** The same winnow stated purely with built-in higher-order functions —
+    * the formulation a user without the extension jar would write, kept as
+    * the exact-equality cross-check for the codegen expression (and as the
+    * 1:1 mirror of the DuckDB oracle's list-lambda SQL).
     *
     * Cost discipline (higher-order functions run interpreted, so the
     * expression shape IS the algorithm):
@@ -214,7 +225,7 @@ object Dedup {
     *     exploding it: a Generate would let InferFiltersFromGenerate
     *     plant a `size(fps) > 0` filter with the whole pipeline inlined,
     *     recomputing it once more per row. */
-  def winnowFingerprintSetsFrom(docs: DataFrame): DataFrame = {
+  def winnowFingerprintSetsHofFrom(docs: DataFrame): DataFrame = {
     val K = 16 // gram length (chars)
     val W = 8  // winnow window (grams)
     val P = 1000000007L

@@ -75,6 +75,11 @@ object ScaleSmoke {
           s"candidates=${r.getLong(1)} dups=${r.getLong(2)}")
         r.getLong(0)
       }
+      time(s"winnow_fingerprints") {
+        // per-doc interpreted-HOF path: must scale linearly in corpus size
+        graft.operators.Dedup.winnowFingerprintsFrom(docs)
+          .agg(sum(col("n_fp"))).head().getLong(0)
+      }
       val vecs = (0 until mult).map { i =>
         t.embeddings.select(
           (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding"))

@@ -47,5 +47,7 @@ object bridge {
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => graft.functions.MinHashSig(exprs.head).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fps",
+      exprs => graft.functions.WinnowFps(exprs.head), "scala_udf")
   }
 }

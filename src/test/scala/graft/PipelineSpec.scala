@@ -318,6 +318,10 @@ class PipelineSpec extends AnyFunSuite {
       _.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)).toVector
     val model = hs.sliding(8).map(_.min).toSet
     assert(byDoc(1L) == model, s"engine=${byDoc(1L)} model=$model")
+    // the codegen expression ≡ the built-in HOF formulation, doc by doc
+    val hof = Dedup.winnowFingerprintSetsHofFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(hof == byDoc, "winnow_fps codegen != HOF reference formulation")
   }
 
   test("decode features: stub decoder matches direct computation") {

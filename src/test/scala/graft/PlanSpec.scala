@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
       s"q119 must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("q120: winnowing is one codegen'd projection — no join, no aggregate exchange") {
+    val p = plan("q120_winnow_fingerprints")
+    assert(p.contains("winnow_fps"), p)
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"q120 must stay a per-row projection:\n$p")
+  }
+
   test("q30: CSR prefix sum is distributed — no single-partition window") {
     val p = plan("q30_adjacency_build")
     // the local running sums window on the bucket key, in parallel...
