@@ -133,6 +133,7 @@ object SparkEntry {
     "q116_group_topk"          -> (graft.operators.CorpusOps.groupTopK _),
     "q117_decontaminate"       -> (TextAnalysis.decontaminate _),
     "q120_winnow_fingerprints" -> (Dedup.winnowFingerprints _),
+    "q121_full_pipeline"       -> (graft.operators.CorpusOps.fullPipeline _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
   )
@@ -722,6 +723,52 @@ object SparkEntry {
   )
 
   private val pipelineOracles: Map[String, String] = Map(
+    // q121: the full cleaning pipeline — exact dedup, decontamination,
+    // quality + repetition gates, mixture rollup — composed from the
+    // same SQL fragments as q115/q117/q118 (each independently green).
+    "q121_full_pipeline" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+        |contam AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g)
+        |           WHERE c.doc_id % 5 <> 0),
+        |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |wc AS (SELECT doc_id, max(c) AS maxc FROM
+        |       (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |rep AS (SELECT w.doc_id,
+        |          1000 * wc.maxc // greatest(len(ws), 1) AS tw,
+        |          1000 * (len(bi) - len(list_distinct(bi)))
+        |            // greatest(len(bi), 1) AS db
+        |        FROM (SELECT doc_id, ws, list_transform(range(1, len(ws) - 2 + 2),
+        |                i -> array_to_string(ws[i:i+1], ' ')) AS bi FROM w) w
+        |        JOIN wc USING (doc_id)),
+        |corpus AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |           WHERE d.doc_id % 5 <> 0),
+        |sig AS (
+        |  SELECT c.lang, c.source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(c.text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(c.text) - len(string_split(c.text, ' ')) + 1.0)
+        |                            / len(string_split(c.text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(c.text) - length(regexp_replace(c.text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS q,
+        |    CAST(len(regexp_extract_all(c.text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS t,
+        |    rep.tw, rep.db
+        |  FROM corpus c
+        |  JOIN rep ON c.doc_id = rep.doc_id
+        |  LEFT JOIN contam ct ON c.doc_id = ct.doc_id
+        |  WHERE ct.doc_id IS NULL)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(q) AS BIGINT) AS sum_quality
+        |FROM sig WHERE q >= 300 AND t >= 50 AND tw <= 200 AND db <= 100
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // q117: word 8-gram overlap against the held-out benchmark subset
     // (every 5th doc). DuckDB list slicing is 1-based inclusive:
     // ws[i:i+7] is 8 words; starts run 1..len-7.

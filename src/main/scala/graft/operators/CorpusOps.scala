@@ -170,6 +170,41 @@ object CorpusOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** The corpus pipeline with the round-4 cleaning stages composed in —
+    * exact-dedup → benchmark DECONTAMINATION (drop every doc sharing a
+    * word 8-gram with the held-out benchmark set) → quality + REPETITION
+    * gates (Gopher-style: duplicate-bigram and top-word caps) →
+    * per-(lang, source) mixture report. One declarative plan: the
+    * contamination anti-join probes a broadcast benchmark gram set, the
+    * repetition signals are per-row folds, and the only shuffles are the
+    * dedup's digest group-by and the final mixture rollup. */
+  def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val keep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("g")).distinct()
+    val corpus = docs.join(keep, Seq("doc_id"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val contaminated = TextAnalysis.docGrams(corpus)
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"),
+        TextAnalysis.topwordPm(col("text")).as("tw"),
+        TextAnalysis.dupBigramPm(col("text")).as("db"))
+      .filter(col("q") >= 300 && col("t") >= 50 &&
+        col("tw") <= 200 && col("db") <= 100)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("sum_tokens"),
+        sum(col("q")).as("sum_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Best-N-per-stratum selection — keep each language's top documents by
     * quality (champion selection before expensive downstream stages).
     * A per-stratum window: one hash exchange on `lang`, per-partition

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table (SURVEY §2.l):
@@ -66,12 +66,28 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
     val bench = grams.filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
-    grams.filter(col("doc_id") % 5 =!= 0)
+    contaminationCounts(grams.filter(col("doc_id") % 5 =!= 0), bench)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination core shared by the batch query and the streaming form:
+    * distinct per-doc gram overlap counts against a broadcast benchmark
+    * gram set. `corpusGrams` may be a STREAMING DataFrame — a
+    * stream-static equi-join is stateless (each micro-batch probes the
+    * broadcast table), so the same code decontaminates a live ingestion
+    * feed; only the final aggregation carries streaming state (one count
+    * per contaminated doc). */
+  def contaminationCounts(corpusGrams: DataFrame, bench: DataFrame): DataFrame =
+    corpusGrams
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("doc_id"))
-  }
+
+  /** Per-document distinct word-8-grams of an arbitrary (doc_id, text)
+    * relation (streaming or batch). */
+  def docGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
 
   /** Per-document repetition signals (Gopher-style quality rules): the
     * most-frequent-word share and the duplicate-bigram fraction, both in
@@ -80,9 +96,10 @@ object TextAnalysis {
     * signals over 100 TB must not pay an explode + group-by when a
     * per-row fold computes the same number. The top-word count is the
     * longest run in the sorted word array. */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    // longest run of equal adjacent words in sorted order == max word count
+  /** Most-frequent-word share in per-mille (longest equal run in the
+    * sorted word array — shuffle-free). */
+  private[operators] def topwordPm(text: Column): Column = {
+    val ws = split(text, " ")
     val maxWordCnt = aggregate(
       array_sort(ws),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -93,18 +110,25 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val bi = wordGrams(col("text"), 2)
+    (lit(1000L) * maxWordCnt / greatest(size(ws).cast("long"), lit(1L)))
+      .cast("long")
+  }
+
+  /** Duplicate-bigram fraction in per-mille. */
+  private[operators] def dupBigramPm(text: Column): Column = {
+    val bi = wordGrams(text, 2)
     val nBi = size(bi).cast("long")
     val uBi = size(array_distinct(bi)).cast("long")
+    (lit(1000L) * (nBi - uBi) / greatest(nBi, lit(1L))).cast("long")
+  }
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        (lit(1000L) * maxWordCnt / greatest(size(ws).cast("long"), lit(1L)))
-          .cast("long").as("topword_pm"),
-        (lit(1000L) * (nBi - uBi) / greatest(nBi, lit(1L)))
-          .cast("long").as("dup_bigram_pm"))
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        topwordPm(col("text")).as("topword_pm"),
+        dupBigramPm(col("text")).as("dup_bigram_pm"))
       .orderBy(col("doc_id"))
-  }
 
   /** Corpus-wide frequent word 3-grams (boilerplate detection): explode →
     * partial-aggregated count → top-20. The group-by carries map-side

@@ -168,4 +168,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming decontamination (stream-static broadcast join) == batch q117") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // static side: the benchmark gram set, exactly as the batch query
+    // derives it; stream side: the rest of the corpus arriving as a feed
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val bench = operators.TextAnalysis.docGrams(docs)
+      .filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)]
+    // two batches: a stream-static join must give the batch answer
+    // regardless of how the feed is chunked
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val streamDocs = ms.toDF().toDF("doc_id", "text")
+    val q = operators.TextAnalysis
+      .contaminationCounts(operators.TextAnalysis.docGrams(streamDocs), bench)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("complete").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table("decontam_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("q117_decontaminate")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
