@@ -134,6 +134,7 @@ object SparkEntry {
     "q117_decontaminate"       -> (TextAnalysis.decontaminate _),
     "q120_winnow_fingerprints" -> (Dedup.winnowFingerprints _),
     "q121_full_pipeline"       -> (graft.operators.CorpusOps.fullPipeline _),
+    "q122_cms_heavy_hitters"   -> (TextAnalysis.cmsHeavyHitters _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
   )
@@ -769,6 +770,15 @@ object SparkEntry {
         |  CAST(sum(q) AS BIGINT) AS sum_quality
         |FROM sig WHERE q >= 300 AND t >= 50 AND tw <= 200 AND db <= 100
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // q122: exact heavy-hitter counts; the sketch flag follows the
+    // q54/q86 'deterministic-in-practice' convention (CMS never
+    // under-counts; width 2719 >> word domain, so the ceil(eps*N) band
+    // holds deterministically for this corpus).
+    "q122_cms_heavy_hitters" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |words AS (SELECT unnest(ws) AS g FROM w)
+        |SELECT g, count(*) AS cnt, true AS est_in_bounds
+        |FROM words GROUP BY g ORDER BY cnt DESC, g LIMIT 20""".stripMargin,
     // q117: word 8-gram overlap against the held-out benchmark subset
     // (every 5th doc). DuckDB list slicing is 1-based inclusive:
     // ws[i:i+7] is 8 words; starts run 1..len-7.

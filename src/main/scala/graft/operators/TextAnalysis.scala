@@ -130,6 +130,33 @@ object TextAnalysis {
         dupBigramPm(col("text")).as("dup_bigram_pm"))
       .orderBy(col("doc_id"))
 
+  /** Count-min-sketch heavy hitters over words — the last classic sketch
+    * next to HLL (q54), approx-percentile (q85) and bloom (q86). One
+    * linear pass builds the sketch (merge is commutative ⇒ the estimate
+    * is partitioning-independent; the sketch is KB-scale driver metadata,
+    * same class as the IVF centroids); the exact top-20 counts verify it.
+    * The hashable output is the exact count + a deterministic in-bounds
+    * flag (CMS never under-counts; over-count ≤ ⌈eps·N⌉ here because the
+    * word domain is far smaller than the sketch width), mirroring the
+    * q54/q86 sketch-oracle pattern. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("g"))
+    val eps = 0.001
+    val cms = words.stat.countMinSketch("g", eps, 0.99, seed = 42)
+    val total = cms.totalCount()
+    val bound = math.ceil(eps * total).toLong
+    val top = words.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(20).collect()
+      .map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1) && est <= r.getLong(1) + bound)
+      }
+    import spark.implicits._
+    top.toSeq.toDF("g", "cnt", "est_in_bounds")
+  }
+
   /** Corpus-wide frequent word 3-grams (boilerplate detection): explode →
     * partial-aggregated count → top-20. The group-by carries map-side
     * partial aggregation and the final ordering is a TakeOrderedAndProject

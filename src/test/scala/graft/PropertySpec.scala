@@ -320,6 +320,16 @@ class PropertySpec extends AnyFunSuite {
     assert(bucketed.count() == 0 && bases.isEmpty && totals == Seq(0L))
   }
 
+  test("count-min heavy hitters: estimate bounds hold for every top word") {
+    val rows = SparkEntry.queries("q122_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getBoolean(2)),
+      s"CMS estimate out of bounds: ${rows.filterNot(_.getBoolean(2)).mkString(",")}")
+    // counts are a descending sequence (heavy hitters, deterministic tiebreak)
+    val cnts = rows.map(_.getLong(1)).toSeq
+    assert(cnts == cnts.sorted.reverse)
+  }
+
   test("wordGrams: k-gram count, ordering, short-text and NULL contracts") {
     import spark.implicits._
     import graft.functions.TextFunctions.wordGrams
