@@ -62,9 +62,7 @@ object TextAnalysis {
     * followed by a per-doc count — the contamination check stays linear
     * in corpus size at 100 TB. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
+    val grams = docGrams(Tables(spark, dir).documents)
     val bench = grams.filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
     contaminationCounts(grams.filter(col("doc_id") % 5 =!= 0), bench)
       .orderBy(col("doc_id"))
