@@ -60,7 +60,10 @@ object TextAnalysis {
     * BROADCAST: eval suites are fixed-size (MBs) no matter how big the
     * corpus is, so the probe is one shuffle-free scan of the corpus grams
     * followed by a per-doc count — the contamination check stays linear
-    * in corpus size at 100 TB. */
+    * in corpus size at 100 TB. (The fixture's doc_id%5 benchmark split
+    * is a stand-in sized for oracle strength at tiny SF; a benchmark
+    * side that ever outgrew broadcast would drop the hint and shuffle
+    * both gram sides on `g` instead.) */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams(Tables(spark, dir).documents)
     val bench = grams.filter(col("doc_id") % 5 === 0).select(col("g")).distinct()
