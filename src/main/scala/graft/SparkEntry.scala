@@ -135,6 +135,7 @@ object SparkEntry {
     "q120_winnow_fingerprints" -> (Dedup.winnowFingerprints _),
     "q121_full_pipeline"       -> (graft.operators.CorpusOps.fullPipeline _),
     "q122_cms_heavy_hitters"   -> (TextAnalysis.cmsHeavyHitters _),
+    "q123_resize_stride"       -> (Multimodal.resizePayload _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
   )
@@ -1057,6 +1058,11 @@ object SparkEntry {
         |  CAST(sum(q) AS BIGINT) AS sum_quality
         |FROM sc WHERE q >= 300 AND t >= 50
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q123_resize_stride" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(strlen(regexp_replace(text, '(.).', '\1', 'g')) AS BIGINT) AS resized_bytes,
+        |       md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -41,6 +41,23 @@ object Multimodal {
         ceil(octet_length(col("payload")) / lit(64.0)).cast("long").as("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** Stride-2 downsample of the payload — the deterministic stand-in for
+    * image resize (the container has no codecs; a real pipeline swaps the
+    * stride expression for a decode→resize→encode batch UDF, the
+    * surrounding plumbing is unchanged). Regex `(.).` keeps the first
+    * byte of every pair (odd-length tail byte retained unmatched) — a
+    * codegen'd per-row expression both engines evaluate identically on
+    * ASCII payloads, so the output digests are exactly oracle-checkable. */
+  def resizePayload(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_bytes"),
+        regexp_replace(col("text"), "(.).", "$1").as("resized"))
+      .select(col("doc_id"), col("n_bytes"),
+        length(col("resized")).cast("long").as("resized_bytes"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+
   /** Frame sampling: slice the payload into 64-byte frames (posexplode over
     * a computed frame index range), checksum each frame — the batch shape
     * of video frame extraction. */
