@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
 
 /** SparkSessionExtensions entry point — the deployment face of the
   * extension surface (SURVEY §2.k). A cluster user adds
@@ -14,6 +15,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `bridge.registerFunctions` performs programmatically, but applied by
   * Spark itself at session build time (so SQL-only clients, thrift
   * servers, and notebooks see the functions without touching Scala).
+  *
+  * It also injects an analysis CHECK rule that enforces the engine's
+  * no-unpartitioned-window discipline (the classic 100×-scale killer —
+  * every global ranking here runs on the two-pass GlobalOrder primitive
+  * instead) as a session-level policy: with
+  * `spark.graft.strictWindows=true`, a `Window.orderBy` without a
+  * `partitionBy` is rejected at analysis time, before a single task
+  * funnels the dataset into one partition. Off by default — a lint a
+  * pipeline team turns on cluster-wide.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -21,6 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectCheckRule { session => (plan: LogicalPlan) =>
+      if (session.conf.get("spark.graft.strictWindows", "false") == "true") {
+        plan.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "USER_RAISED_EXCEPTION",
+              messageParameters = Map("errorMessage" ->
+                ("graft strict mode: unpartitioned window (empty PARTITION BY) " +
+                 "moves every row to one task and cannot scale; partition the " +
+                 "window or use the distributed GlobalOrder two-pass primitive " +
+                 "(set spark.graft.strictWindows=false to allow)")))
+          case _ => ()
+        }
+      }
+    }
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("graft.functions.PolyHash", "poly_hash"),
       (exprs: Seq[Expression]) =>

@@ -92,6 +92,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions strict mode rejects unpartitioned windows at analysis time") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.expressions.Window
+    val orig = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().getOrCreate()
+      import s2.implicits._
+      val df = Seq((1L, 10L), (2L, 5L)).toDF("id", "v")
+      def globalRank() = df
+        .withColumn("r", org.apache.spark.sql.functions.rank()
+          .over(Window.orderBy(col("v"))))
+        .collect()
+      def keyedRank() = df
+        .withColumn("r", org.apache.spark.sql.functions.rank()
+          .over(Window.partitionBy(col("id")).orderBy(col("v"))))
+        .collect()
+      s2.conf.set("spark.graft.strictWindows", "true")
+      try {
+        val e = intercept[org.apache.spark.sql.AnalysisException](globalRank())
+        assert(e.getMessage.contains("unpartitioned window"), e.getMessage)
+        assert(keyedRank().length == 2) // partitioned windows unaffected
+      } finally s2.conf.set("spark.graft.strictWindows", "false")
+      assert(globalRank().length == 2) // default: allowed (lint is opt-in)
+    } finally {
+      SparkSession.setDefaultSession(orig); SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("minhash LSH funnel is sane") {
     val row = Dedup.minhashLshSummary(spark, sf).head()
     val (nDocs, nCand, nDup) = (row.getLong(0), row.getLong(1), row.getLong(2))

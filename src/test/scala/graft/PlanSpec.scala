@@ -196,4 +196,17 @@ class PlanSpec extends AnyFunSuite {
     // one hash exchange for the window partition key (+ range for orderBy)
     assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
   }
+
+  test("rank-filter top-k-per-key plans a WindowGroupLimit, not a full per-key sort") {
+    // Catalyst's InferWindowGroupLimit turns `row_number() <= k` into
+    // partial+final per-group bounded heaps — the built-in optimization
+    // this engine relies on instead of hand-rolling one (README design
+    // stance: don't hand-schedule what the optimizer already does).
+    // Pinned so a conf or version change can't silently drop it.
+    for (name <- Seq("q116_group_topk", "q22_window_rank")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit group-limit optimization:\n$p")
+    }
+  }
 }
