@@ -94,6 +94,7 @@ object SparkEntry {
     "q38_label_propagation" -> ((s, d) => GraphOps.labelPropagation(s, d)),
     "q39_scc"             -> (GraphOps.stronglyConnectedComponents _),
     "q91_sssp_paths"      -> ((s: SparkSession, d: String) => GraphOps.ssspPaths(s, d)),
+    "q124_p2p_routing"    -> ((s: SparkSession, d: String) => GraphOps.p2pRouting(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -673,6 +674,24 @@ object SparkEntry {
         |)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // q124: multi-source hop-capped walk; same weight/cap as q33 — the
+    // seed VALUES row set is the origin batch, the IN list the dst batch.
+    "q124_p2p_routing" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |walk(origin, node, hops, cost) AS (
+        |  SELECT s.s, s.s, 0, CAST(0 AS BIGINT)
+        |  FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |               (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)),
+        |               (CAST(5 AS BIGINT))) s(s)
+        |  UNION
+        |  SELECT w.origin, ue.dst, w.hops + 1,
+        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |  FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.hops < 8
+        |)
+        |SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk WHERE node IN (10, 20, 30, 40, 50)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_sssp" ->
       s"""WITH RECURSIVE $edgeCte,
         |walk(node, hops, cost) AS (

@@ -301,6 +301,46 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Batched point-to-point routing — the reference README's literal use
+    * case ("Graph database for routing") as a production routing engine
+    * would serve it: MANY origin→destination queries answered in ONE
+    * graph traversal. A multi-source Bellman-Ford carries the origin as a
+    * state column, so k sources cost one edges-join per superstep on a
+    * state of (sources × reached nodes) rows instead of k separate
+    * traversals — at cluster scale, batching OD queries across one
+    * relaxation sweep is what makes a routing service throughput-bound
+    * rather than latency×k-bound. Same deterministic edge weight and hop
+    * cap as q33, so the hop-capped recursive-CTE oracle replays it
+    * exactly; full-state relaxation each round keeps the invariant
+    * "after k rounds: exact min cost over ≤ k-hop paths per origin". */
+  def p2pRouting(spark: SparkSession, dir: String, maxHops: Int = 8): DataFrame = {
+    import spark.implicits._
+    val sources = Seq(1L, 2L, 3L, 4L, 5L)
+    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    val ue = symmetrizedEdges(Tables(spark, dir))
+      .select(col("src"), col("dst"),
+        ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+      .persist()
+    var state = sources.map(s => (s, s, 0L)).toDF("origin", "node", "cost")
+    var hop = 0
+    while (hop < maxHops) {
+      val relaxed = state.alias("s")
+        .join(ue.alias("e"), col("s.node") === col("e.src"))
+        .select(col("s.origin"), col("e.dst").as("node"),
+          (col("s.cost") + col("e.w")).as("cost"))
+      // lineage cut per superstep (see bfsFrontier's scale note)
+      state = state.union(relaxed)
+        .groupBy(col("origin"), col("node"))
+        .agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      hop += 1
+    }
+    ue.unpersist()
+    state.filter(col("node").isin(dsts: _*))
+      .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Triangle count with DEGREE ORIENTATION: every edge is directed from
     * its (degree, id)-smaller endpoint to the larger, so wedges are
     * enumerated only at each triangle's lowest-degree vertex — per-vertex

@@ -526,6 +526,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(durableRows == localRows)
   }
 
+  test("p2p routing: batched multi-source costs equal single-source SSSP") {
+    val p2p = operators.GraphOps.p2pRouting(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sssp = operators.GraphOps.sssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    dsts.foreach { d =>
+      assert(p2p.get((1L, d)) == sssp.get(d),
+        s"origin 1 -> $d: batched=${p2p.get((1L, d))} sssp=${sssp.get(d)}")
+    }
+  }
+
   test("connected components: same component implies BFS-reachable (spot)") {
     val cc = GraphOps.connectedComponents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
