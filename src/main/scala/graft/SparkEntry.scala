@@ -95,6 +95,7 @@ object SparkEntry {
     "q39_scc"             -> (GraphOps.stronglyConnectedComponents _),
     "q91_sssp_paths"      -> ((s: SparkSession, d: String) => GraphOps.ssspPaths(s, d)),
     "q124_p2p_routing"    -> ((s: SparkSession, d: String) => GraphOps.p2pRouting(s, d)),
+    "q125_landmark_bounds" -> ((s: SparkSession, d: String) => GraphOps.landmarkBounds(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -692,6 +693,41 @@ object SparkEntry {
         |SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost
         |FROM walk WHERE node IN (10, 20, 30, 40, 50)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
+    // like q33; the upper bound is a min-plus join over the index.
+    "q125_landmark_bounds" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |lwalk(lm, node, hops, cost) AS (
+        |  SELECT s.s, s.s, 0, CAST(0 AS BIGINT)
+        |  FROM (VALUES (CAST(7 AS BIGINT)), (CAST(77 AS BIGINT))) s(s)
+        |  UNION
+        |  SELECT w.lm, ue.dst, w.hops + 1,
+        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |  FROM lwalk w JOIN ue ON ue.src = w.node WHERE w.hops < 8
+        |),
+        |swalk(origin, node, hops, cost) AS (
+        |  SELECT s.s, s.s, 0, CAST(0 AS BIGINT)
+        |  FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |               (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)),
+        |               (CAST(5 AS BIGINT))) s(s)
+        |  UNION
+        |  SELECT w.origin, ue.dst, w.hops + 1,
+        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |  FROM swalk w JOIN ue ON ue.src = w.node WHERE w.hops < 8
+        |),
+        |lidx AS (SELECT lm, node, min(cost) AS cost FROM lwalk GROUP BY 1, 2),
+        |ub AS (
+        |  SELECT s.node AS src, t.node AS dst,
+        |         min(s.cost + t.cost) AS lm_upper
+        |  FROM lidx s JOIN lidx t ON s.lm = t.lm
+        |  WHERE s.node IN (1, 2, 3, 4, 5) AND t.node IN (10, 20, 30, 40, 50)
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost
+        |  FROM swalk WHERE node IN (10, 20, 30, 40, 50) GROUP BY 1, 2)
+        |SELECT ex.src, ex.dst, ex.cost, CAST(ub.lm_upper AS BIGINT) AS lm_upper
+        |FROM ex LEFT JOIN ub ON ex.src = ub.src AND ex.dst = ub.dst
+        |ORDER BY 1, 2""".stripMargin,
     "q33_sssp" ->
       s"""WITH RECURSIVE $edgeCte,
         |walk(node, hops, cost) AS (

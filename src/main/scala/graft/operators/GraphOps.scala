@@ -314,9 +314,20 @@ object GraphOps {
     * exactly; full-state relaxation each round keeps the invariant
     * "after k rounds: exact min cost over ≤ k-hop paths per origin". */
   def p2pRouting(spark: SparkSession, dir: String, maxHops: Int = 8): DataFrame = {
-    import spark.implicits._
     val sources = Seq(1L, 2L, 3L, 4L, 5L)
     val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    multiSourceCosts(spark, dir, sources, maxHops)
+      .filter(col("node").isin(dsts: _*))
+      .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Min cost over ≤ maxHops-hop paths from every source to every reached
+    * node — the shared multi-source Bellman-Ford sweep behind batched
+    * routing (q124) and the landmark index build (q125). */
+  def multiSourceCosts(spark: SparkSession, dir: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
     val ue = symmetrizedEdges(Tables(spark, dir))
       .select(col("src"), col("dst"),
         ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
@@ -336,9 +347,45 @@ object GraphOps {
       hop += 1
     }
     ue.unpersist()
-    state.filter(col("node").isin(dsts: _*))
+    state
+  }
+
+  /** Landmark distance index + triangle-inequality bounds — the routing
+    * INDEX the reference schema declares but never builds
+    * (`DataStructureType::E_INDEX`, `schema.h:63-68`): precompute
+    * dist(landmark, ·) for a few landmarks with one multi-source sweep,
+    * then bound ANY origin→destination cost as
+    * min_L(d(s,L) + d(L,t)) without touching the graph again — the ALT
+    * (A*, landmarks, triangle inequality) preprocessing pattern. The
+    * index is (landmarks × nodes) rows — broadcastable metadata next to
+    * a 100 TB edge set; each od batch is two index joins. Output carries
+    * the exact hop-capped cost next to the landmark upper bound (both
+    * engines replay both; on true distances the bound is ≥ the exact
+    * cost — spec'd with a deeper hop cap, since hop-capping itself can
+    * locally break the triangle inequality). */
+  def landmarkBounds(spark: SparkSession, dir: String, maxHops: Int = 8): DataFrame = {
+    val landmarks = Seq(7L, 77L)
+    val sources = Seq(1L, 2L, 3L, 4L, 5L)
+    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    // the index: d(L, n) for every node within the hop horizon (the graph
+    // is symmetrized, so d(L, n) = d(n, L))
+    val index = multiSourceCosts(spark, dir, landmarks, maxHops)
+      .select(col("origin").as("lm"), col("node"), col("cost")).persist()
+    val toSrc = index.filter(col("node").isin(sources: _*))
+      .select(col("lm"), col("node").as("src"), col("cost").as("d_ls"))
+    val toDst = index.filter(col("node").isin(dsts: _*))
+      .select(col("lm"), col("node").as("dst"), col("cost").as("d_lt"))
+    val upper = toSrc.join(toDst, Seq("lm"))
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("d_ls") + col("d_lt")).as("lm_upper"))
+    val exact = multiSourceCosts(spark, dir, sources, maxHops)
+      .filter(col("node").isin(dsts: _*))
       .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
+    val out = exact.join(upper, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("cost"), col("lm_upper"))
       .orderBy(col("src"), col("dst"))
+    index.unpersist()
+    out
   }
 
   /** Triangle count with DEGREE ORIENTATION: every edge is directed from

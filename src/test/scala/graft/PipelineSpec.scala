@@ -538,6 +538,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("landmark index: triangle-inequality upper bound holds at true distances") {
+    // hop-capping can locally break the triangle inequality (a via-landmark
+    // path may need more hops than the cap); at a horizon beyond the
+    // fixture graph's diameter the capped costs ARE the true distances,
+    // where the ALT bound must hold for every reachable pair
+    val rows = operators.GraphOps.landmarkBounds(spark, sf, maxHops = 16).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) >= r.getLong(2),
+          s"${r.getLong(0)}->${r.getLong(1)}: upper ${r.getLong(3)} < exact ${r.getLong(2)}")
+    }
+  }
+
   test("connected components: same component implies BFS-reachable (spot)") {
     val cc = GraphOps.connectedComponents(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
