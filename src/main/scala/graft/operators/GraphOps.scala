@@ -326,12 +326,18 @@ object GraphOps {
     * node — the shared multi-source Bellman-Ford sweep behind batched
     * routing (q124) and the landmark index build (q125). */
   def multiSourceCosts(spark: SparkSession, dir: String,
+      sources: Seq[Long], maxHops: Int): DataFrame =
+    multiSourceCostsFrom(spark,
+      symmetrizedEdges(Tables(spark, dir))
+        .select(col("src"), col("dst"),
+          ((col("src") * 31 + col("dst")) % 7 + 1).as("w")),
+      sources, maxHops)
+
+  /** Same, over an arbitrary weighted edge relation (src, dst, w). */
+  def multiSourceCostsFrom(spark: SparkSession, edges: DataFrame,
       sources: Seq[Long], maxHops: Int): DataFrame = {
     import spark.implicits._
-    val ue = symmetrizedEdges(Tables(spark, dir))
-      .select(col("src"), col("dst"),
-        ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
-      .persist()
+    val ue = edges.persist()
     var state = sources.map(s => (s, s, 0L)).toDF("origin", "node", "cost")
     var hop = 0
     while (hop < maxHops) {
@@ -368,9 +374,11 @@ object GraphOps {
     val sources = Seq(1L, 2L, 3L, 4L, 5L)
     val dsts = Seq(10L, 20L, 30L, 40L, 50L)
     // the index: d(L, n) for every node within the hop horizon (the graph
-    // is symmetrized, so d(L, n) = d(n, L))
+    // is symmetrized, so d(L, n) = d(n, L)). The sweep result is already
+    // localCheckpoint-materialized, so the two filters below re-read it
+    // without re-traversing — no extra persist needed.
     val index = multiSourceCosts(spark, dir, landmarks, maxHops)
-      .select(col("origin").as("lm"), col("node"), col("cost")).persist()
+      .select(col("origin").as("lm"), col("node"), col("cost"))
     val toSrc = index.filter(col("node").isin(sources: _*))
       .select(col("lm"), col("node").as("src"), col("cost").as("d_ls"))
     val toDst = index.filter(col("node").isin(dsts: _*))
@@ -381,11 +389,9 @@ object GraphOps {
     val exact = multiSourceCosts(spark, dir, sources, maxHops)
       .filter(col("node").isin(dsts: _*))
       .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
-    val out = exact.join(upper, Seq("src", "dst"), "left")
+    exact.join(upper, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), col("cost"), col("lm_upper"))
       .orderBy(col("src"), col("dst"))
-    index.unpersist()
-    out
   }
 
   /** Triangle count with DEGREE ORIENTATION: every edge is directed from

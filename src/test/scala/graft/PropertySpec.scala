@@ -320,6 +320,33 @@ class PropertySpec extends AnyFunSuite {
     assert(bucketed.count() == 0 && bases.isEmpty && totals == Seq(0L))
   }
 
+  test("multi-source Bellman-Ford matches in-memory hop-capped model on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L),
+      Gen.choose(1L, 9L)))
+    forAllSampled(edgeGen, n = 4) { es =>
+      val edges = es.toDF("src", "dst", "w")
+      val sources = Seq(0L, 1L)
+      val maxHops = 5
+      val got = operators.GraphOps
+        .multiSourceCostsFrom(spark, edges, sources, maxHops)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // model: k rounds of full relaxation = min cost over <= k-hop paths
+      val want = sources.flatMap { s =>
+        var best = Map((s: Long) -> 0L)
+        (1 to maxHops).foreach { _ =>
+          val relaxed = es.flatMap { case (a, b, w) =>
+            best.get(a).map(c => b -> (c + w))
+          }
+          best = (best.toSeq ++ relaxed).groupBy(_._1).view
+            .mapValues(_.map(_._2).min).toMap
+        }
+        best.map { case (n, c) => (s, n) -> c }
+      }.toMap
+      assert(got == want, s"engine=$got model=$want")
+    }
+  }
+
   test("count-min heavy hitters: estimate bounds hold for every top word") {
     val rows = SparkEntry.queries("q122_cms_heavy_hitters")(spark, sf).collect()
     assert(rows.length == 20)
