@@ -1230,6 +1230,10 @@ object SparkEntry {
     "q46_ann_bruteforce_topk", "q60_tumbling_window", "q65_bulk_write",
     // round 4: track the GlobalOrder corpus family round-over-round
     "q113_sequence_pack",
-    // round 4: track the interpreted higher-order text path (winnowing)
+    // round 4: track the interpreted higher-order text path (winnowing).
+    // q124 (batched routing) is deliberately NOT here: at sf0.1 its 8
+    // fixed supersteps measure per-round scheduler overhead, not operator
+    // cost (q32 already tracks iterative-graph trends); its scale
+    // behavior is measured in ScaleSmoke instead.
     "q120_winnow_fingerprints")
 }

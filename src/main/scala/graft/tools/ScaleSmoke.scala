@@ -101,6 +101,13 @@ object ScaleSmoke {
           spark, ue, mult * 10000000L + 15001L).count())
       time(s"pagerank_10iter")(
         graft.operators.GraphOps.pageRankFrom(spark, de).count())
+      time(s"p2p_routing_batch") {
+        // batched od routing over the amplified graph: one sweep, 5 origins
+        val w = ue.select(col("src"), col("dst"),
+          ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+        graft.operators.GraphOps
+          .multiSourceCostsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
+      }
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
       // skew: half the keys collapse onto one hot key (mult×50k rows on a
