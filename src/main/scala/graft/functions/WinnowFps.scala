@@ -16,9 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the semantics ARE expressible with built-in higher-order functions
   * (`transform`/`aggregate`/`slice` — kept as the cross-checked reference
   * formulation in `Dedup.winnowFingerprintSetsHofFrom`), but HOF lambdas
-  * run interpreted, ~1000× slower than this one fused O(L·K) loop per row
-  * (7.7 s → ms at sf0.1). `doGenCode` emits a single static call, so the
-  * projection stays inside whole-stage codegen.
+  * run interpreted: measured at sf0.1 (WinnowBench, median of 3), this
+  * fused O(L·K) loop is 13× faster than the carefully STAGED HOF form
+  * (0.29 s vs 3.79 s) and ~1000× faster than the naive inlined HOF form
+  * (330 s — each lambda re-evaluating its array subtree per element).
+  * `doGenCode` emits a single static call, so the projection stays
+  * inside whole-stage codegen.
   *
   * The mod-1e9+7 hash (not FNV like [[PolyHash]]) is chosen so a DuckDB
   * SQL oracle can replay the fingerprints bit-exactly in signed BIGINT —
