@@ -35,6 +35,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("shuffle-hash hint selects the third join strategy; result unchanged") {
+    // the physical strategy triangle: broadcast (q06), sort-merge (q07),
+    // and shuffled-hash — build a hash table per partition instead of
+    // sorting both sides; preferable when one side is much smaller but
+    // too big to broadcast
+    val t = Tables(spark, sf)
+    val base = t.lineitem.join(t.orders.hint("shuffle_hash"),
+        t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    val p = base.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    val plain = t.lineitem.join(t.orders,
+        t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    assert(base.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      plain.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("fact-fact join falls back to sort-merge when broadcast is disabled") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
