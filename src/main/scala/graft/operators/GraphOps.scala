@@ -333,10 +333,18 @@ object GraphOps {
           ((col("src") * 31 + col("dst")) % 7 + 1).as("w")),
       sources, maxHops)
 
-  /** Same, over an arbitrary weighted edge relation (src, dst, w). */
+  /** Same, over an arbitrary weighted edge relation (src, dst, w).
+    * `durableEvery` follows the pageRankFrom policy: 0 = executor-local
+    * lineage cuts only; N > 0 = every Nth superstep writes a RELIABLE
+    * `checkpoint()` (checkpoint dir required), so a routing sweep over a
+    * cluster survives executor loss with ≤ N-1 supersteps recomputed —
+    * the reference's buffer-pool checkpoint analogue
+    * (`buffer_pool.cpp:363-377`) applied to the routing path. */
   def multiSourceCostsFrom(spark: SparkSession, edges: DataFrame,
-      sources: Seq[Long], maxHops: Int): DataFrame = {
+      sources: Seq[Long], maxHops: Int, durableEvery: Int = 0): DataFrame = {
     import spark.implicits._
+    require(durableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
+      "durableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
     val ue = edges.persist()
     var state = sources.map(s => (s, s, 0L)).toDF("origin", "node", "cost")
     var hop = 0
@@ -345,11 +353,14 @@ object GraphOps {
         .join(ue.alias("e"), col("s.node") === col("e.src"))
         .select(col("s.origin"), col("e.dst").as("node"),
           (col("s.cost") + col("e.w")).as("cost"))
-      // lineage cut per superstep (see bfsFrontier's scale note)
-      state = state.union(relaxed)
+      val next = state.union(relaxed)
         .groupBy(col("origin"), col("node"))
         .agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+      // lineage cut per superstep (see bfsFrontier's scale note)
+      state =
+        if (durableEvery > 0 && (hop + 1) % durableEvery == 0)
+          next.checkpoint(true)
+        else next.localCheckpoint(true)
       hop += 1
     }
     ue.unpersist()

@@ -504,6 +504,24 @@ class PipelineSpec extends AnyFunSuite {
     } finally GraphOps.maxCustCache(sf) = real
   }
 
+  test("routing sweep durable checkpoint: reliable snapshots, identical costs") {
+    import java.nio.file.Files
+    val ckptDir = Files.createTempDirectory("graft_ckpt_route")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val edges = GraphOps.symmetrizedEdges(graft.Tables(spark, sf))
+      .select(col("src"), col("dst"),
+        ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+    val durable = GraphOps
+      .multiSourceCostsFrom(spark, edges, Seq(1L, 2L), 4, durableEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val written = Files.walk(ckptDir).filter(Files.isRegularFile(_)).count()
+    assert(written > 0, s"no reliable checkpoint files under $ckptDir")
+    val local = GraphOps
+      .multiSourceCostsFrom(spark, edges, Seq(1L, 2L), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(durable == local)
+  }
+
   test("pagerank durable checkpoint: reliable snapshots on disk, lineage cut, same fixpoint") {
     // The reference's checkpoint() flushes all dirty pages to durable
     // storage (buffer_pool.cpp:363-377); the Spark analogue is a reliable
