@@ -90,16 +90,9 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
 
-  /** Per-document repetition signals (Gopher-style quality rules): the
-    * most-frequent-word share and the duplicate-bigram fraction, both in
-    * integer per-mille. Computed entirely with higher-order array
-    * functions inside one codegen'd projection — NO shuffle: per-document
-    * signals over 100 TB must not pay an explode + group-by when a
-    * per-row fold computes the same number. The top-word count is the
-    * longest run in the sorted word array. */
   /** Most-frequent-word share in per-mille (longest equal run in the
     * sorted word array — shuffle-free). */
-  private[operators] def topwordPm(text: Column): Column = {
+  private[graft] def topwordPm(text: Column): Column = {
     val ws = split(text, " ")
     val maxWordCnt = aggregate(
       array_sort(ws),
@@ -116,13 +109,19 @@ object TextAnalysis {
   }
 
   /** Duplicate-bigram fraction in per-mille. */
-  private[operators] def dupBigramPm(text: Column): Column = {
+  private[graft] def dupBigramPm(text: Column): Column = {
     val bi = wordGrams(text, 2)
     val nBi = size(bi).cast("long")
     val uBi = size(array_distinct(bi)).cast("long")
     (lit(1000L) * (nBi - uBi) / greatest(nBi, lit(1L))).cast("long")
   }
 
+  /** Per-document repetition signals (Gopher-style quality rules): the
+    * most-frequent-word share and the duplicate-bigram fraction, both in
+    * integer per-mille. Computed entirely with higher-order array
+    * functions inside one codegen'd projection — NO shuffle: per-document
+    * signals over 100 TB must not pay an explode + group-by when a
+    * per-row fold computes the same number. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),

@@ -198,4 +198,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming corpus pipeline (anti-join decontamination + gates + mixture) == batch q121") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    implicit val ctx = spark.sqlContext
+    val docs = Tables(spark, sf).documents
+    // The feed is batch-deduped (streaming stateful dedup is covered by
+    // the dropDuplicates test; chaining two stateful operators in one
+    // query is restricted); the stream then carries the cleaning stages:
+    // stream-static LEFT ANTI decontamination against the precomputed
+    // contaminated-id set, per-row quality/repetition gates, and the
+    // complete-mode mixture aggregation.
+    val keep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val corpus = docs.join(keep, Seq("doc_id")).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val bench = operators.TextAnalysis
+      .docGrams(docs.filter(col("doc_id") % 5 === 0)).select("g").distinct()
+    val contaminated = operators.TextAnalysis.docGrams(corpus)
+      .join(broadcast(bench), Seq("g")).select("doc_id").distinct()
+    val feed = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val ms = MemoryStream[(Long, String, String, String)]
+    val sdf = ms.toDF().toDF("doc_id", "text", "lang", "source")
+    val mixture = sdf
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"),
+        operators.TextAnalysis.topwordPm(col("text")).as("tw"),
+        operators.TextAnalysis.dupBigramPm(col("text")).as("db"))
+      .filter(col("q") >= 300 && col("t") >= 50 &&
+        col("tw") <= 200 && col("db") <= 100)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+        sum(col("q")).as("sum_quality"))
+    val q = mixture.writeStream.format("memory").queryName("pipeline_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 3)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val got = spark.table("pipeline_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = SparkEntry.queries("q121_full_pipeline")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
