@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectCheckRule { session => (plan: LogicalPlan) =>
       if (session.conf.get("spark.graft.strictWindows", "false") == "true") {
-        plan.foreach {
+        def check(p: LogicalPlan): Unit = p.foreach {
           case w: Window if w.partitionSpec.isEmpty =>
             throw new org.apache.spark.sql.AnalysisException(
               errorClass = "USER_RAISED_EXCEPTION",
@@ -42,8 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                  "moves every row to one task and cannot scale; partition the " +
                  "window or use the distributed GlobalOrder two-pass primitive " +
                  "(set spark.graft.strictWindows=false to allow)")))
-          case _ => ()
+          case node =>
+            // subquery expressions carry their own plans (a global window
+            // inside `WHERE x > (SELECT ...)` must not slip past the lint)
+            node.expressions.foreach(_.foreach {
+              case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                check(s.plan)
+              case _ => ()
+            })
         }
+        check(plan)
       }
     }
     ext.injectFunction((FunctionIdentifier("poly_hash"),

@@ -65,6 +65,11 @@ class PipelineSpec extends AnyFunSuite {
     val agg = spark.sql(
       "SELECT minhash_sig(substring(text, 1, 8)) FROM docs_sql").head()
     assert(agg.getSeq[Long](0).length == 64)
+    val wf = spark.sql(
+      "SELECT winnow_fps(lower(text)) AS fps FROM docs_sql WHERE doc_id = 0").head()
+    val wfApi = Dedup.winnowFingerprintSetsFrom(
+      Tables(spark, sf).documents.filter(col("doc_id") === 0L)).head()
+    assert(wf.getSeq[Long](0).toSet == wfApi.getSeq[Long](1).toSet)
   }
 
   test("GraftExtensions: spark.sql.extensions registers the custom functions") {
@@ -114,6 +119,14 @@ class PipelineSpec extends AnyFunSuite {
         val e = intercept[org.apache.spark.sql.AnalysisException](globalRank())
         assert(e.getMessage.contains("unpartitioned window"), e.getMessage)
         assert(keyedRank().length == 2) // partitioned windows unaffected
+        // a global window hiding inside a subquery expression is caught too
+        df.createOrReplaceTempView("strict_t")
+        val e2 = intercept[org.apache.spark.sql.AnalysisException](s2.sql(
+          """SELECT * FROM strict_t WHERE v > (
+            |  SELECT max(r) FROM (
+            |    SELECT rank() OVER (ORDER BY v) AS r FROM strict_t))""".stripMargin)
+          .collect())
+        assert(e2.getMessage.contains("unpartitioned window"), e2.getMessage)
       } finally s2.conf.set("spark.graft.strictWindows", "false")
       assert(globalRank().length == 2) // default: allowed (lint is opt-in)
     } finally {
