@@ -346,25 +346,51 @@ object GraphOps {
     require(durableEvery == 0 || spark.sparkContext.getCheckpointDir.nonEmpty,
       "durableEvery > 0 needs spark.sparkContext.setCheckpointDir(...)")
     val ue = edges.persist()
-    var state = sources.map(s => (s, s, 0L)).toDF("origin", "node", "cost")
-    var hop = 0
-    while (hop < maxHops) {
-      val relaxed = state.alias("s")
-        .join(ue.alias("e"), col("s.node") === col("e.src"))
-        .select(col("s.origin"), col("e.dst").as("node"),
-          (col("s.cost") + col("e.w")).as("cost"))
-      val next = state.union(relaxed)
-        .groupBy(col("origin"), col("node"))
-        .agg(min(col("cost")).as("cost"))
-      // lineage cut per superstep (see bfsFrontier's scale note)
-      state =
-        if (durableEvery > 0 && (hop + 1) % durableEvery == 0)
-          next.checkpoint(true)
-        else next.localCheckpoint(true)
-      hop += 1
-    }
-    ue.unpersist()
-    state
+    // try/finally: a mid-sweep failure (e.g. the reliable-checkpoint path)
+    // must not leak the cached edge relation for the session
+    try {
+      var state = sources.map(s => (s, s, 0L)).toDF("origin", "node", "cost")
+      var hop = 0
+      while (hop < maxHops) {
+        val relaxed = state.alias("s")
+          .join(ue.alias("e"), col("s.node") === col("e.src"))
+          .select(col("s.origin"), col("e.dst").as("node"),
+            (col("s.cost") + col("e.w")).as("cost"))
+        val next = state.union(relaxed)
+          .groupBy(col("origin"), col("node"))
+          .agg(min(col("cost")).as("cost"))
+        // lineage cut per superstep (see bfsFrontier's scale note)
+        state =
+          if (durableEvery > 0 && (hop + 1) % durableEvery == 0)
+            next.checkpoint(true)
+          else next.localCheckpoint(true)
+        hop += 1
+      }
+      state
+    } finally ue.unpersist()
+  }
+
+  /** Multi-source unweighted BFS batch — the literal workload shape of the
+    * reference's flagship regtest: `bfsgraph_regtest.cpp:35-42` runs
+    * `numRuns = 100` BFS traversals from `rand() % numNodes` sources over
+    * ONE loaded CSR. The Spark-native answer batches all k sources into ONE
+    * multi-source sweep (weight-1 Bellman-Ford relaxation ≡ BFS hop
+    * settling), so the edge relation is scanned maxHops times total instead
+    * of k × maxHops times — at cluster scale the batch turns a
+    * latency×k-bound workload into one throughput-bound sweep. Sources
+    * follow the deterministic arithmetic rule `1 + (i·37) mod numNodes`
+    * (the replayable analogue of the reference's `rand() % numNodes`), so
+    * a recursive-CTE oracle regenerates the exact source set. */
+  def multiSourceBfs(spark: SparkSession, dir: String, k: Int = 100,
+      maxHops: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    val sources = (0 until k).map(i => 1L + (i.toLong * 37L) % m).distinct
+    val unweighted = symmetrizedEdges(t)
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    multiSourceCostsFrom(spark, unweighted, sources, maxHops)
+      .select(col("origin"), col("node"), col("cost").as("dist"))
+      .orderBy(col("origin"), col("node"))
   }
 
   /** Landmark distance index + triangle-inequality bounds — the routing
