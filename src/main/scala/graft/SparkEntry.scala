@@ -96,6 +96,7 @@ object SparkEntry {
     "q91_sssp_paths"      -> ((s: SparkSession, d: String) => GraphOps.ssspPaths(s, d)),
     "q124_p2p_routing"    -> ((s: SparkSession, d: String) => GraphOps.p2pRouting(s, d)),
     "q125_landmark_bounds" -> ((s: SparkSession, d: String) => GraphOps.landmarkBounds(s, d)),
+    "q126_multi_source_bfs" -> ((s: SparkSession, d: String) => GraphOps.multiSourceBfs(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -728,6 +729,27 @@ object SparkEntry {
         |SELECT ex.src, ex.dst, ex.cost, CAST(ub.lm_upper AS BIGINT) AS lm_upper
         |FROM ex LEFT JOIN ub ON ex.src = ub.src AND ex.dst = ub.dst
         |ORDER BY 1, 2""".stripMargin,
+    // q126: the reference's flagship regtest shape (100 randomized-source
+    // BFS over one loaded CSR) — the source set is regenerated by the SAME
+    // arithmetic rule 1+(i*37)%max(c_custkey) with the same DISTINCT, then
+    // one batched unweighted walk with the same hop cap (10) as the Spark
+    // sweep. Unreached (origin, node) pairs are absent in both engines.
+    "q126_multi_source_bfs" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |srcs AS (
+        |  SELECT DISTINCT CAST(1 + (t.i * 37) %
+        |    (SELECT max(c_custkey) FROM customer) AS BIGINT) AS s
+        |  FROM range(0, 100) t(i)
+        |),
+        |walk(origin, node, d) AS (
+        |  SELECT s, s, 0 FROM srcs
+        |  UNION
+        |  SELECT w.origin, ue.dst, w.d + 1
+        |  FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.d < 10
+        |)
+        |SELECT origin, node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_sssp" ->
       s"""WITH RECURSIVE $edgeCte,
         |walk(node, hops, cost) AS (

@@ -380,11 +380,23 @@ object GraphOps {
     * latency×k-bound workload into one throughput-bound sweep. Sources
     * follow the deterministic arithmetic rule `1 + (i·37) mod numNodes`
     * (the replayable analogue of the reference's `rand() % numNodes`), so
-    * a recursive-CTE oracle regenerates the exact source set. */
+    * the recursive-CTE oracle (SparkEntry `q126_multi_source_bfs`)
+    * regenerates the exact source set arithmetically from the fixture.
+    *
+    * Semantics (matching q124/q125 phrasing): output is the exact min hop
+    * distance over ≤ `maxHops`-hop paths per origin — nodes farther than
+    * `maxHops` hops from a source are absent from that origin's slice
+    * (the reference regtest runs to queue exhaustion; the hop cap is what
+    * makes the DuckDB recursive-CTE oracle replay terminate identically).
+    * The effective source count is `|distinct sources| ≤ k`: the rule can
+    * collide when gcd(37, numNodes) shrinks the cycle, so k is an upper
+    * bound — the oracle applies the same `DISTINCT`, deriving the same
+    * set. */
   def multiSourceBfs(spark: SparkSession, dir: String, k: Int = 100,
       maxHops: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
     val m = maxCust(t)
+    require(m > 0, s"empty customer fixture at $dir: node-id domain is empty")
     val sources = (0 until k).map(i => 1L + (i.toLong * 37L) % m).distinct
     val unweighted = symmetrizedEdges(t)
       .select(col("src"), col("dst"), lit(1L).as("w"))

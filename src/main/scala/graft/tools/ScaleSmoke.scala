@@ -108,6 +108,21 @@ object ScaleSmoke {
         graft.operators.GraphOps
           .multiSourceCostsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
       }
+      // flagship regtest shape (bfsgraph_regtest: k randomized-source BFS
+      // over one loaded graph): k sources in ONE weight-1 sweep vs the
+      // unbatched alternative. The separate row runs 8 of the 32 sources —
+      // its full-k cost is ×4 that — so batched must land well under
+      // separate×4 for the batching claim to hold at this scale.
+      val uw = ue.select(col("src"), col("dst"), lit(1L).as("w"))
+      val bfsSrcs = (0 until 32).map(i => 1L + (i.toLong * 37L) % 15000L)
+      time(s"multi_source_bfs_batched_k32")(
+        graft.operators.GraphOps
+          .multiSourceCostsFrom(spark, uw, bfsSrcs, 10).count())
+      time(s"multi_source_bfs_separate_8_of_32")(
+        bfsSrcs.take(8).map { s =>
+          graft.operators.GraphOps
+            .multiSourceCostsFrom(spark, uw, Seq(s), 10).count()
+        }.sum)
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
       // skew: half the keys collapse onto one hot key (mult×50k rows on a

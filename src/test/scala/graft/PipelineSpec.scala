@@ -501,6 +501,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-source BFS batch: per-origin slice equals single-source BFS") {
+    // One k-source sweep must give, for every origin, exactly the hop
+    // distances a dedicated single-source BFS (the oracle-checked q32
+    // shape) computes — batching is a throughput optimization, never a
+    // semantics change. k=12 keeps the spec fast; q126 runs the full
+    // k=100 against the DuckDB recursive-CTE oracle.
+    val k = 12
+    val batched = GraphOps.multiSourceBfs(spark, sf, k = k).collect()
+      .groupBy(_.getLong(0))
+      .map { case (o, rows) =>
+        o -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    // source set: the arithmetic rule, deduplicated (|distinct| ≤ k)
+    val m = Tables(spark, sf).customer
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val expectSrcs = (0 until k).map(i => 1L + (i.toLong * 37L) % m).distinct
+    assert(batched.keySet == expectSrcs.toSet,
+      s"origins ${batched.keySet} != rule-derived $expectSrcs")
+    // three representative origins replayed single-source
+    expectSrcs.take(3).foreach { s =>
+      val single = GraphOps.bfs(spark, sf, source = s).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batched(s) == single,
+        s"origin $s: batched slice diverges from single-source BFS")
+    }
+  }
+
   test("maxCust is memoized per fixture dir — graph queries reuse the constant") {
     // Deterministic proof of no re-derivation (no job counting, no
     // sleeps): poison the cached constant and observe that the next edge
