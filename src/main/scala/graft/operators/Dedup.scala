@@ -188,12 +188,14 @@ object Dedup {
     * fingerprint (window+gram-1), which is what makes this the
     * position-robust substring analogue of q40's whole-text hash.
     *
-    * Scale shape: the whole selection is higher-order array functions in
-    * one codegen'd projection — per-document work, NO shuffle before the
-    * output explode; a downstream near-dup join would bucket on `fp`
-    * exactly like the minhash bands. The hash is (h*31+c) mod 1e9+7 so
-    * the DuckDB oracle can replay it bit-exactly in BIGINT (no overflow,
-    * no unsigned mismatch). */
+    * Scale shape: the production path is ONE codegen'd
+    * [[graft.functions.WinnowFps]] call per document (the staged
+    * higher-order-function form survives only as the cross-check,
+    * [[winnowFingerprintSetsHofFrom]]) — per-document work, NO shuffle
+    * before the output explode; a downstream near-dup join would bucket
+    * on `fp` exactly like the minhash bands. The hash is (h*31+c) mod
+    * 1e9+7 so the DuckDB oracle can replay it bit-exactly in BIGINT (no
+    * overflow, no unsigned mismatch). */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsFrom(Tables(spark, dir).documents)
 
@@ -209,6 +211,13 @@ object Dedup {
     * the formulation a user without the extension jar would write, kept as
     * the exact-equality cross-check for the codegen expression (and as the
     * 1:1 mirror of the DuckDB oracle's list-lambda SQL).
+    *
+    * Equality caveat: this form reads each character via `ascii()`, which
+    * returns the first BYTE of the UTF-8 encoding, while the native
+    * [[graft.functions.WinnowFps]] iterates full codepoints. The two agree
+    * exactly on ASCII corpora (the fixtures, and the DuckDB replay, are
+    * ASCII) and diverge on multi-byte characters — there the codepoint
+    * form is authoritative; this cross-check is pinned to ASCII input.
     *
     * Cost discipline (higher-order functions run interpreted, so the
     * expression shape IS the algorithm):

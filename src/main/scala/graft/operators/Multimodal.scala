@@ -51,10 +51,10 @@ object Multimodal {
   def resizePayload(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         regexp_replace(col("text"), "(.).", "$1").as("resized"))
       .select(col("doc_id"), col("n_bytes"),
-        length(col("resized")).cast("long").as("resized_bytes"),
+        octet_length(col("resized")).cast("long").as("resized_bytes"),
         md5(col("resized")).as("resized_md5"))
       .orderBy(col("doc_id"))
 

@@ -135,26 +135,34 @@ object TextAnalysis {
     * linear pass builds the sketch (merge is commutative ⇒ the estimate
     * is partitioning-independent; the sketch is KB-scale driver metadata,
     * same class as the IVF centroids); the exact top-20 counts verify it.
-    * The hashable output is the exact count + a deterministic in-bounds
-    * flag (CMS never under-counts; over-count ≤ ⌈eps·N⌉ here because the
-    * word domain is far smaller than the sketch width), mirroring the
-    * q54/q86 sketch-oracle pattern. */
+    * The oracle-hashed output is the exact counts only; the sketch's
+    * over-count band (CMS never under-counts; over-count ≤ ⌈eps·N⌉) is
+    * asserted spec-side via [[cmsTopEstimates]], mirroring the q54/q85
+    * sketch-oracle pattern. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cmsTopEstimates(spark, dir)
+      .map { case (g, cnt, _, _) => (g, cnt) }
+      .toDF("g", "cnt")
+  }
+
+  /** (word, exact count, CMS estimate, ⌈eps·N⌉ over-count bound) for the
+    * top-20 — the sketch-bearing surface. The bound `cnt ≤ est ≤ cnt +
+    * bound` is asserted spec-side (PropertySpec), NOT in the oracle-hashed
+    * q122 output, so a Spark-internal CountMinSketch change can never fail
+    * hash verification for a correct sketch (the previous constant-`true`
+    * flag oracle could). */
+  def cmsTopEstimates(spark: SparkSession,
+      dir: String): Seq[(String, Long, Long, Long)] = {
     val words = Tables(spark, dir).documents
       .select(explode(split(col("text"), " ")).as("g"))
     val eps = 0.001
     val cms = words.stat.countMinSketch("g", eps, 0.99, seed = 42)
-    val total = cms.totalCount()
-    val bound = math.ceil(eps * total).toLong
-    val top = words.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val bound = math.ceil(eps * cms.totalCount()).toLong
+    words.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g")).limit(20).collect()
-      .map { r =>
-        val est = cms.estimateCount(r.getString(0))
-        (r.getString(0), r.getLong(1),
-          est >= r.getLong(1) && est <= r.getLong(1) + bound)
-      }
-    import spark.implicits._
-    top.toSeq.toDF("g", "cnt", "est_in_bounds")
+      .map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0)), bound)).toSeq
   }
 
   /** Corpus-wide frequent word 3-grams (boilerplate detection): explode →

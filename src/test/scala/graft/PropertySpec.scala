@@ -71,28 +71,28 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    val li = Tables(spark, sf).lineitem
-    val row = li.agg(
-      approx_count_distinct(col("l_partkey")),
-      countDistinct(col("l_partkey"))).head()
+    // the sketch bound lives HERE, on the funnel surface — the oracle-
+    // hashed q54 output pins only the exact count, so sketch drift can
+    // never fail hash verification (it fails this spec instead)
+    val row = operators.Relational.approxDistinctFunnel(spark, sf).head()
     val (approx, exact) = (row.getLong(0), row.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
-    // and the oracle-checked q54 surface reports the flag as true
     val q54 = operators.Relational.approxDistinct(spark, sf).head()
-    assert(q54.getLong(0) == exact && q54.getBoolean(1), q54.toString)
+    assert(q54.length == 1 && q54.getLong(0) == exact, q54.toString)
   }
 
   test("approx_percentile within 1% of exact") {
-    val r = Tables(spark, sf).orders.agg(
-      expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"),
-      expr("percentile(o_totalprice, array(0.5, 0.9))")).head()
+    // same convention as q54: bound spec-side on the funnel, exact-only
+    // projection in the oracle-hashed q85 output
+    val r = operators.Relational.approxPercentileFunnel(spark, sf).head()
     val (approx, exact) = (r.getSeq[Double](0), r.getSeq[Double](1))
     approx.zip(exact).foreach { case (a, e) =>
       assert(math.abs(a - e) / e < 0.01, s"$a vs $e") }
-    // and the oracle-checked q85 surface reports both flags as true
     val q85 = operators.Relational.approxPercentile(spark, sf).head()
-    assert(q85.getBoolean(2) && q85.getBoolean(3), q85.toString)
+    assert(q85.length == 2 &&
+      q85.getLong(0) == math.round(exact(0) * 1000) &&
+      q85.getLong(1) == math.round(exact(1) * 1000), q85.toString)
   }
 
   test("bloom membership has no false negatives") {
@@ -348,10 +348,19 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("count-min heavy hitters: estimate bounds hold for every top word") {
+    // bounds live HERE (cnt ≤ est ≤ cnt + ceil(eps·N)) — the oracle-hashed
+    // q122 output pins only the exact counts, so a Spark-internal CMS
+    // change fails this spec, never hash verification
+    val est = operators.TextAnalysis.cmsTopEstimates(spark, sf)
+    assert(est.length == 20)
+    est.foreach { case (g, cnt, e, bound) =>
+      assert(e >= cnt && e <= cnt + bound,
+        s"CMS estimate out of bounds for '$g': est=$e cnt=$cnt bound=$bound")
+    }
     val rows = SparkEntry.queries("q122_cms_heavy_hitters")(spark, sf).collect()
-    assert(rows.length == 20)
-    assert(rows.forall(_.getBoolean(2)),
-      s"CMS estimate out of bounds: ${rows.filterNot(_.getBoolean(2)).mkString(",")}")
+    assert(rows.length == 20 && rows.head.length == 2)
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+      est.map { case (g, cnt, _, _) => g -> cnt })
     // counts are a descending sequence (heavy hitters, deterministic tiebreak)
     val cnts = rows.map(_.getLong(1)).toSeq
     assert(cnts == cnts.sorted.reverse)
