@@ -253,52 +253,61 @@ object GraphOps {
   }
 
   /** Routing: weighted shortest path WITH path reconstruction — the
-    * reference README's stated purpose (`README.md:4`). Pregel vertices
-    * carry (cost, path); ties broken by lexicographically smallest path so
-    * the result is deterministic. Costs must equal the oracle-checked
-    * q33 SSSP (asserted in tests); paths are returned as "a->b->c"
-    * strings. Rows-only (path argmin is not SQL-expressible). */
+    * reference README's stated purpose (`README.md:4`). Level-synchronous
+    * DP over hop count, one row of (cost, path, pk) per vertex per level;
+    * ties broken by lexicographically smallest path (via the zero-padded
+    * `pk` sort key) so the result is deterministic. Costs must equal the
+    * oracle-checked q33 SSSP (asserted in tests); paths are returned as
+    * "a->b->c" strings.
+    *
+    * State discipline: per-vertex state is the path itself — O(maxHops)
+    * ids, a CONSTANT bound independent of graph size, not O(V). A pure
+    * parent-pointer form (O(1)/vertex + post-hoc chain walk) is NOT
+    * semantically sufficient here: hop-capped distances break prefix
+    * optimality (the optimal ≤8-hop path to v may route through a
+    * suboptimal-but-shorter prefix at u whenever u's own optimum busts
+    * the hop budget), so exact reconstruction needs hop-INDEXED parents —
+    * O(maxHops) state per vertex, the same bound as carrying the path.
+    * Given equal asymptotics, carrying the output payload wins: no
+    * second reconstruction pass, and the per-level merge is a codegen'd
+    * (cost, pk) window sort instead of interpreted per-message list
+    * compares (the previous GraphX form). Each level cuts lineage via
+    * localCheckpoint; the window is partitioned by vertex (never global).
+    * This DP is the exact shape of the DuckDB oracle's unrolled levels,
+    * so results are bit-identical by construction. */
   def ssspPaths(spark: SparkSession, dir: String, source: Long = 1L,
       maxHops: Int = 8): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val ue = symmetrizedEdges(Tables(spark, dir))
-    val edgeRdd = ue.select(col("src"), col("dst")).rdd.map { r =>
-      val (s, d) = (r.getLong(0), r.getLong(1))
-      Edge(s, d, (s * 31L + d) % 7L + 1L)
-    }
-    val g = Graph.fromEdges(edgeRdd, 0L,
-        edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-        vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .partitionBy(PartitionStrategy.EdgePartition2D)
-
-    type Attr = (Long, List[Long]) // (cost, path from source)
-    def better(a: Attr, b: Attr): Attr = {
-      if (a._1 != b._1) { if (a._1 < b._1) a else b }
-      else {
-        // same cost: lexicographically smallest path wins (deterministic)
-        val cmp = a._2.zip(b._2).collectFirst {
-          case (x, y) if x != y => x < y
-        }
-        val aWins = cmp.getOrElse(a._2.length <= b._2.length)
-        if (aWins) a else b
+      .select(col("src"), col("dst"),
+        ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+      .persist()
+    try {
+      val byNode = Window.partitionBy(col("node"))
+        .orderBy(col("cost"), col("pk"))
+      var state = spark.range(1).select(
+        lit(source).as("node"), lit(0L).as("cost"),
+        lit(source.toString).as("path"),
+        lpad(lit(source.toString), 8, "0").as("pk"))
+      var hop = 0
+      while (hop < maxHops) {
+        val expanded = state.alias("s")
+          .join(ue.alias("e"), col("s.node") === col("e.src"))
+          .select(col("e.dst").as("node"),
+            (col("s.cost") + col("e.w")).as("cost"),
+            concat(col("s.path"), lit("->"),
+              col("e.dst").cast("string")).as("path"),
+            concat(col("s.pk"), lit("."),
+              lpad(col("e.dst").cast("string"), 8, "0")).as("pk"))
+        state = state.union(expanded)
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint(true)
+        hop += 1
       }
-    }
-    val inf: Attr = (Long.MaxValue, Nil)
-    val init = g.mapVertices((id, _) =>
-      if (id == source) (0L, List(source)) else inf)
-    val res = init.pregel(inf, maxIterations = maxHops)(
-      (_, attr, msg) => better(attr, msg),
-      t => if (t.srcAttr._1 != Long.MaxValue) {
-             val cand: Attr = (t.srcAttr._1 + t.attr, t.srcAttr._2 :+ t.dstId)
-             if (better(cand, t.dstAttr) == cand && cand != t.dstAttr)
-               Iterator((t.dstId, cand))
-             else Iterator.empty
-           } else Iterator.empty,
-      (a, b) => better(a, b))
-    res.vertices.filter(_._2._1 != Long.MaxValue)
-      .map { case (id, (cost, path)) => (id, cost, path.mkString("->")) }
-      .toDF("node", "cost", "path")
-      .orderBy(col("node"))
+      state.select(col("node"), col("cost"), col("path"))
+        .orderBy(col("node"))
+    } finally ue.unpersist()
   }
 
   /** Batched point-to-point routing — the reference README's literal use
