@@ -62,14 +62,20 @@ object Bench {
         }
       }
       val ok = times.filter(_ >= 0).sorted
-      name -> (if (ok.nonEmpty) ok(ok.length / 2) else -1.0)
+      (name, if (ok.nonEmpty) ok(ok.length / 2) else -1.0, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Per-iteration times next to the medians: machine contention on a
+    // shared runner shows up as outlier iterations, making a noisy
+    // artifact self-diagnosing instead of reading as a code regression.
+    val its = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iterations":$its,"sf":"$sfDir"}"""
     // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
     // driver's bench artifact) — also write it as a file the driver can read.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)

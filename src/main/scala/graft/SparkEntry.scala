@@ -1258,5 +1258,9 @@ object SparkEntry {
     // fixed supersteps measure per-round scheduler overhead, not operator
     // cost (q32 already tracks iterative-graph trends); its scale
     // behavior is measured in ScaleSmoke instead.
-    "q120_winnow_fingerprints")
+    "q120_winnow_fingerprints",
+    // round 6: the composed corpus-cleaning pipeline is the showcase
+    // LLM-data query — its end-to-end cost belongs in the round-over-
+    // round trend line.
+    "q121_full_pipeline")
 }
