@@ -20,7 +20,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=0 runs the parity sweep proving no plan silently
+      // depends on AQE rescue (SCALING.md records both totals)
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

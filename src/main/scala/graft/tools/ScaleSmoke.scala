@@ -168,8 +168,24 @@ object ScaleSmoke {
           .writeStream.format("memory").queryName(s"smoke_tumbling_$mult")
           .outputMode("complete").start()
         try {
-          evRows.grouped(500000).foreach { chunk =>
+          // chunk size tunable for the sustained-rate probe: smaller
+          // chunks → more micro-batches over the same event volume
+          val chunkSz = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK",
+            "500000").toInt
+          evRows.grouped(chunkSz).foreach { chunk =>
             ms.addData(chunk); q.processAllAvailable()
+          }
+          // sustained-rate evidence: per-batch trigger latency and state
+          // rows must stay FLAT across the run — growth in either means
+          // per-batch cost depends on history, which no streaming
+          // deployment survives
+          q.recentProgress.foreach { p =>
+            val stateRows = p.stateOperators.headOption
+              .map(_.numRowsTotal).getOrElse(-1L)
+            println(s"[scale]   stream batch=${p.batchId} " +
+              s"rows=${p.numInputRows} " +
+              s"latency_ms=${p.durationMs.get("triggerExecution")} " +
+              s"state_rows=$stateRows")
           }
           spark.table(s"smoke_tumbling_$mult").count()
         }

@@ -249,4 +249,77 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("incremental minhash dedup stream == batch LSH candidate set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Planted-dup corpus (same construction as the batch planted-dup
+    // spec): 100 originals + 100 tail-mutated copies, streamed in FOUR
+    // micro-batches ordered so every planted pair spans batches — the
+    // hard case for incremental dedup. Per batch, new docs' band rows
+    // join the ACCUMULATING signature store (candidates exactly once per
+    // pair: new×old cross + new×new within), then append themselves —
+    // the stream-static accumulation pattern a production ingest dedup
+    // runs via foreachBatch.
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val mutated = base
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 20)"),
+          lit(" zz mutated tail zz")).as("text"))
+    val corpus = base.union(mutated)
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    def bandRows(docs: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.minhashSignatures(docs)
+        .select(col("doc_id"),
+          posexplode(array((0 until 16).map(b => col(s"band$b")): _*))
+            .as(Seq("bi", "bv")))
+    val store = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    val bandsPath = s"$store/bands"
+    val found = scala.collection.mutable.Set[(Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bands = bandRows(batch).persist()
+        val within = bands.alias("x").join(bands.alias("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+        val cross =
+          if (new java.io.File(bandsPath).exists) {
+            val old = batch.sparkSession.read.parquet(bandsPath)
+            bands.alias("x").join(old.alias("y"),
+                col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+                col("x.doc_id") =!= col("y.doc_id"))
+              .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+                greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+          } else within.limit(0)
+        found ++= within.union(cross).distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        bands.write.mode("append").parquet(bandsPath)
+        bands.unpersist()
+        ()
+      }
+      .start()
+    try {
+      feed.grouped(50).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // equivalence: the incremental union must equal the one-shot batch
+    // candidate set over the full corpus
+    val all = bandRows(corpus).persist()
+    val want = all.alias("x").join(all.alias("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    all.unpersist()
+    assert(found.toSet == want,
+      s"incremental ${found.size} pairs != batch ${want.size}")
+    // and the funnel still finds the planted dups
+    val planted = found.count { case (a, b) => b == a + 100000L }
+    assert(planted >= 90, s"only $planted of 100 planted pairs surfaced")
+  }
 }
