@@ -250,6 +250,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming agg restarted from checkpoint recovers state exactly") {
+    import spark.implicits._
+    // Durability: the reference's central recovery mechanism is the
+    // buffer-pool checkpoint (`buffer_pool.cpp:363-377`); the Structured
+    // Streaming analogue is the WAL + state-store checkpoint. A windowed
+    // aggregation is fed half its input, STOPPED, then restarted from
+    // the same checkpoint dir on the remaining files — the second run
+    // never sees the first half's data, so the final complete-mode
+    // output equals the whole-input batch answer ONLY if offsets AND
+    // aggregation state both survived the restart.
+    val evs = batchEvents
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val src = java.nio.file.Files.createTempDirectory("graft_srcdir").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val schema = spark.createDataset(evs).schema
+    def feed(rows: Seq[Ev]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("append").parquet(src)
+    def start(name: String) =
+      EventStreams.tumblingAgg(
+          spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "1 hour"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    feed(h1)
+    val q1 = start("ckpt_run1")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterHalf = spark.table("ckpt_run1").count()
+    feed(h2)
+    val q2 = start("ckpt_run2")
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("ckpt_run2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = EventStreams.tumblingWindow(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"restart diverged: ${got.size} rows vs batch ${want.size} (run1 saw $afterHalf)")
+    } finally q2.stop()
+  }
+
   test("incremental minhash dedup stream == batch LSH candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
