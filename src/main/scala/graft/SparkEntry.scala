@@ -97,6 +97,7 @@ object SparkEntry {
     "q124_p2p_routing"    -> ((s: SparkSession, d: String) => GraphOps.p2pRouting(s, d)),
     "q125_landmark_bounds" -> ((s: SparkSession, d: String) => GraphOps.landmarkBounds(s, d)),
     "q126_multi_source_bfs" -> ((s: SparkSession, d: String) => GraphOps.multiSourceBfs(s, d)),
+    "q127_multi_source_paths" -> ((s: SparkSession, d: String) => GraphOps.multiSourcePaths(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -569,32 +570,47 @@ object SparkEntry {
     * recursive CTE carrying paths would enumerate every distinct walk
     * (exponential); the per-level argmin keeps it at O(nodes + edges) rows
     * per level — exactly one Pregel superstep. */
-  private val ssspPathsOracle: String = {
+  /** Unrolled (cost, path, pk) level DP shared by the q91 (single-source)
+    * and q127 (multi-source) path oracles — the exact shape of
+    * GraphOps.multiSourcePaths, with `origin` carried through every level
+    * and the per-level argmin partitioned by (origin, node). */
+  private def pathsOracle(origins: Seq[Long], emitOrigin: Boolean): String = {
     val levels = (1 to 8).map { k =>
       // MATERIALIZED is load-bearing: each level is referenced twice
       // (carry-over + expansion), and DuckDB would otherwise inline the
       // whole chain — exponential plan blowup, OOM at sf0.1
       s"""l$k AS MATERIALIZED (
-         |  SELECT node, cost, path, pk FROM (
-         |    SELECT node, cost, path, pk,
-         |           row_number() OVER (PARTITION BY node ORDER BY cost, pk) AS rn
+         |  SELECT origin, node, cost, path, pk FROM (
+         |    SELECT origin, node, cost, path, pk,
+         |           row_number() OVER (PARTITION BY origin, node
+         |                              ORDER BY cost, pk) AS rn
          |    FROM (
-         |      SELECT node, cost, path, pk FROM l${k - 1}
+         |      SELECT origin, node, cost, path, pk FROM l${k - 1}
          |      UNION ALL
-         |      SELECT ue.dst AS node,
+         |      SELECT p.origin, ue.dst AS node,
          |             p.cost + ((ue.src * 31 + ue.dst) % 7) + 1 AS cost,
          |             p.path || '->' || CAST(ue.dst AS VARCHAR) AS path,
          |             p.pk || '.' || lpad(CAST(ue.dst AS VARCHAR), 8, '0') AS pk
          |      FROM l${k - 1} p JOIN ue ON ue.src = p.node) cand
          |  ) ranked WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    val seeds = origins
+      .map(s => s"(CAST($s AS BIGINT))").mkString(", ")
+    val outCols =
+      if (emitOrigin) "origin, node, CAST(cost AS BIGINT) AS cost, path"
+      else "node, CAST(cost AS BIGINT) AS cost, path"
+    val ord = if (emitOrigin) "origin, node" else "node"
     s"""WITH $edgeCte,
-       |l0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
-       |              '1' AS path, lpad('1', 8, '0') AS pk),
+       |l0 AS (SELECT s.s AS origin, s.s AS node, CAST(0 AS BIGINT) AS cost,
+       |              CAST(s.s AS VARCHAR) AS path,
+       |              lpad(CAST(s.s AS VARCHAR), 8, '0') AS pk
+       |       FROM (VALUES $seeds) s(s)),
        |$levels
-       |SELECT node, CAST(cost AS BIGINT) AS cost, path
-       |FROM l8 ORDER BY node""".stripMargin
+       |SELECT $outCols
+       |FROM l8 ORDER BY $ord""".stripMargin
   }
+
+  private val ssspPathsOracle: String = pathsOracle(Seq(1L), emitOrigin = false)
 
   /** q36 oracle: the integer fixed-point PageRank recurrence unrolled to
     * 10 levels — BIGINT sums and `//` (floor division ≡ Spark `div` on
@@ -644,6 +660,10 @@ object SparkEntry {
 
   private val graphOracles: Map[String, String] = Map(
     "q91_sssp_paths" -> ssspPathsOracle,
+    // q127: the batched form — 5 origins through the same unrolled DP,
+    // argmin per (origin, node)
+    "q127_multi_source_paths" ->
+      pathsOracle(Seq(1L, 2L, 3L, 4L, 5L), emitOrigin = true),
     "q36_pagerank" -> pageRankOracle,
     "q38_label_propagation" -> labelPropOracle,
     "q30_adjacency_build" ->

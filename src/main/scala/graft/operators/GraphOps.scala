@@ -276,24 +276,39 @@ object GraphOps {
     * This DP is the exact shape of the DuckDB oracle's unrolled levels,
     * so results are bit-identical by construction. */
   def ssspPaths(spark: SparkSession, dir: String, source: Long = 1L,
+      maxHops: Int = 8): DataFrame =
+    multiSourcePaths(spark, dir, Seq(source), maxHops)
+      .select(col("node"), col("cost"), col("path"))
+      .orderBy(col("node"))
+
+  /** Batched OD routing WITH path reconstruction — q124's one-sweep
+    * multi-source batching and q91's deterministic path argmin in ONE
+    * operator (what a production routing service actually returns: the
+    * route, not just its cost). The DP state carries `origin`, and the
+    * per-level merge window partitions by (origin, node), so k origins
+    * ride one edges-join per superstep exactly like [[multiSourceCosts]];
+    * all q91 state-discipline notes apply per origin. */
+  def multiSourcePaths(spark: SparkSession, dir: String,
+      sources: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
       maxHops: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val ue = symmetrizedEdges(Tables(spark, dir))
       .select(col("src"), col("dst"),
         ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
       .persist()
     try {
-      val byNode = Window.partitionBy(col("node"))
+      val byNode = Window.partitionBy(col("origin"), col("node"))
         .orderBy(col("cost"), col("pk"))
-      var state = spark.range(1).select(
-        lit(source).as("node"), lit(0L).as("cost"),
-        lit(source.toString).as("path"),
-        lpad(lit(source.toString), 8, "0").as("pk"))
+      var state = sources.toDF("origin").select(
+        col("origin"), col("origin").as("node"), lit(0L).as("cost"),
+        col("origin").cast("string").as("path"),
+        lpad(col("origin").cast("string"), 8, "0").as("pk"))
       var hop = 0
       while (hop < maxHops) {
         val expanded = state.alias("s")
           .join(ue.alias("e"), col("s.node") === col("e.src"))
-          .select(col("e.dst").as("node"),
+          .select(col("s.origin"), col("e.dst").as("node"),
             (col("s.cost") + col("e.w")).as("cost"),
             concat(col("s.path"), lit("->"),
               col("e.dst").cast("string")).as("path"),
@@ -305,8 +320,8 @@ object GraphOps {
           .localCheckpoint(true)
         hop += 1
       }
-      state.select(col("node"), col("cost"), col("path"))
-        .orderBy(col("node"))
+      state.select(col("origin"), col("node"), col("cost"), col("path"))
+        .orderBy(col("origin"), col("node"))
     } finally ue.unpersist()
   }
 

@@ -501,6 +501,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batched routing with paths: costs == cost-only sweep; paths telescope") {
+    // q127 must agree with the oracle-checked cost-only batch (q124's
+    // engine) on every (origin, node) cost, its origin-1 slice must be
+    // exactly q91, and every returned route must be a real min-cost walk.
+    val batched = GraphOps.multiSourcePaths(spark, sf).collect()
+    val costs = GraphOps
+      .multiSourceCosts(spark, sf, Seq(1L, 2L, 3L, 4L, 5L), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batched.map(r => (r.getLong(0), r.getLong(1))).toSet == costs.keySet)
+    val edges = GraphOps.undirectedEdges(Tables(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def w(s: Long, d: Long) = (s * 31L + d) % 7L + 1L
+    batched.foreach { r =>
+      val (o, n, cost, path) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(cost == costs((o, n)))
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.head == o && hops.last == n)
+      val telescoped = hops.sliding(2).collect { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"edge $a->$b not in graph")
+        w(a, b)
+      }.sum
+      assert(telescoped == cost, s"($o,$n): telescoped $telescoped != $cost")
+    }
+    val slice1 = batched.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq.sorted
+    val single = GraphOps.ssspPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(slice1 == single, "origin-1 slice diverges from single-source q91")
+  }
+
   test("multi-source BFS batch: per-origin slice equals single-source BFS") {
     // One k-source sweep must give, for every origin, exactly the hop
     // distances a dedicated single-source BFS (the oracle-checked q32
