@@ -290,13 +290,20 @@ object GraphOps {
     * all q91 state-discipline notes apply per origin. */
   def multiSourcePaths(spark: SparkSession, dir: String,
       sources: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
-      maxHops: Int = 8): DataFrame = {
+      maxHops: Int = 8): DataFrame =
+    multiSourcePathsFrom(spark,
+      symmetrizedEdges(Tables(spark, dir))
+        .select(col("src"), col("dst"),
+          ((col("src") * 31 + col("dst")) % 7 + 1).as("w")),
+      sources, maxHops)
+
+  /** Same, over an arbitrary weighted edge relation (src, dst, w) —
+    * the ScaleSmoke entry point. */
+  def multiSourcePathsFrom(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val ue = symmetrizedEdges(Tables(spark, dir))
-      .select(col("src"), col("dst"),
-        ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
-      .persist()
+    val ue = edges.persist()
     try {
       val byNode = Window.partitionBy(col("origin"), col("node"))
         .orderBy(col("cost"), col("pk"))

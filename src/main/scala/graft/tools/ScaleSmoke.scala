@@ -123,6 +123,14 @@ object ScaleSmoke {
           graft.operators.GraphOps
             .multiSourceCostsFrom(spark, uw, Seq(s), 10).count()
         }.sum)
+      time(s"multi_source_paths_batch") {
+        // the q127 shape: route reconstruction rides the same sweep —
+        // state adds two bounded strings per (origin, node) row
+        val w = ue.select(col("src"), col("dst"),
+          ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+        graft.operators.GraphOps
+          .multiSourcePathsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
+      }
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
       // skew: half the keys collapse onto one hot key (mult×50k rows on a
