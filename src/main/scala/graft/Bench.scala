@@ -73,7 +73,11 @@ object Bench {
     // shared runner shows up as outlier iterations, making a noisy
     // artifact self-diagnosing instead of reading as a code regression.
     val its = results.map { case (k, _, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]" }
+      // Locale.ROOT: default-locale formatting can emit ',' decimal
+      // separators and corrupt the JSON line
+      "\"" + k + "\":[" + ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(t)))
+        .mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum

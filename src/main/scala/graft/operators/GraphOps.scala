@@ -39,8 +39,14 @@ object GraphOps {
     scala.collection.concurrent.TrieMap[String, Long]()
 
   private def maxCust(t: Tables): Long =
-    maxCustCache.getOrElseUpdate(t.dir,
-      t.customer.agg(max(col("c_custkey"))).head().getLong(0))
+    maxCustCache.getOrElseUpdate(t.dir, {
+      val r = t.customer.agg(max(col("c_custkey"))).head()
+      // max() over zero rows is NULL — fail with a real message instead
+      // of an opaque NPE from getLong, for every graph query at once
+      require(!r.isNullAt(0),
+        s"empty customer fixture at ${t.dir}: node-id domain is empty")
+      r.getLong(0)
+    })
 
   /** Directed edge list derived from orders (deduplicated). */
   def directedEdges(t: Tables): DataFrame = {
@@ -426,8 +432,8 @@ object GraphOps {
   def multiSourceBfs(spark: SparkSession, dir: String, k: Int = 100,
       maxHops: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
-    val m = maxCust(t)
-    require(m > 0, s"empty customer fixture at $dir: node-id domain is empty")
+    val m = maxCust(t) // maxCust rejects empty fixtures with a clear error
+    require(m > 0, s"nonpositive max c_custkey $m at $dir: source rule needs m > 0")
     val sources = (0 until k).map(i => 1L + (i.toLong * 37L) % m).distinct
     val unweighted = symmetrizedEdges(t)
       .select(col("src"), col("dst"), lit(1L).as("w"))

@@ -180,14 +180,20 @@ object ScaleSmoke {
           // chunks → more micro-batches over the same event volume
           val chunkSz = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNK",
             "500000").toInt
+          // accumulate progress per chunk (dedup by batch id): a long
+          // run would silently lose its earliest batches to
+          // recentProgress's 100-entry retention cap otherwise
+          val progress = scala.collection.mutable.LinkedHashMap[
+            Long, org.apache.spark.sql.streaming.StreamingQueryProgress]()
           evRows.grouped(chunkSz).foreach { chunk =>
             ms.addData(chunk); q.processAllAvailable()
+            q.recentProgress.foreach(p => progress.update(p.batchId, p))
           }
           // sustained-rate evidence: per-batch trigger latency and state
           // rows must stay FLAT across the run — growth in either means
           // per-batch cost depends on history, which no streaming
           // deployment survives
-          q.recentProgress.foreach { p =>
+          progress.valuesIterator.foreach { p =>
             val stateRows = p.stateOperators.headOption
               .map(_.numRowsTotal).getOrElse(-1L)
             println(s"[scale]   stream batch=${p.batchId} " +

@@ -549,12 +549,21 @@ class PipelineSpec extends AnyFunSuite {
     val expectSrcs = (0 until k).map(i => 1L + (i.toLong * 37L) % m).distinct
     assert(batched.keySet == expectSrcs.toSet,
       s"origins ${batched.keySet} != rule-derived $expectSrcs")
-    // three representative origins replayed single-source
+    // three representative origins replayed single-source. An isolated
+    // source (a custkey with no incident edges) is {s -> 0} in the batch
+    // (and in the q126 oracle), but Graph.fromEdges drops edgeless
+    // vertices so single-source bfs returns empty — compare accordingly
+    // instead of depending on the fixture never producing one.
+    val edgeNodes = GraphOps.undirectedEdges(Tables(spark, sf))
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
     expectSrcs.take(3).foreach { s =>
-      val single = GraphOps.bfs(spark, sf, source = s).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(batched(s) == single,
-        s"origin $s: batched slice diverges from single-source BFS")
+      if (edgeNodes.contains(s)) {
+        val single = GraphOps.bfs(spark, sf, source = s).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(batched(s) == single,
+          s"origin $s: batched slice diverges from single-source BFS")
+      } else assert(batched(s) == Map(s -> 0L),
+        s"isolated origin $s: expected only the seed row")
     }
   }
 

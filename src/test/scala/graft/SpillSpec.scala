@@ -23,8 +23,9 @@ class SpillSpec extends AnyFunSuite {
   import SparkTestSession._
 
   /** Runs `f` and returns (result, bytes spilled by its tasks) — summed
-    * memory+disk spill from TaskMetrics, drained via the (async) listener
-    * bus by polling until the counter is stable. */
+    * memory+disk spill from TaskMetrics. Listener delivery is async;
+    * `TestListenerBus.drain` blocks until the bus is empty, so the sum
+    * is complete when read (no sleep-poll heuristics). */
   private def withSpillMetrics[A](f: => A): (A, Long) = {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new SparkListener {
@@ -36,11 +37,7 @@ class SpillSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       val res = f
-      var last = -1L
-      var tries = 0
-      while (tries < 50 && spilled.get() != last) {
-        last = spilled.get(); Thread.sleep(100); tries += 1
-      }
+      org.apache.spark.graft.TestListenerBus.drain(spark.sparkContext)
       (res, spilled.get())
     } finally spark.sparkContext.removeSparkListener(listener)
   }
