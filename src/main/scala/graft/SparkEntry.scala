@@ -822,7 +822,172 @@ object SparkEntry {
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
   )
 
+  // The minhash universal-family constants (splitmix64-derived), rendered
+  // as DuckDB UBIGINT literal arrays split into 32-bit halves — the q42
+  // oracle replays (a_i*h + b_i) mod 2^64 in carry-split UBIGINT
+  // arithmetic (native 64-bit, ~300x faster than HUGEINT in DuckDB).
+  // Sourcing them from MinHashSig.familyA/B keeps oracle and aggregate
+  // pinned to the same family by construction.
+  private def ulist(xs: Array[Long]): String =
+    xs.map(java.lang.Long.toUnsignedString).mkString("[", ", ", "]")
+  private val mhAhi = ulist(graft.functions.MinHashSig.familyA(64).map(_ >>> 32))
+  private val mhAlo = ulist(graft.functions.MinHashSig.familyA(64).map(_ & 0xFFFFFFFFL))
+  private val mhBhi = ulist(graft.functions.MinHashSig.familyB(64).map(_ >>> 32))
+  private val mhBlo = ulist(graft.functions.MinHashSig.familyB(64).map(_ & 0xFFFFFFFFL))
+
+  // Shared 64-bit FNV-1a replay fragment: folds the char codes of `expr`
+  // (empty chars filtered — DuckDB splits '' into ['']) into the seeded
+  // basis `init`, state carried as an unsigned HUGEINT. The 64-bit wrap
+  // multiply splits the state into 32-bit halves: (h*P) mod 2^64 =
+  // ((h_hi*P) mod 2^32)*2^32 + h_lo*P (mod 2^64), and the byte XOR only
+  // touches h_lo (bytes < 256), so it runs on BIGINT halves.
+  private def fnvSql(expr: String, init: String): String =
+    s"""list_reduce(
+       |  list_prepend($init::HUGEINT,
+       |    list_transform(list_filter(string_split($expr, ''), c -> c != ''),
+       |      c -> ascii(c)::HUGEINT)),
+       |  (h, c) -> ((xor(CAST(h % 4294967296 AS BIGINT), CAST(c AS BIGINT))::HUGEINT
+       |              + (h // 4294967296) * 4294967296::HUGEINT)
+       |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  // 64-bit simhash replay: space-split tokens, each FNV-1a hashed with
+  // seed 7 (basis 7 ^ 0xcbf29ce484222325 = 14695981039346656034), then
+  // per-bit +/-1 votes; the fingerprint is rebuilt MSB-first by the
+  // outer reduce (s*2 + bit), which avoids any lossy DOUBLE power.
+  private def simhashSql(textExpr: String): String =
+    s"""(SELECT list_reduce(
+       |  list_prepend(0::HUGEINT, list_transform(range(63, -1, -1), b ->
+       |    CASE WHEN list_sum(list_transform(hashes, h ->
+       |      CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN 1::HUGEINT ELSE 0::HUGEINT END)),
+       |  (acc, bit) -> acc * 2 + bit)
+       | FROM (SELECT list_transform(string_split($textExpr, ' '), tk ->
+       |         ${fnvSql("tk", "14695981039346656034")}) AS hashes))""".stripMargin
+
   private val pipelineOracles: Map[String, String] = Map(
+    // q43: bit-exact replay of both codegen fingerprint expressions —
+    // PolyHash (seed 0, basis 0xcbf29ce484222325 = 14695981039346656037)
+    // over the whole lowercased text, and SimHash64 over its space-split
+    // tokens. Unsigned HUGEINT state is converted to Spark's signed long
+    // at the end (u - 2^64 when u >= 2^63); the band columns are 16-bit
+    // slices of the unsigned form, matching shiftrightunsigned + mask.
+    "q43_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s IS NULL THEN NULL ELSE ${fnvSql("s", "14695981039346656037")} END AS ufp,
+        |    CASE WHEN s IS NULL THEN NULL ELSE ${simhashSql("s")} END AS ush
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ufp >= (1::HUGEINT << 63) THEN ufp - (1::HUGEINT << 64) ELSE ufp END AS BIGINT) AS fingerprint,
+        |  CAST(CASE WHEN ush >= (1::HUGEINT << 63) THEN ush - (1::HUGEINT << 64) ELSE ush END AS BIGINT) AS simhash,
+        |  CAST(ush % 65536 AS BIGINT) AS band0,
+        |  CAST((ush // 65536) % 65536 AS BIGINT) AS band1,
+        |  CAST((ush // 4294967296) % 65536 AS BIGINT) AS band2,
+        |  CAST(ush // 281474976710656 AS BIGINT) AS band3
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+    // q44: the banded-Hamming funnel over the q43 simhash — 4 16-bit
+    // bands per doc, BucketGuard replay (buckets > 1000 excluded and
+    // reported), distinct candidate pairs, Hamming <= 12 verification
+    // via bit_count(xor()) on the signed two's-complement longs (same
+    // bit pattern both engines). NULL-text docs flow through with NULL
+    // bands, matching Spark: they can land in `hot` (never here — the
+    // fixtures have no NULL text) but never join as candidates.
+    "q44_simhash_neardup" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${simhashSql("lower(text)")} AS ush FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN ush >= (1::HUGEINT << 63) THEN ush - (1::HUGEINT << 64) ELSE ush END AS BIGINT) AS simhash,
+        |    CAST(ush % 65536 AS BIGINT) AS band0,
+        |    CAST((ush // 65536) % 65536 AS BIGINT) AS band1,
+        |    CAST((ush // 4294967296) % 65536 AS BIGINT) AS band2,
+        |    CAST(ush // 281474976710656 AS BIGINT) AS band3
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band_idx,
+        |         unnest([band0, band1, band2, band3]) AS band_val
+        |  FROM fp),
+        |hot AS (
+        |  SELECT band_idx, band_val, count(*) AS bsz FROM bands
+        |  GROUP BY 1, 2 HAVING count(*) > 1000),
+        |kept AS (SELECT b.* FROM bands b ANTI JOIN hot h USING (band_idx, band_val)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib,
+        |                  x.simhash AS sa, y.simhash AS sb
+        |  FROM kept x JOIN kept y
+        |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |   AND x.doc_id < y.doc_id)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+        |  CAST(coalesce(sum(CASE WHEN bit_count(xor(sa, sb)) <= 12 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dup_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |FROM cand""".stripMargin,
+    // q42: full replay of the minhash-LSH funnel. Char 8-gram FNV hashes
+    // (the MinHashSig input) are stretched through the splitmix64 family
+    // (a_i*h + b_i) mod 2^64 — computed in carry-split UBIGINT (32-bit
+    // halves, every intermediate < 2^64, no overflow) with the +2^63
+    // bias folded in as a top-bit XOR so unsigned min == Spark's signed
+    // min. Band buckets stand on the 4 signature slots themselves rather
+    // than xxhash64 of them (equal slots <=> equal band key, modulo a
+    // 2^-64 hash collision); BucketGuard, candidates and the agree >= 32
+    // dup rule replay as in q44. Docs shorter than 8 chars produce no
+    // shingles and fall out of the funnel in both engines.
+    "q42_minhash_lsh_dedup" ->
+      s"""WITH consts AS (
+        |  SELECT $mhAhi::UBIGINT[] AS ahi, $mhAlo::UBIGINT[] AS alo,
+        |         $mhBhi::UBIGINT[] AS bhi, $mhBlo::UBIGINT[] AS blo),
+        |ghash AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(lower(text)) - 6),
+        |      i -> ${fnvSql("substr(lower(text), i, 8)", "14695981039346656037")})) AS h
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 8),
+        |gsplit AS (
+        |  SELECT doc_id, CAST(h % 4294967296 AS UBIGINT) AS glo,
+        |         CAST(h // 4294967296 AS UBIGINT) AS ghi
+        |  FROM ghash),
+        |slots AS (
+        |  SELECT doc_id, i, min(
+        |      xor((((c.ahi[i]*glo) % 4294967296 + (c.alo[i]*ghi) % 4294967296
+        |            + (c.alo[i]*glo) // 4294967296 + c.bhi[i]
+        |            + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) // 4294967296) % 4294967296),
+        |          2147483648::UBIGINT) * 4294967296
+        |      + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) % 4294967296) AS vb
+        |  FROM gsplit, (SELECT unnest(range(1, 65)) AS i), consts c
+        |  GROUP BY doc_id, i),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list(CAST(vb::HUGEINT - 9223372036854775808::HUGEINT AS BIGINT) ORDER BY i) AS sig
+        |  FROM slots GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, band_idx,
+        |    sig[4*band_idx + 1] AS s1, sig[4*band_idx + 2] AS s2,
+        |    sig[4*band_idx + 3] AS s3, sig[4*band_idx + 4] AS s4
+        |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band_idx FROM sigs)),
+        |hot AS (
+        |  SELECT band_idx, s1, s2, s3, s4, count(*) AS bsz FROM bands
+        |  GROUP BY ALL HAVING count(*) > 1000),
+        |kept AS (SELECT b.* FROM bands b ANTI JOIN hot h USING (band_idx, s1, s2, s3, s4)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+        |  FROM kept x JOIN kept y
+        |    ON x.band_idx = y.band_idx AND x.s1 = y.s1 AND x.s2 = y.s2
+        |   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
+        |withagree AS (
+        |  SELECT ia, ib,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS agree
+        |  FROM cand JOIN sigs sa ON cand.ia = sa.doc_id
+        |            JOIN sigs sb ON cand.ib = sb.doc_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sigs) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+        |  CAST(coalesce(sum(CASE WHEN agree >= 32 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |FROM withagree""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).
@@ -1252,17 +1417,18 @@ object SparkEntry {
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
-    "q42_minhash_lsh_dedup", // seeded-hash signatures not SQL-expressible; funnel unit-tested
-    "q43_fingerprints",      // PolyHash/SimHash values not SQL-expressible; property-tested
-    "q44_simhash_neardup",   // same
-    "q47_ann_lsh_topk",      // LSH buckets not SQL-expressible; recall asserted vs q46 in tests
+    "q47_ann_lsh_topk",      // float LSH buckets not SQL-replayable; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
     "q67_embedding_neardup", // LSH bucket counts projection-specific; planted-dup recovery spec'd
     "q68_ann_ivf_topk",      // IVF cell contents quantizer-specific; recall asserted vs q46 in tests
     // Converted to full oracles in rounds 2-3: q54/q85/q86 (exact-value
     // projections; sketch error bounds asserted spec-side since round 6),
     // q91 (unrolled Bellman-Ford DP), q36 (integer fixed-point PageRank),
-    // q38 (synchronous min-tie-break label propagation).
+    // q38 (synchronous min-tie-break label propagation). Round 6:
+    // q42/q43/q44 — the FNV-1a / splitmix64 / simhash integer hashes
+    // replay bit-exactly in DuckDB (HUGEINT state + carry-split UBIGINT),
+    // so the whole dedup-fingerprint family is now hash-verified.
+    // The four remaining are all float-geometry- or stub-dependent.
   )
 
   /** Headline queries timed by Bench (one per operator family). */

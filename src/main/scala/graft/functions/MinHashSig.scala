@@ -38,10 +38,8 @@ case class MinHashSig(
 
   // Hash-family parameters sized to numHashes (not a fixed 64-entry
   // table), so any signature width is valid; one lazy init per task.
-  @transient private lazy val A: Array[Long] =
-    Array.tabulate(numHashes)(i => MinHashSig.splitmix(2L * i) | 1L)
-  @transient private lazy val B: Array[Long] =
-    Array.tabulate(numHashes)(i => MinHashSig.splitmix(2L * i + 1L))
+  @transient private lazy val A: Array[Long] = MinHashSig.familyA(numHashes)
+  @transient private lazy val B: Array[Long] = MinHashSig.familyB(numHashes)
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
@@ -104,6 +102,14 @@ object MinHashSig {
     }
     h
   }
+
+  /** Universal-family multipliers (odd) and increments, shared between the
+    * aggregate and the DuckDB oracle SQL (SparkEntry inlines these as
+    * literal arrays so the q42 replay uses the exact same family). */
+  private[graft] def familyA(n: Int): Array[Long] =
+    Array.tabulate(n)(i => splitmix(2L * i) | 1L)
+  private[graft] def familyB(n: Int): Array[Long] =
+    Array.tabulate(n)(i => splitmix(2L * i + 1L))
 
   /** Mix for the universal-family multipliers (odd) and increments. */
   private def splitmix(x0: Long): Long = {
