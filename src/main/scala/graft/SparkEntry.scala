@@ -864,7 +864,139 @@ object SparkEntry {
        | FROM (SELECT list_transform(string_split($textExpr, ' '), tk ->
        |         ${fnvSql("tk", "14695981039346656034")}) AS hashes))""".stripMargin
 
+  // Strict left-to-right double-precision fold — the exact summation
+  // order of the codegen'd DotProduct expression. Float-typed operands
+  // widen exactly to double in both engines, +/-1.0 multiplies and IEEE
+  // adds are deterministic given the order, and sqrt/divide are
+  // correctly rounded — so dot products, norms and LSH bucket signs
+  // replay BIT-exactly (a GROUP-BY sum would reassociate and could flip
+  // a near-zero projection's sign).
+  private def dotSql(a: String, b: String, castB: Boolean = true): String = {
+    val bb = if (castB) s"CAST($b[i] AS DOUBLE)" else s"$b[i]"
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * $bb)), (acc, x) -> acc + x)"
+  }
+
+  // LSH signature fragment shared by the q47/q67 oracles: 6 signed
+  // projections against the splitmix-derived +/-1 hyperplanes (inlined
+  // from Similarity.planesSqlLiteral), packed into a 6-bit bucket id.
+  // Expects `embedding` in scope, `c.pl` bound to the planes, `t` to the
+  // table index.
+  private val lshBucketSql: String =
+    """list_sum(list_transform(range(0, 6), b ->
+      |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+      |          i -> c.pl[t*6 + b + 1][i] * CAST(embedding[i] AS DOUBLE))), (acc, x) -> acc + x) >= 0
+      |      THEN 1 << b ELSE 0 END))""".stripMargin
+
   private val pipelineOracles: Map[String, String] = Map(
+    // q47: full replay of the LSH-bucketed ANN path. Bucket assignment
+    // reproduces the signed projections bit-exactly via the strict fold
+    // (see dotSql); from there the funnel — candidate union over 4
+    // tables, dedup, exact cosine, per-query top-5 — is plain SQL.
+    "q47_ann_lsh_topk" ->
+      s"""WITH consts AS (SELECT ${graft.operators.Similarity.planesSqlLiteral}::DOUBLE[][] AS pl),
+        |n AS (
+        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, embedding, nrm, t AS table_idx, $lshBucketSql AS bucket
+        |  FROM n, range(0, 4) r(t), consts c),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+        |    q.embedding AS qe, q.nrm AS qn, s.embedding AS ce, s.nrm AS cn
+        |  FROM sigs s JOIN sigs q
+        |    ON s.table_idx = q.table_idx AND s.bucket = q.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id != s.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(${dotSql("qe", "ce")} / (qn * cn), 4) AS cos4
+        |  FROM cand),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cos4,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos4
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // q67: the embedding near-dup funnel — same bucket replay, then
+    // BucketGuard (> 1000 excluded + reported), distinct pairs, and the
+    // UNROUNDED cosine threshold: safe to replay because both engines
+    // compute the identical IEEE operation sequence.
+    "q67_embedding_neardup" ->
+      s"""WITH consts AS (SELECT ${graft.operators.Similarity.planesSqlLiteral}::DOUBLE[][] AS pl),
+        |n AS (
+        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, embedding, nrm, t AS table_idx, $lshBucketSql AS bucket
+        |  FROM n, range(0, 4) r(t), consts c),
+        |hot AS (
+        |  SELECT table_idx, bucket, count(*) AS bsz FROM sigs
+        |  GROUP BY 1, 2 HAVING count(*) > 1000),
+        |kept AS (SELECT s.* FROM sigs s ANTI JOIN hot h USING (table_idx, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+        |    a.embedding AS ea, a.nrm AS na, b.embedding AS eb, b.nrm AS nb
+        |  FROM kept a JOIN kept b
+        |    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |cs AS (SELECT ${dotSql("ea", "eb")} / (na * nb) AS cos FROM cand)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_vecs,
+        |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+        |  CAST(coalesce(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |FROM cs""".stripMargin,
+    // q68: IVF replay — the coarse quantizer (16 lowest-id vectors,
+    // driver-normalized in Spark, normalized the same way here), argmax
+    // cell assignment via exact double equality (identical values both
+    // sides), nprobe=4 query cells, then the same top-5 shape. The
+    // unnest is kept in its own CTE: DuckDB rejects window functions
+    // inside a LATERAL unnest context.
+    "q68_ann_ivf_topk" ->
+      s"""WITH cent AS (
+        |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
+        |           THEN list_transform(embedding, x -> 0.0::DOUBLE)
+        |           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) END AS cl
+        |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))),
+        |n AS (
+        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |ca AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    list_transform(range(1, 17), k ->
+        |      CASE WHEN nrm > 0 THEN
+        |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+        |          i -> CAST(embedding[i] AS DOUBLE) * c.cents[k][i])), (acc, x) -> acc + x) / nrm
+        |      ELSE 0.0 END) AS cells
+        |  FROM n, cent c
+        |  WHERE nrm > 0),
+        |corpus AS (
+        |  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn,
+        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+        |  FROM ca),
+        |qexp AS (
+        |  SELECT vec_id, embedding, nrm, unnest(cells) AS cos_c,
+        |         generate_subscripts(cells, 1) AS i
+        |  FROM ca WHERE vec_id < 10),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, i AS cell
+        |  FROM (SELECT vec_id, embedding, nrm, i,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, i ASC) AS pr
+        |        FROM qexp)
+        |  WHERE pr <= 4),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(${dotSql("qe", "ce")} / (qn * cn), 4) AS cos4
+        |  FROM corpus JOIN qprobe USING (cell)
+        |  WHERE query_id != neighbor_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cos4,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos4
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // q43: bit-exact replay of both codegen fingerprint expressions —
     // PolyHash (seed 0, basis 0xcbf29ce484222325 = 14695981039346656037)
     // over the whole lowercased text, and SimHash64 over its space-split
@@ -1417,18 +1549,16 @@ object SparkEntry {
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
-    "q47_ann_lsh_topk",      // float LSH buckets not SQL-replayable; recall asserted vs q46 in tests
     "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
-    "q67_embedding_neardup", // LSH bucket counts projection-specific; planted-dup recovery spec'd
-    "q68_ann_ivf_topk",      // IVF cell contents quantizer-specific; recall asserted vs q46 in tests
     // Converted to full oracles in rounds 2-3: q54/q85/q86 (exact-value
     // projections; sketch error bounds asserted spec-side since round 6),
     // q91 (unrolled Bellman-Ford DP), q36 (integer fixed-point PageRank),
     // q38 (synchronous min-tie-break label propagation). Round 6:
     // q42/q43/q44 — the FNV-1a / splitmix64 / simhash integer hashes
-    // replay bit-exactly in DuckDB (HUGEINT state + carry-split UBIGINT),
-    // so the whole dedup-fingerprint family is now hash-verified.
-    // The four remaining are all float-geometry- or stub-dependent.
+    // replay bit-exactly in DuckDB (HUGEINT state + carry-split UBIGINT);
+    // q47/q67/q68 — the LSH/IVF float geometry replays bit-exactly via
+    // strict left-to-right double folds (see dotSql). Only the decode
+    // stub remains rows-only: its output is defined by the stub itself.
   )
 
   /** Headline queries timed by Bench (one per operator family). */

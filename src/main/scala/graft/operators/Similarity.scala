@@ -91,6 +91,15 @@ object Similarity {
   private val BitsPerTable = 6
   private val NumTables = 4
 
+  /** The LSH hyperplane matrix rendered as a DuckDB DOUBLE[][] literal —
+    * single source of truth for the q47/q67 oracle replays (SparkEntry):
+    * the oracle buckets with the exact same signed projections, so a
+    * change to the mix or geometry here changes both sides together. */
+  private[graft] def planesSqlLiteral: String =
+    (0 until NumTables * BitsPerTable).map(p =>
+      (0 until Dim).map(d => if (planeSign(p, d) > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** The `table`-th LSH bucket signature of an embedding: BitsPerTable
     * signed random projections packed into an int. Shared by the ANN path
     * and the near-dup funnel — the two must bucket identically. */
@@ -149,8 +158,9 @@ object Similarity {
     * partition pruning: per-query work is nprobe/K of the corpus, and the
     * cell assignment is one broadcast-free map (K codegen'd dot products
     * per row). Output shape matches the brute-force baseline; recall is
-    * asserted against it in tests. Rows-only (cell contents are
-    * quantizer-specific). */
+    * asserted against it in tests, and since round 6 the full path —
+    * quantizer, cell argmax, probes, top-5 — replays bit-exactly in the
+    * DuckDB oracle (strict-order double folds). */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     annIvfTopKFrom(e, e.filter(col("vec_id") < 10))
@@ -222,8 +232,9 @@ object Similarity {
     * of the minhash/simhash text funnels: LSH signed-projection buckets
     * generate candidate pairs (corpus self-join on (table, bucket), never
     * all-pairs), exact cosine verifies them against the threshold. Output
-    * is the funnel summary. Rows-only by design (bucket candidate counts
-    * are projection-specific); planted-duplicate recovery is spec'd. */
+    * is the funnel summary, hash-verified since round 6 (the oracle
+    * replays the projections with the same IEEE operation sequence);
+    * planted-duplicate recovery is additionally spec'd. */
   def embeddingNearDupSummary(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupSummaryFrom(Tables(spark, dir).embeddings, 0.9)
 
