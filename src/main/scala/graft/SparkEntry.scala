@@ -997,6 +997,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos4
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // q53: the decode STUB is deterministic byte statistics (mean/max/
+    // count over the ASCII payload bytes), so even the mapPartitions
+    // path is oracle-checkable — the replay pins the plumbing (schema,
+    // ordering, rounding) and a real codec swap would intentionally
+    // break it, flagging that the oracle must move with the decoder.
+    "q53_decode_features" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |      c -> ascii(c)) AS bs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(bs) = 0 THEN 0.0
+        |        ELSE CAST(list_sum(bs) AS DOUBLE) / len(bs) END, 4) AS mean_byte,
+        |  CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_aggregate(bs, 'max') END AS BIGINT) AS max_byte,
+        |  CAST(len(bs) AS BIGINT) AS n_bytes
+        |FROM cs ORDER BY doc_id""".stripMargin,
     // q43: bit-exact replay of both codegen fingerprint expressions —
     // PolyHash (seed 0, basis 0xcbf29ce484222325 = 14695981039346656037)
     // over the whole lowercased text, and SimHash64 over its space-split
@@ -1549,16 +1566,16 @@ object SparkEntry {
   /** Queries intentionally shipped without a SQL oracle (non-SQL-expressible
     * semantics — the driver records a weaker rows-only check for these). */
   def rowsOnlyQueries: Set[String] = Set(
-    "q53_decode_features",   // mapPartitions decode stub; exact values unit-tested
-    // Converted to full oracles in rounds 2-3: q54/q85/q86 (exact-value
+    // Empty since round 6 — every registered query carries a full DuckDB
+    // oracle. History: rounds 2-3 converted q54/q85/q86 (exact-value
     // projections; sketch error bounds asserted spec-side since round 6),
     // q91 (unrolled Bellman-Ford DP), q36 (integer fixed-point PageRank),
-    // q38 (synchronous min-tie-break label propagation). Round 6:
-    // q42/q43/q44 — the FNV-1a / splitmix64 / simhash integer hashes
-    // replay bit-exactly in DuckDB (HUGEINT state + carry-split UBIGINT);
-    // q47/q67/q68 — the LSH/IVF float geometry replays bit-exactly via
-    // strict left-to-right double folds (see dotSql). Only the decode
-    // stub remains rows-only: its output is defined by the stub itself.
+    // q38 (synchronous min-tie-break label propagation). Round 6
+    // converted the rest: q42/q43/q44 (FNV-1a / splitmix64 / simhash
+    // integer hashes replayed in HUGEINT + carry-split UBIGINT),
+    // q47/q67/q68 (LSH/IVF float geometry replayed via strict
+    // left-to-right double folds, see dotSql), and q53 (the
+    // deterministic decode stub's byte statistics).
   )
 
   /** Headline queries timed by Bench (one per operator family). */
