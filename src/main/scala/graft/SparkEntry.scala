@@ -118,6 +118,8 @@ object SparkEntry {
     "q42_minhash_lsh_dedup"  -> (Dedup.minhashLshSummary _),
     "q43_fingerprints"       -> (Dedup.fingerprints _),
     "q44_simhash_neardup"    -> (Dedup.simhashNearDupSummary _),
+    "q128_semantic_dedup"    -> (Similarity.semanticDedup _),
+    "q129_fuzzy_dedup_keep"  -> (Dedup.fuzzyDedupKeep _),
     "q45_cosine_topk_pairs"  -> (Similarity.cosineTopKPairs _),
     "q46_ann_bruteforce_topk" -> (Similarity.annBruteForceTopK _),
     "q47_ann_lsh_topk"       -> (Similarity.annLshTopK _),
@@ -888,6 +890,83 @@ object SparkEntry {
       |          i -> c.pl[t*6 + b + 1][i] * CAST(embedding[i] AS DOUBLE))), (acc, x) -> acc + x) >= 0
       |      THEN 1 << b ELSE 0 END))""".stripMargin
 
+  // IVF cell-assignment CTE block shared by the q68 and q128 oracles:
+  // the coarse quantizer (16 lowest-id vectors, driver-normalized in
+  // Spark, normalized the same way here) and the per-vector cell-score
+  // array, all in strict-fold double arithmetic.
+  private def ivfCellCtes: String =
+    s"""cent AS (
+       |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
+       |    SELECT vec_id,
+       |      CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
+       |           THEN list_transform(embedding, x -> 0.0::DOUBLE)
+       |           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) END AS cl
+       |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))),
+       |n AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |ca AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    list_transform(range(1, 17), k ->
+       |      CASE WHEN nrm > 0 THEN
+       |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+       |          i -> CAST(embedding[i] AS DOUBLE) * c.cents[k][i])), (acc, x) -> acc + x) / nrm
+       |      ELSE 0.0 END) AS cells
+       |  FROM n, cent c
+       |  WHERE nrm > 0)""".stripMargin
+
+  // Minhash funnel CTE chain shared by the q42 and q129 oracles: the
+  // char-8-gram FNV hashes, the carry-split UBIGINT family signatures,
+  // the slot-tuple band buckets with the BucketGuard replay, and the
+  // candidate pairs with their signature agreement counts.
+  private def minhashAgreeCtes: String =
+    s"""consts AS (
+       |  SELECT $mhAhi::UBIGINT[] AS ahi, $mhAlo::UBIGINT[] AS alo,
+       |         $mhBhi::UBIGINT[] AS bhi, $mhBlo::UBIGINT[] AS blo),
+       |ghash AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, length(lower(text)) - 6),
+       |      i -> ${fnvSql("substr(lower(text), i, 8)", "14695981039346656037")})) AS h
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= 8),
+       |gsplit AS (
+       |  SELECT doc_id, CAST(h % 4294967296 AS UBIGINT) AS glo,
+       |         CAST(h // 4294967296 AS UBIGINT) AS ghi
+       |  FROM ghash),
+       |slots AS (
+       |  SELECT doc_id, i, min(
+       |      xor((((c.ahi[i]*glo) % 4294967296 + (c.alo[i]*ghi) % 4294967296
+       |            + (c.alo[i]*glo) // 4294967296 + c.bhi[i]
+       |            + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) // 4294967296) % 4294967296),
+       |          2147483648::UBIGINT) * 4294967296
+       |      + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) % 4294967296) AS vb
+       |  FROM gsplit, (SELECT unnest(range(1, 65)) AS i), consts c
+       |  GROUP BY doc_id, i),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list(CAST(vb::HUGEINT - 9223372036854775808::HUGEINT AS BIGINT) ORDER BY i) AS sig
+       |  FROM slots GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band_idx,
+       |    sig[4*band_idx + 1] AS s1, sig[4*band_idx + 2] AS s2,
+       |    sig[4*band_idx + 3] AS s3, sig[4*band_idx + 4] AS s4
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band_idx FROM sigs)),
+       |hot AS (
+       |  SELECT band_idx, s1, s2, s3, s4, count(*) AS bsz FROM bands
+       |  GROUP BY ALL HAVING count(*) > 1000),
+       |kept AS (SELECT b.* FROM bands b ANTI JOIN hot h USING (band_idx, s1, s2, s3, s4)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+       |  FROM kept x JOIN kept y
+       |    ON x.band_idx = y.band_idx AND x.s1 = y.s1 AND x.s2 = y.s2
+       |   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
+       |withagree AS (
+       |  SELECT ia, ib,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS agree
+       |  FROM cand JOIN sigs sa ON cand.ia = sa.doc_id
+       |            JOIN sigs sb ON cand.ib = sb.doc_id)""".stripMargin
+
   private val pipelineOracles: Map[String, String] = Map(
     // q47: full replay of the LSH-bucketed ANN path. Bucket assignment
     // reproduces the signed projections bit-exactly via the strict fold
@@ -953,25 +1032,7 @@ object SparkEntry {
     // unnest is kept in its own CTE: DuckDB rejects window functions
     // inside a LATERAL unnest context.
     "q68_ann_ivf_topk" ->
-      s"""WITH cent AS (
-        |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
-        |    SELECT vec_id,
-        |      CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
-        |           THEN list_transform(embedding, x -> 0.0::DOUBLE)
-        |           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) END AS cl
-        |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))),
-        |n AS (
-        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-        |  FROM embeddings),
-        |ca AS (
-        |  SELECT vec_id, embedding, nrm,
-        |    list_transform(range(1, 17), k ->
-        |      CASE WHEN nrm > 0 THEN
-        |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-        |          i -> CAST(embedding[i] AS DOUBLE) * c.cents[k][i])), (acc, x) -> acc + x) / nrm
-        |      ELSE 0.0 END) AS cells
-        |  FROM n, cent c
-        |  WHERE nrm > 0),
+      s"""WITH $ivfCellCtes,
         |corpus AS (
         |  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn,
         |    list_position(cells, list_aggregate(cells, 'max')) AS cell
@@ -997,6 +1058,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos4
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // q128: SemDeDup replay — same cell assignment as q68, then the
+    // within-cell pairwise compare with the conservative hot-cell guard
+    // and the keep-lowest-id drop rule; output is the full decision
+    // table. The cosine threshold compares UNROUNDED doubles — safe for
+    // the same reason as q67 (identical IEEE operation sequence).
+    "q128_semantic_dedup" ->
+      s"""WITH $ivfCellCtes,
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+        |  FROM ca),
+        |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
+        |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
+        |SELECT asg.vec_id, CAST(cell AS BIGINT) AS cell,
+        |       (d.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
     // q53: the decode STUB is deterministic byte statistics (mean/max/
     // count over the ASCII payload bytes), so even the mapPartitions
     // path is oracle-checkable — the replay pins the plumbing (schema,
@@ -1084,52 +1166,7 @@ object SparkEntry {
     // dup rule replay as in q44. Docs shorter than 8 chars produce no
     // shingles and fall out of the funnel in both engines.
     "q42_minhash_lsh_dedup" ->
-      s"""WITH consts AS (
-        |  SELECT $mhAhi::UBIGINT[] AS ahi, $mhAlo::UBIGINT[] AS alo,
-        |         $mhBhi::UBIGINT[] AS bhi, $mhBlo::UBIGINT[] AS blo),
-        |ghash AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, length(lower(text)) - 6),
-        |      i -> ${fnvSql("substr(lower(text), i, 8)", "14695981039346656037")})) AS h
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND length(text) >= 8),
-        |gsplit AS (
-        |  SELECT doc_id, CAST(h % 4294967296 AS UBIGINT) AS glo,
-        |         CAST(h // 4294967296 AS UBIGINT) AS ghi
-        |  FROM ghash),
-        |slots AS (
-        |  SELECT doc_id, i, min(
-        |      xor((((c.ahi[i]*glo) % 4294967296 + (c.alo[i]*ghi) % 4294967296
-        |            + (c.alo[i]*glo) // 4294967296 + c.bhi[i]
-        |            + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) // 4294967296) % 4294967296),
-        |          2147483648::UBIGINT) * 4294967296
-        |      + ((c.alo[i]*glo) % 4294967296 + c.blo[i]) % 4294967296) AS vb
-        |  FROM gsplit, (SELECT unnest(range(1, 65)) AS i), consts c
-        |  GROUP BY doc_id, i),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    list(CAST(vb::HUGEINT - 9223372036854775808::HUGEINT AS BIGINT) ORDER BY i) AS sig
-        |  FROM slots GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, band_idx,
-        |    sig[4*band_idx + 1] AS s1, sig[4*band_idx + 2] AS s2,
-        |    sig[4*band_idx + 3] AS s3, sig[4*band_idx + 4] AS s4
-        |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band_idx FROM sigs)),
-        |hot AS (
-        |  SELECT band_idx, s1, s2, s3, s4, count(*) AS bsz FROM bands
-        |  GROUP BY ALL HAVING count(*) > 1000),
-        |kept AS (SELECT b.* FROM bands b ANTI JOIN hot h USING (band_idx, s1, s2, s3, s4)),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
-        |  FROM kept x JOIN kept y
-        |    ON x.band_idx = y.band_idx AND x.s1 = y.s1 AND x.s2 = y.s2
-        |   AND x.s3 = y.s3 AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
-        |withagree AS (
-        |  SELECT ia, ib,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS agree
-        |  FROM cand JOIN sigs sa ON cand.ia = sa.doc_id
-        |            JOIN sigs sb ON cand.ib = sb.doc_id)
+      s"""WITH $minhashAgreeCtes
         |SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM sigs) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
@@ -1137,6 +1174,24 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
         |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
         |FROM withagree""".stripMargin,
+    // q129: the keep-list replay — the q42 candidate chain, the agree
+    // >= 32 dup rule, then min-reachable-id connected components via the
+    // same recursive-CTE pattern as the q35 oracle; docs outside every
+    // dup pair are their own canonical.
+    "q129_fuzzy_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashAgreeCtes,
+        |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32),
+        |ue AS (SELECT ia AS src, ib AS dst FROM pairs
+        |       UNION ALL SELECT ib, ia FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM ue
+        |  UNION
+        |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+        |),
+        |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node)
+        |SELECT d.doc_id, CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

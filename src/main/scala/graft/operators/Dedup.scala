@@ -113,24 +113,16 @@ object Dedup {
   def minhashLshSummary(spark: SparkSession, dir: String): DataFrame =
     minhashLshSummaryFrom(Tables(spark, dir).documents)
 
-  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
-    * synthetic near-duplicates and assert the funnel finds them.
-    * `maxBucket` is the [[BucketGuard]] cap: band buckets holding more
-    * documents than this are excluded from candidate generation and
-    * reported as skipped mass (columns 4-5 of the summary), bounding the
-    * worst case on a degenerate corpus at maxBucket²/2 pairs per bucket. */
-  def minhashLshSummaryFrom(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  /** The shared minhash-LSH candidate stage: cached signatures, band
+    * explosion, [[BucketGuard]], the band-bucket self-join and the
+    * signature agreement count. Returns (cached sigs, candidate pairs
+    * with `agree`, 1-row skipped-mass summary). The signature persist is
+    * the materialization barrier — the scan feeds 4 downstream branches
+    * (2 band sides + 2 signature sides) which would each recompute the
+    * shingle explosion otherwise. */
+  private def minhashCandidates(docs: DataFrame, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sigs = sigCache.rotate(minhashSignatures(docs).persist())
-    // Materialization barrier (the signature scan feeds 4 downstream
-    // branches — 2 band sides + 2 signature sides — which would each
-    // recompute the shingle explosion otherwise) AND the funnel
-    // denominator: `n_docs` counts SIGNABLE documents (≥ 1 shingle, i.e.
-    // non-null text of ≥ K chars). Unsignable docs cannot participate in
-    // near-dup detection, so they are intentionally outside the funnel —
-    // and counting the cached signatures avoids a second full scan of
-    // `docs` just for a cosmetic total. (Filter/report empties upstream;
-    // a mass of empty docs would otherwise need its own trivial-dup rule.)
-    val nDocs = sigs.count()
     val sigArr = sigs.select(col("doc_id"), col("sig"))
     // candidates: same band value in any band, deduplicated across bands
     val bandRows = sigs.select(col("doc_id"),
@@ -151,12 +143,68 @@ object Dedup {
       .select(col("ia"), col("ib"),
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           x => x)).as("agree"))
+    (sigs, withEst, skipped)
+  }
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
+    * synthetic near-duplicates and assert the funnel finds them.
+    * `maxBucket` is the [[BucketGuard]] cap: band buckets holding more
+    * documents than this are excluded from candidate generation and
+    * reported as skipped mass (columns 4-5 of the summary), bounding the
+    * worst case on a degenerate corpus at maxBucket²/2 pairs per bucket. */
+  def minhashLshSummaryFrom(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val (sigs, withEst, skipped) = minhashCandidates(docs, maxBucket)
+    // Funnel denominator: `n_docs` counts SIGNABLE documents (≥ 1
+    // shingle, i.e. non-null text of ≥ K chars). Unsignable docs cannot
+    // participate in near-dup detection, so they are intentionally
+    // outside the funnel — and counting the cached signatures avoids a
+    // second full scan of `docs` just for a cosmetic total. (Filter/
+    // report empties upstream; a mass of empty docs would otherwise need
+    // its own trivial-dup rule.)
+    val nDocs = sigs.count()
     withEst.agg(
         lit(nDocs).as("n_docs"),
         count(lit(1)).as("n_candidate_pairs"),
         coalesce(sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)),
           lit(0L)).as("n_dup_pairs"))
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
+  }
+
+  /** Fuzzy-dedup keep-list — the ACTION tier on top of the q42 funnel:
+    * the same minhash-LSH candidates and agree >= 32 dup rule, then
+    * connected components over the dup-pair graph (GraphX min-id labels,
+    * the q35 primitive: near-dup clusters are tiny, so the component
+    * step converges in a handful of supersteps), and canonical =
+    * component minimum. EVERY document appears in the output —
+    * non-duplicated and unsignable docs are their own canonical — so the
+    * table is directly joinable as a dedup filter
+    * (`WHERE doc_id = canonical_id` keeps one representative per
+    * near-dup cluster, the standard corpus-pipeline contract).
+    *
+    * Scale shape: inherits the funnel's bucket bounds; the CC step runs
+    * on dup PAIRS only (orders of magnitude smaller than the corpus) and
+    * transitivity is handled exactly — A~B~C collapses to one canonical
+    * even when A and C never shared a band. */
+  def fuzzyDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDedupKeepFrom(spark, Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def fuzzyDedupKeepFrom(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val (_, withEst, _) = minhashCandidates(docs, maxBucket)
+    val dupPairs = withEst.filter(col("agree") >= NumHashes / 2)
+      .select(col("ia"), col("ib"))
+    val comp = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(dupPairs.as[(Long, Long)].rdd, defaultValue = 0)
+      .connectedComponents().vertices
+      .map { case (id, c) => (id, c) }
+      .toDF("doc_id", "comp")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-document fingerprints: rolling PolyHash of the full text + 64-bit

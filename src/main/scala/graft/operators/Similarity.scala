@@ -166,13 +166,11 @@ object Similarity {
     annIvfTopKFrom(e, e.filter(col("vec_id") < 10))
   }
 
-  /** Same, over arbitrary corpus/query frames. */
-  def annIvfTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame,
-      k: Int = 16, nprobe: Int = 4): DataFrame = {
-    // coarse quantizer: the K lowest-id corpus vectors, normalized into
-    // literal arrays (K × Dim doubles — metadata scale, inlined into the
-    // assignment expression, no join needed)
-    val cents: Array[Array[Double]] = corpusRaw
+  /** Coarse quantizer directions: the K lowest-id corpus vectors,
+    * normalized into literal arrays (K × Dim doubles — metadata scale,
+    * inlined into the assignment expression, no join needed). */
+  private def centroidDirs(corpusRaw: DataFrame, k: Int): Array[Array[Double]] =
+    corpusRaw
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -180,30 +178,35 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(x => if (n == 0) 0.0 else x / n)
       }
-    // the nrm > 0 guard is redundant at runtime (zero-norm rows are
-    // filtered below) but required at plan time: ANSI constant folding
-    // evaluates the division for an all-literal row (e.g. a planted zero
-    // vector in a union branch) before the filter can prune it
+
+  /** Rows of `raw` with their K cell-cosine scores (`ca`). Zero-norm
+    * rows are excluded: a zero vector has no cosine direction — its NaN
+    * cell scores would null out array_position on the corpus side and
+    * sort FIRST under desc on the query side, selecting bogus cells.
+    * The nrm > 0 guard inside the array is redundant at runtime but
+    * required at plan time: ANSI constant folding evaluates the division
+    * for an all-literal row (e.g. a planted zero vector in a union
+    * branch) before the filter can prune it. */
+  private def withCellScores(raw: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     def cosArr(emb: Column, nrm: Column): Column =
       array(cents.map { c =>
         when(nrm > 0, dot(emb, array(c.map(lit): _*)) / nrm).otherwise(lit(0.0))
       }: _*)
-    // Zero-norm guard: a zero vector has no cosine direction — on the
-    // corpus side its NaN cell scores would null out array_position and
-    // silently drop the row; on the query side NaN sorts FIRST under desc,
-    // selecting bogus probe cells. Excluding them is the only coherent
-    // semantics (cosine similarity is undefined at the origin).
-    // corpus side: argmax cell (first-position tie-break — deterministic)
-    val corpus = withNorm(corpusRaw)
-      .filter(col("nrm") > 0)
+    withNorm(raw).filter(col("nrm") > 0)
       .withColumn("ca", cosArr(col("embedding"), col("nrm")))
+  }
+
+  /** Same, over arbitrary corpus/query frames. */
+  def annIvfTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = centroidDirs(corpusRaw, k)
+    // corpus side: argmax cell (first-position tie-break — deterministic)
+    val corpus = withCellScores(corpusRaw, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("nrm").as("cn"),
         array_position(col("ca"), array_max(col("ca"))).as("cell"))
     // query side: the nprobe best cells each
-    val qScored = withNorm(queriesRaw)
-      .filter(col("nrm") > 0)
-      .withColumn("ca", cosArr(col("embedding"), col("nrm")))
+    val qScored = withCellScores(queriesRaw, cents)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"),
         posexplode(col("ca")).as(Seq("pos", "cos_c")))
@@ -226,6 +229,61 @@ object Similarity {
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),
         col("neighbor_id"), col("cos4"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Bounded cache slot for the semantic-dedup cell assignment (feeds the
+    * hot-cell count, both self-join sides and the output projection). */
+  private val cellCache = new RotatingCache
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540, public method description): quantize embeddings into K
+    * cells with the SAME deterministic coarse quantizer as the IVF index,
+    * compare pairs only within a cell, and drop every vector that has a
+    * LOWER-id cell-mate with cosine >= tau. The paper keeps the vector
+    * farthest from the centroid per duplicate group; the keep-lowest-id
+    * rule here pins a deterministic total order instead so the whole
+    * decision table is oracle-checkable — the funnel shape (cluster,
+    * compare within cell, keep one) is the published method's.
+    *
+    * Scale shape: the pairwise compare is quadratic only WITHIN a cell —
+    * K grows with the corpus (K ~ N/B for a target cell size B), so
+    * per-cell work stays bounded; the self-join shuffles on the cell id
+    * exactly like the LSH band joins. Cells larger than `maxCell` are
+    * excluded from candidate generation CONSERVATIVELY: their vectors
+    * are kept (a dedup must never drop without evidence), mirroring the
+    * BucketGuard escalation contract of the other funnels. tau is
+    * fixture-calibrated to 0.35 here (the synthetic embeddings are
+    * near-orthogonal; a production corpus uses ~0.95 per the paper). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(Tables(spark, dir).embeddings, 0.35)
+
+  /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
+    * exact duplicates and assert the drop/keep decisions. Output is the
+    * full decision table: (vec_id, cell, kept), one row per non-zero-norm
+    * vector. */
+  def semanticDedupFrom(vecs: DataFrame, tau: Double, k: Int = 16,
+      maxCell: Int = 1000): DataFrame = {
+    val cents = centroidDirs(vecs, k)
+    val asg = cellCache.rotate(withCellScores(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        array_position(col("ca"), array_max(col("ca"))).as("cell"))
+      .persist())
+    val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+      .filter(col("_csz") > maxCell)
+    val inPlay = asg.join(hot.select(col("cell")), Seq("cell"), "left_anti")
+    val a = inPlay.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = inPlay.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    asg.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("_drop").isNull.as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate detection — the vector-space sibling

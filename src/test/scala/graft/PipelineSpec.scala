@@ -236,6 +236,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(eOff.getLong(1) == quad && eOff.getLong(2) == quad)
   }
 
+  test("semantic dedup drops planted duplicates; the cell guard is conservative") {
+    val base = Tables(spark, sf).embeddings.select(col("vec_id"), col("embedding"))
+    // plant an exact copy of vector 3: same cell, cosine exactly 1 —
+    // the keep-lowest-id rule must drop the copy and keep the original
+    val copy = base.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val decisions = Similarity.semanticDedupFrom(base.union(copy), tau = 0.35)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(decisions(3L), "the lower-id original must be kept")
+    assert(!decisions(100003L), "the planted exact copy must be dropped")
+    assert(decisions.size == 501, s"decision table must cover every vector")
+    // guard: with maxCell = 1 every cell is hot, so no comparisons run —
+    // a dedup must never drop without evidence
+    val guarded = Similarity.semanticDedupFrom(base.union(copy), tau = 0.35,
+      maxCell = 1).collect()
+    assert(guarded.forall(_.getBoolean(2)), "hot-cell vectors must be kept")
+  }
+
+  test("fuzzy dedup keep-list collapses transitive near-dup chains") {
+    val a = Tables(spark, sf).documents
+      .filter(col("doc_id") === 1L).select(col("doc_id"), col("text"))
+    // chain: b mutates a's tail, c mutates b's tail again — a~b and b~c
+    // are near-dups; connected components must give all three ONE
+    // canonical (the minimum id) whether or not a~c also banded
+    val b = a.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" zz mutated tail zz")).as("text"))
+    val c = b.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" yy another tail yy")).as("text"))
+    val rest = Tables(spark, sf).documents
+      .filter(col("doc_id") =!= 1L && col("doc_id") < 50L)
+      .select(col("doc_id"), col("text"))
+    val keep = Dedup.fuzzyDedupKeepFrom(spark, a.union(b).union(c).union(rest))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep(1L) == 1L && keep(100001L) == 1L && keep(200001L) == 1L,
+      s"chain must collapse to canonical 1: ${keep.view.filterKeys(_ % 100000 == 1).toMap}")
+    // corpus = chain(3) + 49 other docs; the fixture's own planted
+    // near-dups (e.g. 12 -> 8) may also collapse — that is correct
+    assert(keep.size == 52, "every document must appear in the keep-list")
+    // untouched docs are their own canonical (no false merges)
+    assert(keep(17L) == 17L, s"unrelated doc remapped: ${keep(17L)}")
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
