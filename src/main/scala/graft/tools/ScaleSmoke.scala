@@ -87,6 +87,26 @@ object ScaleSmoke {
       time(s"ann_lsh_topk")(
         graft.operators.Similarity.annLshTopKFrom(
           vecs, vecs.filter(col("vec_id") < 10)).count())
+      // dedup ACTION tiers: every amplified copy is an exact (embedding)
+      // or near (text) duplicate of its base, so drops/merges must grow
+      // linearly with mult while candidate work stays cell/band-bounded.
+      // K scales with the corpus (K ~ N/B, the operator's documented
+      // scale path) — a fixed K would push every cell over the
+      // conservative maxCell guard and the dedup would (correctly, but
+      // uninformatively) keep everything.
+      time(s"semantic_dedup") {
+        val d = graft.operators.Similarity
+          .semanticDedupFrom(vecs, 0.35, k = 16 * mult)
+        val dropped = d.filter(!col("kept")).count()
+        println(s"[scale]   semantic dedup: vectors=${d.count()} dropped=$dropped")
+        dropped
+      }
+      time(s"fuzzy_dedup_keep") {
+        val k = graft.operators.Dedup.fuzzyDedupKeepFrom(spark, docs)
+        val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()
+        println(s"[scale]   fuzzy keep-list: docs=${k.count()} merged=$merged")
+        merged
+      }
       // graph shapes: edges derived from the amplified orders copy (each
       // copy is a shifted sub-graph — node count grows with mult)
       val de = ord.select(
