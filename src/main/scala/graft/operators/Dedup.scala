@@ -108,8 +108,9 @@ object Dedup {
   /** MinHash-LSH near-dup detection, reported as a 1-row summary
     * (candidate pairs from band-bucket collisions; "duplicates" = estimated
     * Jaccard ≥ 0.5, i.e. ≥ 32 of 64 signature slots agree). The fixture
-    * corpus has no near-dups (max true Jaccard ≈ 0.11), so the interesting
-    * assertable output is the funnel: docs → candidates → dups. */
+    * corpus carries a small planted near-dup mass (25 dup pairs of 34
+    * candidates at sf0.01), so the whole funnel — docs → candidates →
+    * dups — is assertable, and the q129 keep-list acts on those pairs. */
   def minhashLshSummary(spark: SparkSession, dir: String): DataFrame =
     minhashLshSummaryFrom(Tables(spark, dir).documents)
 
