@@ -280,6 +280,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(keep(17L) == 17L, s"unrelated doc remapped: ${keep(17L)}")
   }
 
+  test("fuzzy dedup keep-list on a dup-free corpus is the identity") {
+    // no candidate survives the agree >= 32 rule -> the pair graph is
+    // empty and the GraphX component step must degrade to a no-op
+    // (every doc its own canonical), not crash on an empty edge set
+    val distinctDocs = Tables(spark, sf).documents
+      .filter(col("doc_id") < 20L).select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(" totally distinct "),
+          md5(col("doc_id").cast("string"))).as("text"))
+    val keep = Dedup.fuzzyDedupKeepFrom(spark, distinctDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(keep.length == 20 && keep.forall { case (d, c) => d == c },
+      s"dup-free corpus must map every doc to itself: ${keep.filterNot { case (d, c) => d == c }.toSeq}")
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
