@@ -1650,5 +1650,10 @@ object SparkEntry {
     // round 6: the composed corpus-cleaning pipeline is the showcase
     // LLM-data query — its end-to-end cost belongs in the round-over-
     // round trend line.
-    "q121_full_pipeline")
+    "q121_full_pipeline",
+    // round 6: the dedup ACTION tier (funnel + pair-graph components +
+    // canonical ids) — the other composite the pipeline runs per epoch.
+    // q128 is not separately tracked: its cost profile is the tracked
+    // q46/q47 shape (cell dots + bounded self-join).
+    "q129_fuzzy_dedup_keep")
 }
