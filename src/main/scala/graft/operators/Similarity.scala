@@ -235,6 +235,53 @@ object Similarity {
     * hot-cell count, both self-join sides and the output projection). */
   private val cellCache = new RotatingCache
 
+  /** Hierarchical (two-level) cell assignment: argmax over ceil(√K)
+    * super-directions (the first √K centroids, a small inlined array
+    * expression), then argmax over only the centroids belonging to that
+    * super-cell — realized as a BROADCAST join against the centroid
+    * dimension table (cell, super, dir) followed by a per-vector
+    * windowed argmax, so a row pays √K inlined dots plus ~K/√K joined
+    * rows instead of K inlined dots. (A first attempt inlined the whole
+    * second level as a K-branch CASE expression — the generated code
+    * blew past JVM method limits into interpreted evaluation and ran 6×
+    * SLOWER than flat; the dimension-table form stays in codegen.)
+    * Tie-breaks mirror the flat argmax exactly: first super index, then
+    * lowest global centroid index among score ties. Output schema
+    * matches the flat path: (vec_id, embedding, nrm, cell) with cell a
+    * GLOBAL 1-based centroid index — downstream (guard, self-join,
+    * decision table) is shared. */
+  private def withTwoLevelCell(raw: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val s = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    val supers = cents.take(s)
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // centroid -> super (first-max tie-break, mirroring array_position);
+    // K×√K dots, driver-side metadata
+    val centDf = cents.zipWithIndex.map { case (c, i) =>
+      val scores = supers.map(sd => dotA(c, sd))
+      (i.toLong + 1L, scores.indexOf(scores.max) + 1, c.toSeq)
+    }.toSeq.toDF("cell", "sup", "dir")
+    val supArr = array(supers.map(sd =>
+      when(col("nrm") > 0, dot(col("embedding"), array(sd.map(lit): _*)) / col("nrm"))
+        .otherwise(lit(0.0))): _*)
+    val assigned = withNorm(raw).filter(col("nrm") > 0)
+      .withColumn("sup", array_position(supArr, array_max(supArr)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    assigned.join(broadcast(centDf), Seq("sup"))
+      .withColumn("cscore", dot(col("embedding"), col("dir")) / col("nrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540, public method description): quantize embeddings into K
     * cells with the SAME deterministic coarse quantizer as the IVF index,
@@ -260,14 +307,27 @@ object Similarity {
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * exact duplicates and assert the drop/keep decisions. Output is the
     * full decision table: (vec_id, cell, kept), one row per non-zero-norm
-    * vector. */
+    * vector.
+    *
+    * `twoLevel = true` switches to the hierarchical assignment that
+    * keeps the quantizer sub-quadratic when K scales with the corpus
+    * (K ~ N/B makes the flat argmax O(N·K) = O(N²/B) — measured at 50×,
+    * see SCALING.md): vectors first pick the best of ceil(√K) super-
+    * directions, then the best centroid within that super-cell only —
+    * O(N·2√K) dots. Assignments can differ from the flat argmax at
+    * super-cell borders (the standard IVF-hierarchy recall trade);
+    * identical vectors always evaluate identical expressions, so
+    * exact duplicates still co-locate and the drop rule is unchanged. */
   def semanticDedupFrom(vecs: DataFrame, tau: Double, k: Int = 16,
-      maxCell: Int = 1000): DataFrame = {
+      maxCell: Int = 1000, twoLevel: Boolean = false): DataFrame = {
     val cents = centroidDirs(vecs, k)
-    val asg = cellCache.rotate(withCellScores(vecs, cents)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        array_position(col("ca"), array_max(col("ca"))).as("cell"))
-      .persist())
+    val cellExpr: DataFrame => DataFrame =
+      if (!twoLevel)
+        df => withCellScores(df, cents)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            array_position(col("ca"), array_max(col("ca"))).as("cell"))
+      else df => withTwoLevelCell(df, cents)
+    val asg = cellCache.rotate(cellExpr(vecs).persist())
     val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
       .filter(col("_csz") > maxCell)
     val inPlay = asg.join(hot.select(col("cell")), Seq("cell"), "left_anti")

@@ -101,6 +101,16 @@ object ScaleSmoke {
         println(s"[scale]   semantic dedup: vectors=${d.count()} dropped=$dropped")
         dropped
       }
+      // the hierarchical assignment at the same scaled K: per-row cost
+      // drops from K dots to √K + |super| — the flat path's measured
+      // O(N·K) assignment term is the one super-linearity in the tree
+      time(s"semantic_dedup_two_level") {
+        val d = graft.operators.Similarity
+          .semanticDedupFrom(vecs, 0.35, k = 16 * mult, twoLevel = true)
+        val dropped = d.filter(!col("kept")).count()
+        println(s"[scale]   two-level: vectors=${d.count()} dropped=$dropped")
+        dropped
+      }
       time(s"fuzzy_dedup_keep") {
         val k = graft.operators.Dedup.fuzzyDedupKeepFrom(spark, docs)
         val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()

@@ -252,6 +252,19 @@ class PipelineSpec extends AnyFunSuite {
     val guarded = Similarity.semanticDedupFrom(base.union(copy), tau = 0.35,
       maxCell = 1).collect()
     assert(guarded.forall(_.getBoolean(2)), "hot-cell vectors must be kept")
+    // two-level (hierarchical) assignment: identical vectors evaluate
+    // identical expressions, so exact copies still co-locate and drop —
+    // the O(N·2√K) scale path must not lose recall on exact dups
+    val two = Similarity.semanticDedupFrom(base.union(copy), tau = 0.35,
+      k = 64, twoLevel = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val twoMap = two.map(r => r._1 -> r._3).toMap
+    assert(twoMap(3L) && !twoMap(100003L),
+      "two-level path must keep the original and drop the exact copy")
+    val cells = two.map(r => r._1 -> r._2).toMap
+    assert(cells(3L) == cells(100003L), "exact copies must share a cell")
+    assert(cells.values.forall(c => c >= 1L && c <= 64L),
+      s"cells must be global 1-based centroid indices: ${cells.values.toSet}")
   }
 
   test("fuzzy dedup keep-list collapses transitive near-dup chains") {
