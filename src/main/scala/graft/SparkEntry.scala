@@ -120,6 +120,7 @@ object SparkEntry {
     "q44_simhash_neardup"    -> (Dedup.simhashNearDupSummary _),
     "q128_semantic_dedup"    -> (Similarity.semanticDedup _),
     "q129_fuzzy_dedup_keep"  -> (Dedup.fuzzyDedupKeep _),
+    "q130_semantic_dedup_2l" -> (Similarity.semanticDedup2l _),
     "q45_cosine_topk_pairs"  -> (Similarity.cosineTopKPairs _),
     "q46_ann_bruteforce_topk" -> (Similarity.annBruteForceTopK _),
     "q47_ann_lsh_topk"       -> (Similarity.annLshTopK _),
@@ -1069,6 +1070,68 @@ object SparkEntry {
         |  SELECT vec_id, embedding, nrm,
         |    list_position(cells, list_aggregate(cells, 'max')) AS cell
         |  FROM ca),
+        |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
+        |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
+        |SELECT asg.vec_id, CAST(cell AS BIGINT) AS cell,
+        |       (d.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
+    // q130: the two-level SemDeDup replay. Stage 1 is driver metadata in
+    // Spark, plain SQL here: each of the 16 centroids maps to the first-
+    // max of its dots against the first ceil(√16)=4 super-directions
+    // (c2s); supers that received no centroid are excluded from the
+    // vector-side argmax (plist — mirrors the `present` restriction in
+    // withTwoLevelCell). Stage 2: each vector picks its super by
+    // first-max over the present supers, then its GLOBAL cell by a
+    // windowed argmax over only that super's centroids (score desc, cell
+    // asc — the exact Spark window). All dots are the strict left-to-
+    // right double folds of the q68 replay; from the assignment on, the
+    // decision table is the q128 chain verbatim.
+    "q130_semantic_dedup_2l" ->
+      s"""WITH cent AS (
+        |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN sqrt(${dotSql("embedding", "embedding")}) = 0
+        |           THEN list_transform(embedding, x -> 0.0::DOUBLE)
+        |           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dotSql("embedding", "embedding")})) END AS cl
+        |    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16))),
+        |c2s AS (
+        |  SELECT k AS cell, list_position(ss, list_aggregate(ss, 'max')) AS sup
+        |  FROM (
+        |    SELECT k, list_transform(range(1, 5), j ->
+        |      list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+        |        i -> c.cents[k][i] * c.cents[j][i])), (acc, x) -> acc + x)) AS ss
+        |    FROM range(1, 17) t(k), cent c)),
+        |plist AS (
+        |  SELECT list(sup ORDER BY sup) AS ps FROM (SELECT DISTINCT sup FROM c2s)),
+        |n AS (
+        |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |vsup AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    p.ps[list_position(ss, list_aggregate(ss, 'max'))] AS sup
+        |  FROM (
+        |    SELECT vec_id, embedding, nrm,
+        |      list_transform(p2.ps, j ->
+        |        CASE WHEN nrm > 0 THEN
+        |          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+        |            i -> CAST(embedding[i] AS DOUBLE) * c.cents[j][i])), (acc, x) -> acc + x) / nrm
+        |        ELSE 0.0 END) AS ss
+        |    FROM n CROSS JOIN plist p2 CROSS JOIN cent c
+        |    WHERE nrm > 0) q CROSS JOIN plist p),
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm, cell FROM (
+        |    SELECT v.vec_id, v.embedding, v.nrm, m.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+        |          i -> CAST(v.embedding[i] AS DOUBLE) * c.cents[m.cell][i])), (acc, x) -> acc + x) / v.nrm DESC,
+        |        m.cell ASC) AS rn
+        |    FROM vsup v JOIN c2s m ON v.sup = m.sup CROSS JOIN cent c)
+        |  WHERE rn = 1),
         |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
         |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
         |dropped AS (

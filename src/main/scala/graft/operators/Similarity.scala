@@ -249,7 +249,17 @@ object Similarity {
     * lowest global centroid index among score ties. Output schema
     * matches the flat path: (vec_id, embedding, nrm, cell) with cell a
     * GLOBAL 1-based centroid index — downstream (guard, self-join,
-    * decision table) is shared. */
+    * decision table) is shared.
+    *
+    * The vector-side argmax runs over only the supers that actually
+    * RECEIVED >= 1 centroid in the centroid→super mapping (on float data
+    * a super can end up empty — a duplicated or zero-norm direction among
+    * the first ceil(√K) corpus vectors maps its own centroid elsewhere).
+    * Restricting the candidate set keeps the downstream join total: every
+    * vector lands in a non-empty super, so the one-row-per-non-zero-norm-
+    * vector contract of the decision table holds by construction instead
+    * of by luck. The restriction is metadata (≤ √K literal indices) and
+    * replayed identically by the q130 oracle. */
   private def withTwoLevelCell(raw: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     val spark = raw.sparkSession
@@ -263,15 +273,21 @@ object Similarity {
     }
     // centroid -> super (first-max tie-break, mirroring array_position);
     // K×√K dots, driver-side metadata
-    val centDf = cents.zipWithIndex.map { case (c, i) =>
+    val cellSup = cents.zipWithIndex.map { case (c, i) =>
       val scores = supers.map(sd => dotA(c, sd))
       (i.toLong + 1L, scores.indexOf(scores.max) + 1, c.toSeq)
-    }.toSeq.toDF("cell", "sup", "dir")
-    val supArr = array(supers.map(sd =>
+    }
+    val centDf = cellSup.toSeq.toDF("cell", "sup", "dir")
+    val present: Array[Int] = cellSup.map(_._2).distinct.sorted
+    val supArr = array(present.map { j =>
+      val sd = supers(j - 1)
       when(col("nrm") > 0, dot(col("embedding"), array(sd.map(lit): _*)) / col("nrm"))
-        .otherwise(lit(0.0))): _*)
+        .otherwise(lit(0.0))
+    }: _*)
+    val presentLit = array(present.map(j => lit(j)): _*)
     val assigned = withNorm(raw).filter(col("nrm") > 0)
-      .withColumn("sup", array_position(supArr, array_max(supArr)).cast("int"))
+      .withColumn("sup", element_at(presentLit,
+        array_position(supArr, array_max(supArr)).cast("int")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cell").asc)
@@ -303,6 +319,16 @@ object Similarity {
     * near-orthogonal; a production corpus uses ~0.95 per the paper). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupFrom(Tables(spark, dir).embeddings, 0.35)
+
+  /** The q130 registered form: the SAME decision-table contract as q128
+    * but with the hierarchical (two-level) quantizer — the assignment that
+    * stays sub-quadratic when K scales with the corpus (O(N·2√K) dots vs
+    * the flat path's O(N·K); measured at 50×, SCALING.md). Oracled
+    * bit-exactly: the DuckDB replay recomputes the centroid→super map,
+    * the present-super argmax and the within-super windowed argmax with
+    * the same strict-fold float geometry as the q68/q128 replays. */
+  def semanticDedup2l(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(Tables(spark, dir).embeddings, 0.35, twoLevel = true)
 
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * exact duplicates and assert the drop/keep decisions. Output is the

@@ -267,6 +267,31 @@ class PipelineSpec extends AnyFunSuite {
       s"cells must be global 1-based centroid indices: ${cells.values.toSet}")
   }
 
+  test("two-level assignment survives an empty super: no vector is dropped") {
+    import spark.implicits._
+    // Engineer the ADVICE scenario: centroid 2 is a ZERO-norm direction,
+    // so it maps to super 1 (all-zero scores, first-max) and — because a
+    // zero super-direction scores 0 against every centroid while super 1
+    // ties it at 0 and wins first-max — NO centroid maps to super 2. A
+    // probe vector anti-aligned with supers 1/3/4 then argmaxes to the
+    // empty super 2 (its only non-negative score); before the present-
+    // super restriction the inner join silently dropped it.
+    def unit(d: Int): Array[Float] = Array.tabulate(64)(i => if (i == d) 1f else 0f)
+    val cents: Seq[(Long, Array[Float])] =
+      (1L, unit(0)) +: (2L, Array.fill(64)(0f)) +: (3L, unit(1)) +: (4L, unit(2)) +:
+        (5L to 16L).map(i => (i, unit(i.toInt + 1)))
+    val probe = (100L, Array.tabulate(64)(i => if (i <= 2) -1f else 0f))
+    val vecs = (cents :+ probe).toDF("vec_id", "embedding")
+    val dec = Similarity.semanticDedupFrom(vecs, tau = 0.35, twoLevel = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // 16 fixture vectors + probe, minus the zero-norm vector 2 = 16 rows
+    assert(dec.length == 16,
+      s"one row per non-zero-norm vector, got ${dec.map(_._1).toSeq.sorted}")
+    assert(dec.exists(_._1 == 100L), "the empty-super probe must not be dropped")
+    assert(dec.forall { case (_, c, _) => c >= 1L && c <= 16L },
+      s"cells must be global 1-based centroid indices")
+  }
+
   test("fuzzy dedup keep-list collapses transitive near-dup chains") {
     val a = Tables(spark, sf).documents
       .filter(col("doc_id") === 1L).select(col("doc_id"), col("text"))
