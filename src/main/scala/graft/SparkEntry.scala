@@ -966,7 +966,19 @@ object SparkEntry {
        |    list_sum(list_transform(range(1, 65),
        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS agree
        |  FROM cand JOIN sigs sa ON cand.ia = sa.doc_id
-       |            JOIN sigs sb ON cand.ib = sb.doc_id)""".stripMargin
+       |            JOIN sigs sb ON cand.ib = sb.doc_id),
+       |eschot AS (
+       |  SELECT b.band_idx, b.s1, b.s2, b.s3, b.s4, b.doc_id, md5(d.text) AS mh
+       |  FROM (SELECT b.* FROM bands b SEMI JOIN hot h
+       |          USING (band_idx, s1, s2, s3, s4)) b
+       |  JOIN documents d USING (doc_id)),
+       |esccanon AS (
+       |  SELECT band_idx, s1, s2, s3, s4, mh, min(doc_id) AS canon
+       |  FROM eschot GROUP BY ALL),
+       |escpairs AS (
+       |  SELECT DISTINCT e.canon AS ia, h.doc_id AS ib
+       |  FROM eschot h JOIN esccanon e USING (band_idx, s1, s2, s3, s4, mh)
+       |  WHERE h.doc_id != e.canon)""".stripMargin
 
   private val pipelineOracles: Map[String, String] = Map(
     // q47: full replay of the LSH-bucketed ANN path. Bucket assignment
@@ -1018,13 +1030,23 @@ object SparkEntry {
         |    a.embedding AS ea, a.nrm AS na, b.embedding AS eb, b.nrm AS nb
         |  FROM kept a JOIN kept b
         |    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-        |cs AS (SELECT ${dotSql("ea", "eb")} / (na * nb) AS cos FROM cand)
+        |cs AS (SELECT ${dotSql("ea", "eb")} / (na * nb) AS cos FROM cand),
+        |hotrows AS (SELECT s.* FROM sigs s SEMI JOIN hot h USING (table_idx, bucket)),
+        |esccanon AS (
+        |  SELECT table_idx, bucket, embedding, min(vec_id) AS canon
+        |  FROM hotrows GROUP BY ALL),
+        |escdrop AS (
+        |  SELECT DISTINCT h.vec_id FROM hotrows h
+        |  JOIN esccanon e ON h.table_idx = e.table_idx AND h.bucket = e.bucket
+        |   AND h.embedding = e.embedding
+        |  WHERE h.vec_id != e.canon)
         |SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM n) AS n_vecs,
         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
         |  CAST(coalesce(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
-        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM escdrop) AS n_escalated
         |FROM cs""".stripMargin,
     // q68: IVF replay — the coarse quantizer (16 lowest-id vectors,
     // driver-normalized in Spark, normalized the same way here), argmax
@@ -1075,10 +1097,21 @@ object SparkEntry {
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
-        |SELECT asg.vec_id, CAST(cell AS BIGINT) AS cell,
-        |       (d.vec_id IS NULL) AS kept
-        |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
+        |hotrows AS (SELECT a.* FROM asg a SEMI JOIN hot h USING (cell)),
+        |esccanon AS (
+        |  SELECT cell, embedding, min(vec_id) AS canon FROM hotrows GROUP BY ALL),
+        |escdropped AS (
+        |  SELECT h.vec_id FROM hotrows h
+        |  JOIN esccanon e ON h.cell = e.cell AND h.embedding = e.embedding
+        |  WHERE h.vec_id != e.canon),
+        |alldropped AS (
+        |  SELECT vec_id FROM dropped UNION SELECT vec_id FROM escdropped)
+        |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+        |       (d.vec_id IS NULL) AS kept,
+        |       (h.cell IS NOT NULL) AS escalated
+        |FROM asg LEFT JOIN alldropped d ON asg.vec_id = d.vec_id
+        |         LEFT JOIN hot h ON asg.cell = h.cell
         |ORDER BY asg.vec_id""".stripMargin,
     // q130: the two-level SemDeDup replay. Stage 1 is driver metadata in
     // Spark, plain SQL here: each of the 16 centroids maps to the first-
@@ -1137,10 +1170,21 @@ object SparkEntry {
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
-        |SELECT asg.vec_id, CAST(cell AS BIGINT) AS cell,
-        |       (d.vec_id IS NULL) AS kept
-        |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
+        |hotrows AS (SELECT a.* FROM asg a SEMI JOIN hot h USING (cell)),
+        |esccanon AS (
+        |  SELECT cell, embedding, min(vec_id) AS canon FROM hotrows GROUP BY ALL),
+        |escdropped AS (
+        |  SELECT h.vec_id FROM hotrows h
+        |  JOIN esccanon e ON h.cell = e.cell AND h.embedding = e.embedding
+        |  WHERE h.vec_id != e.canon),
+        |alldropped AS (
+        |  SELECT vec_id FROM dropped UNION SELECT vec_id FROM escdropped)
+        |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+        |       (d.vec_id IS NULL) AS kept,
+        |       (h.cell IS NOT NULL) AS escalated
+        |FROM asg LEFT JOIN alldropped d ON asg.vec_id = d.vec_id
+        |         LEFT JOIN hot h ON asg.cell = h.cell
         |ORDER BY asg.vec_id""".stripMargin,
     // q53: the decode STUB is deterministic byte statistics (mean/max/
     // count over the ASCII payload bytes), so even the mapPartitions
@@ -1211,12 +1255,21 @@ object SparkEntry {
         |                  x.simhash AS sa, y.simhash AS sb
         |  FROM kept x JOIN kept y
         |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-        |   AND x.doc_id < y.doc_id)
+        |   AND x.doc_id < y.doc_id),
+        |hotrows AS (SELECT b.* FROM bands b SEMI JOIN hot h USING (band_idx, band_val)),
+        |esccanon AS (
+        |  SELECT band_idx, band_val, simhash, min(doc_id) AS canon
+        |  FROM hotrows GROUP BY ALL),
+        |escdrop AS (
+        |  SELECT DISTINCT h.doc_id FROM hotrows h
+        |  JOIN esccanon e USING (band_idx, band_val, simhash)
+        |  WHERE h.doc_id != e.canon)
         |SELECT
         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
         |  CAST(coalesce(sum(CASE WHEN bit_count(xor(sa, sb)) <= 12 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dup_pairs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
-        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM escdrop) AS n_escalated
         |FROM cand""".stripMargin,
     // q42: full replay of the minhash-LSH funnel. Char 8-gram FNV hashes
     // (the MinHashSig input) are stretched through the splitmix64 family
@@ -1235,7 +1288,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
         |  CAST(coalesce(sum(CASE WHEN agree >= 32 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_skipped_buckets,
-        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows
+        |  (SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT) FROM hot) AS n_skipped_rows,
+        |  (SELECT CAST(count(DISTINCT ib) AS BIGINT) FROM escpairs) AS n_escalated
         |FROM withagree""".stripMargin,
     // q129: the keep-list replay — the q42 candidate chain, the agree
     // >= 32 dup rule, then min-reachable-id connected components via the
@@ -1243,7 +1297,8 @@ object SparkEntry {
     // dup pair are their own canonical.
     "q129_fuzzy_dedup_keep" ->
       s"""WITH RECURSIVE $minhashAgreeCtes,
-        |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32),
+        |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
+        |          UNION SELECT ia, ib FROM escpairs),
         |ue AS (SELECT ia AS src, ib AS dst FROM pairs
         |       UNION ALL SELECT ib, ia FROM pairs),
         |walk(node, reach) AS (

@@ -117,20 +117,44 @@ object Dedup {
   /** The shared minhash-LSH candidate stage: cached signatures, band
     * explosion, [[BucketGuard]], the band-bucket self-join and the
     * signature agreement count. Returns (cached sigs, candidate pairs
-    * with `agree`, 1-row skipped-mass summary). The signature persist is
-    * the materialization barrier — the scan feeds 4 downstream branches
-    * (2 band sides + 2 signature sides) which would each recompute the
-    * shingle explosion otherwise. */
+    * with `agree`, 1-row skipped-mass summary, escalated exact-dup
+    * pairs). The signature persist is the materialization barrier — the
+    * scan feeds 4 downstream branches (2 band sides + 2 signature sides)
+    * which would each recompute the shingle explosion otherwise.
+    *
+    * The escalation rung: inside each over-cap band bucket, docs whose
+    * md5(text) matches a lower-id doc in the same bucket are exact
+    * duplicates — returned as (canonical, dup) pairs. Sound under the
+    * funnel's own rule (identical text ⇒ identical signature ⇒ agree
+    * 64/64 ≥ 32) and LINEAR in the bucket (group-by + join back, no
+    * self-join) — so the mass-duplicated boilerplate that MAKES a bucket
+    * hot still dedups; only non-identical near-dup mass inside hot
+    * buckets stays conservative-kept. */
   private def minhashCandidates(docs: DataFrame, maxBucket: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sigs = sigCache.rotate(minhashSignatures(docs).persist())
     val sigArr = sigs.select(col("doc_id"), col("sig"))
     // candidates: same band value in any band, deduplicated across bands
     val bandRows = sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_val")))
-    val (keptRows, skipped) =
+    val (keptRows, hotRowsOpt, skipped) =
       BucketGuard(bandRows, Seq("band_idx", "band_val"), maxBucket)
+    val escPairs = hotRowsOpt match {
+      case None =>
+        // no over-cap bucket ⇒ the md5 re-scan of `docs` is never planned
+        val s = docs.sparkSession
+        s.range(0).select(col("id").as("ia"), col("id").as("ib"))
+      case Some(hotRows) =>
+        val escHot = hotRows.join(
+          docs.select(col("doc_id"), md5(col("text")).as("_md5")), Seq("doc_id"))
+        val escCanon = escHot.groupBy(col("band_idx"), col("band_val"), col("_md5"))
+          .agg(min(col("doc_id")).as("ia"))
+        escHot.join(escCanon, Seq("band_idx", "band_val", "_md5"))
+          .filter(col("doc_id") =!= col("ia"))
+          .select(col("ia"), col("doc_id").as("ib"))
+          .distinct()
+    }
     val cand = keptRows.alias("x")
       .join(keptRows.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -144,7 +168,7 @@ object Dedup {
       .select(col("ia"), col("ib"),
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           x => x)).as("agree"))
-    (sigs, withEst, skipped)
+    (sigs, withEst, skipped, escPairs)
   }
 
   /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
@@ -154,7 +178,7 @@ object Dedup {
     * reported as skipped mass (columns 4-5 of the summary), bounding the
     * worst case on a degenerate corpus at maxBucket²/2 pairs per bucket. */
   def minhashLshSummaryFrom(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val (sigs, withEst, skipped) = minhashCandidates(docs, maxBucket)
+    val (sigs, withEst, skipped, escPairs) = minhashCandidates(docs, maxBucket)
     // Funnel denominator: `n_docs` counts SIGNABLE documents (≥ 1
     // shingle, i.e. non-null text of ≥ K chars). Unsignable docs cannot
     // participate in near-dup detection, so they are intentionally
@@ -163,12 +187,18 @@ object Dedup {
     // report empties upstream; a mass of empty docs would otherwise need
     // its own trivial-dup rule.)
     val nDocs = sigs.count()
+    // n_escalated: docs dropped by the exact-dedup rung inside over-cap
+    // buckets — the summary's answer to "did the guard swallow the
+    // boilerplate, or did the escalation still dedup it?"
+    val nEsc = escPairs.select(col("ib")).distinct()
+      .agg(count(lit(1)).as("n_escalated"))
     withEst.agg(
         lit(nDocs).as("n_docs"),
         count(lit(1)).as("n_candidate_pairs"),
         coalesce(sum(when(col("agree") >= NumHashes / 2, 1L).otherwise(0L)),
           lit(0L)).as("n_dup_pairs"))
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
+      .crossJoin(nEsc)
   }
 
   /** Fuzzy-dedup keep-list — the ACTION tier on top of the q42 funnel:
@@ -193,9 +223,13 @@ object Dedup {
   def fuzzyDedupKeepFrom(spark: SparkSession, docs: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val (_, withEst, _) = minhashCandidates(docs, maxBucket)
+    val (_, withEst, _, escPairs) = minhashCandidates(docs, maxBucket)
+    // the escalated exact-dup pairs join the graph: identical docs inside
+    // over-cap buckets collapse to the same canonical even though they
+    // never reached the band self-join
     val dupPairs = withEst.filter(col("agree") >= NumHashes / 2)
       .select(col("ia"), col("ib"))
+      .unionByName(escPairs)
     val comp = org.apache.spark.graphx.Graph
       .fromEdgeTuples(dupPairs.as[(Long, Long)].rdd, defaultValue = 0)
       .connectedComponents().vertices
@@ -324,13 +358,31 @@ object Dedup {
     simhashNearDupSummaryFrom(fingerprints(spark, dir))
 
   /** Same, over precomputed fingerprints (testable with planted dups).
-    * `maxBucket` caps the per-band bucket size (see [[BucketGuard]]). */
+    * `maxBucket` caps the per-band bucket size (see [[BucketGuard]]).
+    *
+    * Escalation rung inside over-cap buckets: docs sharing the FULL
+    * 64-bit fingerprint with a lower-id doc in the same bucket count as
+    * escalated dups — Hamming 0 trivially passes the funnel's own ≤ 12
+    * verify rule, and the fingerprint is already in the row, so the rung
+    * is one linear group-by with no text re-scan. */
   def simhashNearDupSummaryFrom(fps: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val fp = fps
       .select(col("doc_id"), col("simhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
           .as(Seq("band_idx", "band_val")))
-    val (kept, skipped) = BucketGuard(fp, Seq("band_idx", "band_val"), maxBucket)
+    val (kept, hotRowsOpt, skipped) =
+      BucketGuard(fp, Seq("band_idx", "band_val"), maxBucket)
+    val nEsc = hotRowsOpt match {
+      case None => fps.sparkSession.range(1).select(lit(0L).as("n_escalated"))
+      case Some(hotRows) =>
+        val escCanon = hotRows
+          .groupBy(col("band_idx"), col("band_val"), col("simhash"))
+          .agg(min(col("doc_id")).as("_canon"))
+        hotRows.join(escCanon, Seq("band_idx", "band_val", "simhash"))
+          .filter(col("doc_id") =!= col("_canon"))
+          .select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_escalated"))
+    }
     val cand = kept.alias("x").join(kept.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -343,5 +395,6 @@ object Dedup {
         coalesce(sum(when(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 12, 1L)
           .otherwise(0L)), lit(0L)).as("n_near_dup_pairs"))
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
+      .crossJoin(nEsc)
   }
 }

@@ -312,11 +312,14 @@ object Similarity {
     * K grows with the corpus (K ~ N/B for a target cell size B), so
     * per-cell work stays bounded; the self-join shuffles on the cell id
     * exactly like the LSH band joins. Cells larger than `maxCell` are
-    * excluded from candidate generation CONSERVATIVELY: their vectors
-    * are kept (a dedup must never drop without evidence), mirroring the
-    * BucketGuard escalation contract of the other funnels. tau is
-    * fixture-calibrated to 0.35 here (the synthetic embeddings are
-    * near-orthogonal; a production corpus uses ~0.95 per the paper). */
+    * excluded from the PAIRWISE compare, but not silently kept whole:
+    * the escalation rung runs exact-embedding dedup inside each hot cell
+    * (linear group-by — identical vectors have cosine exactly 1 ≥ tau,
+    * so the drop is evidence-backed), and only non-identical vectors in
+    * hot cells stay conservative-kept. The decision table's `escalated`
+    * column marks rows decided by that rung. tau is fixture-calibrated
+    * to 0.35 here (the synthetic embeddings are near-orthogonal; a
+    * production corpus uses ~0.95 per the paper). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupFrom(Tables(spark, dir).embeddings, 0.35)
 
@@ -332,8 +335,10 @@ object Similarity {
 
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * exact duplicates and assert the drop/keep decisions. Output is the
-    * full decision table: (vec_id, cell, kept), one row per non-zero-norm
-    * vector.
+    * full decision table: (vec_id, cell, kept, escalated), one row per
+    * non-zero-norm vector; `escalated` marks rows whose cell was over
+    * `maxCell` and therefore decided by the exact-match rung instead of
+    * the pairwise compare.
     *
     * `twoLevel = true` switches to the hierarchical assignment that
     * keeps the quantizer sub-quadratic when K scales with the corpus
@@ -356,7 +361,8 @@ object Similarity {
     val asg = cellCache.rotate(cellExpr(vecs).persist())
     val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
       .filter(col("_csz") > maxCell)
-    val inPlay = asg.join(hot.select(col("cell")), Seq("cell"), "left_anti")
+    val hotCells = hot.select(col("cell"))
+    val inPlay = asg.join(hotCells, Seq("cell"), "left_anti")
     val a = inPlay.select(col("cell"), col("vec_id").as("ia"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = inPlay.select(col("cell"), col("vec_id").as("ib"),
@@ -364,11 +370,34 @@ object Similarity {
     val dropped = a.join(b, Seq("cell"))
       .filter(col("ia") < col("ib"))
       .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
-      .select(col("ib").as("vec_id")).distinct()
-      .withColumn("_drop", lit(true))
+      .select(col("ib").as("vec_id"))
+    // escalation rung: inside hot cells, exact-embedding dedup (keep the
+    // lowest id of each identical group) — linear, evidence-backed
+    // (identical ⇒ cosine 1 ≥ tau); an all-identical hot cell of any
+    // size collapses to one representative instead of being kept whole.
+    // As in BucketGuard, an empty hot list (the healthy case) skips the
+    // escalation stages at plan level — `asg` is persisted, so the probe
+    // is a scan of cached cell counts, and the result is unchanged
+    // (empty hot ⇒ empty escalation set by construction).
+    val escDropped =
+      if (hot.isEmpty)
+        vecs.sparkSession.range(0).select(col("id").as("vec_id"))
+      else {
+        val hotRows = asg.join(hotCells, Seq("cell"), "left_semi")
+        val escCanon = hotRows.groupBy(col("cell"), col("embedding"))
+          .agg(min(col("vec_id")).as("_canon"))
+        hotRows.join(escCanon, Seq("cell", "embedding"))
+          .filter(col("vec_id") =!= col("_canon"))
+          .select(col("vec_id"))
+      }
+    val allDropped = dropped.unionByName(escDropped)
+      .distinct().withColumn("_drop", lit(true))
     asg.select(col("vec_id"), col("cell").cast("long").as("cell"))
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("_drop").isNull.as("kept"))
+      .join(allDropped, Seq("vec_id"), "left")
+      .join(hotCells.select(col("cell").cast("long").as("cell"),
+        lit(true).as("_esc")), Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("_drop").isNull.as("kept"),
+        coalesce(col("_esc"), lit(false)).as("escalated"))
       .orderBy(col("vec_id"))
   }
 
@@ -396,8 +425,24 @@ object Similarity {
     val raw = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until NumTables).map(t =>
         lshSignature(col("embedding"), t)): _*)).as(Seq("table_idx", "bucket")))
-    val (bucketed, skipped) =
+    val (bucketed, hotRowsOpt, skipped) =
       BucketGuard(raw, Seq("table_idx", "bucket"), maxBucket)
+    // escalation rung inside over-cap buckets: vectors whose embedding is
+    // EXACTLY equal to a lower-id bucket-mate count as escalated dups
+    // (cosine 1 ≥ tau by construction) — linear group-by on the vector
+    // value, so the mass-duplicated vectors that made the bucket hot are
+    // still counted
+    val nEsc = hotRowsOpt match {
+      case None => vecs.sparkSession.range(1).select(lit(0L).as("n_escalated"))
+      case Some(hotRows) =>
+        val escCanon = hotRows
+          .groupBy(col("table_idx"), col("bucket"), col("embedding"))
+          .agg(min(col("vec_id")).as("_canon"))
+        hotRows.join(escCanon, Seq("table_idx", "bucket", "embedding"))
+          .filter(col("vec_id") =!= col("_canon"))
+          .select(col("vec_id")).distinct()
+          .agg(count(lit(1)).as("n_escalated"))
+    }
     val a = bucketed.select(col("table_idx"), col("bucket"),
       col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = bucketed.select(col("table_idx"), col("bucket"),
@@ -413,5 +458,6 @@ object Similarity {
         coalesce(sum(when(col("cos") >= tau, 1L).otherwise(0L)), lit(0L))
           .as("n_dup_pairs"))
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
+      .crossJoin(nEsc)
   }
 }

@@ -198,10 +198,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(off.getLong(1) == quad, s"expected full quadratic candidates: $off")
     assert(off.getLong(3) == 0L && off.getLong(4) == 0L)
 
-    // guarded: zero candidates, mass reported (16 bands × 300 docs)
+    // guarded: zero candidates, mass reported (16 bands × 300 docs) —
+    // and the exact-dedup escalation still collapses the byte-identical
+    // mass: 299 of 300 counted as escalated dups
     val on = Dedup.minhashLshSummaryFrom(degen, maxBucket = 100).head()
     assert(on.getLong(1) == 0L, s"guard leaked candidates: $on")
     assert(on.getLong(3) == 16L && on.getLong(4) == 16L * 300)
+    assert(on.getLong(5) == 299L, s"escalation missed the identical mass: $on")
+    assert(off.getLong(5) == 0L, "no hot buckets => nothing escalated")
 
     // mixed corpus: the degenerate mass is capped but a planted near-dup
     // pair OUTSIDE the hot buckets is still found
@@ -216,11 +220,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.getLong(2) >= 1L, s"guard swallowed the planted pair: $mixed")
     assert(mixed.getLong(1) < quad / 10, s"candidates not bounded: $mixed")
 
-    // simhash funnel: same degenerate corpus, same guarantee (4 bands)
+    // simhash funnel: same degenerate corpus, same guarantee (4 bands);
+    // identical texts share the full 64-bit fingerprint, so the
+    // escalation rung counts 299 fingerprint-exact dups
     val sOn = Dedup
       .simhashNearDupSummaryFrom(Dedup.fingerprintsFrom(degen), maxBucket = 100)
       .head()
     assert(sOn.getLong(0) == 0L && sOn.getLong(2) == 4L && sOn.getLong(3) == 4L * 300)
+    assert(sOn.getLong(4) == 299L, s"simhash escalation missed: $sOn")
 
     // embedding funnel: 300 identical vectors land in one bucket per table
     val vec = Tables(spark, sf).embeddings
@@ -231,9 +238,18 @@ class PipelineSpec extends AnyFunSuite {
       .embeddingNearDupSummaryFrom(degenVecs, 0.9, maxBucket = 100).head()
     assert(eOn.getLong(1) == 0L, s"guard leaked embedding candidates: $eOn")
     assert(eOn.getLong(3) == 4L && eOn.getLong(4) == 4L * 300)
+    assert(eOn.getLong(5) == 299L, s"embedding escalation missed: $eOn")
     val eOff = Similarity
       .embeddingNearDupSummaryFrom(degenVecs, 0.9).head()
     assert(eOff.getLong(1) == quad && eOff.getLong(2) == quad)
+
+    // the ACTION tier inherits the rung: even with every band bucket
+    // over cap, the keep-list still collapses the identical mass to its
+    // minimum id via the escalated exact-dup pairs
+    val keep = Dedup.fuzzyDedupKeepFrom(spark, degen, maxBucket = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep.size == 300 && keep.values.forall(_ == 0L),
+      s"escalated pairs must reach the keep-list: ${keep.values.toSet}")
   }
 
   test("semantic dedup drops planted duplicates; the cell guard is conservative") {
@@ -247,11 +263,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(decisions(3L), "the lower-id original must be kept")
     assert(!decisions(100003L), "the planted exact copy must be dropped")
     assert(decisions.size == 501, s"decision table must cover every vector")
-    // guard: with maxCell = 1 every cell is hot, so no comparisons run —
-    // a dedup must never drop without evidence
+    // guard + escalation: with maxCell = 1 every cell is hot, so no
+    // PAIRWISE comparisons run — but the escalation rung still drops the
+    // planted exact copy (identical embedding ⇒ cosine 1, evidence-backed)
+    // while every non-identical vector stays conservative-kept
     val guarded = Similarity.semanticDedupFrom(base.union(copy), tau = 0.35,
       maxCell = 1).collect()
-    assert(guarded.forall(_.getBoolean(2)), "hot-cell vectors must be kept")
+    val gMap = guarded.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!gMap(100003L), "escalation must drop the exact copy in a hot cell")
+    assert(gMap(3L), "the lower-id original must be kept")
+    // with maxCell = 1 no pairwise compare runs, so every drop must come
+    // from the escalation rung (and be flagged as such)
+    assert(guarded.filter(!_.getBoolean(2)).forall(_.getBoolean(3)),
+      "non-escalated rows must not be dropped when every cell is guarded")
     // two-level (hierarchical) assignment: identical vectors evaluate
     // identical expressions, so exact copies still co-locate and drop —
     // the O(N·2√K) scale path must not lose recall on exact dups
@@ -265,6 +289,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(cells(3L) == cells(100003L), "exact copies must share a cell")
     assert(cells.values.forall(c => c >= 1L && c <= 64L),
       s"cells must be global 1-based centroid indices: ${cells.values.toSet}")
+  }
+
+  test("escalation collapses an over-cap cell of identical vectors to one") {
+    // the SemDeDup worst case the conservative guard used to punt on: a
+    // hot cell that is 100% duplicates. 1001 identical vectors blow past
+    // maxCell = 1000, the pairwise compare is skipped, and the exact-
+    // match escalation must keep EXACTLY the lowest id.
+    val one = Tables(spark, sf).embeddings
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+    val degen = spark.range(1001).crossJoin(one)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val rest = Tables(spark, sf).embeddings
+      .filter(col("vec_id") >= 1L && col("vec_id") < 50L)
+      .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+    val dec = Similarity.semanticDedupFrom(degen.union(rest), tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    val degenRows = dec.filter(_._1 < 1001L)
+    assert(degenRows.length == 1001 && degenRows.forall(_._3),
+      "the duplicated mass must land in one escalated hot cell")
+    assert(degenRows.filter(_._2).map(_._1).toSeq == Seq(0L),
+      s"exactly vec 0 kept of 1001 identical: ${degenRows.count(_._2)} kept")
+    // funnel summaries report the same rung: 1000 of the 1001 identical
+    // embeddings count as escalated dups in the near-dup summary
+    val esc = Similarity
+      .embeddingNearDupSummaryFrom(degen.union(rest), 0.9, maxBucket = 500)
+      .head()
+    assert(esc.getLong(5) == 1000L,
+      s"n_escalated must count the collapsed identical mass: $esc")
   }
 
   test("two-level assignment survives an empty super: no vector is dropped") {
