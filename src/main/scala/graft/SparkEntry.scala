@@ -1186,23 +1186,34 @@ object SparkEntry {
         |FROM asg LEFT JOIN alldropped d ON asg.vec_id = d.vec_id
         |         LEFT JOIN hot h ON asg.cell = h.cell
         |ORDER BY asg.vec_id""".stripMargin,
-    // q53: the decode STUB is deterministic byte statistics (mean/max/
-    // count over the ASCII payload bytes), so even the mapPartitions
-    // path is oracle-checkable — the replay pins the plumbing (schema,
-    // ordering, rounding) and a real codec swap would intentionally
-    // break it, flagging that the oracle must move with the decoder.
+    // q53: real-codec replay. The Spark side frames each document's
+    // bytes as a valid netpbm P6 image (8 px wide, ⌊bytes/24⌋ rows) and
+    // PARSES it with the PpmDecoder; the oracle replays the framing +
+    // per-channel means directly from the text bytes (ASCII corpus, so
+    // ascii(char) == payload byte; R/G/B are byte positions ≡ 1/2/0 mod
+    // 3 of the h*24-byte raster). Documents shorter than one pixel row
+    // fall out on both sides (decoder None branch vs h >= 1 filter).
     "q53_decode_features" ->
       """WITH cs AS (
         |  SELECT doc_id,
         |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
         |      c -> ascii(c)) AS bs
-        |  FROM documents)
-        |SELECT doc_id,
-        |  round(CASE WHEN len(bs) = 0 THEN 0.0
-        |        ELSE CAST(list_sum(bs) AS DOUBLE) / len(bs) END, 4) AS mean_byte,
-        |  CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_aggregate(bs, 'max') END AS BIGINT) AS max_byte,
-        |  CAST(len(bs) AS BIGINT) AS n_bytes
-        |FROM cs ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |img AS (
+        |  SELECT doc_id, len(bs) // 24 AS h, bs FROM cs
+        |  WHERE len(bs) // 24 >= 1),
+        |ch AS (
+        |  SELECT doc_id, h,
+        |    list_sum(list_transform(range(0, h*8), k -> bs[3*k+1])) AS sr,
+        |    list_sum(list_transform(range(0, h*8), k -> bs[3*k+2])) AS sg,
+        |    list_sum(list_transform(range(0, h*8), k -> bs[3*k+3])) AS sb
+        |  FROM img)
+        |SELECT doc_id, 8::BIGINT AS width, CAST(h AS BIGINT) AS height,
+        |  255::BIGINT AS maxval,
+        |  round(CAST(sr AS DOUBLE) / (h*8), 4) AS r_mean,
+        |  round(CAST(sg AS DOUBLE) / (h*8), 4) AS g_mean,
+        |  round(CAST(sb AS DOUBLE) / (h*8), 4) AS b_mean
+        |FROM ch ORDER BY doc_id""".stripMargin,
     // q43: bit-exact replay of both codegen fingerprint expressions —
     // PolyHash (seed 0, basis 0xcbf29ce484222325 = 14695981039346656037)
     // over the whole lowercased text, and SimHash64 over its space-split

@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.l): media as opaque `binary`
   * columns with typed metadata, processed by batch-shaped per-partition
-  * decode stubs.
+  * decoders.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub (`StubDecoder`) — but everything
-  * around it is the real production shape: a binary payload column,
-  * per-frame slicing with ordinary expressions, metadata checksums that an
-  * ANSI-SQL oracle can recompute byte-for-byte (payloads here are ASCII,
-  * so DuckDB's varchar md5 hashes the identical bytes), and a
-  * `mapPartitions` feature extractor that processes rows in batches the
-  * way a vectorized decoder would.
+  * The fixtures carry no media blobs, so the binary payloads are built
+  * from document bytes — but everything downstream is the real
+  * production shape: a binary payload column, per-frame slicing with
+  * ordinary expressions, metadata checksums that an ANSI-SQL oracle can
+  * recompute byte-for-byte (payloads here are ASCII, so DuckDB's varchar
+  * md5 hashes the identical bytes), and a `mapPartitions` feature
+  * extractor running a REAL public codec ([[PpmDecoder]], the netpbm P6
+  * format) over valid images framed from those bytes.
   *
   * Scale notes: payloads stay columnar parquet binary (never strings in
   * flight); frame explosion is bounded (ceil(len/64) frames); the decode
@@ -74,44 +74,90 @@ object Multimodal {
           .cast("long").as("frame_len"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** STUB decoder — stands in for an image/audio codec (none in this
-    * container). Deterministic per-byte "feature extraction" so tests are
-    * exact; a real implementation swaps `decode` only. */
-  object StubDecoder {
-    final case class Features(doc_id: Long, mean_byte: Double, max_byte: Int,
-        n_bytes: Int)
-    /** ??? in spirit: replace with a real codec. Deterministic fake. */
-    def decode(id: Long, payload: Array[Byte]): Features = {
-      var sum = 0L
-      var mx = 0
+  /** A real public codec: binary netpbm PPM, "P6" variant (the netpbm
+    * format spec — magic `P6`, whitespace-and-`#`-comment separated ASCII
+    * width/height/maxval, exactly one whitespace byte, then a
+    * width×height×3 RGB byte raster). Parse-with-fallback: anything
+    * short of a complete valid image (wrong magic, missing dimensions,
+    * maxval out of the 1-byte range, truncated raster, zero pixels)
+    * decodes to None rather than throwing — the production contract for
+    * corrupt media rows. */
+  object PpmDecoder {
+    final case class Features(doc_id: Long, width: Long, height: Long,
+        maxval: Long, r_mean: Double, g_mean: Double, b_mean: Double)
+
+    def decode(id: Long, p: Array[Byte]): Option[Features] = {
       var i = 0
-      while (i < payload.length) {
-        val b = payload(i) & 0xff
-        sum += b
-        if (b > mx) mx = b
-        i += 1
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go) {
+          if (i < p.length && isWs(p(i))) i += 1
+          else if (i < p.length && p(i) == '#') {
+            while (i < p.length && p(i) != '\n') i += 1
+          } else go = false
+        }
       }
-      Features(id, if (payload.length == 0) 0.0 else sum.toDouble / payload.length,
-        mx, payload.length)
+      def readAsciiInt(): Long = {
+        skipWsAndComments()
+        val s = i
+        var v = 0L
+        while (i < p.length && p(i) >= '0' && p(i) <= '9' && v <= Int.MaxValue) {
+          v = v * 10 + (p(i) - '0'); i += 1
+        }
+        if (i == s) -1L else v
+      }
+      if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+      i = 2
+      val w = readAsciiInt(); val h = readAsciiInt(); val mv = readAsciiInt()
+      if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+      i += 1 // the single whitespace byte between header and raster
+      val n = w * h
+      if (i + n * 3 > p.length) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var k = 0
+      while (k < n) {
+        sr += p(i + 3 * k) & 0xff
+        sg += p(i + 3 * k + 1) & 0xff
+        sb += p(i + 3 * k + 2) & 0xff
+        k += 1
+      }
+      Some(Features(id, w, h, mv,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
     }
   }
 
-  /** Per-partition batch feature extraction over the binary column — the
-    * `mapPartitions` pattern a real decoder plugs into (codec init once
-    * per partition, then a streamed batch of rows). */
+  /** Per-partition batch image decode over the binary column — the
+    * `mapPartitions` pattern (codec init once per partition, then a
+    * streamed batch of rows), now running the real [[PpmDecoder]].
+    *
+    * The fixtures have no media files, so each document is FRAMED as a
+    * valid 8-pixel-wide P6 image over its own bytes (height =
+    * ⌊bytes/24⌋ rows of 8 RGB pixels; the header is genuine ASCII
+    * netpbm). The decoder then does the honest work — header parse,
+    * raster bounds check, per-channel statistics — and documents too
+    * short for even one pixel row fall out through the None branch,
+    * exercising the corrupt-row fallback. The oracle replays the same
+    * framing + channel math from the raw text bytes. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withPayload(Tables(spark, dir).documents)
-      .select(col("doc_id"), col("payload"))
+    Tables(spark, dir).documents
+      .withColumn("h", floor(octet_length(col("text")) / lit(24)).cast("int"))
+      .select(col("doc_id"),
+        concat(lit("P6\n8 "), col("h").cast("string"), lit("\n255\n"),
+          col("text").substr(lit(1), col("h") * lit(24)))
+          .cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real codecs initialize here, once per partition
-        rows.map { case (id, payload) => StubDecoder.decode(id, payload) }
+        rows.flatMap { case (id, payload) => PpmDecoder.decode(id, payload) }
       }
       .toDF()
-      .select(col("doc_id"), round(col("mean_byte"), 4).as("mean_byte"),
-        col("max_byte").cast("long").as("max_byte"),
-        col("n_bytes").cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+        round(col("r_mean"), 4).as("r_mean"),
+        round(col("g_mean"), 4).as("g_mean"),
+        round(col("b_mean"), 4).as("b_mean"))
       .orderBy(col("doc_id"))
   }
 }

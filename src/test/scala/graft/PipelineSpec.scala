@@ -514,16 +514,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(hof == byDoc, "winnow_fps codegen != HOF reference formulation")
   }
 
-  test("decode features: stub decoder matches direct computation") {
+  test("decode features: the PPM codec parses framed images bit-exactly") {
     val feats = Multimodal.decodeFeatures(spark, sf)
       .filter(col("doc_id") === 0L).head()
     val text = Tables(spark, sf).documents
       .filter(col("doc_id") === 0L).head().getAs[String]("text")
     val bytes = text.getBytes("UTF-8")
-    assert(feats.getLong(3) == bytes.length)
-    assert(feats.getLong(2) == bytes.map(_ & 0xff).max)
-    assert(math.abs(feats.getDouble(1) -
-      bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-3)
+    val h = bytes.length / 24
+    val raster = bytes.take(h * 24).map(_ & 0xff)
+    assert(feats.getLong(1) == 8L && feats.getLong(2) == h.toLong)
+    assert(feats.getLong(3) == 255L)
+    def chanMean(off: Int): Double = {
+      val c = raster.zipWithIndex.collect { case (b, i) if i % 3 == off => b }
+      c.sum.toDouble / c.length
+    }
+    assert(math.abs(feats.getDouble(4) - chanMean(0)) < 1e-3)
+    assert(math.abs(feats.getDouble(5) - chanMean(1)) < 1e-3)
+    assert(math.abs(feats.getDouble(6) - chanMean(2)) < 1e-3)
+  }
+
+  test("PPM codec: real-world headers parse; corrupt payloads fall back") {
+    import Multimodal.PpmDecoder
+    // a hand-built 2x2 image with comments and multi-digit dims territory
+    val hdr = "P6\n# a comment line\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Byte](
+      10, 20, 30,  40, 50, 60,
+      70, 80, 90, 100, 110, 120)
+    val img = PpmDecoder.decode(7L, hdr ++ raster)
+    assert(img.isDefined)
+    val f = img.get
+    assert(f.width == 2 && f.height == 2 && f.maxval == 255)
+    assert(f.r_mean == (10 + 40 + 70 + 100) / 4.0)
+    assert(f.g_mean == (20 + 50 + 80 + 110) / 4.0)
+    assert(f.b_mean == (30 + 60 + 90 + 120) / 4.0)
+    // fallback: wrong magic, zero pixels, truncated raster
+    assert(PpmDecoder.decode(1L, "P5\n2 2\n255\n".getBytes ++ raster).isEmpty)
+    assert(PpmDecoder.decode(1L, "P6\n8 0\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(PpmDecoder.decode(1L, hdr ++ raster.take(11)).isEmpty)
+    assert(PpmDecoder.decode(1L, Array.emptyByteArray).isEmpty)
   }
 
   test("minhash summary scans the corpus exactly once (plan-level signal)") {
