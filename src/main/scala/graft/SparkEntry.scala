@@ -98,6 +98,7 @@ object SparkEntry {
     "q125_landmark_bounds" -> ((s: SparkSession, d: String) => GraphOps.landmarkBounds(s, d)),
     "q126_multi_source_bfs" -> ((s: SparkSession, d: String) => GraphOps.multiSourceBfs(s, d)),
     "q127_multi_source_paths" -> ((s: SparkSession, d: String) => GraphOps.multiSourcePaths(s, d)),
+    "q132_data_weighted_routing" -> ((s: SparkSession, d: String) => GraphOps.dataWeightedRouting(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -713,6 +714,37 @@ object SparkEntry {
         |  SELECT w.origin, ue.dst, w.hops + 1,
         |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
         |  FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.hops < 8
+        |)
+        |SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk WHERE node IN (10, 20, 30, 40, 50)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q132: the q124 walk shape with edge weights READ FROM THE DATA —
+    // the toll is the originating order's totalprice in cents mod 9 + 1,
+    // min-reduced per (src, dst) over contributing orders and over both
+    // directions of the symmetrized edge (a well-defined undirected
+    // weight), proving the sweep is weight-agnostic end to end.
+    "q132_data_weighted_routing" ->
+      s"""WITH RECURSIVE we AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT o_custkey AS src,
+        |           1 + (o_orderkey % (SELECT max(c_custkey) FROM customer)) AS dst,
+        |           1 + (CAST(round(o_totalprice * 100) AS BIGINT) % 9) AS w
+        |    FROM orders
+        |    UNION ALL
+        |    SELECT 1 + (o_orderkey % (SELECT max(c_custkey) FROM customer)),
+        |           o_custkey,
+        |           1 + (CAST(round(o_totalprice * 100) AS BIGINT) % 9)
+        |    FROM orders)
+        |  GROUP BY src, dst),
+        |walk(origin, node, hops, cost) AS (
+        |  SELECT s.s, s.s, 0, CAST(0 AS BIGINT)
+        |  FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+        |               (CAST(3 AS BIGINT)), (CAST(4 AS BIGINT)),
+        |               (CAST(5 AS BIGINT))) s(s)
+        |  UNION
+        |  SELECT w.origin, we.dst, w.hops + 1, w.cost + we.w
+        |  FROM walk w JOIN we ON we.src = w.node
         |  WHERE w.hops < 8
         |)
         |SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost

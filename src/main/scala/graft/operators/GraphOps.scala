@@ -359,6 +359,37 @@ object GraphOps {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Batched OD routing over DATA-DERIVED edge weights — the proof that
+    * the sweep is weight-agnostic end to end. Every other routing query
+    * uses the arithmetic ((src*31+dst)%7)+1 stand-in; here each edge
+    * carries a toll read from the fixture itself — the originating
+    * order's total price in cents mod 9, plus 1 (a 1..9 toll) —
+    * min-reduced over the orders that map to the same (src, dst) pair
+    * and over the two directions of the symmetrized edge, so the weight
+    * relation is a well-defined undirected function of the data. Same
+    * hop-capped multi-source Bellman-Ford and origin-batch → dst-batch
+    * shape as q124; the oracle recomputes the same toll from the same
+    * column. */
+  def dataWeightedRouting(spark: SparkSession, dir: String,
+      maxHops: Int = 8): DataFrame = {
+    val sources = Seq(1L, 2L, 3L, 4L, 5L)
+    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    val fwd = t.orders.select(
+      col("o_custkey").as("src"),
+      (lit(1L) + (col("o_orderkey") % lit(m))).as("dst"),
+      (lit(1L) + (round(col("o_totalprice") * 100).cast("long") % lit(9L)))
+        .as("w"))
+    val sym = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val we = sym.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    multiSourceCostsFrom(spark, we, sources, maxHops)
+      .filter(col("node").isin(dsts: _*))
+      .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Min cost over ≤ maxHops-hop paths from every source to every reached
     * node — the shared multi-source Bellman-Ford sweep behind batched
     * routing (q124) and the landmark index build (q125). */
