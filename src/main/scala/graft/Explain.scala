@@ -16,7 +16,8 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,13 +27,21 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")
       if (repeats > 0) {
-        df.count() // warm
-        val times = (1 to repeats).map { _ =>
+        // Bench-identical measurement: rebuild the DataFrame each repeat
+        // (eager operators like Pregel run during the build) and execute
+        // the FULL plan via a noop write, not count().
+        def once(): (Double, Double) = {
           val t0 = System.nanoTime()
-          df.count()
-          (System.nanoTime() - t0) / 1e9
+          val d = SparkEntry.queries(name)(spark, sfDir)
+          val t1 = System.nanoTime()
+          d.write.format("noop").mode("overwrite").save()
+          ((t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
         }
-        println(f"[time] $name min=${times.min}%.3f s median=${times.sorted.apply(times.size / 2)}%.3f s")
+        once() // warm
+        val times = (1 to repeats).map(_ => once())
+        val tot = times.map(t => t._1 + t._2)
+        println(f"[time] $name min=${tot.min}%.3f s median=${tot.sorted.apply(tot.size / 2)}%.3f s " +
+          f"(build ${times.map(_._1).min}%.3f write ${times.map(_._2).min}%.3f)")
       }
     }
     spark.stop()

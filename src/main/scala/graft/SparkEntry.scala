@@ -594,7 +594,7 @@ object SparkEntry {
          |      SELECT p.origin, ue.dst AS node,
          |             p.cost + ((ue.src * 31 + ue.dst) % 7) + 1 AS cost,
          |             p.path || '->' || CAST(ue.dst AS VARCHAR) AS path,
-         |             p.pk || '.' || lpad(CAST(ue.dst AS VARCHAR), 8, '0') AS pk
+         |             p.pk || '.' || lpad(CAST(ue.dst AS VARCHAR), 19, '0') AS pk
          |      FROM l${k - 1} p JOIN ue ON ue.src = p.node) cand
          |  ) ranked WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
@@ -607,7 +607,7 @@ object SparkEntry {
     s"""WITH $edgeCte,
        |l0 AS (SELECT s.s AS origin, s.s AS node, CAST(0 AS BIGINT) AS cost,
        |              CAST(s.s AS VARCHAR) AS path,
-       |              lpad(CAST(s.s AS VARCHAR), 8, '0') AS pk
+       |              lpad(CAST(s.s AS VARCHAR), 19, '0') AS pk
        |       FROM (VALUES $seeds) s(s)),
        |$levels
        |SELECT $outCols

@@ -92,8 +92,22 @@ object GraphOps {
       case Some((p, g)) if p.sameResult(plan) => g
       case _ =>
         lastGraph.foreach(_._2.unpersist(blocking = false))
+        // Partition seam sized by the DATA, not the thread count: every
+        // Pregel superstep pays a fixed per-partition task/shuffle cost,
+        // so a small graph spread over defaultParallelism partitions is
+        // dominated by overhead (measured ~9x on the sf0.1 fixture's
+        // ~300k edges at 32 partitions). AQE used to rescue this by
+        // coalescing the edge DF's final stage; sizing it explicitly —
+        // ~1M edges per partition, floor 1, ceiling defaultParallelism×4
+        // so a 100 TB edge set still fans out — keeps the traversal plan
+        // right with AQE off. The count runs once per memoized graph.
+        val n = edges.count()
+        val parts = math.max(1L, math.min(
+          spark(edges).sparkContext.defaultParallelism.toLong * 4,
+          n / 1000000L + 1)).toInt
         val edgeRdd = edges.select(col("src"), col("dst")).rdd
           .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+          .coalesce(parts)
         val g = Graph.fromEdges(edgeRdd, defaultValue = 0L,
             edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
             vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -102,6 +116,8 @@ object GraphOps {
         g
     }
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** CSR-equivalent adjacency build — parity with the `firstNbr`/`Nbr`
     * arrays of `loadgraph_regtest.cpp:49-66`. `nbrs` is the sorted
@@ -313,10 +329,14 @@ object GraphOps {
     try {
       val byNode = Window.partitionBy(col("origin"), col("node"))
         .orderBy(col("cost"), col("pk"))
+      // pk pad width 19 covers the full non-negative Long id domain:
+      // lpad TRUNCATES (not just pads) in both Spark and DuckDB, so a
+      // narrower pad would silently corrupt the "lexicographically
+      // smallest path" tie-break for ids >= 10^width (large-SF custkeys)
       var state = sources.toDF("origin").select(
         col("origin"), col("origin").as("node"), lit(0L).as("cost"),
         col("origin").cast("string").as("path"),
-        lpad(col("origin").cast("string"), 8, "0").as("pk"))
+        lpad(col("origin").cast("string"), 19, "0").as("pk"))
       var hop = 0
       while (hop < maxHops) {
         val expanded = state.alias("s")
@@ -326,7 +346,7 @@ object GraphOps {
             concat(col("s.path"), lit("->"),
               col("e.dst").cast("string")).as("path"),
             concat(col("s.pk"), lit("."),
-              lpad(col("e.dst").cast("string"), 8, "0")).as("pk"))
+              lpad(col("e.dst").cast("string"), 19, "0")).as("pk"))
         state = state.union(expanded)
           .withColumn("rn", row_number().over(byNode))
           .filter(col("rn") === 1).drop("rn")

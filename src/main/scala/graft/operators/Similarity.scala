@@ -308,6 +308,16 @@ object Similarity {
     * decision table is oracle-checkable — the funnel shape (cluster,
     * compare within cell, keep one) is the published method's.
     *
+    * Divergence from the paper's GROUP semantics, stated explicitly: the
+    * drop rule is per-PAIR, so a similarity chain A~B~C with A!~C drops
+    * both B and C (B's lower-id mate is A, C's is B — even though B is
+    * itself dropped), keeping no representative within tau of C. This
+    * over-drops relative to keep-one-per-connected-group; it is
+    * deterministic, oracle-matched, and the aggressive end of the dedup
+    * spectrum. For keep-one-per-group semantics compose the dup PAIRS
+    * with connected components exactly as [[Dedup.fuzzyDedupKeepFrom]]
+    * (q129) does for the minhash funnel.
+    *
     * Scale shape: the pairwise compare is quadratic only WITHIN a cell —
     * K grows with the corpus (K ~ N/B for a target cell size B), so
     * per-cell work stays bounded; the self-join shuffles on the cell id

@@ -347,6 +347,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy-dedup keep-list contract holds on random corpora with planted chains") {
+    import spark.implicits._
+    // random corpora: 8 independent ~40-word base docs (negligible mutual
+    // shingle overlap), each optionally growing a near-dup chain of up to
+    // 3 links — every link mutates the PREVIOUS link's last 4 words, so
+    // adjacent Jaccard stays high while base↔tail drifts (transitivity
+    // must do the collapsing). Draws are seed-deterministic, so the
+    // minhash funnel's behavior is reproducible run to run.
+    val wordGen = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val corpusGen = for {
+      bases <- Gen.listOfN(8, Gen.listOfN(40, wordGen))
+      chainLens <- Gen.listOfN(8, Gen.choose(0, 3))
+      fresh <- Gen.listOfN(24, wordGen)
+    } yield (bases, chainLens, fresh)
+    forAllSampled(corpusGen, n = 4) { case (bases, chainLens, fresh) =>
+      val docs = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val groups = scala.collection.mutable.ListBuffer[Seq[Long]]()
+      bases.zipWithIndex.foreach { case (words, i) =>
+        docs += ((i.toLong, words.mkString(" ")))
+        var cur = words
+        val ids = scala.collection.mutable.ListBuffer(i.toLong)
+        (0 until chainLens(i)).foreach { j =>
+          val w = fresh(i * 3 + j) // distinct replacement block per link
+          cur = cur.dropRight(4) ++ Seq(w, w.reverse, s"$w$j", s"q$w")
+          val id = 100L * (i + 1) + j
+          docs += ((id, cur.mkString(" ")))
+          ids += id
+        }
+        groups += ids.toSeq
+      }
+      val keep = operators.Dedup
+        .fuzzyDedupKeepFrom(spark, docs.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val keepMap = keep.toMap
+      // (a) every document appears exactly once
+      assert(keep.length == docs.size && keepMap.size == docs.size,
+        s"keep-list must cover the corpus once: ${keep.length}/${docs.size}")
+      // (b) canonical is the component minimum: never above the doc id
+      assert(keep.forall { case (d, c) => c <= d },
+        s"canonical above doc id: ${keep.filter { case (d, c) => c > d }.toSeq}")
+      // (c) canonicals are fixed points, so WHERE doc_id = canonical_id
+      // keeps exactly one representative per cluster and nothing else
+      assert(keepMap.values.toSet.forall(c => keepMap(c) == c),
+        "a canonical id must map to itself")
+      // planted chains collapse transitively to the base (minimum) id
+      groups.filter(_.size > 1).foreach { g =>
+        val canon = g.map(keepMap).toSet
+        assert(canon == Set(g.min),
+          s"chain $g expected canonical ${g.min}, got ${g.map(keepMap)}")
+      }
+    }
+  }
+
   test("count-min heavy hitters: estimate bounds hold for every top word") {
     // bounds live HERE (cnt ≤ est ≤ cnt + ceil(eps·N)) — the oracle-hashed
     // q122 output pins only the exact counts, so a Spark-internal CMS
