@@ -1790,8 +1790,9 @@ object SparkEntry {
     // converted the rest: q42/q43/q44 (FNV-1a / splitmix64 / simhash
     // integer hashes replayed in HUGEINT + carry-split UBIGINT),
     // q47/q67/q68 (LSH/IVF float geometry replayed via strict
-    // left-to-right double folds, see dotSql), and q53 (the
-    // deterministic decode stub's byte statistics).
+    // left-to-right double folds, see dotSql), and q53 (byte statistics
+    // of the then-stub decoder; since round 7 q53 is a real netpbm P6
+    // parse whose oracle replays the framing + channel means).
   )
 
   /** Headline queries timed by Bench (one per operator family). */
@@ -1816,5 +1817,10 @@ object SparkEntry {
     // canonical ids) — the other composite the pipeline runs per epoch.
     // q128 is not separately tracked: its cost profile is the tracked
     // q46/q47 shape (cell dots + bounded self-join).
-    "q129_fuzzy_dedup_keep")
+    "q129_fuzzy_dedup_keep",
+    // round 7: the two-level semantic dedup — the SCALE path of the
+    // marquee SemDeDup operator (hierarchical quantizer + within-cell
+    // compare + escalation); tracked so quantizer regressions show in
+    // the trend line, not just in ScaleSmoke.
+    "q130_semantic_dedup_2l")
 }

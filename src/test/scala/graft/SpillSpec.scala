@@ -24,7 +24,7 @@ class SpillSpec extends AnyFunSuite {
 
   /** Runs `f` and returns (result, bytes spilled by its tasks) — summed
     * memory+disk spill from TaskMetrics. Listener delivery is async;
-    * `TestListenerBus.drain` blocks until the bus is empty, so the sum
+    * `ListenerDrain.drain` blocks until the bus is empty, so the sum
     * is complete when read (no sleep-poll heuristics). */
   private def withSpillMetrics[A](f: => A): (A, Long) = {
     val spilled = new java.util.concurrent.atomic.AtomicLong(0)
@@ -37,7 +37,7 @@ class SpillSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       val res = f
-      org.apache.spark.graft.TestListenerBus.drain(spark.sparkContext)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       (res, spilled.get())
     } finally spark.sparkContext.removeSparkListener(listener)
   }
