@@ -117,6 +117,23 @@ object ScaleSmoke {
         println(s"[scale]   fuzzy keep-list: docs=${k.count()} merged=$merged")
         merged
       }
+      // the pathological corpus at scale: mult×10k BYTE-IDENTICAL docs —
+      // every band bucket is one corpus-sized hot bucket, the LSH worst
+      // case no banding fixes. The guard bounds pair generation to zero
+      // and the escalation rung must still collapse the whole mass via
+      // the linear exact-dedup path: n_escalated = N-1 and time ~linear
+      // in mult (any superlinearity here means the rung went pairwise).
+      time(s"degenerate_escalation") {
+        val one = t.documents.filter(col("doc_id") === 0L)
+          .select(substring(col("text"), 1, 100).as("text")).head().getString(0)
+        val degen = spark.range(mult * 10000L)
+          .select(col("id").as("doc_id"), lit(one).as("text"))
+        val r = graft.operators.Dedup.minhashLshSummaryFrom(degen).head()
+        println(s"[scale]   degenerate: docs=${r.getLong(0)} " +
+          s"cand=${r.getLong(1)} skipped_rows=${r.getLong(4)} " +
+          s"escalated=${r.getLong(5)}")
+        r.getLong(5)
+      }
       // graph shapes: edges derived from the amplified orders copy (each
       // copy is a shifted sub-graph — node count grows with mult)
       val de = ord.select(
