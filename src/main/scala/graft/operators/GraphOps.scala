@@ -379,22 +379,14 @@ object GraphOps {
       .orderBy(col("src"), col("dst"))
   }
 
-  /** Batched OD routing over DATA-DERIVED edge weights — the proof that
-    * the sweep is weight-agnostic end to end. Every other routing query
-    * uses the arithmetic ((src*31+dst)%7)+1 stand-in; here each edge
-    * carries a toll read from the fixture itself — the originating
+  /** Undirected edge relation with DATA-DERIVED weights: each directed
+    * edge carries a toll read from the fixture itself — the originating
     * order's total price in cents mod 9, plus 1 (a 1..9 toll) —
     * min-reduced over the orders that map to the same (src, dst) pair
     * and over the two directions of the symmetrized edge, so the weight
-    * relation is a well-defined undirected function of the data. Same
-    * hop-capped multi-source Bellman-Ford and origin-batch → dst-batch
-    * shape as q124; the oracle recomputes the same toll from the same
-    * column. */
-  def dataWeightedRouting(spark: SparkSession, dir: String,
-      maxHops: Int = 8): DataFrame = {
-    val sources = Seq(1L, 2L, 3L, 4L, 5L)
-    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
-    val t = Tables(spark, dir)
+    * relation is a well-defined undirected function of the data. Shared
+    * by q132 (routing) and q134 (closeness). */
+  private[graft] def dataWeightedEdges(t: Tables): DataFrame = {
     val m = maxCust(t)
     val fwd = t.orders.select(
       col("o_custkey").as("src"),
@@ -403,11 +395,59 @@ object GraphOps {
         .as("w"))
     val sym = fwd.union(
       fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val we = sym.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    sym.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+  }
+
+  /** Batched OD routing over DATA-DERIVED edge weights — the proof that
+    * the sweep is weight-agnostic end to end. Every other routing query
+    * uses the arithmetic ((src*31+dst)%7)+1 stand-in; here the tolls are
+    * [[dataWeightedEdges]]'s fixture-derived weights. Same hop-capped
+    * multi-source Bellman-Ford and origin-batch → dst-batch shape as
+    * q124; the oracle recomputes the same toll from the same column. */
+  def dataWeightedRouting(spark: SparkSession, dir: String,
+      maxHops: Int = 8): DataFrame = {
+    val sources = Seq(1L, 2L, 3L, 4L, 5L)
+    val dsts = Seq(10L, 20L, 30L, 40L, 50L)
+    val we = dataWeightedEdges(Tables(spark, dir))
     multiSourceCostsFrom(spark, we, sources, maxHops)
       .filter(col("node").isin(dsts: _*))
       .select(col("origin").as("src"), col("node").as("dst"), col("cost"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Sampled weighted closeness centrality (q134): ONE batched hop-capped
+    * sweep from k rule-derived sources over the data-weighted edge
+    * relation, then a per-origin aggregate — how cheaply each sampled
+    * node reaches its hop-horizon neighborhood. The classic definition
+    * c(s) = (|reached|-1) / Σ d(s,·) is computed here over min costs of
+    * ≤ maxHops-hop paths (the cap is what makes the recursive-CTE oracle
+    * terminate identically; see multiSourceBfs).
+    *
+    * Sampling is the standard scale posture for closeness (exact
+    * all-pairs is O(V·E)): k sources per sweep, each additional batch
+    * amortizing the same edge scans — the q126 batching argument applied
+    * to a centrality workload. Sources follow `1 + (i·53) mod numNodes`
+    * (deduplicated), a different stride than q126 so the two queries
+    * exercise different slices.
+    *
+    * Float discipline: `closeness` is ONE division of two exact BIGINTs
+    * ((reached-1) / sum_cost) — IEEE-identical in any engine, no
+    * accumulation-order sensitivity. An isolated source (reached = 1,
+    * sum_cost = 0) reports closeness 0.0 by convention. */
+  def closenessCentrality(spark: SparkSession, dir: String, k: Int = 16,
+      maxHops: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    val sources = (0 until k).map(i => 1L + (i.toLong * 53L) % m).distinct
+    multiSourceCostsFrom(spark, dataWeightedEdges(t), sources, maxHops)
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("reached"), sum(col("cost")).as("sum_cost"))
+      .select(col("origin"), col("reached"), col("sum_cost"),
+        when(col("sum_cost") === 0, lit(0.0))
+          .otherwise((col("reached") - 1).cast("double") /
+            col("sum_cost").cast("double"))
+          .as("closeness"))
+      .orderBy(col("origin"))
   }
 
   /** Min cost over ≤ maxHops-hop paths from every source to every reached
