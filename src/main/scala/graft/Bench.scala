@@ -52,7 +52,10 @@ object Bench {
     // proved a noisy estimator round-over-round.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // A crashing query must not fold its time-to-failure into the
-    // headline number: it records -1 and the process exits nonzero.
+    // headline number: it records -1, its exception string lands in the
+    // artifact's "errors" map (a bench failure must be self-diagnosing,
+    // not a bare -1.0), and the process exits nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
@@ -61,6 +64,8 @@ object Bench {
         catch {
           case t: Throwable =>
             System.err.println(s"BENCH FAILURE $name: $t")
+            errors.getOrElseUpdate(name,
+              s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(500)}")
             -1.0
         }
       }
@@ -81,13 +86,26 @@ object Bench {
         .mkString(",") + "]" }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
+    // JSON-escape error strings (quotes/backslashes/control chars from
+    // Spark exception messages would otherwise corrupt the one-line artifact)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Sum-of-mins alongside sum-of-medians: under contention the median
     // absorbs load spikes but the min approximates the uncontended cost,
     // so the artifact adjudicates "slow machine vs slow code" by itself.
     val totalMin = results.map(_._4).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"iterations":$its,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
     // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
     // driver's bench artifact) — also write it as a file the driver can read.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)

@@ -99,6 +99,7 @@ object SparkEntry {
     "q126_multi_source_bfs" -> ((s: SparkSession, d: String) => GraphOps.multiSourceBfs(s, d)),
     "q127_multi_source_paths" -> ((s: SparkSession, d: String) => GraphOps.multiSourcePaths(s, d)),
     "q132_data_weighted_routing" -> ((s: SparkSession, d: String) => GraphOps.dataWeightedRouting(s, d)),
+    "q134_closeness_centrality" -> ((s: SparkSession, d: String) => GraphOps.closenessCentrality(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -156,6 +157,7 @@ object SparkEntry {
     "q62_session_window"   -> (graft.streaming.EventStreams.sessionWindow _),
     "q63_first_occurrence" -> (graft.streaming.EventStreams.firstOccurrence _),
     "q64_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
+    "q133_streaming_keep_list" -> (graft.streaming.StreamingDedup.streamingKeepList _),
   )
 
   def queries: Map[String, Q] =
@@ -750,6 +752,43 @@ object SparkEntry {
         |SELECT origin AS src, node AS dst, CAST(min(cost) AS BIGINT) AS cost
         |FROM walk WHERE node IN (10, 20, 30, 40, 50)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q134: sampled weighted closeness over the SAME data-derived edge
+    // relation as q132 — one batched hop-capped sweep from the k=16
+    // stride-53 rule sources, then per-origin (reached-1)/sum_cost. The
+    // closeness division is one BIGINT/BIGINT double op, IEEE-identical
+    // across engines; isolated source (sum_cost=0) reports 0.0.
+    "q134_closeness_centrality" ->
+      s"""WITH RECURSIVE we AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT o_custkey AS src,
+        |           1 + (o_orderkey % (SELECT max(c_custkey) FROM customer)) AS dst,
+        |           1 + (CAST(round(o_totalprice * 100) AS BIGINT) % 9) AS w
+        |    FROM orders
+        |    UNION ALL
+        |    SELECT 1 + (o_orderkey % (SELECT max(c_custkey) FROM customer)),
+        |           o_custkey,
+        |           1 + (CAST(round(o_totalprice * 100) AS BIGINT) % 9)
+        |    FROM orders)
+        |  GROUP BY src, dst),
+        |srcs AS (
+        |  SELECT DISTINCT
+        |    1 + (CAST(v.i AS BIGINT) * 53) % (SELECT max(c_custkey) FROM customer) AS s
+        |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
+        |               (12),(13),(14),(15)) v(i)),
+        |walk(origin, node, hops, cost) AS (
+        |  SELECT s, s, 0, CAST(0 AS BIGINT) FROM srcs
+        |  UNION
+        |  SELECT w.origin, we.dst, w.hops + 1, w.cost + we.w
+        |  FROM walk w JOIN we ON we.src = w.node
+        |  WHERE w.hops < 8
+        |),
+        |mc AS (SELECT origin, node, min(cost) AS cost FROM walk GROUP BY 1, 2)
+        |SELECT origin, CAST(count(*) AS BIGINT) AS reached,
+        |       CAST(sum(cost) AS BIGINT) AS sum_cost,
+        |       CASE WHEN sum(cost) = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(count(*) - 1 AS DOUBLE) / CAST(sum(cost) AS DOUBLE)
+        |       END AS closeness
+        |FROM mc GROUP BY origin ORDER BY origin""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->
@@ -947,6 +986,26 @@ object SparkEntry {
        |      ELSE 0.0 END) AS cells
        |  FROM n, cent c
        |  WHERE nrm > 0)""".stripMargin
+
+  // Keep-list replay shared by q129 (batch) and q133 (streaming): the q42
+  // candidate chain, the agree >= 32 dup rule, then min-reachable-id
+  // connected components via the same recursive-CTE pattern as the q35
+  // oracle; docs outside every dup pair are their own canonical.
+  private def keepListOracle: String =
+    s"""WITH RECURSIVE $minhashAgreeCtes,
+      |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
+      |          UNION SELECT ia, ib FROM escpairs),
+      |ue AS (SELECT ia AS src, ib AS dst FROM pairs
+      |       UNION ALL SELECT ib, ia FROM pairs),
+      |walk(node, reach) AS (
+      |  SELECT DISTINCT src, src FROM ue
+      |  UNION
+      |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+      |),
+      |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node)
+      |SELECT d.doc_id, CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+      |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // Minhash funnel CTE chain shared by the q42 and q129 oracles: the
   // char-8-gram FNV hashes, the carry-split UBIGINT family signatures,
@@ -1338,21 +1397,12 @@ object SparkEntry {
     // >= 32 dup rule, then min-reachable-id connected components via the
     // same recursive-CTE pattern as the q35 oracle; docs outside every
     // dup pair are their own canonical.
-    "q129_fuzzy_dedup_keep" ->
-      s"""WITH RECURSIVE $minhashAgreeCtes,
-        |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
-        |          UNION SELECT ia, ib FROM escpairs),
-        |ue AS (SELECT ia AS src, ib AS dst FROM pairs
-        |       UNION ALL SELECT ib, ia FROM pairs),
-        |walk(node, reach) AS (
-        |  SELECT DISTINCT src, src FROM ue
-        |  UNION
-        |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
-        |),
-        |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node)
-        |SELECT d.doc_id, CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
-        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q129_fuzzy_dedup_keep" -> keepListOracle,
+    // q133: the STREAMING keep-list must land on the identical table —
+    // the oracle is literally q129's replay; any divergence between the
+    // micro-batched incremental funnel and the one-shot batch funnel
+    // hash-mismatches here.
+    "q133_streaming_keep_list" -> keepListOracle,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -32,13 +32,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val embeddings: DataFrame = t("embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) cannot represent; the reader only admits it as a raw
-    * nanosecond Long via the `nanosAsLong` legacy conf. We convert to
-    * TimestampType by truncating to microseconds — all engine queries
-    * bucket at ≥1-second granularity, so truncation is semantics-free.
+    * (microseconds) cannot represent exactly. How the reader surfaces it
+    * depends on the Spark version, so we dispatch on the observed schema:
+    *
+    *  - Spark ≤4.0 only admits it as a raw nanosecond Long under the
+    *    `nanosAsLong` legacy conf → truncate to micros via `ts div 1000`.
+    *  - Spark 4.1+ reads it natively as TIMESTAMP_NTZ (already truncated
+    *    to micros) → cast to TimestampType. The session TZ is pinned UTC,
+    *    so the NTZ wall-clock reinterpretation is byte-identical to the
+    *    naive TIMESTAMP the DuckDB oracles compare against.
+    *
+    * All engine queries bucket at ≥1-second granularity, so the micro
+    * truncation is semantics-free either way.
     */
   lazy val events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Best-effort: the legacy conf may not exist on newer Spark versions.
+    scala.util.Try(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -32,8 +32,8 @@ object Dedup {
   private val sigCache = new RotatingCache
 
   private val K = 8            // shingle length
-  private val NumHashes = 64   // minhash signature width
-  private val NumBands = 16    // LSH bands (4 rows each)
+  private[graft] val NumHashes = 64   // minhash signature width
+  private[graft] val NumBands = 16    // LSH bands (4 rows each)
 
   /** Exact dedup clusters: canonical (min) doc id + multiplicity per
     * distinct text. The group-by key is the CONTENT HASH (md5), not the

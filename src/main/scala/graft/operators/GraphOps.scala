@@ -439,7 +439,15 @@ object GraphOps {
     val t = Tables(spark, dir)
     val m = maxCust(t)
     val sources = (0 until k).map(i => 1L + (i.toLong * 53L) % m).distinct
-    multiSourceCostsFrom(spark, dataWeightedEdges(t), sources, maxHops)
+    closenessFrom(spark, dataWeightedEdges(t), sources, maxHops)
+  }
+
+  /** Closeness aggregation over an arbitrary weighted edge relation —
+    * factored out so specs can drive it with synthetic graphs (e.g. an
+    * isolated source, which must report closeness 0.0). */
+  private[graft] def closenessFrom(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    multiSourceCostsFrom(spark, edges, sources, maxHops)
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("reached"), sum(col("cost")).as("sum_cost"))
       .select(col("origin"), col("reached"), col("sum_cost"),

@@ -168,7 +168,14 @@ object Similarity {
 
   /** Coarse quantizer directions: the K lowest-id corpus vectors,
     * normalized into literal arrays (K × Dim doubles — metadata scale,
-    * inlined into the assignment expression, no join needed). */
+    * inlined into the assignment expression, no join needed).
+    *
+    * K BOUND: literal inlining is only sane while K × Dim stays metadata
+    * scale (≲ 10^4 doubles — K=16 × Dim=64 here is 1k). If K is ever
+    * scaled as ~N/B per the two-level docstring's arithmetic, switch to a
+    * `spark.sparkContext.broadcast` of the array and a lookup expression:
+    * a 10^6-literal expression tree would bottleneck Catalyst analysis
+    * long before execution. */
   private def centroidDirs(corpusRaw: DataFrame, k: Int): Array[Array[Double]] =
     corpusRaw
       .orderBy(col("vec_id")).limit(k)

@@ -743,6 +743,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("closeness centrality: hand-checked tiny graph + isolated source = 0.0") {
+    import spark.implicits._
+    // undirected path 1 -2- 2 -3- 3 (weights 2, 3), node 99 isolated
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 2L), (2L, 3L, 3L), (3L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val rows = GraphOps.closenessFrom(spark, edges, Seq(1L, 99L), maxHops = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // origin 1 reaches {1:0, 2:2, 3:5} → reached=3, sum=7, c=(3-1)/7
+    assert(rows(1L) == ((3L, 7L, 2.0 / 7.0)))
+    // isolated source: only the seed row, closeness 0.0 by convention
+    assert(rows(99L) == ((1L, 0L, 0.0)))
+  }
+
+  test("closeness centrality: q134 registered result matches per-origin recompute") {
+    val df = GraphOps.closenessCentrality(spark, sf, k = 4)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (reached, sum, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expect = if (sum == 0L) 0.0 else (reached - 1).toDouble / sum.toDouble
+      assert(c == expect, s"origin ${r.getLong(0)}: closeness formula mismatch")
+    }
+  }
+
   test("maxCust is memoized per fixture dir — graph queries reuse the constant") {
     // Deterministic proof of no re-derivation (no job counting, no
     // sleeps): poison the cached constant and observe that the next edge

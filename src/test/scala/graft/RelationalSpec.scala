@@ -48,6 +48,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("no implemented-but-unreachable graph operator (registry reachability)") {
+    // Every public GraphOps method shaped like a query — returns a
+    // DataFrame, first params (SparkSession, dir: String) — must be wired
+    // into SparkEntry (directly or via a registered wrapper), or be on the
+    // explicit helper allowlist. Guards against the q134 failure mode:
+    // real code shipped for rounds with no queries entry, oracle, or spec.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    val allowlist = Set(
+      "multiSourceCosts" // shared sweep; exercised via q124/q125/q132/q134 wrappers
+    )
+    val queryShaped = operators.GraphOps.getClass.getDeclaredMethods.toSeq
+      .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
+        .isAssignableFrom(m.getReturnType))
+      .filter { m =>
+        val p = m.getParameterTypes
+        p.length >= 2 &&
+          p(0) == classOf[org.apache.spark.sql.SparkSession] &&
+          p(1) == classOf[String]
+      }
+      .map(_.getName).filterNot(_.contains("$")).distinct
+    assert(queryShaped.nonEmpty, "reflection found no query-shaped methods")
+    val unwired = queryShaped
+      .filterNot(allowlist)
+      .filterNot(n => src.contains(s"GraphOps.$n"))
+    assert(unwired.isEmpty,
+      s"public GraphOps operators not reachable from SparkEntry: $unwired")
+  }
+
   test("group-by counts sum to table count") {
     val t = Tables(spark, sf)
     val total = t.lineitem.count()

@@ -15,6 +15,50 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("fixture-schema guard: every Tables loader yields its FIXTURES.md schema") {
+    // The ingest boundary contract (FIXTURES.md §B, post-loader view).
+    // Round 9 lesson: a Spark upgrade changed how parquet TIMESTAMP(NANOS)
+    // is surfaced and silently broke 14 queries + 12 tests with a cryptic
+    // AnalysisException — this spec turns any future fixture/reader drift
+    // into ONE named failure. (Reference analogue: smile's golden storage
+    // round-trip, src/tests/file_storage_test.cpp:53-76.)
+    //
+    // o_orderdate / l_shipdate are pinned as timestamp_ntz: Spark 4.1
+    // reads un-TZ-annotated parquet timestamps as TIMESTAMP_NTZ, and the
+    // full oracle battery is hash-green against DuckDB with that type
+    // under the pinned-UTC session — NTZ IS the working contract. events
+    // `ts` is pinned as `timestamp` because its loader normalizes the
+    // version-dependent TIMESTAMP(NANOS) read (see Tables.events).
+    val t = Tables(spark, sf)
+    val expected = Map(
+      "region" -> (t.region,
+        "r_regionkey int,r_name string"),
+      "nation" -> (t.nation,
+        "n_nationkey int,n_name string,n_regionkey int"),
+      "customer" -> (t.customer,
+        "c_custkey bigint,c_name string,c_nationkey int,c_acctbal double,c_mktsegment string"),
+      "supplier" -> (t.supplier,
+        "s_suppkey bigint,s_name string,s_nationkey int,s_acctbal double"),
+      "part" -> (t.part,
+        "p_partkey bigint,p_name string,p_brand string,p_type string,p_size int,p_retailprice double"),
+      "orders" -> (t.orders,
+        "o_orderkey bigint,o_custkey bigint,o_orderstatus string,o_totalprice double,o_orderdate timestamp_ntz,o_orderpriority string"),
+      "lineitem" -> (t.lineitem,
+        "l_orderkey bigint,l_partkey bigint,l_suppkey bigint,l_linenumber int,l_quantity double,l_extendedprice double,l_discount double,l_tax double,l_returnflag string,l_linestatus string,l_shipdate timestamp_ntz"),
+      "events" -> (t.events,
+        "event_id bigint,ts timestamp,user_id bigint,event_type string,value double,props string"),
+      "documents" -> (t.documents,
+        "doc_id bigint,text string,lang string,source string,n_chars bigint"),
+      "embeddings" -> (t.embeddings,
+        "vec_id bigint,embedding array<float>,label int"))
+    val diffs = expected.flatMap { case (name, (df, want)) =>
+      val got = df.schema.fields
+        .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(",")
+      if (got == want) None else Some(s"$name:\n  want $want\n  got  $got")
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+
   test("csv sink/source roundtrip preserves rows") {
     val dir = tmp("graft_csv")
     val orders = Tables(spark, sf).orders

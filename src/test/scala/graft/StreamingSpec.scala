@@ -292,6 +292,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming fuzzy-dedup keep-list == batch q129 on planted-dup corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Same planted-dup construction as the candidate-set spec: 100
+    // originals + 100 tail-mutated copies, streamed in FOUR micro-batches
+    // ordered so every planted pair spans batches — the incremental
+    // keep-list must equal the one-shot batch keep-list over the union.
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val mutated = base
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 20)"),
+          lit(" zz mutated tail zz")).as("text"))
+    val corpus = base.union(mutated)
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_keeplist").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingDedup.dedupBatch(batch, store); ()
+      }
+      .start()
+    try {
+      feed.grouped(50).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.StreamingDedup.keepList(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = operators.Dedup.fuzzyDedupKeepFrom(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want,
+      s"streaming keep-list diverged: ${got.size} rows vs batch ${want.size}")
+    // and the clusters actually collapsed: every planted copy maps to its
+    // original (canonical = the lower id of the pair)
+    val collapsed = got.count { case (id, canon) =>
+      id >= 100000L && canon == id - 100000L }
+    assert(collapsed >= 90, s"only $collapsed of 100 planted copies collapsed")
+  }
+
   test("incremental minhash dedup stream == batch LSH candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
