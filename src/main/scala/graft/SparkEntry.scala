@@ -158,6 +158,7 @@ object SparkEntry {
     "q63_first_occurrence" -> (graft.streaming.EventStreams.firstOccurrence _),
     "q64_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
     "q133_streaming_keep_list" -> (graft.streaming.StreamingDedup.streamingKeepList _),
+    "q135_streaming_semantic_dedup" -> (graft.streaming.StreamingDedup.streamingSemanticDedup _),
   )
 
   def queries: Map[String, Q] =
@@ -987,6 +988,38 @@ object SparkEntry {
        |  FROM n, cent c
        |  WHERE nrm > 0)""".stripMargin
 
+  // SemDeDup decision-table replay shared by q128 (batch) and q135
+  // (streaming): the q68 cell assignment, the within-cell pairwise
+  // compare with the conservative hot-cell guard, the keep-lowest-id
+  // drop rule, and the exact-embedding escalation inside hot cells.
+  private def semanticDecisionOracle: String =
+    s"""WITH $ivfCellCtes,
+      |asg AS (
+      |  SELECT vec_id, embedding, nrm,
+      |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+      |  FROM ca),
+      |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
+      |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
+      |hotrows AS (SELECT a.* FROM asg a SEMI JOIN hot h USING (cell)),
+      |esccanon AS (
+      |  SELECT cell, embedding, min(vec_id) AS canon FROM hotrows GROUP BY ALL),
+      |escdropped AS (
+      |  SELECT h.vec_id FROM hotrows h
+      |  JOIN esccanon e ON h.cell = e.cell AND h.embedding = e.embedding
+      |  WHERE h.vec_id != e.canon),
+      |alldropped AS (
+      |  SELECT vec_id FROM dropped UNION SELECT vec_id FROM escdropped)
+      |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+      |       (d.vec_id IS NULL) AS kept,
+      |       (h.cell IS NOT NULL) AS escalated
+      |FROM asg LEFT JOIN alldropped d ON asg.vec_id = d.vec_id
+      |         LEFT JOIN hot h ON asg.cell = h.cell
+      |ORDER BY asg.vec_id""".stripMargin
+
   // Keep-list replay shared by q129 (batch) and q133 (streaming): the q42
   // candidate chain, the agree >= 32 dup rule, then min-reachable-id
   // connected components via the same recursive-CTE pattern as the q35
@@ -1177,33 +1210,14 @@ object SparkEntry {
     // and the keep-lowest-id drop rule; output is the full decision
     // table. The cosine threshold compares UNROUNDED doubles — safe for
     // the same reason as q67 (identical IEEE operation sequence).
-    "q128_semantic_dedup" ->
-      s"""WITH $ivfCellCtes,
-        |asg AS (
-        |  SELECT vec_id, embedding, nrm,
-        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
-        |  FROM ca),
-        |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
-        |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
-        |dropped AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
-        |hotrows AS (SELECT a.* FROM asg a SEMI JOIN hot h USING (cell)),
-        |esccanon AS (
-        |  SELECT cell, embedding, min(vec_id) AS canon FROM hotrows GROUP BY ALL),
-        |escdropped AS (
-        |  SELECT h.vec_id FROM hotrows h
-        |  JOIN esccanon e ON h.cell = e.cell AND h.embedding = e.embedding
-        |  WHERE h.vec_id != e.canon),
-        |alldropped AS (
-        |  SELECT vec_id FROM dropped UNION SELECT vec_id FROM escdropped)
-        |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
-        |       (d.vec_id IS NULL) AS kept,
-        |       (h.cell IS NOT NULL) AS escalated
-        |FROM asg LEFT JOIN alldropped d ON asg.vec_id = d.vec_id
-        |         LEFT JOIN hot h ON asg.cell = h.cell
-        |ORDER BY asg.vec_id""".stripMargin,
+    "q128_semantic_dedup" -> semanticDecisionOracle,
+    // q135: the STREAMING semantic dedup must land on the identical
+    // decision table — the oracle is literally q128's replay; any
+    // divergence between the micro-batched incremental compare and the
+    // one-shot within-cell compare hash-mismatches here. (Sound because
+    // the drop rule is per-PAIR — drop the higher id of any tau-pair —
+    // which is feed-order-independent.)
+    "q135_streaming_semantic_dedup" -> semanticDecisionOracle,
     // q130: the two-level SemDeDup replay. Stage 1 is driver metadata in
     // Spark, plain SQL here: each of the 16 centroids maps to the first-
     // max of its dots against the first ceil(√16)=4 super-directions

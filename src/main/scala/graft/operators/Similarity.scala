@@ -24,7 +24,7 @@ object Similarity {
     * codegen'd DotProduct expression (see functions/DotProduct.scala);
     * IEEE-identical to the aggregate(zip_with(...)) formulation it
     * replaced, so oracle results are unchanged to the bit. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)
 
   /** Bounded cache slot for the near-dup normed scan (see [[RotatingCache]]). */
@@ -176,7 +176,7 @@ object Similarity {
     * `spark.sparkContext.broadcast` of the array and a lookup expression:
     * a 10^6-literal expression tree would bottleneck Catalyst analysis
     * long before execution. */
-  private def centroidDirs(corpusRaw: DataFrame, k: Int): Array[Array[Double]] =
+  private[graft] def centroidDirs(corpusRaw: DataFrame, k: Int): Array[Array[Double]] =
     corpusRaw
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
@@ -202,6 +202,20 @@ object Similarity {
     withNorm(raw).filter(col("nrm") > 0)
       .withColumn("ca", cosArr(col("embedding"), col("nrm")))
   }
+
+  /** Flat argmax cell assignment of an arbitrary (vec_id, embedding)
+    * frame against a FIXED centroid set — the quantizer hook the
+    * streaming semantic dedup (q135) ingests with: the quantizer is
+    * trained/frozen ahead of the stream (standard SemDeDup/IVF ingest
+    * posture), so every micro-batch assigns against identical literals
+    * and exact duplicates co-locate across batches by construction.
+    * Zero-norm vectors are excluded (no cosine direction), matching the
+    * batch decision-table contract. */
+  private[graft] def assignCellsFlat(vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    withCellScores(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        array_position(col("ca"), array_max(col("ca"))).as("cell"))
 
   /** Same, over arbitrary corpus/query frames. */
   def annIvfTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame,
@@ -370,10 +384,7 @@ object Similarity {
       maxCell: Int = 1000, twoLevel: Boolean = false): DataFrame = {
     val cents = centroidDirs(vecs, k)
     val cellExpr: DataFrame => DataFrame =
-      if (!twoLevel)
-        df => withCellScores(df, cents)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            array_position(col("ca"), array_max(col("ca"))).as("cell"))
+      if (!twoLevel) df => assignCellsFlat(df, cents)
       else df => withTwoLevelCell(df, cents)
     val asg = cellCache.rotate(cellExpr(vecs).persist())
     val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -159,5 +159,115 @@ object StreamingDedup {
       }
     } finally q.stop()
     keepList(spark, storeDir)
+  }
+
+  // ----- streaming SemDeDup (q135): the embedding sibling of the minhash
+  // keep-list above. Sound for the same reason: the batch drop rule is
+  // per-PAIR (drop the HIGHER id of any within-cell cosine ≥ tau pair),
+  // which is feed-order-independent — every unordered pair is evaluated
+  // in exactly the micro-batch where its later vector arrives, so the
+  // accumulated drop set equals the one-shot batch drop set. The
+  // quantizer (centroid set) is trained/frozen BEFORE the stream starts
+  // (standard SemDeDup/IVF ingest posture), so assignment is identical
+  // across batches.
+
+  /** Process one micro-batch of (vec_id, embedding): assign cells against
+    * the frozen centroids, emit drops vs the accumulating assignment
+    * store, fold the batch in. Cells whose ACCUMULATED population exceeds
+    * `maxCell` are skipped from the pairwise compare from that batch on
+    * (the batch hot-cell guard applied incrementally); their exact-dup
+    * escalation is deferred to batch compaction, the same posture as the
+    * minhash tier's over-cap escalation. */
+  def semanticBatch(batch: DataFrame, storeDir: String,
+      cents: Array[Array[Double]], tau: Double,
+      maxCell: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    val asgPath = s"$storeDir/asg"
+    val dropPath = s"$storeDir/dropped"
+    val haveStore = new java.io.File(asgPath).exists
+    val asg = Similarity.assignCellsFlat(batch, cents).persist()
+    try {
+      val old =
+        if (haveStore) spark.read.parquet(asgPath)
+        else asg.limit(0)
+      val hotCells = asg.select(col("cell")).unionByName(old.select(col("cell")))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCell)
+        .select(col("cell"))
+      val newIn = asg.join(hotCells, Seq("cell"), "left_anti")
+      val oldIn = old.join(hotCells, Seq("cell"), "left_anti")
+      val within = newIn.alias("a").join(newIn.alias("b"),
+          col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) >= tau)
+        .select(col("b.vec_id").as("vec_id"))
+      val cross = newIn.alias("a").join(oldIn.alias("b"),
+          col("a.cell") === col("b.cell"))
+        .filter(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) >= tau)
+        .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
+      within.unionByName(cross).distinct()
+        .write.mode("append").parquet(dropPath)
+      asg.write.mode("append").parquet(asgPath)
+    } finally asg.unpersist()
+  }
+
+  /** Assemble the decision table from the accumulated store — same output
+    * contract as batch q128: (vec_id, cell, kept, escalated), one row per
+    * non-zero-norm vector; `escalated` marks cells over `maxCell` in the
+    * FINAL accumulated state. */
+  def semanticDecisionTable(spark: SparkSession, storeDir: String,
+      maxCell: Int = 1000): DataFrame = {
+    val asg = spark.read.parquet(s"$storeDir/asg")
+    val dropPath = s"$storeDir/dropped"
+    val dropped =
+      if (new java.io.File(dropPath).exists)
+        spark.read.parquet(dropPath).distinct()
+          .withColumn("_drop", lit(true))
+      else spark.range(0).select(col("id").as("vec_id"),
+        lit(true).as("_drop"))
+    val hotCells = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCell)
+      .select(col("cell").cast("long").as("cell"), lit(true).as("_esc"))
+    asg.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .join(hotCells, Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("_drop").isNull.as("kept"),
+        coalesce(col("_esc"), lit(false)).as("escalated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Registered q135 entry: freeze the quantizer over the fixture corpus
+    * (the K=16 lowest-id vectors — identical to batch q128's), feed the
+    * corpus through a real micro-batched stream in 4 chunks, run the
+    * per-batch incremental compare, and return the assembled decision
+    * table. Oracle: the SAME replay as q128. */
+  def streamingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = Tables(spark, dir).embeddings
+    val cents = Similarity.centroidDirs(vecs, 16)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sem").toString
+    // Driver-side MemoryStream feed — same harness plumbing note as
+    // streamingKeepList above.
+    val feed = vecs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semanticBatch(batch, storeDir, cents, 0.35); ()
+      }
+      .start()
+    try {
+      val chunk = math.max(1, (feed.size + 3) / 4)
+      feed.grouped(chunk).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    semanticDecisionTable(spark, storeDir)
   }
 }

@@ -117,6 +117,44 @@ object ScaleSmoke {
         println(s"[scale]   fuzzy keep-list: docs=${k.count()} merged=$merged")
         merged
       }
+      // streaming sibling (q133's shape): the SAME corpus fed as 4
+      // micro-batches against an accumulating signature store — per-batch
+      // cost must stay band-bounded (new×store equi-join on band keys,
+      // never all-pairs), so total time tracks the one-shot batch funnel
+      // plus store-append I/O, and the assembled keep-list must merge the
+      // same near-dup mass as the batch tier above.
+      time(s"streaming_keep_list") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_stream").toString
+        (0 until 4).foreach { i =>
+          graft.streaming.StreamingDedup.dedupBatch(
+            docs.filter(pmod(col("doc_id"), lit(4)) === i), storeDir)
+        }
+        val k = graft.streaming.StreamingDedup.keepList(spark, storeDir)
+        val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()
+        println(s"[scale]   streaming keep-list: docs=${k.count()} merged=$merged")
+        merged
+      }
+      // streaming SemDeDup (q135's shape): the same vectors fed as 4
+      // micro-batches against an accumulating assignment store, frozen
+      // quantizer at the SAME scaled K as the batch tiers above —
+      // per-batch pairwise work must stay cell-bounded (new×store join on
+      // the cell id) and drops must track the batch decision table.
+      time(s"streaming_semantic_dedup") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_stream_sem").toString
+        val cents = graft.operators.Similarity.centroidDirs(vecs, 16 * mult)
+        (0 until 4).foreach { i =>
+          graft.streaming.StreamingDedup.semanticBatch(
+            vecs.filter(pmod(col("vec_id"), lit(4)) === i),
+            storeDir, cents, 0.35)
+        }
+        val d = graft.streaming.StreamingDedup
+          .semanticDecisionTable(spark, storeDir)
+        val dropped = d.filter(!col("kept")).count()
+        println(s"[scale]   streaming semantic: vectors=${d.count()} dropped=$dropped")
+        dropped
+      }
       // the pathological corpus at scale: mult×10k BYTE-IDENTICAL docs —
       // every band bucket is one corpus-sized hot bucket, the LSH worst
       // case no banding fixes. The guard bounds pair generation to zero

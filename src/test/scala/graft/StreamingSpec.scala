@@ -332,6 +332,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(collapsed >= 90, s"only $collapsed of 100 planted copies collapsed")
   }
 
+  test("streaming semantic dedup == batch q128 on planted-dup corpus") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 100 originals + 100 exact copies (cosine exactly 1 ≥ tau), streamed
+    // in FOUR micro-batches so every planted pair spans batches. The
+    // quantizer is frozen over the UNION (same K-lowest-id rule the batch
+    // tier uses), so both formulations assign identical cells.
+    val base = Tables(spark, sf).embeddings
+      .filter(col("vec_id") < 100).select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val corpus = base.union(copies)
+    val cents = operators.Similarity.centroidDirs(corpus, 16)
+    val feed = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_sem_spec").toString
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = ms.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingDedup
+          .semanticBatch(batch, store, cents, 0.35); ()
+      }
+      .start()
+    try {
+      feed.grouped(50).foreach { c => ms.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.StreamingDedup
+      .semanticDecisionTable(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    val want = operators.Similarity.semanticDedupFrom(corpus, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    assert(got == want,
+      s"streaming decision table diverged: ${got.size} vs ${want.size}")
+    // every exact copy must be dropped (its lower-id twin is in-cell with
+    // cosine exactly 1)
+    val droppedCopies = got.count { case (id, _, kept, _) =>
+      id >= 100000L && !kept }
+    assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
+  }
+
   test("incremental minhash dedup stream == batch LSH candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
