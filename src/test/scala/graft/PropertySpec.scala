@@ -400,6 +400,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup tiers ≡ batch under random feed order and chunking") {
+    import spark.implicits._
+    // The equivalence argument for q133/q135 is that the drop/pair rule is
+    // per-PAIR and therefore feed-order-independent: every unordered pair
+    // is evaluated in exactly the micro-batch where its LATER element
+    // arrives. This property drives both tiers with seed-deterministic
+    // random permutations and chunk counts — not just the doc-id-ordered
+    // 4-chunk feed the registered queries use — and demands the exact
+    // batch result each time.
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val mutated = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" zz mutated tail zz")).as("text"))
+    val corpus = base.union(mutated)
+    val feed = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val wantKeep = operators.Dedup.fuzzyDedupKeepFrom(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val ebase = Tables(spark, sf).embeddings
+      .filter(col("vec_id") < 60).select(col("vec_id"), col("embedding"))
+    val ecopy = ebase.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val ecorpus = ebase.union(ecopy)
+    val cents = operators.Similarity.centroidDirs(ecorpus, 16)
+    val efeed = ecorpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val wantSem = operators.Similarity.semanticDedupFrom(ecorpus, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq.sorted
+    forAllSampled(Gen.zip(Gen.choose(0, Int.MaxValue), Gen.choose(2, 5)),
+        n = 3) { case (seed, nChunks) =>
+      val rnd = new scala.util.Random(seed)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_prop_stream").toString
+      rnd.shuffle(feed).grouped(math.max(1, feed.size / nChunks))
+        .foreach { c =>
+          graft.streaming.StreamingDedup
+            .dedupBatch(c.toDF("doc_id", "text"), store)
+        }
+      val got = graft.streaming.StreamingDedup.keepList(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == wantKeep,
+        s"keep-list diverged under seed=$seed chunks=$nChunks")
+      val estore = java.nio.file.Files
+        .createTempDirectory("graft_prop_sem").toString
+      rnd.shuffle(efeed).grouped(math.max(1, efeed.size / nChunks))
+        .foreach { c =>
+          graft.streaming.StreamingDedup
+            .semanticBatch(c.toDF("vec_id", "embedding"), estore, cents, 0.35)
+        }
+      val gotSem = graft.streaming.StreamingDedup
+        .semanticDecisionTable(spark, estore)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3))).toSeq.sorted
+      assert(gotSem == wantSem,
+        s"semantic table diverged under seed=$seed chunks=$nChunks")
+    }
+  }
+
   test("count-min heavy hitters: estimate bounds hold for every top word") {
     // bounds live HERE (cnt ≤ est ≤ cnt + ceil(eps·N)) — the oracle-hashed
     // q122 output pins only the exact counts, so a Spark-internal CMS
