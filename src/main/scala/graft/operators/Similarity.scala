@@ -196,8 +196,9 @@ object Similarity {
     * branch) before the filter can prune it. */
   private def withCellScores(raw: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     def cosArr(emb: Column, nrm: Column): Column =
-      array(cents.map { c =>
-        when(nrm > 0, dot(emb, array(c.map(lit): _*)) / nrm).otherwise(lit(0.0))
+      array(cents.toIndexedSeq.map { c =>
+        when(nrm > 0, dot(emb, array(c.toIndexedSeq.map(lit): _*)) / nrm)
+          .otherwise(lit(0.0))
       }: _*)
     withNorm(raw).filter(col("nrm") > 0)
       .withColumn("ca", cosArr(col("embedding"), col("nrm")))
@@ -300,12 +301,13 @@ object Similarity {
     }
     val centDf = cellSup.toSeq.toDF("cell", "sup", "dir")
     val present: Array[Int] = cellSup.map(_._2).distinct.sorted
-    val supArr = array(present.map { j =>
+    val supArr = array(present.toIndexedSeq.map { j =>
       val sd = supers(j - 1)
-      when(col("nrm") > 0, dot(col("embedding"), array(sd.map(lit): _*)) / col("nrm"))
+      when(col("nrm") > 0,
+          dot(col("embedding"), array(sd.toIndexedSeq.map(lit): _*)) / col("nrm"))
         .otherwise(lit(0.0))
     }: _*)
-    val presentLit = array(present.map(j => lit(j)): _*)
+    val presentLit = array(present.toIndexedSeq.map(j => lit(j)): _*)
     val assigned = withNorm(raw).filter(col("nrm") > 0)
       .withColumn("sup", element_at(presentLit,
         array_position(supArr, array_max(supArr)).cast("int")))
