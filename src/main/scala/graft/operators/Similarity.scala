@@ -171,11 +171,11 @@ object Similarity {
     * inlined into the assignment expression, no join needed).
     *
     * K BOUND: literal inlining is only sane while K × Dim stays metadata
-    * scale (≲ 10^4 doubles — K=16 × Dim=64 here is 1k). If K is ever
-    * scaled as ~N/B per the two-level docstring's arithmetic, switch to a
-    * `spark.sparkContext.broadcast` of the array and a lookup expression:
-    * a 10^6-literal expression tree would bottleneck Catalyst analysis
-    * long before execution. */
+    * scale — a 10^6-literal expression tree would bottleneck Catalyst
+    * analysis long before execution. The flat quantizer therefore
+    * dispatches at [[MaxInlineCentroidDoubles]]: beyond it,
+    * [[assignCellsFlatBcast]] carries the centroids as a broadcast
+    * relation instead (bit-compatible; equality spec'd). */
   private[graft] def centroidDirs(corpusRaw: DataFrame, k: Int): Array[Array[Double]] =
     corpusRaw
       .orderBy(col("vec_id")).limit(k)
@@ -217,6 +217,45 @@ object Similarity {
     withCellScores(vecs, cents)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         array_position(col("ca"), array_max(col("ca"))).as("cell"))
+
+  /** Broadcast-relation flat assignment — the same argmax contract as
+    * [[assignCellsFlat]] but with the centroids carried as a broadcast
+    * TABLE (one row per cell) instead of inlined literal expressions: the
+    * scale path once K × Dim leaves metadata scale, where a literal tree
+    * would bottleneck Catalyst analysis (see the K BOUND note on
+    * [[centroidDirs]]). Bit-compatible with the literal path: the same
+    * DotProduct fold computes each score, and the windowed argmax
+    * (score desc, cell asc) reproduces array_position's first-max
+    * tie-break exactly — asserted score-for-score in PipelineSpec. */
+  private[graft] def assignCellsFlatBcast(vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong + 1L, c.toSeq) }.toDF("cell", "dir")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    withNorm(vecs).filter(col("nrm") > 0)
+      .join(broadcast(centDf))
+      .withColumn("cscore", dot(col("embedding"), col("dir")) / col("nrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+  }
+
+  /** Above this many inlined doubles (K × Dim) the flat quantizer switches
+    * from literal expressions to the broadcast relation. 4096 ≈ 64 cells
+    * of 64 dims — comfortably inside Catalyst's literal-tree budget. */
+  private[graft] val MaxInlineCentroidDoubles = 4096
+
+  /** Flat assignment with the literal/broadcast dispatch applied — the
+    * entry point semanticDedupFrom and the streaming tier share. */
+  private[graft] def assignCellsFlatAuto(vecs: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
+        <= MaxInlineCentroidDoubles) assignCellsFlat(vecs, cents)
+    else assignCellsFlatBcast(vecs, cents)
 
   /** Same, over arbitrary corpus/query frames. */
   def annIvfTopKFrom(corpusRaw: DataFrame, queriesRaw: DataFrame,
@@ -386,7 +425,10 @@ object Similarity {
       maxCell: Int = 1000, twoLevel: Boolean = false): DataFrame = {
     val cents = centroidDirs(vecs, k)
     val cellExpr: DataFrame => DataFrame =
-      if (!twoLevel) df => assignCellsFlat(df, cents)
+      // flat path: literal inlining for metadata-scale K (the registered
+      // q128, K=16), broadcast relation once K × Dim leaves literal-tree
+      // scale — bit-compatible, see assignCellsFlatBcast
+      if (!twoLevel) df => assignCellsFlatAuto(df, cents)
       else df => withTwoLevelCell(df, cents)
     val asg = cellCache.rotate(cellExpr(vecs).persist())
     val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))

@@ -185,7 +185,7 @@ object StreamingDedup {
     val asgPath = s"$storeDir/asg"
     val dropPath = s"$storeDir/dropped"
     val haveStore = new java.io.File(asgPath).exists
-    val asg = Similarity.assignCellsFlat(batch, cents).persist()
+    val asg = Similarity.assignCellsFlatAuto(batch, cents).persist()
     try {
       val old =
         if (haveStore) spark.read.parquet(asgPath)

@@ -743,6 +743,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("flat quantizer: broadcast-relation assignment ≡ literal inlining") {
+    // The scale path for K × Dim beyond literal-tree budget must be
+    // bit-compatible with the inlined path: same DotProduct scores, same
+    // first-max tie-break. Compared cell-for-cell on the fixture corpus.
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.centroidDirs(vecs, 16)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit = cells(Similarity.assignCellsFlat(vecs, cents))
+    val bc = cells(Similarity.assignCellsFlatBcast(vecs, cents))
+    assert(lit.nonEmpty && lit == bc,
+      s"assignment diverged on ${lit.count { case (k, v) => bc.get(k) != Some(v) }} vectors")
+  }
+
   test("closeness centrality: hand-checked tiny graph + isolated source = 0.0") {
     import spark.implicits._
     // undirected path 1 -2- 2 -3- 3 (weights 2, 3), node 99 isolated
