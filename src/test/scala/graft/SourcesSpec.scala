@@ -59,6 +59,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
 
+  test("binaryFile source ingests media blobs (multimodal ingest path)") {
+    // Production multimodal ingest: media arrive as FILES; the engine
+    // reads them with the built-in `binaryFile` source into the same
+    // opaque-binary column shape the q51-q53/q123 operators process
+    // (Multimodal.scala builds payloads synthetically because the fixture
+    // set carries no blobs — this covers the missing first hop).
+    val dir = tmp("graft_binfiles")
+    val payloads = Tables(spark, sf).documents
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val want = payloads.select(col("doc_id"), md5(col("payload")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    payloads.collect().foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+        r.getAs[Array[Byte]]("payload"))
+    }
+    // a decoy file the glob filter must exclude
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ignore.tmp"), Array[Byte](1, 2, 3))
+    val back = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+        .cast("long").as("doc_id"), md5(col("content")).as("d"))
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == want,
+      s"binaryFile roundtrip digests diverged (${got.size}/${want.size} files)")
+  }
+
   test("csv sink/source roundtrip preserves rows") {
     val dir = tmp("graft_csv")
     val orders = Tables(spark, sf).orders
