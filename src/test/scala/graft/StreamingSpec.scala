@@ -376,6 +376,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
   }
 
+  test("streaming dedup degenerate corpus: accumulated caps bind, no quadratic blowup") {
+    import spark.implicits._
+    // All-identical corpus — the LSH/cell worst case no banding fixes.
+    // Every band bucket / cell is ONE corpus-sized hot group; the
+    // accumulated guard must skip it from pair generation (the documented
+    // conservative-keep posture; exact-dup escalation is deferred to
+    // batch compaction), so the stream completes linearly and the
+    // keep-list / decision table still covers every element.
+    val one = Tables(spark, sf).documents.filter(col("doc_id") === 0L)
+      .select(substring(col("text"), 1, 100).as("text")).head().getString(0)
+    val docs = (0L until 200L).map(i => (i, one))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_degen").toString
+    docs.grouped(50).foreach { c =>
+      graft.streaming.StreamingDedup
+        .dedupBatch(c.toDF("doc_id", "text"), store, maxBucket = 10)
+    }
+    val keep = graft.streaming.StreamingDedup.keepList(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keep.length == 200, s"keep-list must cover the corpus: ${keep.length}")
+    assert(keep.forall { case (d, c) => c == d },
+      "over-cap buckets must conservative-keep (escalation is a batch-compaction step)")
+    // embedding tier: 200 identical vectors, one hot cell
+    val vec = Tables(spark, sf).embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val vecs = (0L until 200L).map(i => (i, vec))
+    val estore = java.nio.file.Files
+      .createTempDirectory("graft_stream_degen_sem").toString
+    val cents = graft.operators.Similarity
+      .centroidDirs(vecs.toDF("vec_id", "embedding"), 4)
+    vecs.grouped(50).foreach { c =>
+      graft.streaming.StreamingDedup.semanticBatch(
+        c.toDF("vec_id", "embedding"), estore, cents, 0.35, maxCell = 10)
+    }
+    val table = graft.streaming.StreamingDedup
+      .semanticDecisionTable(spark, estore, maxCell = 10)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    assert(table.length == 200, s"decision table must cover the corpus: ${table.length}")
+    assert(table.forall(_._2), "hot-cell rows must be conservative-kept")
+    assert(table.forall(_._3), "final-hot cells must be marked escalated")
+  }
+
   test("incremental minhash dedup stream == batch LSH candidate set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
