@@ -123,6 +123,7 @@ object SparkEntry {
     "q128_semantic_dedup"    -> (Similarity.semanticDedup _),
     "q129_fuzzy_dedup_keep"  -> (Dedup.fuzzyDedupKeep _),
     "q130_semantic_dedup_2l" -> (Similarity.semanticDedup2l _),
+    "q136_semantic_keep_list" -> (Similarity.semanticKeepList _),
     "q45_cosine_topk_pairs"  -> (Similarity.cosineTopKPairs _),
     "q46_ann_bruteforce_topk" -> (Similarity.annBruteForceTopK _),
     "q47_ann_lsh_topk"       -> (Similarity.annLshTopK _),
@@ -1218,6 +1219,42 @@ object SparkEntry {
     // the drop rule is per-PAIR — drop the higher id of any tau-pair —
     // which is feed-order-independent.)
     "q135_streaming_semantic_dedup" -> semanticDecisionOracle,
+    // q136: keep-one-per-GROUP SemDeDup — the q128 pair evidence chain
+    // composed with the q129 connected-components action (same recursive
+    // min-reachable-id walk as the q35/q129 oracles); every assigned
+    // vector appears, canonical = component minimum.
+    "q136_semantic_keep_list" ->
+      s"""WITH RECURSIVE $ivfCellCtes,
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+        |  FROM ca),
+        |hot AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) > 1000),
+        |inplay AS (SELECT a.* FROM asg a ANTI JOIN hot h USING (cell)),
+        |pairs AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM inplay a JOIN inplay b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
+        |hotrows AS (SELECT a.* FROM asg a SEMI JOIN hot h USING (cell)),
+        |esccanon AS (
+        |  SELECT cell, embedding, min(vec_id) AS canon FROM hotrows GROUP BY ALL),
+        |escpairs AS (
+        |  SELECT e.canon AS ia, h.vec_id AS ib FROM hotrows h
+        |  JOIN esccanon e ON h.cell = e.cell AND h.embedding = e.embedding
+        |  WHERE h.vec_id != e.canon),
+        |allpairs AS (SELECT ia, ib FROM pairs UNION SELECT ia, ib FROM escpairs),
+        |ue AS (SELECT ia AS src, ib AS dst FROM allpairs
+        |       UNION ALL SELECT ib, ia FROM allpairs),
+        |walk(node, reach) AS (
+        |  SELECT DISTINCT src, src FROM ue
+        |  UNION
+        |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+        |),
+        |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node)
+        |SELECT asg.vec_id,
+        |       CAST(coalesce(c.canonical, asg.vec_id) AS BIGINT) AS canonical_id
+        |FROM asg LEFT JOIN comp c ON c.node = asg.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
     // q130: the two-level SemDeDup replay. Stage 1 is driver metadata in
     // Spark, plain SQL here: each of the 16 centroids maps to the first-
     // max of its dots against the first ceil(√16)=4 super-directions

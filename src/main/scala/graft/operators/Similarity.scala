@@ -405,6 +405,66 @@ object Similarity {
   def semanticDedup2l(spark: SparkSession, dir: String): DataFrame =
     semanticDedupFrom(Tables(spark, dir).embeddings, 0.35, twoLevel = true)
 
+  /** SemDeDup with keep-one-per-GROUP semantics (q136) — the composition
+    * the q128 docstring prescribes: the same within-cell tau-pair
+    * evidence, then connected components over the dup-pair graph and
+    * canonical = component minimum, exactly the q129 action applied to
+    * embeddings. Differs from q128's per-pair rule on similarity chains:
+    * a vector whose only tau-mates have HIGHER ids is kept by the pair
+    * rule but collapses to the component minimum here (spec'd on a
+    * constructed 3-vector chain). Output is the q129 contract: one row
+    * per (non-zero-norm) vector, directly joinable as a dedup filter.
+    *
+    * Scale shape: pair generation is cell-bounded (inherits the hot-cell
+    * guard; exact-embedding escalation pairs inside hot cells feed the
+    * graph, as q129's escalation feeds its keep-list), and the CC step
+    * runs on dup PAIRS only. */
+  def semanticKeepList(spark: SparkSession, dir: String): DataFrame =
+    semanticKeepListFrom(Tables(spark, dir).embeddings, 0.35)
+
+  /** Same, over an arbitrary (vec_id, embedding) frame. */
+  def semanticKeepListFrom(vecs: DataFrame, tau: Double, k: Int = 16,
+      maxCell: Int = 1000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroidDirs(vecs, k)
+    val asg = cellCache.rotate(assignCellsFlatAuto(vecs, cents).persist())
+    val hot = asg.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+      .filter(col("_csz") > maxCell)
+    val hotCells = hot.select(col("cell"))
+    val inPlay = asg.join(hotCells, Seq("cell"), "left_anti")
+    val a = inPlay.select(col("cell"), col("vec_id").as("ia"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = inPlay.select(col("cell"), col("vec_id").as("ib"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("ia"), col("ib"))
+    val escPairs =
+      if (hot.isEmpty)
+        spark.range(0).select(col("id").as("ia"), col("id").as("ib"))
+      else {
+        val hotRows = asg.join(hotCells, Seq("cell"), "left_semi")
+        val escCanon = hotRows.groupBy(col("cell"), col("embedding"))
+          .agg(min(col("vec_id")).as("_canon"))
+        hotRows.join(escCanon, Seq("cell", "embedding"))
+          .filter(col("vec_id") =!= col("_canon"))
+          .select(col("_canon").as("ia"), col("vec_id").as("ib"))
+      }
+    val comp = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(pairs.unionByName(escPairs).as[(Long, Long)].rdd,
+        defaultValue = 0)
+      .connectedComponents().vertices
+      .map { case (id, c) => (id, c) }
+      .toDF("vec_id", "comp")
+    asg.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("canonical_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Same, over an arbitrary (vec_id, embedding) frame — lets tests plant
     * exact duplicates and assert the drop/keep decisions. Output is the
     * full decision table: (vec_id, cell, kept, escalated), one row per

@@ -759,6 +759,31 @@ class PipelineSpec extends AnyFunSuite {
       s"assignment diverged on ${lit.count { case (k, v) => bc.get(k) != Some(v) }} vectors")
   }
 
+  test("semantic keep-list: group semantics vs q128's per-pair rule on a chain") {
+    import spark.implicits._
+    // Constructed chain in one cell (k=1 → single centroid): ids 1 ⊥ 2,
+    // but both are tau-similar to 3 (cos 1·3 = cos 2·3 ≈ 0.707 ≥ 0.35;
+    // cos 1·2 = 0 < 0.35). The per-pair rule KEEPS 2 (its only tau-mate
+    // has a higher id); group semantics collapse the whole component to
+    // the minimum — the documented divergence, asserted both ways.
+    val dim = 8
+    def v(hot: Seq[(Int, Float)]): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); hot.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = Seq(
+      (1L, v(Seq(0 -> 1.0f))),
+      (2L, v(Seq(1 -> 1.0f))),
+      (3L, v(Seq(0 -> 1.0f, 1 -> 1.0f)))).toDF("vec_id", "embedding")
+    val pairRule = Similarity.semanticDedupFrom(vecs, 0.35, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(pairRule == Map(1L -> true, 2L -> true, 3L -> false),
+      s"per-pair rule: expected keep {1,2}, got $pairRule")
+    val group = Similarity.semanticKeepListFrom(vecs, 0.35, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(group == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"group semantics: expected one component with canonical 1, got $group")
+  }
+
   test("closeness centrality: hand-checked tiny graph + isolated source = 0.0") {
     import spark.implicits._
     // undirected path 1 -2- 2 -3- 3 (weights 2, 3), node 99 isolated
