@@ -111,6 +111,16 @@ object ScaleSmoke {
         println(s"[scale]   two-level: vectors=${d.count()} dropped=$dropped")
         dropped
       }
+      // group-semantics SemDeDup (q136's shape): the same cell-bounded
+      // pair evidence, then CC over dup PAIRS only — merges must track
+      // the amplified dup mass like the text keep-list above.
+      time(s"semantic_keep_list") {
+        val kl = graft.operators.Similarity
+          .semanticKeepListFrom(vecs, 0.35, k = 16 * mult)
+        val merged = kl.filter(col("vec_id") =!= col("canonical_id")).count()
+        println(s"[scale]   semantic keep-list: vectors=${kl.count()} merged=$merged")
+        merged
+      }
       time(s"fuzzy_dedup_keep") {
         val k = graft.operators.Dedup.fuzzyDedupKeepFrom(spark, docs)
         val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()
