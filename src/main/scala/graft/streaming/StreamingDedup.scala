@@ -3,8 +3,10 @@ package graft.streaming
 import graft.Tables
 import graft.operators.{Dedup, Similarity}
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming sibling of the q129 fuzzy-dedup keep-list: the ingest-time
   * formulation of the batch minhash-LSH funnel (Dedup.fuzzyDedupKeepFrom),
@@ -13,84 +15,194 @@ import org.apache.spark.sql.functions._
   * `foreachBatch` (the same pattern the reference covers only as one-shot
   * batch dedup; its streaming surface has no near-dup tier).
   *
+  * Store layout (all artifacts batch-keyed, see exactly-once below):
+  * {{{
+  *   store/sigs/b=N    (doc_id, sig)                     minhash signatures
+  *   store/bands/b=N   (doc_id, band_idx, band_val)      pre-exploded bands
+  *   store/ids/b=N     (doc_id, md5)                     every seen doc
+  *   store/pairs/b=N   (ia, ib, band_idx, band_val)      verified dup pairs,
+  *                                                       keyed by the bucket
+  *                                                       that generated them
+  *   store/counts/b=N  (band_idx, band_val, n)           CUMULATIVE bucket
+  *                                                       counts through N
+  * }}}
+  *
   * Per batch of (doc_id, text):
-  *  1. minhash signatures + band keys for the NEW docs only — each doc's
+  *  1. minhash signatures + band rows for the NEW docs only — each doc's
   *     shingle explosion is computed exactly once over the stream's life;
-  *  2. candidate pairs = new×new band-bucket collisions (ia < ib) plus
-  *     new×store collisions (the cross tier) — every unordered pair is
-  *     generated in exactly the batch where its LATER doc arrives, so the
-  *     accumulated candidate set equals the one-shot batch candidate set
-  *     regardless of how the corpus is micro-batched;
-  *  3. verify candidates with the batch rule (signature agreement ≥ 32/64)
-  *     using signatures from the batch + the store;
-  *  4. append verified dup pairs, the new signatures/bands, and ALL new ids
-  *     (signable or not) to the store.
+  *  2. cumulative bucket counts = previous counts snapshot + this batch's
+  *     delta (an O(batch + touched-buckets) merge — the store's band rows
+  *     are NEVER re-scanned for the guard);
+  *  3. candidate pairs = new×new band-bucket collisions (ia < ib) plus
+  *     new×store collisions — every unordered pair is generated in exactly
+  *     the batch where its LATER doc arrives; buckets already over
+  *     `maxBucket` in the cumulative counts are skipped (pure optimization,
+  *     see the equivalence note);
+  *  4. verify candidates with the batch rule (signature agreement ≥ 32/64)
+  *     and append them WITH the (band_idx, band_val) that generated them;
+  *  5. append the new signatures, band rows, and ALL new ids + content
+  *     hashes (signable or not) to the store.
   *
-  * [[keepList]] then assembles the q129 contract from the store: GraphX
-  * connected components over accumulated dup PAIRS only (tiny by
-  * construction), canonical = component minimum, every seen doc present.
-  * StreamingSpec asserts keepList == batch q129 on a planted-dup corpus
-  * split so every planted pair spans micro-batches.
+  * [[keepList]] then assembles the q129 contract from the store — and this
+  * is where streaming ≡ batch holds EXACTLY, for any corpus and any
+  * batching, including buckets that cross the cap mid-stream: bucket
+  * counts only grow, so "hot" is monotone over the stream. A pair the
+  * one-shot batch run would generate is one whose generating bucket is
+  * cold in the FINAL counts — and a finally-cold bucket was cold in every
+  * batch, so streaming generated the pair too. Conversely a pair streaming
+  * generated through a bucket that LATER crossed the cap is exactly a pair
+  * batch would not generate; assembly drops it by anti-joining the pair
+  * store's provenance keys against the finally-hot buckets. The exact-md5
+  * escalation the batch tier runs inside hot buckets
+  * (Dedup.minhashCandidates) runs at assembly over the finally-hot
+  * buckets' members — this IS the store compaction the per-batch path
+  * defers: over-cap buckets dedup their identical mass when the keep-list
+  * is assembled, not never. StreamingSpec pins equivalence on planted-dup
+  * corpora, on a corpus whose buckets straddle the cap mid-stream, and on
+  * a degenerate all-identical corpus (where assembly == batch q129's
+  * escalation output).
   *
-  * Scale shape: the per-batch work is |batch| signature computation plus a
-  * band-key equi-join against the store — a shuffle on (band_idx,
-  * band_val), never all-pairs. A per-bucket cap (`maxBucket`, counted over
-  * store + batch together) skips degenerate hot buckets exactly like the
-  * batch BucketGuard; the exact-md5 escalation inside over-cap buckets is
-  * deferred to batch compaction (run fuzzyDedupKeepFrom over the stored
-  * corpus), which is also where a production pipeline would rewrite the
-  * append-only store.
+  * Exactly-once: every artifact of batch N is written with Overwrite into
+  * its own `b=N` partition directory, and the cumulative counts snapshot —
+  * written LAST — is the commit marker. A foreachBatch replay (normal
+  * structured-streaming semantics after a task failure) either sees the
+  * marker and no-ops, or overwrites the same `b=N` directories it half
+  * wrote; reads of "the store before N" filter on the partition column
+  * (`b < N`), so a half-written `b=N` never leaks into its own replay.
+  * Snapshots older than N-1 are pruned after commit.
+  *
+  * Scale shape: per-batch work is |batch| signature computation, an
+  * O(batch + touched-buckets) counts merge, and a band-key equi-join
+  * against the stored band rows — a shuffle on (band_idx, band_val),
+  * never all-pairs and never a full-store re-aggregation. Store probes go
+  * through Hadoop `FileSystem`, so the store can live on HDFS/S3.
   */
 object StreamingDedup {
+
+  // ---------------------------------------------------------------- store
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def pathExists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** The commit marker of batch N: its counts snapshot's _SUCCESS. */
+  private def committed(spark: SparkSession, storeDir: String,
+      batchId: Long): Boolean =
+    pathExists(spark, s"$storeDir/counts/b=$batchId/_SUCCESS")
+
+  /** Latest COMMITTED counts snapshot strictly before `before` (listing
+    * the snapshot dir, not scanning data). */
+  private def latestSnapshot(spark: SparkSession, countsDir: String,
+      before: Long): Option[String] = {
+    val f = fs(spark, countsDir)
+    val root = new Path(countsDir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("b="))
+      .flatMap(p => scala.util.Try(p.getName.drop(2).toLong).toOption
+        .filter(id => id < before && f.exists(new Path(p, "_SUCCESS")))
+        .map(id => (id, p.toString)))
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Accumulated artifact rows from batches strictly before `before`
+    * (partition-pruned on the `b=` directory column, so a half-written
+    * current batch is invisible to its own replay). */
+  private def readBefore(spark: SparkSession, root: String, before: Long,
+      emptyLike: DataFrame): DataFrame =
+    if (pathExists(spark, root))
+      spark.read.parquet(root).filter(col("b") < before).drop("b")
+    else emptyLike.limit(0)
+
+  /** All committed artifact rows (assembly-time read). */
+  private def readAll(spark: SparkSession, root: String,
+      emptyLike: => DataFrame): DataFrame =
+    if (pathExists(spark, root)) spark.read.parquet(root).drop("b")
+    else emptyLike.limit(0)
+
+  /** Drop counts snapshots older than batchId-1 (a replay of batch N only
+    * ever needs snapshot N-1; the stream itself only needs N). */
+  private def pruneSnapshots(spark: SparkSession, countsDir: String,
+      batchId: Long): Unit = {
+    val f = fs(spark, countsDir)
+    val root = new Path(countsDir)
+    if (f.exists(root))
+      f.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("b="))
+        .filter(p => scala.util.Try(p.getName.drop(2).toLong).toOption
+          .exists(_ < batchId - 1))
+        .foreach(p => f.delete(p, true))
+  }
+
+  /** Merge the previous cumulative counts snapshot with this batch's
+    * per-key delta. O(previous distinct keys + batch keys) — NOT
+    * O(store rows); the guard never re-aggregates the band/cell store. */
+  private def mergedCounts(spark: SparkSession, countsDir: String,
+      batchId: Long, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val prev = latestSnapshot(spark, countsDir, batchId)
+      .map(spark.read.parquet(_)).getOrElse(delta.limit(0))
+    prev.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"))
+  }
 
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(array((0 until Dedup.NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band_val")))
 
-  /** Process one micro-batch: emit verified dup pairs vs the accumulated
-    * store, then fold the batch into the store. Idempotence across batch
-    * REPLAYS is the store's responsibility (a production sink would key
-    * appends by batchId; the spec's MemoryStream feed delivers each batch
-    * once). */
-  def dedupBatch(batch: DataFrame, storeDir: String,
+  // ------------------------------------------------------- minhash tier
+
+  /** Process one micro-batch: generate and verify dup pairs vs the
+    * accumulated store, then fold the batch into the store under the
+    * `batchId` key. Replays of a committed batch are no-ops; replays of a
+    * half-written batch overwrite it (see the exactly-once note above). */
+  def dedupBatch(batch: DataFrame, storeDir: String, batchId: Long,
       maxBucket: Int = 1000): Unit = {
     val spark = batch.sparkSession
-    val sigsPath = s"$storeDir/sigs"
-    val idsPath = s"$storeDir/ids"
-    val pairsPath = s"$storeDir/pairs"
-    val haveStore = new java.io.File(sigsPath).exists
+    if (committed(spark, storeDir, batchId)) return
+    val countsDir = s"$storeDir/counts"
     val sigs = Dedup.minhashSignatures(batch).persist()
     try {
       val newBands = bandRows(sigs)
-      val oldSigs =
-        if (haveStore) spark.read.parquet(sigsPath)
-        else sigs.limit(0)
-      val oldBands = bandRows(oldSigs)
-      // BucketGuard, accumulated: bucket population = store + this batch
-      val hotKeys = newBands.unionByName(oldBands)
-        .groupBy(col("band_idx"), col("band_val"))
+      val delta = newBands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxBucket)
+      val counts = mergedCounts(spark, countsDir, batchId, delta,
+        Seq("band_idx", "band_val"))
+      // cumulative guard: skip buckets already over cap. Purely an
+      // optimization — hot is monotone, so anything generated through a
+      // bucket that is (or later goes) hot is filtered at assembly by its
+      // provenance key; skipping here just avoids the quadratic work.
+      val hotNow = counts.filter(col("n") > maxBucket)
         .select(col("band_idx"), col("band_val"))
-      val kept = newBands.join(hotKeys, Seq("band_idx", "band_val"),
+      val oldBands = readBefore(spark, s"$storeDir/bands", batchId, newBands)
+      val kept = newBands.join(hotNow, Seq("band_idx", "band_val"),
         "left_anti")
-      val keptOld = oldBands.join(hotKeys, Seq("band_idx", "band_val"),
+      val keptOld = oldBands.join(hotNow, Seq("band_idx", "band_val"),
         "left_anti")
       val within = kept.alias("x").join(kept.alias("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+        .select(col("x.band_idx").as("band_idx"),
+          col("x.band_val").as("band_val"),
+          col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       val cross = kept.alias("x").join(keptOld.alias("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("ia"),
+        .select(col("x.band_idx").as("band_idx"),
+          col("x.band_val").as("band_val"),
+          least(col("x.doc_id"), col("y.doc_id")).as("ia"),
           greatest(col("x.doc_id"), col("y.doc_id")).as("ib"))
+      // provenance-keyed candidates: one row per (pair, generating bucket)
       val cand = within.unionByName(cross).distinct()
-      val allSigs = sigs.select(col("doc_id"), col("sig"))
-        .unionByName(oldSigs.select(col("doc_id"), col("sig")))
-      val dupPairs = cand
+      val oldSigs = readBefore(spark, s"$storeDir/sigs", batchId,
+        sigs.select(col("doc_id"), col("sig")))
+      val allSigs = sigs.select(col("doc_id"), col("sig")).unionByName(oldSigs)
+      val dupPairs = cand.select(col("ia"), col("ib")).distinct()
         .join(allSigs.select(col("doc_id").as("ia"), col("sig").as("sa")),
           Seq("ia"))
         .join(allSigs.select(col("doc_id").as("ib"), col("sig").as("sb")),
@@ -100,24 +212,72 @@ object StreamingDedup {
             x => x)).as("agree"))
         .filter(col("agree") >= Dedup.NumHashes / 2)
         .select(col("ia"), col("ib"))
-      dupPairs.write.mode("append").parquet(pairsPath)
-      sigs.write.mode("append").parquet(sigsPath)
-      batch.select(col("doc_id")).write.mode("append").parquet(idsPath)
+      val verified = cand.join(dupPairs, Seq("ia", "ib"), "left_semi")
+      verified.write.mode("overwrite").parquet(s"$storeDir/pairs/b=$batchId")
+      sigs.select(col("doc_id"), col("sig"))
+        .write.mode("overwrite").parquet(s"$storeDir/sigs/b=$batchId")
+      newBands.write.mode("overwrite").parquet(s"$storeDir/bands/b=$batchId")
+      batch.select(col("doc_id"), md5(col("text")).as("md5"))
+        .write.mode("overwrite").parquet(s"$storeDir/ids/b=$batchId")
+      // the commit marker — written last
+      counts.write.mode("overwrite").parquet(s"$countsDir/b=$batchId")
+      pruneSnapshots(spark, countsDir, batchId)
     } finally sigs.unpersist()
   }
 
   /** Assemble the keep-list from the accumulated store — same output
-    * contract as batch q129: (doc_id, canonical_id), every seen doc
-    * present, canonical = min doc_id of the near-dup component. */
-  def keepList(spark: SparkSession, storeDir: String): DataFrame = {
+    * contract as batch q129, and the same DECISIONS as batch q129 run
+    * one-shot over everything the stream has seen: pairs whose every
+    * generating bucket finally went hot are filtered out, the exact-md5
+    * compaction rung dedups identical docs inside finally-hot buckets,
+    * GraphX connected components run over the surviving dup PAIRS only
+    * (tiny by construction), canonical = component minimum, every seen
+    * doc present. */
+  def keepList(spark: SparkSession, storeDir: String,
+      maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val ids = spark.read.parquet(s"$storeDir/ids")
-    val pairsPath = s"$storeDir/pairs"
-    val pairs =
-      if (new java.io.File(pairsPath).exists) spark.read.parquet(pairsPath)
-      else spark.range(0).select(col("id").as("ia"), col("id").as("ib"))
+    val ids = readAll(spark, s"$storeDir/ids",
+      spark.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("string").as("md5")))
+    val finalHot = latestSnapshot(spark, s"$storeDir/counts", Long.MaxValue)
+      .map(spark.read.parquet(_)).getOrElse(
+        spark.range(0).select(col("id").cast("int").as("band_idx"),
+          col("id").as("band_val"), col("id").as("n")))
+      .filter(col("n") > maxBucket)
+      .select(col("band_idx"), col("band_val"))
+    val emptyPairs = spark.range(0)
+      .select(col("id").as("ia"), col("id").as("ib"))
+    val stored = readAll(spark, s"$storeDir/pairs",
+      emptyPairs.select(col("ia"), col("ib"),
+        lit(0).as("band_idx"), lit(0L).as("band_val")))
+    // batch equivalence, leg 1: only pairs with a finally-cold generating
+    // bucket survive (exactly the one-shot candidate set, hot monotone)
+    val surviving = stored.join(finalHot, Seq("band_idx", "band_val"),
+      "left_anti").select(col("ia"), col("ib")).distinct()
+    // batch equivalence, leg 2: the exact-md5 escalation inside finally-
+    // hot buckets — the batch tier's rung (Dedup.minhashCandidates),
+    // here doubling as the deferred store compaction. Plan-level skip
+    // when no bucket is hot (the healthy case): the probe scans only the
+    // counts snapshot.
+    val escPairs =
+      if (finalHot.isEmpty) emptyPairs
+      else {
+        val bands = readAll(spark, s"$storeDir/bands",
+          spark.range(0).select(col("id").as("doc_id"),
+            lit(0).as("band_idx"), lit(0L).as("band_val")))
+        val escHot = bands.join(finalHot, Seq("band_idx", "band_val"),
+          "left_semi").join(ids, Seq("doc_id"))
+        val escCanon = escHot
+          .groupBy(col("band_idx"), col("band_val"), col("md5"))
+          .agg(min(col("doc_id")).as("ia"))
+        escHot.join(escCanon, Seq("band_idx", "band_val", "md5"))
+          .filter(col("doc_id") =!= col("ia"))
+          .select(col("ia"), col("doc_id").as("ib"))
+          .distinct()
+      }
     val comp = org.apache.spark.graphx.Graph
-      .fromEdgeTuples(pairs.as[(Long, Long)].rdd, defaultValue = 0)
+      .fromEdgeTuples(surviving.unionByName(escPairs).as[(Long, Long)].rdd,
+        defaultValue = 0)
       .connectedComponents().vertices
       .map { case (id, c) => (id, c) }
       .toDF("doc_id", "comp")
@@ -128,74 +288,68 @@ object StreamingDedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Registered q133 entry: feed the fixture corpus through a real
-    * micro-batched stream (4 chunks — every planted near-dup pair in the
-    * fixture spans chunks of the doc_id-ordered feed), run the per-batch
-    * incremental dedup, and return the assembled keep-list. Oracle: the
+  /** Registered q133 entry: feed the fixture corpus through a DISTRIBUTED
+    * micro-batched stream — the corpus is written as 4 range-chunked
+    * parquet files and read back as a file-source stream with
+    * `maxFilesPerTrigger 1`, so micro-batches arrive without ever
+    * materializing the corpus on the driver — then run the per-batch
+    * incremental dedup and return the assembled keep-list. Oracle: the
     * SAME recursive-CTE replay as q129 — the streaming formulation must
-    * land on the identical keep-list. */
+    * land on the identical keep-list (it does for ANY batching; see the
+    * equivalence note on the object). Temp feed/store/checkpoint dirs are
+    * registered for deletion at JVM exit. */
   def streamingKeepList(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val storeDir = java.nio.file.Files
+    val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_keep").toString
-    val feed = Tables(spark, dir).documents
+    fs(spark, tmp).deleteOnExit(new Path(tmp))
+    val feedDir = s"$tmp/feed"
+    val storeDir = s"$tmp/store"
+    val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-    // MemoryStream feed = harness plumbing so the streaming path is
-    // replayable under the DuckDB oracle (driver-side by nature, fixture
-    // scale); production attaches dedupBatch to a real readStream source.
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String)]
-    val q = ms.toDS().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, storeDir); ()
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(feedDir)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, storeDir, batchId); ()
       }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      val chunk = math.max(1, (feed.size + 3) / 4)
-      feed.grouped(chunk).foreach { c =>
-        ms.addData(c); q.processAllAvailable()
-      }
-    } finally q.stop()
+    q.awaitTermination()
     keepList(spark, storeDir)
   }
 
   // ----- streaming SemDeDup (q135): the embedding sibling of the minhash
-  // keep-list above. Sound for the same reason: the batch drop rule is
-  // per-PAIR (drop the HIGHER id of any within-cell cosine ≥ tau pair),
-  // which is feed-order-independent — every unordered pair is evaluated
-  // in exactly the micro-batch where its later vector arrives, so the
-  // accumulated drop set equals the one-shot batch drop set. The
+  // keep-list above, with the same store discipline: batch-keyed
+  // idempotent appends, an incrementally merged cumulative cell-count
+  // snapshot as the guard AND the commit marker, and assembly-time
+  // equivalence with batch q128 — drops are attributable to the dropped
+  // vector's cell, so drops whose cell finally went hot are filtered at
+  // assembly and the exact-embedding escalation (the batch rung, doubling
+  // as compaction) dedups identical vectors inside finally-hot cells. The
   // quantizer (centroid set) is trained/frozen BEFORE the stream starts
   // (standard SemDeDup/IVF ingest posture), so assignment is identical
-  // across batches.
+  // across batches and exact duplicates always co-locate.
 
   /** Process one micro-batch of (vec_id, embedding): assign cells against
     * the frozen centroids, emit drops vs the accumulating assignment
-    * store, fold the batch in. Cells whose ACCUMULATED population exceeds
-    * `maxCell` are skipped from the pairwise compare from that batch on
-    * (the batch hot-cell guard applied incrementally); their exact-dup
-    * escalation is deferred to batch compaction, the same posture as the
-    * minhash tier's over-cap escalation. */
+    * store, fold the batch in under the `batchId` key. Same exactly-once
+    * posture as [[dedupBatch]]. */
   def semanticBatch(batch: DataFrame, storeDir: String,
-      cents: Array[Array[Double]], tau: Double,
+      cents: Array[Array[Double]], tau: Double, batchId: Long,
       maxCell: Int = 1000): Unit = {
     val spark = batch.sparkSession
-    val asgPath = s"$storeDir/asg"
-    val dropPath = s"$storeDir/dropped"
-    val haveStore = new java.io.File(asgPath).exists
+    if (committed(spark, storeDir, batchId)) return
+    val countsDir = s"$storeDir/counts"
     val asg = Similarity.assignCellsFlatAuto(batch, cents).persist()
     try {
-      val old =
-        if (haveStore) spark.read.parquet(asgPath)
-        else asg.limit(0)
-      val hotCells = asg.select(col("cell")).unionByName(old.select(col("cell")))
-        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxCell)
-        .select(col("cell"))
-      val newIn = asg.join(hotCells, Seq("cell"), "left_anti")
-      val oldIn = old.join(hotCells, Seq("cell"), "left_anti")
+      val delta = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val counts = mergedCounts(spark, countsDir, batchId, delta, Seq("cell"))
+      val hotNow = counts.filter(col("n") > maxCell).select(col("cell"))
+      val old = readBefore(spark, s"$storeDir/asg", batchId, asg)
+      val newIn = asg.join(hotNow, Seq("cell"), "left_anti")
+      val oldIn = old.join(hotNow, Seq("cell"), "left_anti")
       val within = newIn.alias("a").join(newIn.alias("b"),
           col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -208,31 +362,60 @@ object StreamingDedup {
           (col("a.nrm") * col("b.nrm")) >= tau)
         .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
       within.unionByName(cross).distinct()
-        .write.mode("append").parquet(dropPath)
-      asg.write.mode("append").parquet(asgPath)
+        .write.mode("overwrite").parquet(s"$storeDir/dropped/b=$batchId")
+      asg.write.mode("overwrite").parquet(s"$storeDir/asg/b=$batchId")
+      counts.write.mode("overwrite").parquet(s"$countsDir/b=$batchId")
+      pruneSnapshots(spark, countsDir, batchId)
     } finally asg.unpersist()
   }
 
   /** Assemble the decision table from the accumulated store — same output
-    * contract as batch q128: (vec_id, cell, kept, escalated), one row per
-    * non-zero-norm vector; `escalated` marks cells over `maxCell` in the
-    * FINAL accumulated state. */
+    * contract AND same decisions as batch q128 over everything the stream
+    * has seen: (vec_id, cell, kept, escalated), one row per non-zero-norm
+    * vector; drops whose cell finally went hot are discarded (batch never
+    * compares inside a hot cell), the exact-embedding compaction rung
+    * re-drops identical vectors there, and `escalated` marks cells over
+    * `maxCell` in the FINAL cumulative counts. */
   def semanticDecisionTable(spark: SparkSession, storeDir: String,
       maxCell: Int = 1000): DataFrame = {
-    val asg = spark.read.parquet(s"$storeDir/asg")
-    val dropPath = s"$storeDir/dropped"
-    val dropped =
-      if (new java.io.File(dropPath).exists)
-        spark.read.parquet(dropPath).distinct()
-          .withColumn("_drop", lit(true))
-      else spark.range(0).select(col("id").as("vec_id"),
-        lit(true).as("_drop"))
-    val hotCells = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val asg = readAll(spark, s"$storeDir/asg",
+      spark.range(0).select(col("id").as("vec_id"),
+        array().cast("array<float>").as("embedding"),
+        lit(0.0).as("nrm"), col("id").as("cell")))
+    val finalHot = latestSnapshot(spark, s"$storeDir/counts", Long.MaxValue)
+      .map(spark.read.parquet(_)).getOrElse(
+        spark.range(0).select(col("id").as("cell"), col("id").as("n")))
       .filter(col("n") > maxCell)
-      .select(col("cell").cast("long").as("cell"), lit(true).as("_esc"))
+      .select(col("cell"))
+    val emptyIds = spark.range(0).select(col("id").as("vec_id"))
+    val stored = readAll(spark, s"$storeDir/dropped", emptyIds).distinct()
+    // batch equivalence, leg 1: a drop survives only if the dropped
+    // vector's cell is finally cold (its pair evidence is exactly a pair
+    // batch q128 compares; hot is monotone)
+    val surviving = stored
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(finalHot, Seq("cell"), "left_anti")
+      .select(col("vec_id"))
+    // batch equivalence, leg 2: exact-embedding escalation inside finally-
+    // hot cells (the batch rung, doubling as the deferred compaction);
+    // plan-level skip when no cell is hot — the probe scans only the
+    // counts snapshot.
+    val escDropped =
+      if (finalHot.isEmpty) emptyIds
+      else {
+        val hotRows = asg.join(finalHot, Seq("cell"), "left_semi")
+        val escCanon = hotRows.groupBy(col("cell"), col("embedding"))
+          .agg(min(col("vec_id")).as("_canon"))
+        hotRows.join(escCanon, Seq("cell", "embedding"))
+          .filter(col("vec_id") =!= col("_canon"))
+          .select(col("vec_id"))
+      }
+    val allDropped = surviving.unionByName(escDropped)
+      .distinct().withColumn("_drop", lit(true))
     asg.select(col("vec_id"), col("cell").cast("long").as("cell"))
-      .join(dropped, Seq("vec_id"), "left")
-      .join(hotCells, Seq("cell"), "left")
+      .join(allDropped, Seq("vec_id"), "left")
+      .join(finalHot.select(col("cell").cast("long").as("cell"),
+        lit(true).as("_esc")), Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("_drop").isNull.as("kept"),
         coalesce(col("_esc"), lit(false)).as("escalated"))
       .orderBy(col("vec_id"))
@@ -240,34 +423,30 @@ object StreamingDedup {
 
   /** Registered q135 entry: freeze the quantizer over the fixture corpus
     * (the K=16 lowest-id vectors — identical to batch q128's), feed the
-    * corpus through a real micro-batched stream in 4 chunks, run the
-    * per-batch incremental compare, and return the assembled decision
-    * table. Oracle: the SAME replay as q128. */
+    * corpus through a DISTRIBUTED micro-batched stream (4 range-chunked
+    * parquet files, file-source read, `maxFilesPerTrigger 1` — no driver
+    * materialization), run the per-batch incremental compare, and return
+    * the assembled decision table. Oracle: the SAME replay as q128. */
   def streamingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val vecs = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
     val cents = Similarity.centroidDirs(vecs, 16)
-    val storeDir = java.nio.file.Files
+    val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_sem").toString
-    // Driver-side MemoryStream feed — same harness plumbing note as
-    // streamingKeepList above.
-    val feed = vecs.select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Array[Float])]
-    val q = ms.toDS().toDF("vec_id", "embedding").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        semanticBatch(batch, storeDir, cents, 0.35); ()
+    fs(spark, tmp).deleteOnExit(new Path(tmp))
+    val feedDir = s"$tmp/feed"
+    val storeDir = s"$tmp/store"
+    vecs.repartitionByRange(4, col("vec_id")).write.parquet(feedDir)
+    val q = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticBatch(batch, storeDir, cents, 0.35, batchId); ()
       }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
       .start()
-    try {
-      val chunk = math.max(1, (feed.size + 3) / 4)
-      feed.grouped(chunk).foreach { c =>
-        ms.addData(c); q.processAllAvailable()
-      }
-    } finally q.stop()
+    q.awaitTermination()
     semanticDecisionTable(spark, storeDir)
   }
 }

@@ -133,12 +133,18 @@ object ScaleSmoke {
       // never all-pairs), so total time tracks the one-shot batch funnel
       // plus store-append I/O, and the assembled keep-list must merge the
       // same near-dup mass as the batch tier above.
+      // Per-batch wall time is printed for each of the 8 micro-batches:
+      // the guard merges a cumulative counts snapshot instead of
+      // re-aggregating the store, so times must stay FLAT as the store
+      // accumulates (a growing trend = O(store)-per-batch work crept back).
       time(s"streaming_keep_list") {
         val storeDir = java.nio.file.Files
           .createTempDirectory("graft_scale_stream").toString
-        (0 until 4).foreach { i =>
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
           graft.streaming.StreamingDedup.dedupBatch(
-            docs.filter(pmod(col("doc_id"), lit(4)) === i), storeDir)
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), storeDir, i)
+          println(f"[scale]   streaming batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
         }
         val k = graft.streaming.StreamingDedup.keepList(spark, storeDir)
         val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()
@@ -154,10 +160,12 @@ object ScaleSmoke {
         val storeDir = java.nio.file.Files
           .createTempDirectory("graft_scale_stream_sem").toString
         val cents = graft.operators.Similarity.centroidDirs(vecs, 16 * mult)
-        (0 until 4).foreach { i =>
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
           graft.streaming.StreamingDedup.semanticBatch(
-            vecs.filter(pmod(col("vec_id"), lit(4)) === i),
-            storeDir, cents, 0.35)
+            vecs.filter(pmod(col("vec_id"), lit(8)) === i),
+            storeDir, cents, 0.35, i)
+          println(f"[scale]   streaming sem batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
         }
         val d = graft.streaming.StreamingDedup
           .semanticDecisionTable(spark, storeDir)

@@ -435,9 +435,9 @@ class PropertySpec extends AnyFunSuite {
       val store = java.nio.file.Files
         .createTempDirectory("graft_prop_stream").toString
       rnd.shuffle(feed).grouped(math.max(1, feed.size / nChunks))
-        .foreach { c =>
+        .zipWithIndex.foreach { case (c, i) =>
           graft.streaming.StreamingDedup
-            .dedupBatch(c.toDF("doc_id", "text"), store)
+            .dedupBatch(c.toDF("doc_id", "text"), store, i)
         }
       val got = graft.streaming.StreamingDedup.keepList(spark, store)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
@@ -446,9 +446,9 @@ class PropertySpec extends AnyFunSuite {
       val estore = java.nio.file.Files
         .createTempDirectory("graft_prop_sem").toString
       rnd.shuffle(efeed).grouped(math.max(1, efeed.size / nChunks))
-        .foreach { c =>
+        .zipWithIndex.foreach { case (c, i) =>
           graft.streaming.StreamingDedup
-            .semanticBatch(c.toDF("vec_id", "embedding"), estore, cents, 0.35)
+            .semanticBatch(c.toDF("vec_id", "embedding"), estore, cents, 0.35, i)
         }
       val gotSem = graft.streaming.StreamingDedup
         .semanticDecisionTable(spark, estore)

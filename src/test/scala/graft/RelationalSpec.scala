@@ -79,8 +79,12 @@ class RelationalSpec extends AnyFunSuite {
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence
-        // asserted in StreamingSpec
-        Set("keepList", "semanticDecisionTable")))
+        // asserted in StreamingSpec. readBefore/readAll/mergedCounts are
+        // private store-IO helpers (batch-keyed partition reads + the
+        // incremental counts merge) that only look query-shaped in
+        // bytecode.
+        Set("keepList", "semanticDecisionTable",
+          "readBefore", "readAll", "mergedCounts")))
     val unwired = modules.flatMap { case (name, obj, allow) =>
       obj.getClass.getDeclaredMethods.toSeq
         .filter(m => classOf[org.apache.spark.sql.Dataset[_]]

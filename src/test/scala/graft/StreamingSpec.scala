@@ -312,8 +312,8 @@ class StreamingSpec extends AnyFunSuite {
       .createTempDirectory("graft_stream_keeplist").toString
     val ms = MemoryStream[(Long, String)]
     val q = ms.toDS().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.streaming.StreamingDedup.dedupBatch(batch, store); ()
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingDedup.dedupBatch(batch, store, id); ()
       }
       .start()
     try {
@@ -352,9 +352,9 @@ class StreamingSpec extends AnyFunSuite {
       .createTempDirectory("graft_stream_sem_spec").toString
     val ms = MemoryStream[(Long, Array[Float])]
     val q = ms.toDS().toDF("vec_id", "embedding").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         graft.streaming.StreamingDedup
-          .semanticBatch(batch, store, cents, 0.35); ()
+          .semanticBatch(batch, store, cents, 0.35, id); ()
       }
       .start()
     try {
@@ -376,28 +376,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
   }
 
-  test("streaming dedup degenerate corpus: accumulated caps bind, no quadratic blowup") {
+  test("streaming dedup degenerate corpus: caps bind, compaction == batch escalation") {
     import spark.implicits._
     // All-identical corpus — the LSH/cell worst case no banding fixes.
-    // Every band bucket / cell is ONE corpus-sized hot group; the
-    // accumulated guard must skip it from pair generation (the documented
-    // conservative-keep posture; exact-dup escalation is deferred to
-    // batch compaction), so the stream completes linearly and the
-    // keep-list / decision table still covers every element.
+    // Every band bucket / cell is ONE corpus-sized hot group: the
+    // accumulated guard skips it from pair generation (the stream
+    // completes linearly), and ASSEMBLY runs the deferred compaction —
+    // the exact-dup escalation over finally-hot groups — so the
+    // keep-list / decision table must equal the one-shot batch run, which
+    // collapses the identical mass via its own escalation rung.
     val one = Tables(spark, sf).documents.filter(col("doc_id") === 0L)
       .select(substring(col("text"), 1, 100).as("text")).head().getString(0)
     val docs = (0L until 200L).map(i => (i, one))
     val store = java.nio.file.Files
       .createTempDirectory("graft_stream_degen").toString
-    docs.grouped(50).foreach { c =>
+    docs.grouped(50).zipWithIndex.foreach { case (c, i) =>
       graft.streaming.StreamingDedup
-        .dedupBatch(c.toDF("doc_id", "text"), store, maxBucket = 10)
+        .dedupBatch(c.toDF("doc_id", "text"), store, i, maxBucket = 10)
     }
-    val keep = graft.streaming.StreamingDedup.keepList(spark, store)
+    val keep = graft.streaming.StreamingDedup.keepList(spark, store,
+        maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantKeep = operators.Dedup
+      .fuzzyDedupKeepFrom(spark, docs.toDF("doc_id", "text"), maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(keep.length == 200, s"keep-list must cover the corpus: ${keep.length}")
-    assert(keep.forall { case (d, c) => c == d },
-      "over-cap buckets must conservative-keep (escalation is a batch-compaction step)")
+    assert(keep.sameElements(wantKeep),
+      "degenerate streaming keep-list must equal batch q129 (compaction rung)")
+    assert(keep.count { case (d, c) => c == 0L } == 200,
+      "the identical mass must collapse to doc 0 via exact-md5 escalation")
     // embedding tier: 200 identical vectors, one hot cell
     val vec = Tables(spark, sf).embeddings.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -406,16 +413,193 @@ class StreamingSpec extends AnyFunSuite {
       .createTempDirectory("graft_stream_degen_sem").toString
     val cents = graft.operators.Similarity
       .centroidDirs(vecs.toDF("vec_id", "embedding"), 4)
-    vecs.grouped(50).foreach { c =>
+    vecs.grouped(50).zipWithIndex.foreach { case (c, i) =>
       graft.streaming.StreamingDedup.semanticBatch(
-        c.toDF("vec_id", "embedding"), estore, cents, 0.35, maxCell = 10)
+        c.toDF("vec_id", "embedding"), estore, cents, 0.35, i, maxCell = 10)
     }
     val table = graft.streaming.StreamingDedup
       .semanticDecisionTable(spark, estore, maxCell = 10)
-      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val wantTable = operators.Similarity
+      .semanticDedupFrom(vecs.toDF("vec_id", "embedding"), 0.35, k = 4,
+        maxCell = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
     assert(table.length == 200, s"decision table must cover the corpus: ${table.length}")
-    assert(table.forall(_._2), "hot-cell rows must be conservative-kept")
-    assert(table.forall(_._3), "final-hot cells must be marked escalated")
+    assert(table.sameElements(wantTable),
+      "degenerate streaming decision table must equal batch q128 (compaction rung)")
+    assert(table.count(_._3) == 1 && table.find(_._3).exists(_._1 == 0L) &&
+      table.forall(_._4),
+      "exactly vec 0 kept, all rows escalation-marked")
+  }
+
+  test("streaming dedup cap straddle: bucket crossing maxBucket mid-stream == batch") {
+    import spark.implicits._
+    // The adversarial case for an append-only store: a group UNDER the
+    // cap in early batches (pairs get generated and stored) that crosses
+    // the cap mid-stream. The one-shot batch replay classifies the group
+    // hot — no pairwise evidence, only exact-dup escalation — so assembly
+    // must retract the early pairs (provenance anti-join against finally-
+    // hot buckets) for streaming == batch to hold. 15 identical docs fed
+    // 5 per batch across maxBucket=10: their buckets go 5 → 10 → 15,
+    // crossing the cap at the third batch. A disjoint planted near-dup
+    // mass (cold buckets throughout) must keep its pairs through the same
+    // assembly.
+    val one = Tables(spark, sf).documents.filter(col("doc_id") === 0L)
+      .select(substring(col("text"), 1, 120).as("text")).head().getString(0)
+    val base = Tables(spark, sf).documents
+      .filter(col("doc_id") >= 10 && col("doc_id") < 40)
+      .select(col("doc_id") + 1000L, col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nearDups = base.map { case (id, txt) =>
+      (id + 1000L, txt.dropRight(20) + " zz mutated tail zz") }
+    val straddlers = (0L until 15L).map(i => (i, one))
+    val corpus = (straddlers ++ base ++ nearDups).sortBy(_._1)
+    // 5 straddlers per batch: interleave so each of the first 3 batches
+    // carries 5 of them plus a slice of the cold mass
+    val batches = straddlers.grouped(5).toSeq.zipWithIndex.map {
+      case (s, i) => s ++ (base ++ nearDups).sortBy(_._1).toSeq
+        .grouped((base.length * 2 + 2) / 3).toSeq.lift(i)
+        .getOrElse(Seq.empty)
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_straddle").toString
+    batches.zipWithIndex.foreach { case (c, i) =>
+      graft.streaming.StreamingDedup
+        .dedupBatch(c.toDF("doc_id", "text"), store, i, maxBucket = 10)
+    }
+    val got = graft.streaming.StreamingDedup.keepList(spark, store,
+        maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = operators.Dedup
+      .fuzzyDedupKeepFrom(spark, corpus.toDF("doc_id", "text"), maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want,
+      s"cap-straddle streaming keep-list diverged: ${got.size} vs batch ${want.size}")
+    // the straddling identical mass collapsed (escalation), and the cold
+    // near-dup mass still merged (its early pairs survived assembly)
+    assert(got.count { case (id, c) => id < 15L && c == 0L } == 15,
+      "straddling identical docs must collapse to doc 0")
+    val merged = got.count { case (id, c) => id >= 2000L && c == id - 1000L }
+    assert(merged >= 25, s"only $merged of 30 cold near-dup pairs merged")
+    // semantic sibling: 15 identical vectors straddling maxCell=10 over
+    // three batches, plus a disjoint exact-copy mass in cold cells
+    val vec = Tables(spark, sf).embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val ebase = Tables(spark, sf).embeddings
+      .filter(col("vec_id") >= 10 && col("vec_id") < 40)
+      .select(col("vec_id") + 1000L, col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ecopies = ebase.map { case (id, e) => (id + 1000L, e) }
+    val estraddlers = (0L until 15L).map(i => (i, vec))
+    val ecorpus = (estraddlers ++ ebase ++ ecopies).sortBy(_._1)
+    val cents = operators.Similarity
+      .centroidDirs(ecorpus.toDF("vec_id", "embedding"), 16)
+    val ebatches = estraddlers.grouped(5).toSeq.zipWithIndex.map {
+      case (s, i) => s ++ (ebase ++ ecopies).sortBy(_._1).toSeq
+        .grouped((ebase.length * 2 + 2) / 3).toSeq.lift(i)
+        .getOrElse(Seq.empty)
+    }
+    val estore = java.nio.file.Files
+      .createTempDirectory("graft_stream_straddle_sem").toString
+    ebatches.zipWithIndex.foreach { case (c, i) =>
+      graft.streaming.StreamingDedup.semanticBatch(
+        c.toDF("vec_id", "embedding"), estore, cents, 0.35, i, maxCell = 10)
+    }
+    val gotSem = graft.streaming.StreamingDedup
+      .semanticDecisionTable(spark, estore, maxCell = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    val wantSem = operators.Similarity
+      .semanticDedupFrom(ecorpus.toDF("vec_id", "embedding"), 0.35, k = 16,
+        maxCell = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    assert(gotSem == wantSem,
+      s"cap-straddle streaming decision table diverged: ${gotSem.size} vs ${wantSem.size}")
+  }
+
+  test("streaming dedup counts snapshot == full store recount; replays are no-ops") {
+    import spark.implicits._
+    // Incremental-guard invariant: after B batches, the latest cumulative
+    // counts snapshot must equal a full re-aggregation of the stored band
+    // rows (the O(store) recount the snapshot replaces). Then replay two
+    // committed batches — normal foreachBatch retry semantics — and
+    // assert the store is byte-for-byte unchanged (batchId-keyed
+    // overwrite + commit marker make replays no-ops).
+    val corpus = Tables(spark, sf).documents
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_stream_counts").toString
+    val chunks = corpus.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      graft.streaming.StreamingDedup
+        .dedupBatch(c.toDF("doc_id", "text"), store, i)
+    }
+    def snapshot(): Map[(Int, Long), Long] = {
+      val dir = new java.io.File(s"$store/counts").listFiles()
+        .filter(_.getName.startsWith("b=")).map(_.getName.drop(2).toLong).max
+      spark.read.parquet(s"$store/counts/b=$dir")
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    }
+    val snap = snapshot()
+    val recount = spark.read.parquet(s"$store/bands").drop("b")
+      .groupBy(col("band_idx"), col("band_val")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(snap == recount,
+      s"counts snapshot (${snap.size} keys) != full recount (${recount.size})")
+    // snapshots are pruned: only the last two batch snapshots remain
+    val kept = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.getName.startsWith("b=")).map(_.getName.drop(2).toLong).sorted
+    assert(kept.length <= 2, s"stale counts snapshots not pruned: ${kept.toSeq}")
+    // replay batches 0 and 2 (already committed) — store must not change
+    val keepBefore = graft.streaming.StreamingDedup.keepList(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sigRows = spark.read.parquet(s"$store/sigs").count()
+    val pairRows = spark.read.parquet(s"$store/pairs").count()
+    Seq(0, 2).foreach { i =>
+      graft.streaming.StreamingDedup
+        .dedupBatch(chunks(i).toDF("doc_id", "text"), store, i)
+    }
+    assert(spark.read.parquet(s"$store/sigs").count() == sigRows &&
+      spark.read.parquet(s"$store/pairs").count() == pairRows,
+      "replaying committed batches must not grow the store")
+    assert(snapshot() == snap, "replay must not advance the counts snapshot")
+    val keepAfter = graft.streaming.StreamingDedup.keepList(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keepAfter == keepBefore, "replay changed the keep-list")
+    // semantic tier: same snapshot + replay invariants on the cell counts
+    val ecorpus = Tables(spark, sf).embeddings
+      .filter(col("vec_id") < 120).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val cents = operators.Similarity
+      .centroidDirs(ecorpus.toDF("vec_id", "embedding"), 16)
+    val estore = java.nio.file.Files
+      .createTempDirectory("graft_stream_counts_sem").toString
+    val echunks = ecorpus.grouped(40).toSeq
+    echunks.zipWithIndex.foreach { case (c, i) =>
+      graft.streaming.StreamingDedup
+        .semanticBatch(c.toDF("vec_id", "embedding"), estore, cents, 0.35, i)
+    }
+    def esnapshot(): Map[Long, Long] = {
+      val last = new java.io.File(s"$estore/counts").listFiles()
+        .filter(_.getName.startsWith("b=")).map(_.getName.drop(2).toLong).max
+      spark.read.parquet(s"$estore/counts/b=$last")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val esnap = esnapshot()
+    val erecount = spark.read.parquet(s"$estore/asg").drop("b")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(esnap == erecount, "semantic counts snapshot != full recount")
+    val asgRows = spark.read.parquet(s"$estore/asg").count()
+    graft.streaming.StreamingDedup
+      .semanticBatch(echunks(1).toDF("vec_id", "embedding"), estore, cents,
+        0.35, 1)
+    assert(spark.read.parquet(s"$estore/asg").count() == asgRows &&
+      esnapshot() == esnap, "semantic replay must be a no-op")
   }
 
   test("incremental minhash dedup stream == batch LSH candidate set") {
