@@ -32,9 +32,13 @@ object Bench {
     // the cluster-honest analogue of writing results to a sink.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val names =
-      if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
-      else SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_QUERIES=q128_…,q130_… narrows the run for
+    // targeted profiling (same warmup/median/artifact machinery).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(
+        if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
+        else SparkEntry.queries.keys.toSeq.sorted)
     // Untimed warmup at the smallest SF: compiles the same codegen'd
     // stages so timed runs measure the operators, not JIT/codegen
     // startup (mirrors the reference's warmup iteration,

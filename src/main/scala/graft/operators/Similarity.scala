@@ -350,14 +350,22 @@ object Similarity {
     val assigned = withNorm(raw).filter(col("nrm") > 0)
       .withColumn("sup", element_at(presentLit,
         array_position(supArr, array_max(supArr)).cast("int")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
+    // within-super argmax as a max_by AGGREGATE, not a sort+window: the
+    // array-typed buffer plans it as a partial+final SortAggregate pair,
+    // so the exchange carries ~one row per (vec_id, map partition) —
+    // the windowed form shuffled and sorted EVERY joined
+    // (vector × in-super centroid) row before row_number could pick one.
+    // The ordering struct (cscore, -cell) reproduces the windowed
+    // (cscore desc, cell asc) row_number tie-break exactly — max struct
+    // = highest score, then lowest global centroid index — so the
+    // assignment is bit-identical (q130's oracle pins it).
     assigned.join(broadcast(centDf), Seq("sup"))
       .withColumn("cscore", dot(col("embedding"), col("dir")) / col("nrm"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
+        struct(col("cscore"), (-col("cell")).as("_nc"))).as("_best"))
+      .select(col("vec_id"), col("_best.embedding").as("embedding"),
+        col("_best.nrm").as("nrm"), col("_best.cell").as("cell"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
