@@ -148,6 +148,7 @@ object SparkEntry {
     "q123_resize_stride"       -> (Multimodal.resizePayload _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
+    "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1454,6 +1455,38 @@ object SparkEntry {
     // micro-batched incremental funnel and the one-shot batch funnel
     // hash-mismatches here.
     "q133_streaming_keep_list" -> keepListOracle,
+    // q137: repeated-segment removal — consecutive 10-word segments, a
+    // segment in >= 2 distinct docs is removed everywhere, survivors
+    // reassembled in order. DuckDB list slicing w[a:b] is 1-based
+    // inclusive and end-clamped, exactly Spark's slice(w, a, 10).
+    "q137_repeated_segment_removal" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS seg_idx
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, seg_idx,
+        |    array_to_string(w[seg_idx * 10 + 1 : seg_idx * 10 + 10], ' ') AS seg
+        |  FROM idx),
+        |hot AS (SELECT seg FROM segs GROUP BY seg
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT s.* FROM segs s ANTI JOIN hot h USING (seg)),
+        |tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(t.n_segments, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+        |    AS n_dropped,
+        |  coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id)
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -352,6 +352,73 @@ object Dedup {
         aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
       .orderBy(col("doc_id"))
 
+  /** Bounded cache slot for the segment explosion (see [[RotatingCache]]). */
+  private val segCache = new RotatingCache
+
+  /** Repeated-segment removal (q137) — segment-granular exact dedup, the
+    * CCNet/RefinedWeb-style cleaning step that whole-document dedup
+    * cannot express: boilerplate (headers, navigation, license blocks)
+    * repeats ACROSS documents that are otherwise distinct, so the dedup
+    * unit must be the segment, not the document. Documents are split
+    * into consecutive `segWords`-word segments (the fixture corpus is
+    * newline-free, so fixed word windows stand in for CCNet's lines —
+    * the funnel is identical for any deterministic segmenter); a segment
+    * appearing in ≥ `minDocs` DISTINCT documents is removed from every
+    * document, and the survivors are reassembled in original order.
+    * Output per document: (doc_id, n_segments, n_dropped, cleaned_text)
+    * — directly hash-comparable, and the cleaned_text column is the
+    * operator's actual product for a training pipeline.
+    *
+    * Scale shape: the explosion is ~L/segWords rows per document; the
+    * frequency tier shuffles (md5 digest, doc_id) pairs — 16-byte keys,
+    * not segment text — into a two-level distinct-count aggregate; the
+    * removal is a left_anti join on the digest (same key, same
+    * partitioning); reassembly is one groupBy(doc_id) whose per-group
+    * state is bounded by document length. No self-join anywhere — the
+    * whole funnel is two key-shuffles plus the reassembly, linear in
+    * corpus size. */
+  def repeatedSegmentRemoval(spark: SparkSession, dir: String): DataFrame =
+    repeatedSegmentRemovalFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant a
+    * shared boilerplate segment and assert it vanishes everywhere while
+    * unique segments survive verbatim. */
+  def repeatedSegmentRemovalFrom(docs: DataFrame, segWords: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val words = docs.repartition(p)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val nseg = ceil(size(col("w")) / lit(segWords.toDouble)).cast("int")
+    val segArr = transform(sequence(lit(0), nseg - 1),
+      i => array_join(slice(col("w"), i * segWords + 1, lit(segWords)), " "))
+    // persisted barrier: the explosion feeds the frequency tier, the
+    // anti-join probe side and the per-doc totals
+    val segs = segCache.rotate(words
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+      .persist())
+    val hot = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val kept = segs.join(hot, Seq("h"), "left_anti")
+    val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        (coalesce(col("n_segments"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs via banded Hamming join: candidate pairs share
     * a 16-bit band; verified if Hamming distance ≤ 12. 1-row summary. */
   def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame =

@@ -384,6 +384,39 @@ class PipelineSpec extends AnyFunSuite {
       s"dup-free corpus must map every doc to itself: ${keep.filterNot { case (d, c) => d == c }.toSeq}")
   }
 
+  test("repeated-segment removal strips planted boilerplate everywhere, keeps unique text") {
+    import spark.implicits._
+    // 30 docs: a shared 10-word boilerplate header (planted in every
+    // doc) followed by a unique 20-word body. The header segment appears
+    // in 30 distinct docs >= minDocs=2, so it must vanish from EVERY
+    // document; the body segments are unique and must survive verbatim
+    // and in order.
+    val boiler = (1 to 10).map(_ => "boilerplate").mkString(" ")
+    val docs = (0L until 30L).map { i =>
+      val body = (0 until 20).map(j => s"unique${i}w$j").mkString(" ")
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val out = Dedup.repeatedSegmentRemovalFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.length == 30, "every document must appear")
+    out.foreach { case (i, nSeg, nDrop, cleaned) =>
+      assert(nSeg == 3L, s"doc $i: 30 words = 3 segments, got $nSeg")
+      assert(nDrop == 1L, s"doc $i: exactly the boilerplate segment drops, got $nDrop")
+      val body = (0 until 20).map(j => s"unique${i}w$j").mkString(" ")
+      assert(cleaned == body, s"doc $i: body must survive verbatim in order")
+    }
+    // a doc that is ALL boilerplate cleans to the empty string; a unique
+    // doc is untouched
+    val edge = Seq((100L, boiler), (101L, "entirely unique words here"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.repeatedSegmentRemovalFrom(docs.union(edge))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out2(100L) == "", "all-boilerplate doc must clean to empty")
+    assert(out2(101L) == "entirely unique words here",
+      "unique doc must be untouched")
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
