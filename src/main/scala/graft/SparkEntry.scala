@@ -1956,5 +1956,10 @@ object SparkEntry {
     // marquee SemDeDup operator (hierarchical quantizer + within-cell
     // compare + escalation); tracked so quantizer regressions show in
     // the trend line, not just in ScaleSmoke.
-    "q130_semantic_dedup_2l")
+    "q130_semantic_dedup_2l",
+    // round 11: segment-granular exact dedup (the CCNet repeated-line
+    // cleaning shape) — explode + digest-keyed frequency shuffle +
+    // anti-join + ordered reassembly; a distinct cost profile from both
+    // the whole-doc hash (q40) and the LSH funnels (q42).
+    "q137_repeated_segment_removal")
 }
