@@ -149,6 +149,9 @@ object SparkEntry {
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
     "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
+    "q138_pii_redaction"       -> (TextAnalysis.piiRedact _),
+    "q139_tfidf_topk"          ->
+      ((s: SparkSession, d: String) => TextAnalysis.tfidfTopK(s, d)),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1487,6 +1490,41 @@ object SparkEntry {
         |LEFT JOIN tot t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q138: PII redaction — counts per class on the raw text, then the
+    // sequential email→ip→phone replace. Patterns are interpolated from
+    // the SAME Scala constants the operator compiles, and stay in the
+    // regex subset Java and RE2 agree on (classes, bounded quantifiers,
+    // \b; no lookaround/backrefs), so both engines match identically.
+    "q138_pii_redaction" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q139: per-doc TF-IDF top-3. The score column is fixed-point
+    // (floor(tf·ln(N/df)·1e4) AS BIGINT) and the rank orders by the
+    // QUANTIZED score — ulp-level ln() differences between engines
+    // cannot flip either the value or the ranking (see tfidfTopKFrom).
+    "q139_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST(floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1e4)
+        |      AS BIGINT) AS tfidf_q
+        |  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf_q FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_q DESC, term) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -177,4 +177,100 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g"))
       .limit(20)
+
+  // ------------------------------------------------------ PII redaction
+
+  /** PII patterns shared verbatim by the operator and its oracle — kept
+    * to the regex subset whose semantics are identical in Java (Spark's
+    * codegen'd regexp_*) and RE2 (DuckDB): character classes, bounded
+    * quantifiers, `\b`; no lookaround, no backreferences. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction (q138) — the Dolma/CCNet-style scrub a training
+    * pipeline runs before anything else touches the text: emails, IPv4
+    * addresses, and phone numbers are replaced with typed placeholders
+    * and per-class match counts are emitted for audit. Counts are
+    * measured on the RAW text (one regex scan per class); the redaction
+    * itself is the sequential email→ip→phone replace, so a phone-shaped
+    * substring inside an already-redacted email is counted under phone
+    * but never double-redacted — the oracle replays the same order.
+    *
+    * Scale shape: a pure per-row codegen'd map (three regexp_extract_all
+    * + three chained regexp_replace) — zero shuffles, zero joins; the
+    * scan cost is the corpus read itself, so the operator composes into
+    * any pipeline position for free. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant
+    * PII and assert it vanishes while clean text passes through. */
+  def piiRedactFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------------- TF-IDF
+
+  /** Per-document TF-IDF top terms (q139) — the classic salience
+    * ranking a corpus-analysis / retrieval pipeline derives per
+    * document: tf(d,t) · ln(N / df(t)), top 3 terms per document.
+    *
+    * The score is emitted QUANTIZED: `tfidf_q = floor(tf · ln(N/df) ·
+    * 10^4)` as a BIGINT, and the ranking orders by the quantized value
+    * (ties broken by term, so the ranking is total). Rationale: the
+    * oracle compares values strictly, and `ln` is the one place two
+    * correct engines can legitimately differ by an ulp (HotSpot's
+    * intrinsic vs libm); fixed-point flooring absorbs that noise —
+    * a boundary hit would need the true score within ~1e-9 of a
+    * 1e-4 grid line, and tf·ln(N/df) is irrational for every df < N
+    * (df = N gives exactly 0 in both engines) — while keeping the
+    * ranking itself deterministic because it never compares raw
+    * doubles across engines.
+    *
+    * Scale shape: tokenize/explode is per-row; tf is one shuffle on
+    * (doc_id, term) with map-side partial counts; df aggregates the tf
+    * relation again on term (NOT the raw token stream — df counts
+    * documents, and tf is already one row per (doc, term)); N is a
+    * 1-row broadcast scalar, so the idf join adds no shuffle; the
+    * final top-3 is a row_number window PARTITIONED by doc_id —
+    * per-group heap state, never a global sort. Every count stays on
+    * small keys until the final projection. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopKFrom(Tables(spark, dir).documents, k)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def tfidfTopKFrom(docs: DataFrame, k: Int = 3): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val tf = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_q").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_q",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
+          * lit(1e4)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf_q"))
+      .orderBy(col("doc_id"), col("term"))
+  }
 }

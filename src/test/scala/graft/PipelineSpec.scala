@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.PolyHash.poly_hash
 import graft.functions.SimHash64.simhash64
-import graft.operators.{Dedup, GraphOps, Multimodal, Similarity}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -415,6 +415,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2(100L) == "", "all-boilerplate doc must clean to empty")
     assert(out2(101L) == "entirely unique words here",
       "unique doc must be untouched")
+  }
+
+  test("PII redaction scrubs planted emails/IPs/phones, counts per class, keeps clean text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "contact alice.smith+x@example.co.uk or bob@test.org today"),
+      (1L, "server at 192.168.1.254 and 10.0.0.1 responded"),
+      (2L, "call 555-867-5309 or 555.123.4567 now"),
+      (3L, "mixed: a@b.io from 8.8.8.8 dialed 111-222-3333"),
+      (4L, "no pii here just plain words"),
+      (5L, "version 1.2 and section 3.4.5 are not addresses")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedactFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(0L) == ((2L, 0L, 0L,
+      "contact <EMAIL> or <EMAIL> today")))
+    assert(out(1L) == ((0L, 2L, 0L, "server at <IP> and <IP> responded")))
+    assert(out(2L) == ((0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(out(3L) == ((1L, 1L, 1L, "mixed: <EMAIL> from <IP> dialed <PHONE>")))
+    assert(out(4L) == ((0L, 0L, 0L, "no pii here just plain words")),
+      "clean text must pass through untouched")
+    assert(out(5L) == ((0L, 0L, 0L,
+      "version 1.2 and section 3.4.5 are not addresses")),
+      "short dotted numbers must not match the IPv4 pattern")
+  }
+
+  test("TF-IDF top terms rank rare terms above ubiquitous ones; score is exact fixed-point") {
+    import spark.implicits._
+    // 4 docs; "common" appears in all 4 (df=N -> idf=0 -> tfidf_q=0);
+    // each doc has a unique term (df=1 -> idf=ln 4) and doc 0 repeats
+    // its unique term twice (tf=2 doubles the score).
+    val docs = Seq(
+      (0L, "common rare0 rare0 filler"),
+      (1L, "common rare1 filler filler"),
+      (2L, "common rare2 pad"),
+      (3L, "common rare3 pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopKFrom(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == Set(0L, 1L, 2L, 3L))
+    byDoc.foreach { case (_, rows) => assert(rows.length == 2) }
+    val ln4q = math.floor(math.log(4.0) * 1e4).toLong   // 13862
+    val ln2q = math.floor(math.log(2.0) * 1e4).toLong   //  6931
+    // doc 0: rare0 tf=2 df=1 -> floor(2·ln4·1e4); filler df=2 -> ln2
+    assert(out.contains((0L, "rare0", 2L, 1L,
+      math.floor(2.0 * math.log(4.0) * 1e4).toLong)))
+    assert(out.contains((0L, "filler", 1L, 2L, ln2q)))
+    // doc 1: rare1 beats filler (tf=2·ln2 vs 1·ln4: 2ln2 == ln4 exactly
+    // in the reals but as floored fixed-point both are 13862; tie-break
+    // by term puts filler first alphabetically — both rows survive k=2)
+    assert(out.contains((1L, "rare1", 1L, 1L, ln4q)))
+    // docs 2/3: unique term tops, "pad" (df=2) second; "common" (df=4,
+    // idf=0, tfidf_q=0) never makes top-2
+    assert(out.contains((2L, "rare2", 1L, 1L, ln4q)))
+    assert(out.contains((2L, "pad", 1L, 2L, ln2q)))
+    assert(!out.exists(_._2 == "common"),
+      "a term present in every document has idf 0 and must rank last")
   }
 
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
