@@ -152,6 +152,7 @@ object SparkEntry {
     "q138_pii_redaction"       -> (TextAnalysis.piiRedact _),
     "q139_tfidf_topk"          ->
       ((s: SparkSession, d: String) => TextAnalysis.tfidfTopK(s, d)),
+    "q140_jaccard_join"        -> (Dedup.jaccardJoin _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1525,6 +1526,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf_q DESC, term) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
+    // q140: exact τ-Jaccard set-similarity self-join. The operator runs
+    // the prefix-filtered (PPJoin-family) algorithm; the oracle is the
+    // definitional all-pairs replay — exactness of the prefix filter
+    // means the two must coincide row-for-row. All decisions are integer
+    // (tauDen·inter ≥ tauNum·union with τ=4/5); jac_pm's double floor is
+    // exact for these magnitudes.
+    "q140_jaccard_join" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |it AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, inter, sa.n AS size_a, sb.n AS size_b,
+        |  CAST(floor(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT)
+        |    AS jac_pm
+        |FROM it
+        |JOIN sz sa ON sa.doc_id = it.ia
+        |JOIN sz sb ON sb.doc_id = it.ib
+        |WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
+        |ORDER BY ia, ib""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -464,4 +464,103 @@ object Dedup {
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
       .crossJoin(nEsc)
   }
+
+  // ------------------------------------------- exact τ-Jaccard self-join
+
+  /** Bounded cache slots for the q140 token relation and per-doc sorted
+    * arrays (see [[RotatingCache]]). */
+  private val tokCache = new RotatingCache
+  private val jacDocCache = new RotatingCache
+
+  /** Exact token-set Jaccard self-join (q140) — every document pair with
+    * Jaccard(tokens(A), tokens(B)) ≥ τ, computed EXACTLY via prefix
+    * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07):
+    * order the vocabulary by ascending document frequency, keep only
+    * each document's first `|A| - ⌈τ·|A|⌉ + 1` rarest tokens as its
+    * prefix, and generate candidates from prefix collisions — any pair
+    * with Jaccard ≥ τ MUST collide on at least one prefix token (if two
+    * sets share none of each other's rarest tokens, their overlap is
+    * provably below τ), so the filter has zero false negatives and the
+    * exact verification join restores precision. Unlike the minhash
+    * funnel (q42, probabilistic recall) this is the EXACT variant the
+    * near-dup audit tier runs on flagged slices.
+    *
+    * τ is a rational `tauNum/tauDen` and every comparison is integer
+    * arithmetic (`tauDen·inter ≥ tauNum·union`, sizes and counts are
+    * longs; the reported `jac_pm` is floor(inter·1e6/union), whose
+    * double rounding is exact for union ≪ 2^26) — no float enters any
+    * decision, so the output is bit-stable across engines and
+    * partitionings.
+    *
+    * Scale shape: tokens shuffle once on (doc_id, term) for the
+    * distinct, once on term for df; per-doc prefix assembly is one
+    * doc-keyed aggregation (state bounded by document vocabulary); the
+    * candidate join shuffles PREFIX rows only on the term key — prefix
+    * terms are each document's rarest, so collision lists are the
+    * vocabulary's sparse tail, exactly why the algorithm survives
+    * Zipfian corpora at scale — with the pair-count length filter
+    * (`tauDen·min ≥ tauNum·max`) applied before verification; the
+    * verification join is candidates × tokens on (doc, term) keys,
+    * linear in candidate mass. Degenerate tiny-vocabulary corpora (the
+    * fixture) collapse toward all-pairs of genuinely-similar documents —
+    * which is the OUTPUT size, not avoidable work. */
+  def jaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    jaccardJoinFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus; τ = tauNum/tauDen. */
+  def jaccardJoinFrom(docs: DataFrame, tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
+    val toks = tokCache.rotate(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().persist())
+    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted by (df asc, term asc) — a total order, so the
+    // prefix is deterministic; L = n - ceil(tau*n) + 1 in exact integers.
+    // Persisted barrier: byDoc feeds both sides of the prefix self-join
+    // AND both verification joins (4 plan references), and the persist
+    // also gives the planner its true dimension-relation size so the
+    // verification joins broadcast.
+    val byDoc = jacDocCache.rotate(toks.join(dfreq, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("df"), col("term"))))
+          .as("ordered"))
+      .persist())
+    val lenP = (col("n") -
+      expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
+    val prefix = byDoc.select(col("doc_id"), col("n"),
+      explode(slice(col("ordered"), lit(1), lenP)).as("p"))
+      .select(col("doc_id"), col("n"), col("p.term").as("term"))
+    // candidates: prefix collisions (ia < ib) surviving the length filter
+    val cand = prefix.alias("x").join(prefix.alias("y"),
+        col("x.term") === col("y.term") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n"), col("y.n")) * tauDen >=
+          greatest(col("x.n"), col("y.n")) * tauNum)
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+      .distinct()
+    // exact verification: |A ∩ B| as a per-pair codegen'd
+    // array_intersect against the per-doc token arrays — the doc-array
+    // relation is one row per document (dimension-sized next to the
+    // candidate mass, so these joins broadcast; at corpus scales past
+    // broadcast they degrade to ia/ib-keyed shuffles, still linear in
+    // candidates). This beats re-exploding candidates × tokens through a
+    // (doc, term) shuffle by the average set size.
+    val withToks = byDoc.select(col("doc_id"), col("n"),
+      transform(col("ordered"), x => x.getField("term")).as("toks"))
+    cand
+      .join(withToks.select(col("doc_id").as("ia"), col("n").as("size_a"),
+        col("toks").as("ta")), Seq("ia"))
+      .join(withToks.select(col("doc_id").as("ib"), col("n").as("size_b"),
+        col("toks").as("tb")), Seq("ib"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("u", col("size_a") + col("size_b") - col("inter"))
+      .filter(col("inter") * tauDen >= col("u") * tauNum)
+      .select(col("ia"), col("ib"), col("inter"), col("size_a"),
+        col("size_b"),
+        floor(col("inter") * lit(1000000.0) / col("u")).as("jac_pm"))
+      .orderBy(col("ia"), col("ib"))
+  }
 }

@@ -250,13 +250,18 @@ object TextAnalysis {
   def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     tfidfTopKFrom(Tables(spark, dir).documents, k)
 
+  private val tfCache = new RotatingCache
+
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def tfidfTopKFrom(docs: DataFrame, k: Int = 3): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
-    val tf = d.select(col("doc_id"),
+    // persisted barrier: tf feeds BOTH the df aggregation and the scored
+    // join — without it the token explode + (doc,term) shuffle runs twice
+    val tf = tfCache.rotate(d.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist())
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

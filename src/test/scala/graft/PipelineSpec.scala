@@ -475,6 +475,48 @@ class PipelineSpec extends AnyFunSuite {
       "a term present in every document has idf 0 and must rank last")
   }
 
+  test("Jaccard join: boundary pair included, sub-threshold excluded, prefix filter is exact") {
+    import spark.implicits._
+    // planted: A={a b c d e}, B={a b c d} -> jac = 4/5 = tau exactly
+    // (must be INCLUDED: >= is closed); C={a b c} vs A -> 3/5 excluded;
+    // D disjoint.
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "a b c d"), (2L, "a b c"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    val out = Dedup.jaccardJoinFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSet == Set((0L, 1L, 4L, 5L, 4L, 800000L)),
+      s"exactly the boundary pair must survive, got ${out.toSet}")
+
+    // exactness: prefix-filtered result == definitional all-pairs on a
+    // deterministic pseudo-random corpus (hash-derived token subsets of
+    // a 12-word vocabulary — dense enough that many pairs are near tau)
+    val vocab = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11".split(" ")
+    val corpus = (0L until 60L).map { i =>
+      val toks = vocab.zipWithIndex.filter { case (_, j) =>
+        ((i * 2654435761L + j * 40503L) % 97) % 5 != 0 } // ~80% density
+      (i, toks.map(_._1).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.jaccardJoinFrom(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val toks = corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term")).distinct()
+    val sz = toks.groupBy("doc_id").count()
+    val brute = toks.alias("a").join(toks.alias("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("ia"), col("count").as("na")), "ia")
+      .join(sz.select(col("doc_id").as("ib"), col("count").as("nb")), "ib")
+      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+      .select("ia", "ib", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture must actually exercise the threshold")
+    assert(fast == brute,
+      s"prefix filter must be exact: missing=${brute -- fast} extra=${fast -- brute}")
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
