@@ -153,6 +153,9 @@ object SparkEntry {
     "q139_tfidf_topk"          ->
       ((s: SparkSession, d: String) => TextAnalysis.tfidfTopK(s, d)),
     "q140_jaccard_join"        -> (Dedup.jaccardJoin _),
+    "q141_shard_assignment"    ->
+      ((s: SparkSession, d: String) =>
+        graft.operators.CorpusOps.shardAssignment(s, d)),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1549,6 +1552,23 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = it.ib
         |WHERE 5 * inter >= 4 * (sa.n + sb.n - inter)
         |ORDER BY ia, ib""".stripMargin,
+    // q141: training-shard assignment — the q112 Knuth-hash permutation,
+    // shard = hkey % 32, and per-shard position/exclusive token offset
+    // as shard-partitioned windows. Integer end to end.
+    "q141_shard_assignment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
+        |      AS BIGINT) AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS hkey
+        |  FROM documents)
+        |SELECT doc_id, hkey % 32 AS shard,
+        |  CAST(row_number() OVER sw AS BIGINT) AS pos, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (sw ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |FROM d
+        |WINDOW sw AS (PARTITION BY hkey % 32 ORDER BY hkey, doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

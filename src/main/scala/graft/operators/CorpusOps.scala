@@ -240,4 +240,40 @@ object CorpusOps {
       .withColumn("kept", col("bucket_pm") < col("rate_pm"))
       .orderBy(col("doc_id"))
   }
+
+  /** Training-shard assignment (q141) — the WebDataset-style layout step
+    * that turns a cleaned corpus into shard files a trainer streams:
+    * documents are pseudorandomly PERMUTED (the same Knuth
+    * multiplicative hash as q112 — deterministic across engines, runs,
+    * and partitionings; no RNG state), hashed into `nShards` shards, and
+    * given their within-shard position plus the exclusive running token
+    * offset (= the byte/token offset where the document starts in its
+    * shard file, and the number a batch loader needs for seeking).
+    *
+    * Scale shape: the permutation key and shard id are one codegen'd map
+    * pass; position/offset are `row_number`/`sum` windows PARTITIONED by
+    * shard — shards are the units a 1000-executor write fans out over,
+    * so per-task state is one shard's slice, never a global order. The
+    * hash-permutation inside each shard means shard files are unbiased
+    * corpus samples (loader-side shuffle buffers stay small) — the
+    * reason trainers shuffle BEFORE sharding, done here without a
+    * single-task global sort. */
+  def shardAssignment(spark: SparkSession, dir: String,
+      nShards: Int = 32): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        h.as("hkey"))
+      .withColumn("shard", col("hkey") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
 }

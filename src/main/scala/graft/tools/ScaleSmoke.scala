@@ -127,6 +127,31 @@ object ScaleSmoke {
         println(s"[scale]   fuzzy keep-list: docs=${k.count()} merged=$merged")
         merged
       }
+      // exact τ-Jaccard join (q140's shape) on a corpus whose VOCABULARY
+      // scales with its size (the realistic Zipf-tail regime the prefix
+      // filter is built for — the tiny-vocab TPC-H word-salad fixture is
+      // its documented worst case, where output itself is quadratic):
+      // planted cliques of 10 docs sharing 25 group tokens plus 3
+      // doc-unique tokens → intra-clique jac = 25/31 ≈ 0.81 ≥ τ,
+      // cross-clique 0. Every doc's prefix is its rarest tokens (the
+      // unique ones + few group tokens), so candidates == intra-clique
+      // pairs — LINEAR in corpus size while all-pairs grows as N²/2.
+      time(s"jaccard_join") {
+        val nd = 5000L * mult
+        val jd = spark.range(nd).select(col("id").as("doc_id"), concat(
+          array_join(transform(sequence(lit(0), lit(24)),
+            i => concat(lit("g"), (col("id") / 10).cast("long"),
+              lit("t"), i)), " "),
+          lit(" "),
+          array_join(transform(sequence(lit(0), lit(2)),
+            i => concat(lit("u"), col("id"), lit("x"), i)), " "))
+          .as("text"))
+        val j = graft.operators.Dedup.jaccardJoinFrom(jd)
+        val pairs = j.count()
+        println(s"[scale]   jaccard join: docs=$nd pairs=$pairs " +
+          s"(expect ${45 * nd / 10})")
+        pairs
+      }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
       // micro-batches against an accumulating signature store — per-batch
       // cost must stay band-bounded (new×store equi-join on band keys,

@@ -517,6 +517,30 @@ class PipelineSpec extends AnyFunSuite {
       s"prefix filter must be exact: missing=${brute -- fast} extra=${fast -- brute}")
   }
 
+  test("shard assignment: positions contiguous per shard, token offsets telescope, permutation is unbiased-ish") {
+    val out = graft.operators.CorpusOps
+      .shardAssignment(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 500)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.size == 32, "500 docs must touch all 32 shards")
+    byShard.foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to rows.length).toSeq,
+        s"shard $s: positions must be contiguous from 1")
+      // exclusive prefix: offset(k) = offset(k-1) + n_tokens(k-1), from 0
+      sorted.foldLeft(0L) { case (expect, (_, _, _, nTok, off)) =>
+        assert(off == expect, s"shard $s: token offsets must telescope")
+        expect + nTok
+      }
+      // crude balance check: hash sharding of 500 docs over 32 shards
+      // should land every shard within [3, 35] docs (mean ~15.6)
+      assert(rows.length >= 3 && rows.length <= 35,
+        s"shard $s has ${rows.length} docs — permutation badly skewed")
+    }
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
