@@ -515,4 +515,30 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"text=$text got=$got want=$want")
     }
   }
+
+  test("jaccard join: prefix filter is exact vs an in-memory model at several taus") {
+    import spark.implicits._
+    // random corpora over a 25-token vocabulary, 30 docs of 5-20 distinct
+    // tokens — dense enough that pairs land on every side of each tau
+    val corpusGen = Gen.listOfN(30, Gen.chooseNum(5, 20).flatMap(k =>
+      Gen.pick(k, 0 until 25).map(_.toSet)))
+    for ((tn, td) <- Seq((1, 2), (4, 5), (9, 10))) {
+      forAllSampled(corpusGen, n = 4) { sets =>
+        val docs = sets.zipWithIndex.map { case (s, i) =>
+          (i.toLong, s.toSeq.sorted.map(t => s"tok$t").mkString(" "))
+        }.toDF("doc_id", "text")
+        val got = graft.operators.Dedup.jaccardJoinFrom(docs, tn, td)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val want = (for {
+          i <- sets.indices; j <- sets.indices if i < j
+          inter = (sets(i) & sets(j)).size
+          union = (sets(i) | sets(j)).size
+          if inter.toLong * td >= union.toLong * tn
+        } yield (i.toLong, j.toLong, inter.toLong)).toSet
+        assert(got == want,
+          s"tau=$tn/$td: missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
 }
