@@ -156,6 +156,7 @@ object SparkEntry {
     "q141_shard_assignment"    ->
       ((s: SparkSession, d: String) =>
         graft.operators.CorpusOps.shardAssignment(s, d)),
+    "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1569,6 +1570,83 @@ object SparkEntry {
         |FROM d
         |WINDOW sw AS (PARTITION BY hkey % 32 ORDER BY hkey, doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q142: fixed-point k-means — 3 Lloyd iterations unrolled, every
+    // quantity integer (floor-quantized components, integer squared-L2,
+    // argmin tie-broken to the lowest cell, floor(sum/count) centroid
+    // updates, empty cells carrying forward), so the replay is exact.
+    // Output = assignment under the centroids AFTER the third update.
+    "q142_kmeans_cells" ->
+      """WITH eq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
+        |  FROM eq ORDER BY vec_id LIMIT 8),
+        |d1 AS (
+        |  SELECT q.vec_id, q.e, c.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM eq q CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, e, j AS cell, d FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+        |     AS rk FROM d1) WHERE rk = 1),
+        |m1 AS (
+        |  SELECT cell, i.i AS comp,
+        |    CAST(floor(CAST(CAST(sum(a.e[i.i]) AS BIGINT) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS m
+        |  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY cell, i.i),
+        |c1 AS (
+        |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c0 p
+        |  LEFT JOIN (SELECT cell AS j, list(m ORDER BY comp) AS c
+        |             FROM m1 GROUP BY cell) u USING (j)),
+        |d2 AS (
+        |  SELECT q.vec_id, q.e, c.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM eq q CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, e, j AS cell, d FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+        |     AS rk FROM d2) WHERE rk = 1),
+        |m2 AS (
+        |  SELECT cell, i.i AS comp,
+        |    CAST(floor(CAST(CAST(sum(a.e[i.i]) AS BIGINT) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS m
+        |  FROM a2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY cell, i.i),
+        |c2 AS (
+        |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c1 p
+        |  LEFT JOIN (SELECT cell AS j, list(m ORDER BY comp) AS c
+        |             FROM m2 GROUP BY cell) u USING (j)),
+        |d3 AS (
+        |  SELECT q.vec_id, q.e, c.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM eq q CROSS JOIN c2 c),
+        |a3 AS (SELECT vec_id, e, j AS cell, d FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+        |     AS rk FROM d3) WHERE rk = 1),
+        |m3 AS (
+        |  SELECT cell, i.i AS comp,
+        |    CAST(floor(CAST(CAST(sum(a.e[i.i]) AS BIGINT) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS m
+        |  FROM a3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY cell, i.i),
+        |c3 AS (
+        |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c2 p
+        |  LEFT JOIN (SELECT cell AS j, list(m ORDER BY comp) AS c
+        |             FROM m3 GROUP BY cell) u USING (j)),
+        |d4 AS (
+        |  SELECT q.vec_id, c.j,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM eq q CROSS JOIN c3 c)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, d AS dist_q FROM
+        |  (SELECT vec_id, j AS cell, d,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+        |   FROM d4) WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -600,4 +600,80 @@ object Similarity {
       .crossJoin(skipped) // 1 row × 1 row: funnel counts + skipped mass
       .crossJoin(nEsc)
   }
+
+  // --------------------------------------------- fixed-point k-means
+
+  /** Bounded cache slot for the quantized-embedding scan (see
+    * [[RotatingCache]]) — it feeds every Lloyd iteration. */
+  private val kmCache = new RotatingCache
+
+  /** Exact distributed k-means (q142) — Lloyd iterations in FIXED-POINT
+    * integer arithmetic, the quantizer-TRAINING step the SemDeDup/IVF
+    * tier freezes its centroids from (centroidDirs seeds cells from the
+    * K lowest-id vectors; this trains them). Floating-point k-means is
+    * not replayable across engines (float means depend on reduction
+    * order), so every quantity here is integer: components are
+    * floor(x·10^6) longs (floor, not round — round's half-tie rule
+    * differs between engines; floor of an identical double is
+    * identical), distances are integer squared-L2 (≤ 64·(1.1e6)² ≈
+    * 7.7e13, long-safe), the argmin tie-breaks to the lowest cell id
+    * (array_position takes the FIRST minimum), and centroid updates are
+    * floor(sum/count) with the division done in doubles that are exact
+    * below 2^53. Empty cells carry their previous centroid forward. The
+    * same discipline as the fixed-point pagerank: bit-stable across
+    * engines, runs, and partitionings, hence a full DuckDB oracle.
+    *
+    * Scale shape per iteration: assignment is one codegen'd map over the
+    * quantized scan (K×Dim literal centroids — metadata, the
+    * q128-documented inline/broadcast tradeoff applies past 4096);
+    * centroid update is one (cell, component) partial+final aggregate —
+    * ≤ K·Dim result rows, collected to the driver exactly like the
+    * GlobalOrder bucket offsets. Nothing in the loop scans more than
+    * the corpus once per iteration. */
+  def kmeansCells(spark: SparkSession, dir: String): DataFrame =
+    kmeansCellsFrom(graft.Tables(spark, dir).embeddings, k = 8, iters = 3)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  def kmeansCellsFrom(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val eq = kmCache.rotate(vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+      .persist())
+    // deterministic seeds: the K lowest-id vectors' quantized components
+    var cents: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    def distsCol: Column = {
+      val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+      transform(sequence(lit(0), lit(cents.length - 1)), j =>
+        aggregate(
+          zip_with(col("e"), element_at(cl, j + 1),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+    }
+    def assigned: DataFrame = eq
+      .withColumn("d", distsCol)
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("long"))
+    for (_ <- 1 to iters) {
+      // per-(cell, component) integer sums — ≤ K·Dim rows back to the
+      // driver, the same metadata-scale collect as GlobalOrder offsets
+      val means = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("comp", "v")))
+        .groupBy(col("cell"), col("comp"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("comp"), col("m")))),
+          p => p.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+      cents = Array.tabulate(cents.length)(j => means.getOrElse(j, cents(j)))
+    }
+    assigned
+      .select(col("vec_id"), col("cell"),
+        element_at(col("d"), (col("cell") + 1).cast("int")).as("dist_q"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -541,6 +541,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point k-means matches an in-memory Lloyd model and separates planted blobs") {
+    import spark.implicits._
+    // 3 planted blobs of 10 vectors in 4 dims; deterministic offsets
+    val centers = Seq(Seq(0.4f, 0.4f, -0.2f, 0.0f),
+      Seq(-0.4f, 0.1f, 0.3f, -0.3f), Seq(0.0f, -0.4f, -0.4f, 0.4f))
+    val vecs = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) =>
+        x + ((i * 7 + d * 3) % 5 - 2) * 0.01f })
+    }
+    val out = Similarity.kmeansCellsFrom(
+        vecs.toDF("vec_id", "embedding"), k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // in-memory replica of the exact fixed-point semantics
+    val eq = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1e6).toLong).toArray }
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Array[Array[Long]]) = eq.map { case (id, e) =>
+      val ds = cents.map(dist(e, _))
+      (id, ds.indexOf(ds.min).toLong, ds.min)
+    }
+    var cents = eq.sortBy(_._1).take(3).map(_._2).toArray
+    for (_ <- 1 to 3) {
+      val byCell = assign(cents).zip(eq).groupBy(_._1._2)
+      cents = cents.indices.map { j =>
+        byCell.get(j.toLong) match {
+          case Some(rows) =>
+            val es = rows.map(_._2._2)
+            es.head.indices.map(d => math.floor(
+              es.map(_(d)).sum.toDouble / es.size).toLong).toArray
+          case None => cents(j)
+        }
+      }.toArray
+    }
+    val want = assign(cents).toSet
+    assert(out.toSet == want,
+      s"missing=${want -- out.toSet} extra=${out.toSet -- want}")
+    // blob purity: each planted blob lands in one cell
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    (0 until 3).foreach { b =>
+      val cells = (0 until 30).filter(_ % 3 == b).map(i => cellOf(i.toLong))
+      assert(cells.distinct.size == 1, s"blob $b split across cells $cells")
+    }
+  }
+
   test("ANN LSH hits are a subset of corpus with correct shape; recall>0 vs brute force") {
     val brute = Similarity.annBruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
