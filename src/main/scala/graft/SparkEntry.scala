@@ -157,6 +157,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         graft.operators.CorpusOps.shardAssignment(s, d)),
     "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
+    "q143_unigram_surprisal"   -> (TextAnalysis.unigramSurprisal _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1647,6 +1648,25 @@ object SparkEntry {
         |     row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
         |   FROM d4) WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
+    // q143: unigram-LM surprisal — per-token floor(ln(T/cnt)·1e4)
+    // quantized BEFORE the integer sums, so accumulation order cannot
+    // matter; // is DuckDB's integer division (≡ Spark div on positives).
+    "q143_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM toks),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT f.doc_id, f.tf,
+        |    CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1e4) AS BIGINT) AS q
+        |  FROM tfd f JOIN cnt USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
+        |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |    AS BIGINT) AS mean_surprisal_q
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -251,6 +251,47 @@ object TextAnalysis {
     tfidfTopKFrom(Tables(spark, dir).documents, k)
 
   private val tfCache = new RotatingCache
+  private val lmCache = new RotatingCache
+
+  /** Unigram-LM surprisal scoring (q143) — the CCNet-style language-model
+    * quality signal without an external model: the corpus's own unigram
+    * distribution IS the model, each document scores the total
+    * self-information of its tokens, Σ tf(d,w) · ln(T / cnt(w)), and the
+    * per-token mean separates repetitive/common-word documents (low
+    * surprisal — the head of the distribution) from rare-token ones
+    * (high). Scores are fixed-point: each token's surprisal quantizes to
+    * floor(ln(T/cnt)·10^4) BEFORE the integer sum, so the accumulated
+    * value is bit-identical across engines and partitionings (same
+    * rationale as q139 — ln is the only cross-engine ulp hazard and it
+    * never survives the floor; cnt = T gives exactly 0 in both).
+    *
+    * Scale shape: one token explode feeding three aggregates off a
+    * persisted barrier — corpus unigram counts (term shuffle), per-doc
+    * tf (doc+term shuffle), and the 1-row total that broadcasts; the
+    * scoring join is term-keyed against the count relation and the final
+    * rollup is one doc-keyed sum. Nothing rescans the corpus. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def unigramSurprisalFrom(docs: DataFrame): DataFrame = {
+    val toks = lmCache.rotate(docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .persist())
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q",
+        floor(log(col("t").cast("double") / col("c")) * lit(1e4)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("q")).as("surprisal_q"))
+      .withColumn("mean_surprisal_q", expr("surprisal_q div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def tfidfTopKFrom(docs: DataFrame, k: Int = 3): DataFrame = {

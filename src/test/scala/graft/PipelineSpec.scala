@@ -541,6 +541,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram surprisal: exact fixed-point values; rare-token docs outscore common-token docs") {
+    import spark.implicits._
+    // corpus: "common" x 8 across docs, "rare" once; doc 2 is all-common
+    val docs = Seq(
+      (0L, "common common rare"),
+      (1L, "common common common"),
+      (2L, "common common common")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisalFrom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // T = 9 tokens; cnt(common) = 8, cnt(rare) = 1
+    val qCommon = math.floor(math.log(9.0 / 8) * 1e4).toLong
+    val qRare = math.floor(math.log(9.0) * 1e4).toLong
+    assert(out(0L) == ((3L, 2 * qCommon + qRare, (2 * qCommon + qRare) / 3)))
+    assert(out(1L) == ((3L, 3 * qCommon, qCommon)))
+    assert(out(0L)._3 > out(1L)._3,
+      "the rare-token document must have higher mean surprisal")
+    assert(out(1L) == out(2L), "identical docs must score identically")
+  }
+
   test("fixed-point k-means matches an in-memory Lloyd model and separates planted blobs") {
     import spark.implicits._
     // 3 planted blobs of 10 vectors in 4 dims; deterministic offsets
