@@ -158,6 +158,9 @@ object SparkEntry {
         graft.operators.CorpusOps.shardAssignment(s, d)),
     "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
     "q143_unigram_surprisal"   -> (TextAnalysis.unigramSurprisal _),
+    "q144_chunk_windows"       ->
+      ((s: SparkSession, d: String) =>
+        graft.operators.CorpusOps.chunkWindows(s, d)),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1667,6 +1670,24 @@ object SparkEntry {
         |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |    AS BIGINT) AS mean_surprisal_q
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q144: overlapping-window chunking (size 40, stride 20). DuckDB
+    // list slicing w[a:b] is 1-based inclusive and end-clamped, exactly
+    // Spark's slice(w, a, 40); // after greatest(0, ·) matches div on
+    // the possibly-negative numerator because both clamp to 0.
+    "q144_chunk_windows" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, 1 + greatest(0, (len(w) - 40 + 19) // 20)))
+        |      AS chunk_idx
+        |  FROM words)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40], ' ')
+        |    AS chunk_text
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

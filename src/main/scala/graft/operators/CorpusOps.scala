@@ -241,6 +241,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping-window chunking (q144) — the retrieval-ingestion prep
+    * step that splits each document into fixed-size token windows with
+    * 50% stride overlap, so every passage boundary appears mid-window in
+    * some chunk (the standard RAG indexing layout; q137's disjoint
+    * segmentation is the dedup-side sibling). Chunk count is
+    * 1 + max(0, ⌈(n − size) / stride⌉) in exact integer arithmetic; the
+    * final window clamps at the document end. Pure per-row explode —
+    * output rows ≈ 2× token mass, no shuffle before the presentation
+    * sort — so it composes into the written-corpus scan for free. */
+  def chunkWindows(spark: SparkSession, dir: String,
+      sizeW: Int = 40, stride: Int = 20): DataFrame =
+    chunkWindowsFrom(Tables(spark, dir).documents, sizeW, stride)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def chunkWindowsFrom(docs: DataFrame, sizeW: Int = 40,
+      stride: Int = 20): DataFrame = {
+    val nChunks = lit(1) + greatest(lit(0L),
+      expr(s"(size(split(text, ' ')) - $sizeW + ${stride - 1}) div $stride"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"),
+        nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("nc") - 1),
+          i => slice(col("w"), (i * stride + 1).cast("int"), lit(sizeW))))
+          .as(Seq("chunk_idx", "arr")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("arr")).cast("long").as("n_chunk_tokens"),
+        array_join(col("arr"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Training-shard assignment (q141) — the WebDataset-style layout step
     * that turns a cleaned corpus into shard files a trainer streams:
     * documents are pseudorandomly PERMUTED (the same Knuth

@@ -541,6 +541,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk windows: 50% overlap, full coverage, clamped tail, short docs in one chunk") {
+    import spark.implicits._
+    val words100 = (0 until 100).map(i => s"w$i")
+    val docs = Seq(
+      (0L, words100.mkString(" ")),          // 100 words -> 4 chunks
+      (1L, (0 until 50).map(i => s"v$i").mkString(" ")), // 50 -> 2 chunks
+      (2L, "tiny doc")).toDF("doc_id", "text") // 2 words -> 1 chunk
+    val out = graft.operators.CorpusOps.chunkWindowsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d0.map(_._3).toSeq == Seq(40L, 40L, 40L, 40L))
+    assert(d0(0)._4.startsWith("w0 w1 ") && d0(1)._4.startsWith("w20 "),
+      "stride must be 20 tokens")
+    // consecutive chunks share exactly 20 tokens (50% overlap)
+    val c0 = d0(0)._4.split(" ").toSet; val c1 = d0(1)._4.split(" ").toSet
+    assert((c0 & c1).size == 20)
+    // every token of the doc appears in some chunk
+    assert(d0.flatMap(_._4.split(" ")).toSet == words100.toSet)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(40L, 30L),
+      "tail chunk must clamp at the document end")
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 2L, "tiny doc")), "short docs chunk to themselves")
+  }
+
   test("unigram surprisal: exact fixed-point values; rare-token docs outscore common-token docs") {
     import spark.implicits._
     // corpus: "common" x 8 across docs, "rare" once; doc 2 is all-common
