@@ -114,6 +114,17 @@ object ScaleSmoke {
       // group-semantics SemDeDup (q136's shape): the same cell-bounded
       // pair evidence, then CC over dup PAIRS only — merges must track
       // the amplified dup mass like the text keep-list above.
+      // fixed-point k-means (q142's shape): K scales with the corpus
+      // like the SemDeDup rows; per-iteration cost must track the
+      // assignment scan (N·K dots) + the metadata-scale centroid
+      // aggregate, linearly in N at fixed K/N ratio.
+      time(s"kmeans_fixed_point") {
+        val a = graft.operators.Similarity
+          .kmeansCellsFrom(vecs, k = 8 * mult, iters = 3)
+        val cells = a.select(col("cell")).distinct().count()
+        println(s"[scale]   kmeans: vectors=${a.count()} cells_used=$cells")
+        cells
+      }
       time(s"semantic_keep_list") {
         val kl = graft.operators.Similarity
           .semanticKeepListFrom(vecs, 0.35, k = 16 * mult)
