@@ -100,6 +100,7 @@ object SparkEntry {
     "q127_multi_source_paths" -> ((s: SparkSession, d: String) => GraphOps.multiSourcePaths(s, d)),
     "q132_data_weighted_routing" -> ((s: SparkSession, d: String) => GraphOps.dataWeightedRouting(s, d)),
     "q134_closeness_centrality" -> ((s: SparkSession, d: String) => GraphOps.closenessCentrality(s, d)),
+    "q147_clustering_coeff" -> (GraphOps.clusteringCoefficient _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -161,6 +162,10 @@ object SparkEntry {
     "q144_chunk_windows"       ->
       ((s: SparkSession, d: String) =>
         graft.operators.CorpusOps.chunkWindows(s, d)),
+    "q145_domain_mixture"      ->
+      (graft.operators.CorpusOps.domainMixture _),
+    "q146_contamination_score" -> (TextAnalysis.contaminationScore _),
+    "q148_pq_adc_topk"         -> (Similarity.pqAdcTopK _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -804,6 +809,29 @@ object SparkEntry {
         |            ELSE CAST(count(*) - 1 AS DOUBLE) / CAST(sum(cost) AS DOUBLE)
         |       END AS closeness
         |FROM mc GROUP BY origin ORDER BY origin""".stripMargin,
+    // q147: per-vertex triangles via the plain unoriented wedge join
+    // (the Spark side's degree orientation changes the enumeration
+    // order, not the per-corner counts); coefficient in exact integer
+    // per-mille.
+    "q147_clustering_coeff" ->
+      s"""WITH $edgeCte,
+        |ce AS (SELECT src AS a, dst AS b FROM ue WHERE src < dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM ce e1
+        |  JOIN ce e2 ON e2.a = e1.b
+        |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.deg >= 2
+        |            THEN 2000 * coalesce(t.n_tri, 0) // (d.deg * (d.deg - 1))
+        |            ELSE 0 END AS BIGINT) AS cc_pm
+        |FROM deg d LEFT JOIN tn t USING (node) ORDER BY d.node""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->
@@ -1688,6 +1716,89 @@ object SparkEntry {
         |  array_to_string(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40], ' ')
         |    AS chunk_text
         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q145: per-source quota spend — the oracle states the semantics as
+    // one per-source cumsum window; the Spark side is the grouped
+    // GlobalOrder two-pass (unique (quality DESC, doc_id) order ⇒
+    // identical cumulative sums).
+    "q145_domain_mixture" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |b AS (
+        |  SELECT source, weight,
+        |    CAST(weight * (SELECT sum(n_tokens) FROM scored)
+        |         // (2 * (SELECT sum(weight) FROM w)) AS BIGINT) AS budget_tok
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, source, quality_pm, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality_pm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT r.doc_id, r.source, b.weight, r.quality_pm, r.n_tokens,
+        |  r.cum_tokens, b.budget_tok,
+        |  r.cum_tokens <= b.budget_tok AS selected
+        |FROM r JOIN b USING (source) ORDER BY r.doc_id""".stripMargin,
+    // q146: graded contamination — per-doc distinct-8-gram overlap share
+    // against the q117 benchmark split, zero-hit docs kept by the left
+    // join.
+    "q146_contamination_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+        |SELECT c.doc_id, count(*) AS n_grams, count(b.g) AS n_shared,
+        |  1000 * count(b.g) // greatest(count(*), 1) AS contamination_pm
+        |FROM grams c LEFT JOIN bench b ON c.g = b.g
+        |WHERE c.doc_id % 5 <> 0
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // q148: PQ replay — fixed-point sub-vector distances d(v, m, j) for
+    // every (vector, sub-space, codeword) triple serve as BOTH the
+    // encoding argmin (rk = 1) and the query-side ADC lookup table
+    // (l.vec_id is a query); ADC(q, x) = Σ_m d(q, m, code_x(m)).
+    "q148_pq_adc_topk" ->
+      """WITH eq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT v.vec_id, m.m, s.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (v.e[m.m*16+i] - s.e[m.m*16+i])
+        |         * (v.e[m.m*16+i] - s.e[m.m*16+i]))) AS BIGINT) AS d
+        |  FROM eq v
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+        |  CROSS JOIN (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |              FROM eq ORDER BY vec_id LIMIT 16) s),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, j) AS rk FROM cd)
+        |  WHERE rk = 1),
+        |adc AS (
+        |  SELECT l.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+        |  FROM codes x JOIN cd l ON l.m = x.m AND l.j = x.code
+        |  WHERE l.vec_id % 50 = 0 AND x.vec_id <> l.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -306,4 +306,68 @@ object CorpusOps {
         col("tok_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** Bounded cache slot for the mixture-scored scan. */
+  private val mixtureCache = new RotatingCache
+
+  /** Domain-mixture selection (q145) — the mixture-rebalancing step of
+    * corpus construction: each source (domain) gets a token QUOTA
+    * proportional to its mixture weight, and spends it on its own best
+    * documents (quality DESC, doc_id) — the static-weight form of
+    * DoReMi-style domain reweighting. Weights here are the source's
+    * 1-based alphabetical rank (deterministic in any engine, no config
+    * table); the global budget is half the corpus's tokens, so the query
+    * is scale-free like q111.
+    *
+    * Scale shape: q111's [[GlobalOrder]] two-pass, GROUPED — an
+    * unpartitioned per-source cumsum window would still funnel each
+    * source's full slice (at 100 TB a single web domain is TBs) into one
+    * task. Instead rows are value-bucketed by quality globally, per-
+    * (source, bucket) token totals (≤ sources × buckets rows — metadata
+    * scale) are cumulated into per-source exclusive offsets on the
+    * driver, and each (source, bucket) window runs in parallel. Source
+    * weights and quotas are a broadcast relation. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents.select(
+        col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality_pm"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .persist()
+    mixtureCache.rotate(scored)
+    // weight table: #sources rows (metadata scale — domains are curated)
+    val srcs = scored.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val weights = srcs.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) }
+    val sumW = weights.map(_._2).sum
+    val total = scored.agg(sum(col("n_tokens"))).head().getLong(0)
+    // Long division floors on positives ≡ DuckDB // — quota is exact
+    val quotas = weights.map { case (s, w) => (s, w, w * total / (2 * sumW)) }
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF("source", "weight", "budget_tok")
+    val bucketed = GlobalOrder
+      .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
+        col("doc_id"))
+    // per-(source, bucket) totals → per-source exclusive prefix offsets
+    val grpTotals = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = grpTotals.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, t) =>
+        val base = (s, b, acc); acc += t; base
+      }
+    }.toDF("source", "bucket", "tok_base")
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("lcum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .join(broadcast(quotaDf), Seq("source"))
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("quality_pm"), col("n_tokens"),
+        (col("tok_base") + col("lcum")).as("cum_tokens"), col("budget_tok"),
+        ((col("tok_base") + col("lcum")) <= col("budget_tok")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -615,6 +615,51 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-vertex local clustering coefficient (q147): for every node, its
+    * triangle count, degree, and the coefficient 2·tri/(deg·(deg−1)) in
+    * exact per-mille integer arithmetic — the standard "how clique-like
+    * is this node's neighborhood" metric (community detection's first
+    * feature). Triangle enumeration reuses [[triangleCountFrom]]'s
+    * DEGREE ORIENTATION — wedges are generated only at each triangle's
+    * (deg,id)-lowest vertex, capping per-vertex wedge work at O(√m) on
+    * any graph — but keeps the three corner ids per closed wedge and
+    * charges the triangle to each corner with one explode + count (the
+    * per-node attribution costs one extra shuffle over the count-only
+    * form, on triangle rows — far below edge scale). Zero-triangle and
+    * degree-1 nodes keep a row via the left join from the degree
+    * relation. */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficientFrom(undirectedEdges(Tables(spark, dir)))
+
+  /** Same, over an arbitrary undirected edge relation. */
+  private[graft] def clusteringCoefficientFrom(ue: DataFrame): DataFrame = {
+    val ce = ue.filter(col("src") < col("dst"))
+    val deg = ce.select(col("src").as("node"))
+      .union(ce.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = ce
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val oriented = withDeg.select(
+      when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("u"),
+      when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("v"))
+    val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
+    val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
+    val e3 = oriented.select(col("u").as("b"), col("v").as("c"))
+    val triCorners = e1.join(e2, "a").filter(col("b") =!= col("c"))
+      .join(e3, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val triPerNode = triCorners.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_pm",
+        when(col("deg") >= 2,
+          expr("2000 * n_tri div (deg * (deg - 1))")).otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
   /** Connected components (GraphX label propagation to the min vertex id;
     * converged, so equal to "min reachable id" — the transitive-closure
     * oracle recomputes exactly that). */

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (SURVEY §2.l).
@@ -675,5 +676,91 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         element_at(col("d"), (col("cell") + 1).cast("int")).as("dist_q"))
       .orderBy(col("vec_id"))
+  }
+
+  // --------------------------------------- product quantization + ADC
+
+  /** Bounded cache slot for the PQ-quantized scan. */
+  private val pqCache = new RotatingCache
+
+  /** Product-quantization ANN with asymmetric distance (q148) — the
+    * memory-scale path of embedding search: each 64-dim vector is split
+    * into M=4 sub-vectors of 16 dims, each sub-vector quantized to its
+    * nearest of 16 sub-codewords, so a vector compresses 64 floats →
+    * 4 code bytes (64× smaller — the difference between an index that
+    * fits executor memory at 100 TB and one that doesn't). A query is
+    * answered ASYMMETRICALLY: per sub-space, the exact distances from
+    * the query's sub-vector to all 16 codewords form a lookup table
+    * (M×16 = 64 entries — metadata), and each corpus vector's distance
+    * is M table lookups on its codes instead of a Dim-wide scan — the
+    * Jégou et al. ADC formulation, re-expressed as a broadcast join.
+    *
+    * Everything is FIXED-POINT (floor(x·10⁶) longs, integer squared-L2,
+    * argmin ties to the lowest codeword id) with the q142 discipline, so
+    * the codes and distances are bit-stable across engines — a full
+    * DuckDB oracle replays codebook, encoding, and ADC ranking exactly.
+    * Codebook = the sub-vectors of the 16 lowest-id vectors (the q142
+    * seeding rule; training them further is [[kmeansCellsFrom]] per
+    * sub-space).
+    *
+    * Scale shape: the codebook is a driver-side 16-row collect inlined
+    * as literals (4×16×16 longs — metadata); ENCODING is one codegen'd
+    * map pass over the corpus (no shuffle, no join); queries with their
+    * LUTs are BROADCAST (query batches are small by definition); the
+    * per-(query, vector) work is M element_at lookups; the only shuffle
+    * is the per-query top-k window, partitioned by query. The corpus is
+    * scanned once, never joined to itself. At production scale the scan
+    * composes with the IVF cell filter (q68) to probe only a cell's
+    * codes — the classic IVFADC layout. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopKFrom(graft.Tables(spark, dir).embeddings)
+
+  private val PqM = 4        // sub-spaces
+  private val PqSub = 16     // dims per sub-space (M × Sub = Dim = 64)
+  private val PqK = 16       // codewords per sub-space
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3): DataFrame = {
+    val eq = pqCache.rotate(vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+      .persist())
+    // codebook: sub-vectors of the PqK lowest-id vectors — metadata collect
+    val seeds: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(PqK)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+      seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
+    }
+    val cbLit = array(cb.map(sub => array(sub.map(cw =>
+      array(cw.map(lit(_)): _*)): _*)): _*)
+    def subvec(m: Column) =
+      slice(col("e"), (m * PqSub + 1).cast("int"), lit(PqSub))
+    // per-(m, j) integer squared-L2 from this row's sub-vector m
+    def subDists(m: Column): Column =
+      transform(element_at(cbLit, (m + 1).cast("int")), cw =>
+        aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+    // ENCODE: codes[m] = argmin_j (ties → lowest j); one map pass
+    val codes = eq.withColumn("codes",
+      transform(sequence(lit(0), lit(PqM - 1)), m => {
+        val d = subDists(m)
+        (array_position(d, array_min(d)) - 1).cast("long")
+      }))
+    // queries: LUT[m][j] = exact dist from query sub-vector m to cw[m][j]
+    val queries = eq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), m => subDists(m)).as("lut"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+          acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
+            (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int"))))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
   }
 }

@@ -90,6 +90,32 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
 
+  /** Per-document contamination SCORE — the graded companion to the
+    * binary [[decontaminate]] gate: for every corpus document, the
+    * fraction (per-mille) of its distinct 8-grams that appear in the
+    * benchmark gram set. Pipelines threshold this score (drop > x‰, keep
+    * but tag above 0) instead of hard-dropping on a single shared gram.
+    *
+    * Same scale shape as q117: the benchmark side is BROADCAST (eval
+    * suites are fixed-size regardless of corpus size), every corpus gram
+    * probes it in one shuffle-free scan (left join keeps the misses so
+    * zero-overlap documents score 0 instead of vanishing), and the only
+    * shuffle is the per-doc count aggregation. Documents shorter than 8
+    * words have no grams and no row — the score is undefined, matching
+    * the gate's behavior. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val grams = docGrams(docs.filter(col("doc_id") % 5 =!= 0))
+    val bench = docGrams(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_shared"))
+      .withColumn("contamination_pm",
+        expr("1000 * n_shared div greatest(n_grams, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Most-frequent-word share in per-mille (longest equal run in the
     * sorted word array — shuffle-free). */
   private[graft] def topwordPm(text: Column): Column = {

@@ -1149,4 +1149,99 @@ class PipelineSpec extends AnyFunSuite {
     // node 1's component members reached within 10 hops must share 1's label
     bfs.foreach(n => assert(cc(n) == cc(1L), s"node $n reached from 1 but in ${cc(n)}"))
   }
+
+  test("domain mixture: per-source quota respected, greedy prefix, exact budgets") {
+    val rows = operators.CorpusOps.domainMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(4)).sum // n_tokens over all docs
+    val srcs = rows.map(_.getString(1)).distinct.sorted
+    val sumW = (1L to srcs.length).sum
+    rows.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      val weight = srcs.indexOf(s) + 1L
+      val budget = weight * total / (2 * sumW)
+      assert(rs.forall(_.getLong(2) == weight), s"$s weight")
+      assert(rs.forall(_.getLong(6) == budget), s"$s budget")
+      // cum_tokens telescopes in (quality DESC, doc_id) order and the
+      // selection is exactly the prefix that fits the quota
+      val ordered = rs.sortBy(r => (-r.getLong(3), r.getLong(0)))
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) == cum, s"$s cum at doc ${r.getLong(0)}")
+        assert(r.getBoolean(7) == (cum <= budget), s"$s selected flag")
+      }
+      // selected token mass never exceeds the quota
+      val spent = rs.filter(_.getBoolean(7)).map(_.getLong(4)).sum
+      assert(spent <= budget, s"$s overspent $spent > $budget")
+    }
+  }
+
+  test("contamination score: consistent with the q117 gate, pm exact") {
+    val score = TextAnalysis.contaminationScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    score.values.foreach { case (grams, shared, pm) =>
+      assert(grams >= 1 && shared >= 0 && shared <= grams)
+      assert(pm == 1000 * shared / math.max(grams, 1))
+    }
+    // the binary gate's rows are exactly the docs scoring > 0, with the
+    // same overlap counts
+    val gate = TextAnalysis.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val positive = score.collect { case (id, (_, s, _)) if s > 0 => id -> s }
+    assert(positive == gate)
+  }
+
+  test("clustering coefficient: hand-checked triangle+pendant, corner sum = 3×q34") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on node 1
+    val ue = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (1L, 4L), (4L, 1L)).toDF("src", "dst")
+    val cc = GraphOps.clusteringCoefficientFrom(ue).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cc(1L) == ((3L, 1L, 2000 * 1 / (3 * 2))))   // deg 3, 1 tri → 333
+    assert(cc(2L) == ((2L, 1L, 1000L)))                 // deg 2, 1 tri → 1000
+    assert(cc(3L) == ((2L, 1L, 1000L)))
+    assert(cc(4L) == ((1L, 0L, 0L)))                    // pendant
+    // fixture: per-node triangle corners sum to 3× the global count
+    val perNode = GraphOps.clusteringCoefficient(spark, sf).collect()
+    val nTri = GraphOps.triangleCount(spark, sf).head().getLong(0)
+    assert(perNode.map(_.getLong(2)).sum == 3 * nTri)
+  }
+
+  test("PQ ADC top-k matches an in-memory model exactly") {
+    val emb = Tables(spark, sf).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val eq = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }
+    val seeds = eq.take(16).map(_._2)
+    def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
+      (0 until 16).map { i =>
+        val d = a(m * 16 + i) - b(m * 16 + i); d * d
+      }.sum
+    // encode: argmin codeword per sub-space, ties to lowest j
+    val codes = eq.map { case (id, v) =>
+      id -> Array.tabulate(4) { m =>
+        (0 until 16).minBy(j => (subDist(v, seeds(j), m), j))
+      }
+    }.toMap
+    val model = for {
+      (qid, qv) <- eq.filter(_._1 % 50 == 0)
+    } yield {
+      val ranked = eq.filter(_._1 != qid).map { case (xid, _) =>
+        val adc = (0 until 4).map(m => subDist(qv, seeds(codes(xid)(m)), m)).sum
+        (xid, adc)
+      }.sortBy { case (xid, adc) => (adc, xid) }.take(3)
+      qid -> ranked
+    }
+    val got = Similarity.pqAdcTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    model.foreach { case (qid, exp) =>
+      assert(got(qid) == exp.toSeq, s"query $qid")
+    }
+    assert(got.size == model.length)
+  }
 }
