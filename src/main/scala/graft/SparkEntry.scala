@@ -69,6 +69,9 @@ object SparkEntry {
     "q65_bulk_write"        -> (graft.operators.Sources.bulkWrite _),
     "q66_cached_reuse"      -> (graft.operators.Sources.cachedReuse _),
     "q69_parse_timestamps"  -> (graft.operators.Sources.parseTimestamps _),
+    "q149_event_funnel"     -> (graft.operators.Behavioral.eventFunnel _),
+    "q150_cohort_retention" ->
+      (graft.operators.Behavioral.cohortRetention _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -101,6 +104,8 @@ object SparkEntry {
     "q132_data_weighted_routing" -> ((s: SparkSession, d: String) => GraphOps.dataWeightedRouting(s, d)),
     "q134_closeness_centrality" -> ((s: SparkSession, d: String) => GraphOps.closenessCentrality(s, d)),
     "q147_clustering_coeff" -> (GraphOps.clusteringCoefficient _),
+    "q152_degree_assortativity" -> (GraphOps.degreeAssortativity _),
+    "q153_kcore" -> ((s: SparkSession, d: String) => GraphOps.kCore(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -166,6 +171,7 @@ object SparkEntry {
       (graft.operators.CorpusOps.domainMixture _),
     "q146_contamination_score" -> (TextAnalysis.contaminationScore _),
     "q148_pq_adc_topk"         -> (Similarity.pqAdcTopK _),
+    "q151_corpus_diff"         -> (graft.operators.CorpusOps.corpusDiff _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -488,6 +494,39 @@ object SparkEntry {
         |                     WHERE o_totalprice > 300000.0)""".stripMargin,
     "q65_bulk_write" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    // q149: strict-ordering funnel — each stage's timestamp is the
+    // earliest occurrence AFTER the previous stage; stages chain via
+    // min-joins, so the replay is definitional.
+    "q149_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    // q150: Monday-based week cohorts; the offset is exact integer day
+    // arithmetic (datediff div 7 ≡ date_diff('day') // 7 on
+    // non-negatives).
+    "q150_cohort_retention" ->
+      """WITH fs AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events)
+        |SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN fs f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q69 parses STRING timestamps/numerics (the reference's
     // types_utils.cpp format "%Y-%m-%dT%H:%M:%S"); the CSV text hop is
     // value-exact (ISO seconds; shortest-roundtrip doubles), so the oracle
@@ -832,6 +871,45 @@ object SparkEntry {
         |            THEN 2000 * coalesce(t.n_tri, 0) // (d.deg * (d.deg - 1))
         |            ELSE 0 END AS BIGINT) AS cc_pm
         |FROM deg d LEFT JOIN tn t USING (node) ORDER BY d.node""".stripMargin,
+    // q152: endpoint-degree Pearson over the symmetrized edge list; the
+    // moment sums are exact integers, the coefficient one double
+    // expression over them (identical operation order in both engines).
+    "q152_degree_assortativity" ->
+      s"""WITH $edgeCte,
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM ue GROUP BY 1),
+        |wd AS (SELECT dx.deg AS x, dy.deg AS y FROM ue
+        |       JOIN deg dx ON ue.src = dx.node
+        |       JOIN deg dy ON ue.dst = dy.node)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x*x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y*y) AS BIGINT) AS sum_y2,
+        |  CAST(sum(x*y) AS BIGINT) AS sum_xy,
+        |  CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+        |    / sqrt(CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE))
+        |    / sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE))
+        |    AS assortativity
+        |FROM wd""".stripMargin,
+    // q153: the fixed four-round k=2 peel unrolled — each round drops
+    // nodes with residual degree < 2 and keeps only edges between
+    // survivors, exactly the Spark loop's semantics.
+    "q153_kcore" ->
+      s"""WITH $edgeCte,
+        |k1 AS (SELECT src AS node FROM ue GROUP BY 1 HAVING count(*) >= 2),
+        |e1 AS (SELECT e.src, e.dst FROM ue e
+        |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+        |k2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING count(*) >= 2),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+        |k3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING count(*) >= 2),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node),
+        |k4 AS (SELECT src AS node FROM e3 GROUP BY 1 HAVING count(*) >= 2),
+        |e4 AS (SELECT e.src, e.dst FROM e3 e
+        |       JOIN k4 a ON e.src = a.node JOIN k4 b ON e.dst = b.node)
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS residual_deg
+        |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->
@@ -1799,6 +1877,24 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q151: snapshot diff by content digest — version A drops
+    // doc_id%5==4, version B drops %5==0 and revises %7==0; status from
+    // null-ness and digest equality across the full-outer join.
+    "q151_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |           WHERE doc_id % 5 <> 4),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |                 ELSE text END) AS new_md5
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.old_md5 = b.new_md5 THEN 'same'
+        |       ELSE 'changed' END AS status,
+        |  a.old_md5, b.new_md5
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY 1""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

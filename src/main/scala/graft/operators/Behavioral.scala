@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events table — the funnel / cohort
+  * queries every product-analytics deployment of an OLAP engine runs
+  * (cf. the reference's regtest event workloads). Both are exact:
+  * timestamps flow through min/first aggregates untouched, offsets are
+  * integer day arithmetic, so each query carries a full DuckDB oracle.
+  */
+object Behavioral {
+
+  /** Ordered conversion funnel (q149): view → click → purchase, each
+    * step's timestamp the EARLIEST occurrence strictly after the
+    * previous step (the standard strict-ordering funnel — a click
+    * before the first view does not count). Emits one row per user with
+    * nullable per-step timestamps; a dashboard derives step conversion
+    * by counting non-nulls.
+    *
+    * Scale shape: one filtered aggregate per stage, each keyed by
+    * user_id — map-side combinable, and the stage relation entering
+    * each join is one row per surviving user (the user DIMENSION, far
+    * below event scale), so AQE broadcasts it against the event scan in
+    * practice. Funnel depth is a fixed stage count, not an iteration
+    * over data. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventFunnelFrom(Tables(spark, dir).events)
+
+  /** Same, over an arbitrary (user_id, event_type, ts) event relation. */
+  def eventFunnelFrom(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .orderBy(col("user_id"))
+  }
+
+  /** Weekly cohort retention (q150): users are cohorted by the Monday
+    * week of their FIRST event; for every (cohort week, week offset)
+    * cell, the number of distinct cohort members active that week — the
+    * classic retention triangle. date_trunc('week') is Monday-based in
+    * both engines and the offset is exact integer day arithmetic
+    * (datediff/7), so the cell grid is bit-stable.
+    *
+    * Scale shape: first-seen is one user-keyed aggregate; activity is a
+    * distinct over (user, week) — both map-side combinable; the cohort
+    * join is user-keyed against the user-dimension-sized first-seen
+    * relation; the final cell aggregate is (weeks × offsets) rows —
+    * metadata scale. No window functions, no per-event state. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionFrom(Tables(spark, dir).events)
+
+  /** Same, over an arbitrary (user_id, ts) event relation. */
+  def cohortRetentionFrom(ev: DataFrame): DataFrame = {
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    active.join(firstSeen, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(week, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      // ISO string: DATE surfaces as date vs timestamp across engines
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

@@ -327,8 +327,12 @@ object CorpusOps {
     * scale) are cumulated into per-source exclusive offsets on the
     * driver, and each (source, bucket) window runs in parallel. Source
     * weights and quotas are a broadcast relation. */
-  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables(spark, dir).documents.select(
+  def domainMixture(spark: SparkSession, dir: String): DataFrame =
+    domainMixtureFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, source, text) corpus. */
+  def domainMixtureFrom(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
         col("doc_id"), col("source"),
         TextFunctions.qualityScore(col("text")).as("quality_pm"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -342,7 +346,7 @@ object CorpusOps {
     val total = scored.agg(sum(col("n_tokens"))).head().getLong(0)
     // Long division floors on positives ≡ DuckDB // — quota is exact
     val quotas = weights.map { case (s, w) => (s, w, w * total / (2 * sumW)) }
-    import spark.implicits._
+    import docs.sparkSession.implicits._
     val quotaDf = quotas.toSeq.toDF("source", "weight", "budget_tok")
     val bucketed = GlobalOrder
       .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
@@ -368,6 +372,36 @@ object CorpusOps {
         col("quality_pm"), col("n_tokens"),
         (col("tok_base") + col("lcum")).as("cum_tokens"), col("budget_tok"),
         ((col("tok_base") + col("lcum")) <= col("budget_tok")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental corpus diff (q151) — the snapshot-to-snapshot delta a
+    * pipeline computes before an incremental re-crawl/re-train: which
+    * documents were added, removed, changed, or kept between corpus
+    * versions. The fixture simulates two snapshots from one table
+    * (version A drops doc_id%5==4, version B drops doc_id%5==0 and
+    * revises doc_id%7==0); real deployments pass two corpus dirs.
+    *
+    * Scale shape: each side is reduced to (doc_id, md5) BEFORE the
+    * join — 48 bytes/row through the shuffle instead of document text —
+    * and the diff is one full-outer equi-join on doc_id with the status
+    * derived from null-ness and digest equality. Content addressing by
+    * digest means a moved/re-ordered corpus diffs as `same`. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val a = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val b = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("new_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("same"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_md5"), col("new_md5"))
       .orderBy(col("doc_id"))
   }
 }

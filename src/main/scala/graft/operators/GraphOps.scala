@@ -631,18 +631,29 @@ object GraphOps {
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
     clusteringCoefficientFrom(undirectedEdges(Tables(spark, dir)))
 
+  /** Bounded cache slots for the coefficient's reused relations: `deg`
+    * feeds the orientation AND the final join; `oriented` feeds all
+    * three legs of the wedge self-join — uncached, each leg would
+    * re-derive the edge relation from the fact scan (the q34 count-only
+    * query tolerates that; here the plan audit showed 8 redundant
+    * scans). */
+  private val ccDegCache = new RotatingCache
+  private val ccOriCache = new RotatingCache
+
   /** Same, over an arbitrary undirected edge relation. */
   private[graft] def clusteringCoefficientFrom(ue: DataFrame): DataFrame = {
     val ce = ue.filter(col("src") < col("dst"))
-    val deg = ce.select(col("src").as("node"))
+    val deg = ccDegCache.rotate(ce.select(col("src").as("node"))
       .union(ce.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist())
     val withDeg = ce
       .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
-    val oriented = withDeg.select(
+    val oriented = ccOriCache.rotate(withDeg.select(
       when(col("ds") <= col("dd"), col("src")).otherwise(col("dst")).as("u"),
       when(col("ds") <= col("dd"), col("dst")).otherwise(col("src")).as("v"))
+      .persist())
     val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
     val e2 = oriented.select(col("u").as("a"), col("v").as("c"))
     val e3 = oriented.select(col("u").as("b"), col("v").as("c"))
@@ -657,6 +668,81 @@ object GraphOps {
       .withColumn("cc_pm",
         when(col("deg") >= 2,
           expr("2000 * n_tri div (deg * (deg - 1))")).otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
+  /** Degree assortativity (q152): the Pearson correlation of endpoint
+    * degrees over the symmetrized edge list — THE one-number summary of
+    * whether hubs attach to hubs (social graphs) or to leaves
+    * (infrastructure graphs), and the first skew diagnostic to read
+    * before choosing a partitioning for an unknown graph. All five
+    * moment sums are exact BIGINTs (degrees are bounded by n, so Σx²
+    * fits a long comfortably below 2^63 at any realistic scale); the
+    * final coefficient is one double expression over those exact
+    * integers — IEEE-identical across engines, like the q134 closeness
+    * division.
+    *
+    * Scale shape: one degree aggregate, one user-dim join per endpoint
+    * (degree relation is node-scale, joined on the edge's own key), one
+    * global 1-row moment aggregate. No windows, no iteration. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityFrom(undirectedEdges(Tables(spark, dir)))
+
+  /** Same, over an arbitrary symmetrized edge relation. */
+  private[graft] def degreeAssortativityFrom(ue: DataFrame): DataFrame = {
+    val deg = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val withDegs = ue
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    withDegs.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .withColumn("assortativity",
+        (col("n_edges") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .cast("double")
+          / sqrt((col("n_edges") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .cast("double"))
+          / sqrt((col("n_edges") * col("sum_y2") - col("sum_y") * col("sum_y"))
+            .cast("double")))
+  }
+
+  /** Fixed-round k-core peel (q153): four synchronous rounds of "drop
+    * every node with residual degree < k" at k=2, emitting each
+    * surviving node with its residual degree — the degeneracy-ordering
+    * primitive community detection and graph-sparsification pipelines
+    * run first. A converged peel iterates to fixpoint; the ROUND COUNT
+    * is pinned (like the fixed-iteration pagerank/label propagation) so
+    * the result is deterministic and the DuckDB oracle can replay it by
+    * unrolling — on the fixture four rounds reach the fixpoint anyway.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins to
+    * keep edges whose BOTH endpoints survive — all keyed by node/edge
+    * id, map-side combinable, nothing global; localCheckpoint truncates
+    * the 4-round lineage exactly like the other iterative families. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2,
+      rounds: Int = 4): DataFrame =
+    kCoreFrom(undirectedEdges(Tables(spark, dir)), k, rounds)
+
+  /** Same, over an arbitrary symmetrized edge relation. */
+  private[graft] def kCoreFrom(ue: DataFrame, k: Int = 2,
+      rounds: Int = 4): DataFrame = {
+    var edges = ue.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("residual_deg"))
       .orderBy(col("node"))
   }
 

@@ -719,8 +719,13 @@ object Similarity {
   private val PqSub = 16     // dims per sub-space (M × Sub = Dim = 64)
   private val PqK = 16       // codewords per sub-space
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. */
-  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3): DataFrame = {
+  /** Same, over an arbitrary (vec_id, embedding) relation. `queryMod`
+    * picks the query subset (vec_id % queryMod == 0) — ScaleSmoke scales
+    * it with the corpus to hold the query batch size fixed, isolating
+    * the per-query linear ADC scan from the fixture's query-count
+    * growth. */
+  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3,
+      queryMod: Long = 50L): DataFrame = {
     val eq = pqCache.rotate(vecs.select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
@@ -747,7 +752,7 @@ object Similarity {
         (array_position(d, array_min(d)) - 1).cast("long")
       }))
     // queries: LUT[m][j] = exact dist from query sub-vector m to cw[m][j]
-    val queries = eq.filter(col("vec_id") % 50 === 0)
+    val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"),
         transform(sequence(lit(0), lit(PqM - 1)), m => subDists(m)).as("lut"))
     val wq = Window.partitionBy(col("query_id"))

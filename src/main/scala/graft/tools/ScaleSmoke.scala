@@ -125,6 +125,18 @@ object ScaleSmoke {
         println(s"[scale]   kmeans: vectors=${a.count()} cells_used=$cells")
         cells
       }
+      // PQ + ADC (q148's shape): a FIXED ~10-query batch against the
+      // amplified corpus — queryMod scales with mult so the measured
+      // cost is the per-query linear ADC scan (encode map pass + M
+      // lookups per (query, vector)), not the fixture's query-count
+      // growth. Must scale linearly in corpus size at fixed batch.
+      time(s"pq_adc_topk") {
+        val r = graft.operators.Similarity
+          .pqAdcTopKFrom(vecs, topK = 3, queryMod = 50L * mult)
+        val n = r.count()
+        println(s"[scale]   pq adc: result_rows=$n")
+        n
+      }
       time(s"semantic_keep_list") {
         val kl = graft.operators.Similarity
           .semanticKeepListFrom(vecs, 0.35, k = 16 * mult)
@@ -272,6 +284,26 @@ object ScaleSmoke {
       }
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
+      // per-vertex attribution (q147's shape): the same oriented wedge
+      // join plus an explode + count over TRIANGLE rows — must track the
+      // triangle_count row above, not add a new asymptotic term.
+      time(s"clustering_coefficient") {
+        val cc = graft.operators.GraphOps.clusteringCoefficientFrom(ue)
+        val closed = cc.filter(col("n_tri") > 0).count()
+        println(s"[scale]   clustering coeff: nodes=${cc.count()} closed=$closed")
+        closed
+      }
+      // grouped global-order (q145's shape): per-source quota cumsum via
+      // per-(source, bucket) offsets — the collect is sources × buckets
+      // (metadata), so cost must track the scored scan linearly.
+      time(s"domain_mixture") {
+        val srcDocs = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        val m = graft.operators.CorpusOps.domainMixtureFrom(srcDocs)
+        val sel = m.filter(col("selected")).count()
+        println(s"[scale]   domain mixture: docs=${m.count()} selected=$sel")
+        sel
+      }
       // skew: half the keys collapse onto one hot key (mult×50k rows on a
       // single join key at 10×). AQE's skew splitting is disabled so the
       // comparison isolates the explicit salting pattern (Skew.scala).

@@ -1208,6 +1208,86 @@ class PipelineSpec extends AnyFunSuite {
     assert(perNode.map(_.getLong(2)).sum == 3 * nTri)
   }
 
+  test("event funnel: strict ordering, pre-view clicks ignored, partial funnels null") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      // user 2: click BEFORE first view — must not count; no later click
+      (2L, "click", t("2024-01-02 09:00:00")),
+      (2L, "view", t("2024-01-02 10:00:00")),
+      (2L, "purchase", t("2024-01-02 11:00:00")),
+      // user 3: view only
+      (3L, "view", t("2024-01-03 10:00:00")),
+      // user 1 noise: later view must not displace the first
+      (1L, "view", t("2024-01-05 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = operators.Behavioral.eventFunnelFrom(ev).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)))).toMap
+    assert(got(1L) == ((Some(t("2024-01-01 10:00:00")),
+      Some(t("2024-01-01 11:00:00")), Some(t("2024-01-01 12:00:00")))))
+    assert(got(2L) == ((Some(t("2024-01-02 10:00:00")), None, None)),
+      "pre-view click must not advance the funnel")
+    assert(got(3L) == ((Some(t("2024-01-03 10:00:00")), None, None)))
+  }
+
+  test("cohort retention: Monday cohorts, exact week offsets, distinct users") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 cohort week 1, active weeks 1 and 3;
+    // u2 cohort week 2, active week 2 (twice — must count once).
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-17 10:00:00")),
+      (2L, t("2024-01-10 10:00:00")), (2L, t("2024-01-11 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = operators.Behavioral.cohortRetentionFrom(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
+  test("corpus diff: statuses follow the snapshot rules for every doc") {
+    val rows = operators.CorpusOps.corpusDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, status) = (r.getLong(0), r.getString(1))
+      val expected =
+        if (id % 5 == 4) "added"          // absent from A, present in B
+        else if (id % 5 == 0) "removed"   // present in A, absent from B
+        else if (id % 7 == 0) "changed"   // in both, B revised
+        else "same"
+      assert(status == expected, s"doc $id: $status != $expected")
+      // digests null exactly when the side is absent
+      assert(r.isNullAt(2) == (status == "added"))
+      assert(r.isNullAt(3) == (status == "removed"))
+    }
+  }
+
+  test("degree assortativity: path graph scores exactly -1; moments exact") {
+    import spark.implicits._
+    val ue = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = GraphOps.degreeAssortativityFrom(ue).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 10 && r.getLong(4) == 10 && r.getLong(5) == 8)
+    assert(r.getDouble(6) == -1.0) // leaves attach to the hub only
+  }
+
+  test("k-core peel: cascading chain removal, triangle survives") {
+    import spark.implicits._
+    // triangle 1-2-3 plus chain 3-4-5: round 1 drops 5, round 2 drops 4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val ue = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val core = GraphOps.kCoreFrom(ue, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
