@@ -184,6 +184,7 @@ object SparkEntry {
     "q64_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
     "q133_streaming_keep_list" -> (graft.streaming.StreamingDedup.streamingKeepList _),
     "q135_streaming_semantic_dedup" -> (graft.streaming.StreamingDedup.streamingSemanticDedup _),
+    "q154_streaming_funnel" -> (graft.streaming.EventStreams.streamingFunnel _),
   )
 
   def queries: Map[String, Q] =
@@ -2248,6 +2249,22 @@ object SparkEntry {
   )
 
   private val streamingOracles: Map[String, String] = Map(
+    // q154: the streaming state machine must land on the batch funnel
+    // exactly — its oracle IS q149's min-chain replay.
+    "q154_streaming_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "q60_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -3,11 +3,19 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Event subset for the custom-state sessionizer. */
 final case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     value: Double)
+/** Event subset for the streaming funnel (q154). */
+final case class FEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String)
+/** Per-user funnel slots (−1 = stage unreached) + update counter. */
+final case class FunnelState(v: Long, c: Long, p: Long, upd: Long)
+/** Funnel state emitted per (user, batch) update. */
+final case class FunnelUpd(user_id: Long, view_us: Long, click_us: Long,
+    purchase_us: Long, upd: Long)
 /** Open-session state carried between micro-batches. */
 final case class SessState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 /** Emitted closed session. */
@@ -171,5 +179,109 @@ object EventStreams {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("event_id"))
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // --------------------------------------------- streaming funnel (q154)
+
+  /** Incrementally advance per-user funnel state machines over a stream
+    * of events: the streaming twin of the q149 batch funnel, via
+    * `mapGroupsWithState`. Per user the state is three fixed slots
+    * (first-view / first-click-after-view / first-purchase-after-click
+    * micros, −1 = unreached) — BOUNDED state per user, never an event
+    * buffer — advanced greedily over each batch's events in (ts,
+    * event_id) order.
+    *
+    * Equivalence contract: greedy advance equals the batch min-chain
+    * when events arrive in event-time order ACROSS batches (within a
+    * batch any order — the handler sorts). The registered feed
+    * guarantees that by range-chunking the fixture on ts; a production
+    * deployment gets it from watermark-delayed finalization, and a LATE
+    * first-view that arrives after a later view was already locked in
+    * is the documented approximation (the batch replay is the repair
+    * path, as with the dedup stores). The update counter lets the sink
+    * select each user's latest state without trusting sink ordering. */
+  def funnelAdvance(events: Dataset[FEvent]): Dataset[FunnelUpd] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpd](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FEvent], state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0L))
+          var v = s0.v; var c = s0.c; var p = s0.p
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" if v < 0 => v = us
+              case "click" if c < 0 && v >= 0 && us > v => c = us
+              case "purchase" if p < 0 && c >= 0 && us > c => p = us
+              case _ => ()
+            }
+          }
+          val ns = FunnelState(v, c, p, s0.upd + 1)
+          state.update(ns)
+          FunnelUpd(user, v, c, p, ns.upd)
+      }
+  }
+
+  /** Registered q154 entry: the fixture events range-chunked on ts into
+    * 8 parquet files, streamed back `maxFilesPerTrigger 1` (so batches
+    * arrive in event-time order without driver materialization, the
+    * q133 feed discipline), folded through [[funnelAdvance]], latest
+    * state per user selected by the update counter. Oracle: the SAME
+    * SQL as batch q149 — the state machine must land on the identical
+    * funnel table. */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_funnel").toString
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
+    val feedDir = s"$tmp/feed"
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // The file source orders same-mtime files arbitrarily, so the chunks
+    // are WRITTEN sequentially (ascending mtime == ascending time range)
+    // — day-range chunks, each a distributed write, moved into the flat
+    // feed dir in order. Feed prep is harness scaffolding, like q133's.
+    val fsys = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+    val chunked = ev.withColumn("chunk",
+      expr("(dayofmonth(ts) - 1) div 4").cast("int")).persist()
+    (0 until 8).foreach { b =>
+      val stage = s"$tmp/stage$b"
+      chunked.filter(col("chunk") === b).drop("chunk")
+        .coalesce(1).write.parquet(stage)
+      fsys.globStatus(new org.apache.hadoop.fs.Path(s"$stage/part-*"))
+        .foreach { st =>
+          fsys.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%02d.parquet"))
+        }
+    }
+    chunked.unpersist()
+    val sink = s"funnel_${System.nanoTime()}"
+    val q = funnelAdvance(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+        .as[FEvent])
+      .writeStream.outputMode("update")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("view_us"), col("click_us"), col("purchase_us")),
+        col("upd")).as("s"))
+      .select(col("user_id"),
+        when(col("s.view_us") >= 0, timestamp_micros(col("s.view_us")))
+          .as("view_ts"),
+        when(col("s.click_us") >= 0, timestamp_micros(col("s.click_us")))
+          .as("click_ts"),
+        when(col("s.purchase_us") >= 0, timestamp_micros(col("s.purchase_us")))
+          .as("purchase_ts"))
+      .orderBy(col("user_id"))
   }
 }

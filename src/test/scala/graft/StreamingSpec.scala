@@ -674,4 +674,69 @@ class StreamingSpec extends AnyFunSuite {
     val planted = found.count { case (a, b) => b == a + 100000L }
     assert(planted >= 90, s"only $planted of 100 planted pairs surfaced")
   }
+
+  test("streaming funnel state machine == batch q149 under shuffled in-batch order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // time-ordered ACROSS batches (the feed contract), SHUFFLED within
+    // each batch — the handler's in-batch sort must absorb it
+    val evs = batchEvents.map(e =>
+      graft.streaming.FEvent(e.event_id, e.ts, e.user_id, e.event_type))
+    val batches = evs.grouped((evs.size + 3) / 4).toSeq
+      .map(b => new scala.util.Random(42).shuffle(b))
+    val ms = MemoryStream[graft.streaming.FEvent]
+    val sink = s"funnel_spec_${System.nanoTime()}"
+    val q = EventStreams.funnelAdvance(ms.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("view_us"), col("click_us"),
+          col("purchase_us")), col("upd")).as("s"))
+        .select(col("user_id"), col("s.view_us"), col("s.click_us"),
+          col("s.purchase_us"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      def us(t: java.sql.Timestamp): Long =
+        if (t == null) -1L
+        else t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val want = graft.operators.Behavioral.eventFunnel(spark, sf).collect()
+        .map(r => r.getLong(0) ->
+          (us(r.getTimestamp(1)), us(r.getTimestamp(2)), us(r.getTimestamp(3))))
+        .toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming funnel: pre-view click never advances, cross-batch stages chain") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[graft.streaming.FEvent]
+    val sink = s"funnel_edge_${System.nanoTime()}"
+    val q = EventStreams.funnelAdvance(ms.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      // batch 1: user 7 clicks BEFORE any view, then views
+      ms.addData(Seq(
+        graft.streaming.FEvent(1L, t("2024-01-01 09:00:00"), 7L, "click"),
+        graft.streaming.FEvent(2L, t("2024-01-01 10:00:00"), 7L, "view")))
+      q.processAllAvailable()
+      // batch 2: the click arrives — must chain onto batch 1's view
+      ms.addData(Seq(
+        graft.streaming.FEvent(3L, t("2024-01-02 10:00:00"), 7L, "click")))
+      q.processAllAvailable()
+      val last = spark.table(sink).orderBy(col("upd").desc).head()
+      assert(last.getLong(1) > 0, "view set")
+      assert(last.getLong(2) > 0, "cross-batch click set")
+      assert(last.getLong(3) == -1L, "no purchase")
+      // the pre-view click in batch 1 must NOT have counted
+      val afterB1 = spark.table(sink).filter(col("upd") === 1).head()
+      assert(afterB1.getLong(2) == -1L, "pre-view click ignored")
+    } finally q.stop()
+  }
 }
