@@ -106,6 +106,8 @@ object SparkEntry {
     "q147_clustering_coeff" -> (GraphOps.clusteringCoefficient _),
     "q152_degree_assortativity" -> (GraphOps.degreeAssortativity _),
     "q153_kcore" -> ((s: SparkSession, d: String) => GraphOps.kCore(s, d)),
+    "q156_personalized_pagerank" ->
+      ((s: SparkSession, d: String) => GraphOps.personalizedPageRank(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -172,6 +174,7 @@ object SparkEntry {
     "q146_contamination_score" -> (TextAnalysis.contaminationScore _),
     "q148_pq_adc_topk"         -> (Similarity.pqAdcTopK _),
     "q151_corpus_diff"         -> (graft.operators.CorpusOps.corpusDiff _),
+    "q155_corpus_report"       -> (graft.operators.CorpusOps.corpusReport _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -681,6 +684,31 @@ object SparkEntry {
   /** q36 oracle: the integer fixed-point PageRank recurrence unrolled to
     * 10 levels — BIGINT sums and `//` (floor division ≡ Spark `div` on
     * positives) make every level bit-identical to GraphOps.pageRank. */
+  /** q156 oracle: the q36 unrolled iteration with teleport mass pinned
+    * to source node 1 (r0 = 10⁶·e₁, per-round CASE teleport). */
+  private val pprOracle: String = {
+    val levels = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |         CAST((CASE WHEN n.node = 1 THEN 150000 ELSE 0 END)
+         |           + (85 * CAST(coalesce(sum(r.rank // d.out_deg), 0) AS BIGINT)) // 100
+         |           AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN r${k - 1} r ON r.node = e.src
+         |  LEFT JOIN outdeg d ON d.src = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN node = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+       |  FROM nodes),
+       |$levels
+       |SELECT node, rank AS ppr_micro FROM r10 ORDER BY node""".stripMargin
+  }
+
   private val pageRankOracle: String = {
     val levels = (1 to 10).map { k =>
       s"""r$k AS (
@@ -731,6 +759,7 @@ object SparkEntry {
     "q127_multi_source_paths" ->
       pathsOracle(Seq(1L, 2L, 3L, 4L, 5L), emitOrigin = true),
     "q36_pagerank" -> pageRankOracle,
+    "q156_personalized_pagerank" -> pprOracle,
     "q38_label_propagation" -> labelPropOracle,
     "q30_adjacency_build" ->
       s"""WITH $edgeCte,
@@ -1896,6 +1925,46 @@ object SparkEntry {
         |  a.old_md5, b.new_md5
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |ORDER BY 1""".stripMargin,
+    // q155: the health-report cross-tab — q114's ntile deciles + q40's
+    // md5 canonical rule + q117's contamination set, composed; status
+    // priority duplicate > contaminated > clean.
+    "q155_corpus_report" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm
+        |  FROM documents),
+        |dec AS (SELECT doc_id,
+        |  CAST(ntile(10) OVER (ORDER BY quality_pm DESC, doc_id) AS BIGINT)
+        |    AS decile FROM sc),
+        |canon AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+        |          FROM documents GROUP BY 1),
+        |dup AS (SELECT d.doc_id, d.doc_id <> c.canonical_id AS is_dup
+        |        FROM documents d JOIN canon c ON md5(d.text) = c.h),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+        |contam AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g)
+        |           WHERE c.doc_id % 5 <> 0),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_tokens FROM documents)
+        |SELECT dec.decile,
+        |  CASE WHEN dup.is_dup THEN 'duplicate'
+        |       WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'clean' END AS status,
+        |  count(*) AS n_docs, CAST(sum(tok.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM tok JOIN dec USING (doc_id) JOIN dup USING (doc_id)
+        |LEFT JOIN contam ON contam.doc_id = tok.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -375,6 +375,41 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus health report (q155) — the one-page dashboard a data-curation
+    * team reads per snapshot: document counts and token mass cross-
+    * tabulated by quality decile × cleaning status, where status is the
+    * priority chain duplicate > contaminated > clean (a doc that is both
+    * a dup and benchmark-tainted is counted once, as the dup the dedup
+    * pass would drop first). Composes three independently-oracled
+    * fragments — q114's distributed deciles, q40's md5 canonical rule,
+    * q117's benchmark-gram gate — into one declarative plan.
+    *
+    * Scale shape: the fragments are each linear scans + key-bounded
+    * shuffles (documented at their own entries); the composition joins
+    * on doc_id and ends in a ≤ 10 × 3-cell aggregate — metadata out. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val deciles = qualityDeciles(spark, dir).select(col("doc_id"), col("decile"))
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val canon = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+    val dup = hashed.join(canon, Seq("h"))
+      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    val contam = TextAnalysis.decontaminate(spark, dir)
+      .select(col("doc_id")).withColumn("contaminated", lit(true))
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(deciles, Seq("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("is_dup"), lit("duplicate"))
+          .when(col("contaminated"), lit("contaminated"))
+          .otherwise(lit("clean")))
+      .groupBy(col("decile"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("decile"), col("status"))
+  }
+
   /** Incremental corpus diff (q151) — the snapshot-to-snapshot delta a
     * pipeline computes before an incremental re-crawl/re-train: which
     * documents were added, removed, changed, or kept between corpus

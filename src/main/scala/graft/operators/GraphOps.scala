@@ -819,6 +819,45 @@ object GraphOps {
       iterations: Int = 10): DataFrame =
     pageRankFrom(spark, directedEdges(Tables(spark, dir)), iterations)
 
+  /** Personalized PageRank (q156): the q36 fixed-point iteration with
+    * the teleport mass restricted to ONE source node — the "similar to
+    * this node" random-walk scorer behind graph recommendation and
+    * seed-expansion pipelines. Same integer discipline as q36 (micro
+    * units, `div` contributions, 15%/85% damping as 150000/85·s div
+    * 100), so 10 unrolled iterations replay bit-exactly in SQL; the
+    * only change is r0 = 10⁶·e_source and the per-round teleport CASE.
+    * Scale shape identical to q36: two shuffles per round, lineage cut
+    * per round. Nodes never touched by the walk report 0 — the honest
+    * "not reachable" signal. */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      source: Long = 1L, iterations: Int = 10): DataFrame = {
+    val de = directedEdges(Tables(spark, dir))
+    val outdeg = de.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesWithDeg = de.join(outdeg, Seq("src")).persist()
+    val nodes = de.select(col("src").as("node"))
+      .union(de.select(col("dst").as("node")))
+      .distinct().persist()
+    def teleport = when(col("node") === source, lit(150000L)).otherwise(lit(0L))
+    var ranks = nodes
+      .withColumn("rank",
+        when(col("node") === source, lit(1000000L)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val sums = ranks
+        .join(edgesWithDeg, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("rank div out_deg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edgesWithDeg.unpersist(); nodes.unpersist()
+    ranks.select(col("node"), col("rank").as("ppr_micro"))
+      .orderBy(col("node"))
+  }
+
   /** Edge-parameterized fixed-point PageRank (ScaleSmoke runs this on
     * amplified edge sets).
     *

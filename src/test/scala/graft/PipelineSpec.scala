@@ -1288,6 +1288,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("corpus report: cells partition the corpus; duplicate mass matches q40") {
+    val rows = operators.CorpusOps.corpusReport(spark, sf).collect()
+    val docs = Tables(spark, sf).documents.count()
+    assert(rows.map(_.getLong(2)).sum == docs, "cells must partition all docs")
+    assert(rows.forall(r => Set("duplicate", "contaminated", "clean")
+      .contains(r.getString(1))))
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 10))
+    // duplicate mass across deciles == q40's non-canonical count
+    val dupMass = rows.filter(_.getString(1) == "duplicate").map(_.getLong(2)).sum
+    val q40Dups = operators.Dedup.exactDedup(spark, sf)
+      .agg(sum(col("n_copies") - 1)).head().getLong(0)
+    assert(dupMass == q40Dups, s"$dupMass != $q40Dups")
+  }
+
+  test("personalized pagerank: positive mass only within the source's reach") {
+    val ppr = GraphOps.personalizedPageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr.values.forall(_ >= 0))
+    assert(ppr(1L) >= 150000L, "source keeps its teleport mass")
+    // nodes with positive rank must be BFS-reachable from the source
+    // within the same 10-hop horizon
+    val reach = GraphOps.bfs(spark, sf).collect().map(_.getLong(0)).toSet
+    val positive = ppr.collect { case (n, r) if r > 0 => n }.toSet
+    assert(positive.subsetOf(reach + 1L),
+      s"unreachable nodes with mass: ${(positive -- reach - 1L).take(5)}")
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)

@@ -541,4 +541,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("k-core peel matches an in-memory model on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
+    forAllSampled(edgeGen, n = 5) { raw =>
+      val canon = raw.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (canon.nonEmpty) {
+        // in-memory fixed-round peel (4 rounds, k=2)
+        var edges = canon
+        for (_ <- 1 to 4) {
+          val deg = (edges.map(_._1) ++ edges.map(_._2))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val keep = deg.collect { case (n0, d) if d >= 2 => n0 }.toSet
+          edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+        }
+        val wantDeg = (edges.map(_._1) ++ edges.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ue = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+        val got = operators.GraphOps.kCoreFrom(ue, k = 2, rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == wantDeg, s"edges=$canon")
+      }
+    }
+  }
+
+  test("funnel state machine ≡ batch min-chain on random ordered event feeds") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 6L),                                    // user
+      Gen.oneOf("view", "click", "purchase", "error"),       // type
+      Gen.choose(0L, 100000L)))                              // seconds offset
+    forAllSampled(evGen, n = 5) { raw =>
+      val evs = raw.zipWithIndex.map { case ((u, ty, off), i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + off * 1000), u, ty)
+      }
+      // batch min-chain model
+      def model(u: Long): (Long, Long, Long) = {
+        val mine = evs.filter(_._3 == u).sortBy(e => (e._2.getTime, e._1))
+        val v = mine.collectFirst { case e if e._4 == "view" => e._2.getTime }
+          .getOrElse(-1L)
+        val c = if (v < 0) -1L
+          else mine.collectFirst {
+            case e if e._4 == "click" && e._2.getTime > v => e._2.getTime
+          }.getOrElse(-1L)
+        val p = if (c < 0) -1L
+          else mine.collectFirst {
+            case e if e._4 == "purchase" && e._2.getTime > c => e._2.getTime
+          }.getOrElse(-1L)
+        (v, c, p)
+      }
+      val got = graft.operators.Behavioral.eventFunnelFrom(
+          evs.toDF("event_id", "ts", "user_id", "event_type")).collect()
+        .map { r =>
+          def us(i: Int) = Option(r.getTimestamp(i)).map(_.getTime).getOrElse(-1L)
+          r.getLong(0) -> (us(1), us(2), us(3))
+        }.toMap
+      got.foreach { case (u, t) => assert(t == model(u), s"user $u") }
+    }
+  }
 }
