@@ -175,6 +175,9 @@ object SparkEntry {
     "q148_pq_adc_topk"         -> (Similarity.pqAdcTopK _),
     "q151_corpus_diff"         -> (graft.operators.CorpusOps.corpusDiff _),
     "q155_corpus_report"       -> (graft.operators.CorpusOps.corpusReport _),
+    "q157_grouped_deciles"     ->
+      (graft.operators.CorpusOps.groupedDeciles _),
+    "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1965,6 +1968,70 @@ object SparkEntry {
         |FROM tok JOIN dec USING (doc_id) JOIN dup USING (doc_id)
         |LEFT JOIN contam ON contam.doc_id = tok.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q157: per-language ntile — the oracle states the semantics as one
+    // partitioned ntile window; the Spark side is the grouped GlobalOrder
+    // two-pass (unique order ⇒ identical per-lang ranks ⇒ identical
+    // tiles by the SQL-spec ntile formula).
+    "q157_grouped_deciles" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS quality_pm
+        |  FROM documents)
+        |SELECT doc_id, lang, quality_pm,
+        |  CAST(ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY quality_pm DESC, doc_id) AS BIGINT) AS decile
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // q158: PQ recall vs the exact integer L2 top-3 — the q148 replay as
+    // the approx side, a full-dim fixed-point ranking as the truth side,
+    // overlap counted per query.
+    "q158_pq_recall_eval" ->
+      """WITH eq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT v.vec_id, m.m, s.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (v.e[m.m*16+i] - s.e[m.m*16+i])
+        |         * (v.e[m.m*16+i] - s.e[m.m*16+i]))) AS BIGINT) AS d
+        |  FROM eq v
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+        |  CROSS JOIN (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |              FROM eq ORDER BY vec_id LIMIT 16) s),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, j) AS rk FROM cd)
+        |  WHERE rk = 1),
+        |adc AS (
+        |  SELECT l.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+        |  FROM codes x JOIN cd l ON l.m = x.m AND l.j = x.code
+        |  WHERE l.vec_id % 50 = 0 AND x.vec_id <> l.vec_id
+        |  GROUP BY 1, 2),
+        |appx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc) WHERE rk <= 3),
+        |ed AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT) AS d
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d, neighbor_id) AS rk FROM ed) WHERE rk <= 3)
+        |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS recall3
+        |FROM (SELECT DISTINCT query_id FROM ed) q
+        |LEFT JOIN (SELECT a.query_id, count(*) AS hits FROM appx a
+        |           JOIN ex USING (query_id, neighbor_id) GROUP BY 1) h
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -375,6 +375,63 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded cache slot for the grouped-decile scan. */
+  private val grpDecCache = new RotatingCache
+
+  /** Per-language quality deciles (q157) — q114's global ntile(10)
+    * computed WITHIN each language: the mixture-aware form of quality
+    * binning (drop each language's own bottom deciles, so low-resource
+    * languages aren't wiped out by a global threshold tuned on English).
+    *
+    * Scale shape: the grouped [[GlobalOrder]] two-pass (the q145
+    * discipline) — an unpartitioned per-lang ntile window would funnel
+    * each language's slice into one task, and at 100 TB one language IS
+    * most of the corpus. Rows are value-bucketed by quality globally;
+    * per-(lang, bucket) counts (metadata scale) are cumulated into
+    * per-lang exclusive rank bases on the driver; each (lang, bucket)
+    * window ranks in parallel; the decile derives arithmetically from
+    * the per-lang global rank via the SQL-spec ntile formula with the
+    * language's own total. */
+  def groupedDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("quality_pm"))
+    val bucketed = GlobalOrder
+      .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
+        col("doc_id"))
+      .persist()
+    grpDecCache.rotate(bucketed)
+    val grp = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = grp.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, c) =>
+        val base = (l, b, acc); acc += c; base
+      }
+    }
+    val totals = grp.groupBy(_._1).map { case (l, rows) =>
+      (l, rows.map(_._3).sum)
+    }.toSeq
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("lang", "bucket", "rn_base")
+    val totalsDf = totals.toDF("lang", "n_lang")
+    val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("quality_pm").desc, col("doc_id"))
+    val k = 10L
+    val q = expr(s"n_lang div $k")
+    val r = col("n_lang") % k
+    val rn = col("rn_base") + row_number().over(wLocal)
+    val decile = when(rn <= (q + 1) * r, floor((rn - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
+    bucketed
+      .join(broadcast(offsetsDf), Seq("lang", "bucket"))
+      .join(broadcast(totalsDf), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_pm"),
+        decile.cast("long").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus health report (q155) — the one-page dashboard a data-curation
     * team reads per snapshot: document counts and token mass cross-
     * tabulated by quality decile × cleaning status, where status is the

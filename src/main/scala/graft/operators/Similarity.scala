@@ -768,4 +768,51 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** PQ recall evaluation (q158) — the index-quality gate an ANN
+    * deployment runs before switching traffic: per query, how many of
+    * the PQ-ADC top-3 (q148) appear in the EXACT fixed-point L2 top-3
+    * over the full 64 dims. Both rankings are integer arithmetic with
+    * (dist, vec_id) tie-breaks, so recall@3 is bit-stable and carries a
+    * full DuckDB oracle — approximation quality measured exactly, not
+    * sampled. Scale shape: the exact side is the q46 brute-force shape
+    * (BROADCAST query batch × corpus scan, per-query top-k window); the
+    * overlap join is on (query_id, neighbor_id) at k×queries rows —
+    * metadata. */
+  def pqRecallEval(spark: SparkSession, dir: String): DataFrame =
+    pqRecallEvalFrom(graft.Tables(spark, dir).embeddings)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. On the
+    * fixture's unclustered synthetic embeddings the measured recall@3 is
+    * LOW (≈0.1) — exactly what the gate exists to surface: an untrained
+    * 16-codeword codebook cannot represent isotropic data, and the
+    * deployment answer is train the codebooks (q142's Lloyd rung per
+    * sub-space) or keep more codewords. The planted-cluster spec shows
+    * the same operator reporting full recall when the codebook fits. */
+  def pqRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L): DataFrame = {
+    val approx = pqAdcTopKFrom(vecs, queryMod = queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val eq = pqCache.rotate(vecs.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+      .persist())
+    val queries = eq.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("neighbor_id"))
+    val exact = eq.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    queries.select(col("query_id"))
+      .join(approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("recall3"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -1315,6 +1315,53 @@ class PipelineSpec extends AnyFunSuite {
       s"unreachable nodes with mass: ${(positive -- reach - 1L).take(5)}")
   }
 
+  test("PQ recall gate: full recall on planted clusters, honest low recall on fixture") {
+    import spark.implicits._
+    // 16 tight clusters of center + 3 members; the 16 lowest ids are the
+    // CENTERS, so the seed codebook fits the data perfectly. PQ cannot
+    // rank WITHIN a cluster (same codes ⇒ equal ADC distance — the
+    // documented quantization granularity), so each query's candidate
+    // cluster holds exactly its 3 true neighbors: recall@3 must be full.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 16).map(c => (c.toLong, centers(c).toSeq)) ++
+      (0 until 48).map { i =>
+        val c = i % 16
+        (16L + i,
+          centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
+      }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val recall = Similarity.pqRecallEvalFrom(vecs, queryMod = 40L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recall.nonEmpty)
+    assert(recall.values.forall(_ == 3L),
+      s"clustered corpus must give full recall@3: $recall")
+    // fixture (isotropic synthetic embeddings): gate reports the truth —
+    // recall in [0, 3], not fabricated high
+    val fixture = Similarity.pqRecallEval(spark, sf).collect()
+    assert(fixture.nonEmpty)
+    assert(fixture.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+  }
+
+  test("grouped deciles: per-lang ntile semantics, balanced tile sizes") {
+    val rows = operators.CorpusOps.groupedDeciles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      // tile sizes: first n%10 tiles one row larger — the SQL ntile spec
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      (1L to math.min(10L, n.toLong)).foreach { t =>
+        val expect = n / 10 + (if (t <= n % 10) 1 else 0)
+        assert(sizes.getOrElse(t, 0) == expect, s"$lang tile $t")
+      }
+      // decile order follows (quality DESC, doc_id): sorting by that
+      // order must produce non-decreasing deciles
+      val ordered = rs.sortBy(r => (-r._3, r._1)).map(_._4)
+      assert(ordered.sameElements(ordered.sorted), s"$lang decile order")
+    }
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
