@@ -178,6 +178,7 @@ object SparkEntry {
     "q157_grouped_deciles"     ->
       (graft.operators.CorpusOps.groupedDeciles _),
     "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
+    "q159_ivfadc_topk"         -> (Similarity.ivfAdcTopK _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -2032,6 +2033,58 @@ object SparkEntry {
         |           JOIN ex USING (query_id, neighbor_id) GROUP BY 1) h
         |  USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
+    // q159: IVFADC — q68's strict-fold cell assignment (corpus argmax +
+    // query nprobe=4 probes) composed with q148's PQ encode/LUT; ADC
+    // candidates restricted to probed cells.
+    "q159_ivfadc_topk" ->
+      s"""WITH $ivfCellCtes,
+        |corpus AS (
+        |  SELECT vec_id AS nid,
+        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+        |  FROM ca),
+        |qexp AS (
+        |  SELECT vec_id, unnest(cells) AS cos_c,
+        |         generate_subscripts(cells, 1) AS i
+        |  FROM ca WHERE vec_id % 50 = 0),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, i AS cell FROM (
+        |    SELECT vec_id, i,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos_c DESC, i ASC) AS pr
+        |    FROM qexp)
+        |  WHERE pr <= 4),
+        |eq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT v.vec_id, m.m, s.j,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (v.e[m.m*16+i] - s.e[m.m*16+i])
+        |         * (v.e[m.m*16+i] - s.e[m.m*16+i]))) AS BIGINT) AS d
+        |  FROM eq v
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+        |  CROSS JOIN (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |              FROM eq ORDER BY vec_id LIMIT 16) s),
+        |codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d, j) AS rk FROM cd)
+        |  WHERE rk = 1),
+        |adc AS (
+        |  SELECT qp.query_id, x.vec_id AS neighbor_id,
+        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+        |  FROM codes x
+        |  JOIN corpus co ON co.nid = x.vec_id
+        |  JOIN qprobe qp ON qp.cell = co.cell
+        |  JOIN cd l ON l.m = x.m AND l.j = x.code AND l.vec_id = qp.query_id
+        |  WHERE x.vec_id <> qp.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

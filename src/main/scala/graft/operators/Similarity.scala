@@ -719,13 +719,11 @@ object Similarity {
   private val PqSub = 16     // dims per sub-space (M × Sub = Dim = 64)
   private val PqK = 16       // codewords per sub-space
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. `queryMod`
-    * picks the query subset (vec_id % queryMod == 0) — ScaleSmoke scales
-    * it with the corpus to hold the query batch size fixed, isolating
-    * the per-query linear ADC scan from the fixture's query-count
-    * growth. */
-  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3,
-      queryMod: Long = 50L): DataFrame = {
+  /** PQ encode + query-LUT core shared by q148 (flat ADC) and q159
+    * (IVFADC): returns (codes: (neighbor_id, codes), queries:
+    * (query_id, lut)). One quantized scan feeds both. */
+  private def pqEncode(vecs: DataFrame,
+      queryMod: Long): (DataFrame, DataFrame) = {
     val eq = pqCache.rotate(vecs.select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
@@ -751,18 +749,83 @@ object Similarity {
         val d = subDists(m)
         (array_position(d, array_min(d)) - 1).cast("long")
       }))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
     // queries: LUT[m][j] = exact dist from query sub-vector m to cw[m][j]
     val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"),
         transform(sequence(lit(0), lit(PqM - 1)), m => subDists(m)).as("lut"))
+    (codes, queries)
+  }
+
+  /** ADC distance from the query's LUT over the neighbor's codes. */
+  private def adcDist: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+      acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
+        (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. `queryMod`
+    * picks the query subset (vec_id % queryMod == 0) — ScaleSmoke scales
+    * it with the corpus to hold the query batch size fixed, isolating
+    * the per-query linear ADC scan from the fixture's query-count
+    * growth. */
+  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3,
+      queryMod: Long = 50L): DataFrame = {
+    val (codes, queries) = pqEncode(vecs, queryMod)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+    codes
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_dist",
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
-          acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
-            (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int"))))
+      .withColumn("adc_dist", adcDist)
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** IVFADC (q159) — the production 100 TB ANN layout, composed from
+    * this library's own parts: the q68 coarse quantizer buckets the
+    * corpus into IVF cells, each query probes only its nprobe best
+    * cells, and WITHIN those cells distance is the q148 asymmetric PQ
+    * lookup instead of a full-dimension scan. Per query the work is
+    * (probed-cell mass) × M table lookups — cell-bounded AND
+    * dimension-free, the Jégou et al. IVFADC layout as one declarative
+    * plan. Everything stays bit-stable (float cell scores replay via
+    * the strict-fold discipline of q68's oracle; PQ distances are
+    * integers), so the full composition carries a DuckDB oracle.
+    *
+    * Scale shape: cell assignment is the q68 codegen map; codes ride a
+    * corpus-keyed equi-join onto their cells; query probes + LUTs are
+    * BROADCAST; the candidate join is on the cell id (shuffle-free
+    * against the broadcast side); the only shuffle is the per-query
+    * top-k window. */
+  def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcTopKFrom(graft.Tables(spark, dir).embeddings)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  def ivfAdcTopKFrom(vecs: DataFrame, topK: Int = 3, queryMod: Long = 50L,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = centroidDirs(vecs, k)
+    val corpusCells = withCellScores(vecs, cents)
+      .select(col("vec_id").as("neighbor_id"),
+        array_position(col("ca"), array_max(col("ca"))).as("cell"))
+    val qScored = withCellScores(
+        vecs.filter(col("vec_id") % queryMod === 0), cents)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("ca")).as(Seq("pos", "cos_c")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("pos").asc)
+    val qProbes = qScored.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("cell"))
+    val (codes, queries) = pqEncode(vecs, queryMod)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes
+      .join(corpusCells, Seq("neighbor_id"))
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("adc_dist", adcDist)
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))

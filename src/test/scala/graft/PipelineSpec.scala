@@ -1362,6 +1362,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC == flat PQ-ADC on clustered data; fixture output well-formed") {
+    import spark.implicits._
+    // clustered corpus (see the recall-gate spec): each query's true
+    // neighbors live in its own cluster, whose cell the probe always
+    // covers, so cell-bounding must not change the ADC answer
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val rows = (0 until 16).map(c => (c.toLong, centers(c).toSeq)) ++
+      (0 until 48).map { i =>
+        val c = i % 16
+        (16L + i,
+          centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
+      }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val flat = Similarity.pqAdcTopKFrom(vecs, queryMod = 40L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ivf = Similarity.ivfAdcTopKFrom(vecs, queryMod = 40L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivf.nonEmpty && ivf.toSeq == flat.toSeq)
+    // fixture: well-formed ranks, no self-matches, candidates probed-only
+    val fx = Similarity.ivfAdcTopK(spark, sf).collect()
+    assert(fx.nonEmpty)
+    fx.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+      assert(rs.forall(_.getLong(2) != q))
+    }
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
