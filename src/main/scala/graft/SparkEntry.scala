@@ -192,6 +192,9 @@ object SparkEntry {
     "q133_streaming_keep_list" -> (graft.streaming.StreamingDedup.streamingKeepList _),
     "q135_streaming_semantic_dedup" -> (graft.streaming.StreamingDedup.streamingSemanticDedup _),
     "q154_streaming_funnel" -> (graft.streaming.EventStreams.streamingFunnel _),
+    "q160_late_data_audit" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStreams.lateDataAudit(s, d)),
   )
 
   def queries: Map[String, Q] =
@@ -2454,6 +2457,25 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // q160: the audit's rule replayed definitionally — per-arrival-batch
+    // exclusive running max minus delay, window-end ≤ watermark.
+    "q160_late_data_audit" ->
+      """WITH wb AS (SELECT event_id, ts, event_id // 2500 AS batch FROM events),
+        |bm AS (SELECT batch, max(epoch_us(ts)) AS mx FROM wb GROUP BY 1),
+        |wm AS (SELECT batch,
+        |  max(mx) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - 30*60*1000000 AS wm_us
+        |  FROM bm),
+        |f AS (SELECT w.batch, w.event_id,
+        |        (epoch_us(w.ts) // 600000000 + 1) * 600000000 AS win_end_us,
+        |        m.wm_us
+        |      FROM wb w JOIN wm m USING (batch))
+        |SELECT batch, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN wm_us IS NOT NULL AND win_end_us <= wm_us
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(coalesce(any_value(wm_us), -1) AS BIGINT) AS wm_us
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

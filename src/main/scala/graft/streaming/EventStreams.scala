@@ -181,6 +181,76 @@ object EventStreams {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // ---------------------------------------- late-data audit (q160)
+
+  /** Watermark late-data audit (q160) — the sizing query a team runs
+    * BEFORE picking a watermark delay: replay the stream's arrival
+    * order deterministically (arrival batch = event_id div batchSize —
+    * ingestion offsets in a real deployment) and flag, per arrival
+    * batch, the events a watermarked 10-minute tumbling aggregation
+    * would DROP: watermark during batch b = max event time of batches
+    * < b minus the delay (structured streaming advances the watermark
+    * at batch boundaries), and a row is late when its whole window has
+    * closed — window_end ≤ watermark. Emits the per-batch audit
+    * (events, late count, the batch's effective watermark).
+    *
+    * The rule is not a paraphrase: StreamingSpec feeds the SAME batches
+    * through a real watermarked stream and asserts the engine's final
+    * aggregate equals the batch aggregate over exactly the rows this
+    * audit marks non-late — on the ordered fixture (no late data,
+    * engine's drop metric 0 == audit 0) AND on a constructed
+    * out-of-order feed where three windows' stragglers are genuinely
+    * dropped. (The engine's `numRowsDroppedByWatermark` itself counts
+    * post-partial-aggregation rows, so it is compared only where 0 —
+    * per-ROW equivalence is asserted through the sink content.) Scale
+    * shape: per-batch maxima are a (batch) aggregate — metadata scale —
+    * cumulated on the driver; the late flag is one codegen'd comparison
+    * per event. */
+  def lateDataAudit(spark: SparkSession, dir: String,
+      batchSize: Long = 2500L, delayMin: Long = 30L): DataFrame =
+    lateDataAuditFrom(Tables(spark, dir).events, batchSize, delayMin)
+
+  /** Per-event late flags — the audit's row-level core (the spec feeds
+    * these rows through a REAL watermarked stream and asserts the final
+    * aggregate equals the batch aggregate over the non-late rows). */
+  private[graft] def lateFlagsFrom(ev: DataFrame, batchSize: Long,
+      delayMin: Long): DataFrame = {
+    val spark = ev.sparkSession
+    val withBatch = ev.select(col("event_id"), col("ts"),
+      expr(s"event_id div $batchSize").as("batch"))
+    // per-batch max event time — #batches rows, metadata scale, so the
+    // exclusive prefix max cumulates on the driver (the GlobalOrder
+    // offsets discipline; an orderBy window here, even over metadata,
+    // is banned by the engine's no-unpartitioned-window lint)
+    val batchMax = withBatch.groupBy(col("batch"))
+      .agg(max(unix_micros(col("ts"))).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var run = Long.MinValue
+    val wmRows = batchMax.map { case (b, mx) =>
+      val wm = if (run == Long.MinValue) None
+        else Some(run - delayMin * 60L * 1000000L)
+      run = math.max(run, mx)
+      (b, wm)
+    }
+    import spark.implicits._
+    val wms = wmRows.toSeq.toDF("batch", "wm_us")
+    withBatch.join(broadcast(wms), Seq("batch"))
+      .withColumn("win_end_us",
+        (expr("unix_micros(ts) div 600000000") + 1) * lit(600000000L))
+      .withColumn("late",
+        col("wm_us").isNotNull && col("win_end_us") <= col("wm_us"))
+  }
+
+  /** Same, over an arbitrary (event_id, ts) relation. */
+  def lateDataAuditFrom(ev: DataFrame, batchSize: Long = 2500L,
+      delayMin: Long = 30L): DataFrame =
+    lateFlagsFrom(ev, batchSize, delayMin)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        coalesce(first(col("wm_us")), lit(-1L)).as("wm_us"))
+      .orderBy(col("batch"))
+
   // --------------------------------------------- streaming funnel (q154)
 
   /** Incrementally advance per-user funnel state machines over a stream

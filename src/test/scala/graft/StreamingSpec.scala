@@ -711,6 +711,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-data audit predicts the engine's numRowsDroppedByWatermark exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same arrival batches as the audit: event_id div 2500
+    val evs = batchEvents.sortBy(_.event_id)
+    val batches = evs.groupBy(_.event_id / 2500).toSeq.sortBy(_._1)
+    val ms = MemoryStream[Ev]
+    val sink = s"late_audit_${System.nanoTime()}"
+    val q = ms.toDF().withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      val dropped = scala.collection.mutable.LinkedHashMap[Long, Long]()
+      batches.foreach { case (b, rows) =>
+        ms.addData(rows); q.processAllAvailable()
+        q.recentProgress.foreach { p =>
+          p.stateOperators.headOption.foreach { so =>
+            dropped.update(p.batchId, so.numRowsDroppedByWatermark)
+          }
+        }
+      }
+      val audit = EventStreams.lateDataAudit(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // batchId b processed arrival batch b (one addData per trigger)
+      audit.foreach { case (b, nLate) =>
+        assert(dropped.getOrElse(b, 0L) == nLate,
+          s"batch $b: engine dropped ${dropped.get(b)}, audit said $nLate " +
+            s"(all: engine=$dropped audit=$audit)")
+      }
+    } finally q.stop()
+  }
+
+  test("late-data audit on a genuinely late feed: nonzero drops, engine-exact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0 (ids 0..9): 10:00–10:54 (max 10:54). batch 1: fresh rows
+    // at 11:xx plus three stragglers at 09:0x whose 10-min windows closed
+    // under wm = 10:54 − 30 min = 10:24 → must be dropped; the 10:25
+    // straggler's window [10:20,10:30) is still OPEN (10:30 > 10:24) —
+    // the boundary case the engine must keep.
+    val b0 = (0L until 10L).map(i => Ev(i,
+      t(f"2024-01-01 10:${i * 6}%02d:00"), i % 3, "view", 1.0, "{}"))
+    val b1 = Seq(
+      Ev(10L, t("2024-01-01 11:05:00"), 0L, "view", 1.0, "{}"),
+      Ev(11L, t("2024-01-01 11:10:00"), 1L, "view", 1.0, "{}"),
+      Ev(12L, t("2024-01-01 09:01:00"), 2L, "view", 1.0, "{}"),
+      Ev(13L, t("2024-01-01 09:05:00"), 0L, "view", 1.0, "{}"),
+      Ev(14L, t("2024-01-01 09:08:00"), 1L, "view", 1.0, "{}"),
+      Ev(15L, t("2024-01-01 10:25:00"), 2L, "view", 1.0, "{}"))
+    val all = (b0 ++ b1).toDF()
+      .select(col("event_id"), col("ts"))
+    // audit with batchSize 10 → arrival batches {0, 1}
+    val audit = EventStreams.lateDataAuditFrom(all, batchSize = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(audit(0L) == 0L)
+    assert(audit(1L) == 3L, s"expected 3 late stragglers: $audit")
+    // the engine's FINAL aggregate must equal the batch aggregate over
+    // exactly the rows the audit marks non-late (complete mode: the
+    // memory sink holds the latest snapshot)
+    val flags = EventStreams.lateFlagsFrom(all, batchSize = 10L, delayMin = 30L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap // event_id -> late
+    val expected = (b0 ++ b1).filterNot(e => flags(e.event_id))
+      .groupBy(e => e.ts.getTime / 600000L * 600000L)
+      .map { case (w, rs) => w -> rs.size.toLong }
+    assert(expected.values.sum == 13L, "3 of 16 rows excluded")
+    val ms = MemoryStream[Ev]
+    val sink = s"late_synth_${System.nanoTime()}"
+    // UPDATE mode: late rows are dropped (complete mode would keep all
+    // state); the sink appends each window's successive counts, and
+    // counts are monotone, so the final value per window is the max
+    val q = ms.toDF().withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("update").format("memory").queryName(sink)
+      .start()
+    try {
+      Seq(b0, b1).foreach { b => ms.addData(b); q.processAllAvailable() }
+      val got = spark.table(sink).collect()
+        .map(r => r.getStruct(0).getTimestamp(0).getTime -> r.getLong(1))
+        .groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).max }
+      assert(got == expected,
+        s"engine snapshot $got != audit-predicted $expected")
+    } finally q.stop()
+  }
+
   test("streaming funnel: pre-view click never advances, cross-batch stages chain") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
