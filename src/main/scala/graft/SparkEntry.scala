@@ -69,6 +69,7 @@ object SparkEntry {
     "q65_bulk_write"        -> (graft.operators.Sources.bulkWrite _),
     "q66_cached_reuse"      -> (graft.operators.Sources.cachedReuse _),
     "q69_parse_timestamps"  -> (graft.operators.Sources.parseTimestamps _),
+    "q161_malformed_ingest" -> (graft.operators.Sources.malformedIngest _),
     "q149_event_funnel"     -> (graft.operators.Behavioral.eventFunnel _),
     "q150_cohort_retention" ->
       (graft.operators.Behavioral.cohortRetention _),
@@ -505,6 +506,19 @@ object SparkEntry {
         |                     WHERE o_totalprice > 300000.0)""".stripMargin,
     "q65_bulk_write" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    // q161: the corruption rule (every 97th record's numeric field
+    // mangled) replayed directly — good rows aggregate, bad rows only
+    // count.
+    "q161_malformed_ingest" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(sum(CASE WHEN event_id % 97 <> 0
+        |           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q149: strict-ordering funnel — each stage's timestamp is the
     // earliest occurrence AFTER the previous stage; stages chain via
     // min-joins, so the replay is definitional.

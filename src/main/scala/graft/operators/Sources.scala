@@ -120,4 +120,44 @@ object Sources {
         sum(round(col("v") * 100).cast("long")).as("cents"))
       .orderBy(col("y"), col("m"), col("d"))
   }
+
+  /** Malformed-record ingestion (q161) — schema-on-read resilience, the
+    * property web-scale pipelines live on: a CSV feed where every 97th
+    * record is corrupted (numeric field replaced by garbage — the
+    * deterministic stand-in for the truncated/mangled lines a crawler
+    * emits) is read PERMISSIVE with a `_corrupt_record` rescue column;
+    * bad rows are counted and quarantined, good rows aggregate as if
+    * the corruption never happened. Emits per-type (n_good, n_bad,
+    * exact cents sum) so the oracle replays the corruption rule and
+    * skips the same rows.
+    *
+    * Scale shape: one pass over the feed (the rescue column is filled
+    * by the CSV parser itself — no second read); the quarantine split
+    * is a codegen'd null check; the aggregate is map-side combinable.
+    * The CSV hop is value-exact like q69's. */
+  def malformedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = scratchDir("csv_malformed", dir)
+    val marker = java.nio.file.Paths.get(fixture, "_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      Tables(spark, dir).events.select(
+          concat_ws(",",
+            col("event_id"),
+            col("event_type"),
+            when(col("event_id") % 97 === 0, lit("garbage"))
+              .otherwise(round(col("value") * 100).cast("long").cast("string")))
+            .as("line"))
+        .write.mode("overwrite").text(fixture)
+    }
+    spark.read
+      .schema("event_id LONG, event_type STRING, cents LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(fixture)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("cents"))).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -179,4 +179,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == edges.count())
     assert(back.except(edges).isEmpty && edges.except(back).isEmpty)
   }
+
+  test("malformed ingest: corrupt rows quarantined, good rows aggregate untouched") {
+    val rows = graft.operators.Sources.malformedIngest(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+    val total = ev.count()
+    val bad = ev.filter(col("event_id") % 97 === 0).count()
+    assert(bad > 0, "fixture must exercise the corrupt path")
+    assert(rows.map(_.getLong(1)).sum == total - bad, "good rows")
+    assert(rows.map(_.getLong(2)).sum == bad, "quarantined rows")
+    // good-row cents match a direct aggregate that never saw corruption
+    val want = ev.filter(col("event_id") % 97 =!= 0)
+      .groupBy(col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) == want(r.getString(0)),
+      s"${r.getString(0)} cents"))
+  }
 }
