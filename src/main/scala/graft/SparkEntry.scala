@@ -196,6 +196,7 @@ object SparkEntry {
     "q160_late_data_audit" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStreams.lateDataAudit(s, d)),
+    "q162_streaming_mv" -> (graft.streaming.StreamingMv.streamingMv _),
   )
 
   def queries: Map[String, Q] =
@@ -2471,6 +2472,13 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // q162: the MV invariant — the incrementally-merged snapshot must
+    // equal the one-shot aggregate over everything ingested.
+    "q162_streaming_mv" ->
+      """SELECT CAST(epoch_us(ts) // 600000000 * 600 AS BIGINT) AS win_start,
+        |  event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q160: the audit's rule replayed definitionally — per-arrival-batch
     // exclusive running max minus delay, window-end ≤ watermark.
     "q160_late_data_audit" ->

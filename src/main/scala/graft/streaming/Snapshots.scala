@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-keyed snapshot store shared by the incremental streaming
+  * operators (dedup stores, the materialized view): every micro-batch
+  * writes its cumulative artifact under `dir/b=<batchId>/`, the write's
+  * `_SUCCESS` doubles as the batch's commit marker (replays of a
+  * committed batch are no-ops, replays of a half-written one overwrite
+  * it), readers list directory names — never scan data — to find the
+  * latest committed snapshot, and snapshots older than batchId−1 are
+  * pruned (a replay of batch N only ever needs N−1). All probes go
+  * through Hadoop FileSystem, so stores live on HDFS/S3 unchanged.
+  */
+private[streaming] object Snapshots {
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def pathExists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Batch N committed ⟺ its snapshot's _SUCCESS exists. */
+  def committed(spark: SparkSession, snapDir: String, batchId: Long): Boolean =
+    pathExists(spark, s"$snapDir/b=$batchId/_SUCCESS")
+
+  /** Latest COMMITTED snapshot strictly before `before`. */
+  def latest(spark: SparkSession, snapDir: String,
+      before: Long): Option[String] = {
+    val f = fs(spark, snapDir)
+    val root = new Path(snapDir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("b="))
+      .flatMap(p => scala.util.Try(p.getName.drop(2).toLong).toOption
+        .filter(id => id < before && f.exists(new Path(p, "_SUCCESS")))
+        .map(id => (id, p.toString)))
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Drop snapshots older than batchId−1. */
+  def prune(spark: SparkSession, snapDir: String, batchId: Long): Unit = {
+    val f = fs(spark, snapDir)
+    val root = new Path(snapDir)
+    if (f.exists(root))
+      f.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("b="))
+        .filter(p => scala.util.Try(p.getName.drop(2).toLong).toOption
+          .exists(_ < batchId - 1))
+        .foreach(p => f.delete(p, true))
+  }
+
+  /** Merge the previous cumulative snapshot with a per-key delta —
+    * O(previous distinct keys + batch keys), never O(underlying rows).
+    * `measures` are the long-valued columns to sum. */
+  def merge(spark: SparkSession, snapDir: String, batchId: Long,
+      delta: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val prev = latest(spark, snapDir, batchId)
+      .map(spark.read.parquet(_)).getOrElse(delta.limit(0))
+    val aggs = measures.map(m => sum(col(m)).cast("long").as(m))
+    prev.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

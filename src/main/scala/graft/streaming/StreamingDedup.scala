@@ -81,32 +81,18 @@ object StreamingDedup {
 
   // ---------------------------------------------------------------- store
 
+  // batch-keyed snapshot mechanics shared with the streaming MV —
+  // see [[Snapshots]] for the commit/replay/prune contract
   private def fs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Snapshots.fs(spark, path)
 
   private def pathExists(spark: SparkSession, path: String): Boolean =
-    fs(spark, path).exists(new Path(path))
+    Snapshots.pathExists(spark, path)
 
   /** The commit marker of batch N: its counts snapshot's _SUCCESS. */
   private def committed(spark: SparkSession, storeDir: String,
       batchId: Long): Boolean =
-    pathExists(spark, s"$storeDir/counts/b=$batchId/_SUCCESS")
-
-  /** Latest COMMITTED counts snapshot strictly before `before` (listing
-    * the snapshot dir, not scanning data). */
-  private def latestSnapshot(spark: SparkSession, countsDir: String,
-      before: Long): Option[String] = {
-    val f = fs(spark, countsDir)
-    val root = new Path(countsDir)
-    if (!f.exists(root)) None
-    else f.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("b="))
-      .flatMap(p => scala.util.Try(p.getName.drop(2).toLong).toOption
-        .filter(id => id < before && f.exists(new Path(p, "_SUCCESS")))
-        .map(id => (id, p.toString)))
-      .sortBy(_._1).lastOption.map(_._2)
-  }
+    Snapshots.committed(spark, s"$storeDir/counts", batchId)
 
   /** Accumulated artifact rows from batches strictly before `before`
     * (partition-pruned on the `b=` directory column, so a half-written
@@ -123,31 +109,21 @@ object StreamingDedup {
     if (pathExists(spark, root)) spark.read.parquet(root).drop("b")
     else emptyLike.limit(0)
 
-  /** Drop counts snapshots older than batchId-1 (a replay of batch N only
-    * ever needs snapshot N-1; the stream itself only needs N). */
   private def pruneSnapshots(spark: SparkSession, countsDir: String,
-      batchId: Long): Unit = {
-    val f = fs(spark, countsDir)
-    val root = new Path(countsDir)
-    if (f.exists(root))
-      f.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("b="))
-        .filter(p => scala.util.Try(p.getName.drop(2).toLong).toOption
-          .exists(_ < batchId - 1))
-        .foreach(p => f.delete(p, true))
-  }
+      batchId: Long): Unit =
+    Snapshots.prune(spark, countsDir, batchId)
+
+  /** Latest COMMITTED counts snapshot strictly before `before`. */
+  private def latestSnapshot(spark: SparkSession, countsDir: String,
+      before: Long): Option[String] =
+    Snapshots.latest(spark, countsDir, before)
 
   /** Merge the previous cumulative counts snapshot with this batch's
     * per-key delta. O(previous distinct keys + batch keys) — NOT
     * O(store rows); the guard never re-aggregates the band/cell store. */
   private def mergedCounts(spark: SparkSession, countsDir: String,
-      batchId: Long, delta: DataFrame, keys: Seq[String]): DataFrame = {
-    val prev = latestSnapshot(spark, countsDir, batchId)
-      .map(spark.read.parquet(_)).getOrElse(delta.limit(0))
-    prev.unionByName(delta)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("n")).cast("long").as("n"))
-  }
+      batchId: Long, delta: DataFrame, keys: Seq[String]): DataFrame =
+    Snapshots.merge(spark, countsDir, batchId, delta, keys, Seq("n"))
 
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),

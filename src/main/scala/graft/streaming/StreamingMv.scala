@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incrementally-maintained materialized view (q162) — the streaming-
+  * warehouse pattern: a (window, event_type) rollup kept current by a
+  * `foreachBatch` MERGE against a batch-keyed parquet snapshot store,
+  * instead of recomputing the aggregate from history on every refresh.
+  * The measures are exact integers (row count + cents), so merge order
+  * cannot perturb values: after ANY prefix of the stream the snapshot
+  * equals the one-shot batch aggregate over everything ingested so far —
+  * the MV invariant, spec-asserted per batch.
+  *
+  * Exactly-once posture: each batch writes its cumulative snapshot under
+  * `mv/b=<batchId>/` with the write's _SUCCESS as commit marker —
+  * foreachBatch replays of a committed batch are no-ops, replays of a
+  * half-written one overwrite it (the [[Snapshots]] contract shared with
+  * the dedup stores); snapshots older than batchId−1 are pruned.
+  *
+  * Scale shape: per batch, one map-side-combinable delta aggregate over
+  * the batch plus a merge keyed by the MV grain — O(batch + MV rows),
+  * and the MV is the AGGREGATE (windows × types), orders of magnitude
+  * below event history. Nothing ever re-reads ingested events.
+  */
+object StreamingMv {
+
+  private val WinUs = 600000000L // 10-minute windows, micros
+
+  /** Fold one micro-batch of events into the MV snapshot store. */
+  def mvBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val mvDir = s"$storeDir/mv"
+    if (Snapshots.committed(spark, mvDir, batchId)) return
+    val delta = batch.select(
+        expr(s"(unix_micros(ts) div $WinUs) * 600").as("win_start"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+    Snapshots.merge(spark, mvDir, batchId, delta,
+        Seq("win_start", "event_type"), Seq("cnt", "sum_cents"))
+      .write.mode("overwrite").parquet(s"$mvDir/b=$batchId")
+    Snapshots.prune(spark, mvDir, batchId)
+  }
+
+  /** Current MV contents (latest committed snapshot; empty if none). */
+  def mvTable(spark: SparkSession, storeDir: String): DataFrame =
+    Snapshots.latest(spark, s"$storeDir/mv", Long.MaxValue)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.range(0).select(col("id").as("win_start"),
+        lit("").as("event_type"), lit(0L).as("cnt"), lit(0L).as("sum_cents")))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Registered q162 entry: the fixture events as a 4-chunk file-source
+    * stream (the q133 feed discipline — no driver materialization),
+    * folded through [[mvBatch]]; returns the final MV, whose oracle is
+    * the plain one-shot SQL aggregate over the whole table. */
+  def streamingMv(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_mv").toString
+    Snapshots.fs(spark, tmp)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
+    val feedDir = s"$tmp/feed"
+    val storeDir = s"$tmp/store"
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.repartitionByRange(4, col("event_id")).write.parquet(feedDir)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mvBatch(batch, storeDir, batchId); ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    mvTable(spark, storeDir)
+  }
+}

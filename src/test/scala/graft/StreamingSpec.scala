@@ -798,6 +798,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MV: snapshot == one-shot aggregate after EVERY batch; replays no-op") {
+    import graft.streaming.StreamingMv
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_mv_spec").toString
+    def oneShot(maxChunk: Int) = ev
+      .filter(pmod(col("event_id"), lit(4)) <= maxChunk)
+      .select(expr("(unix_micros(ts) div 600000000) * 600").as("w"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    (0 until 4).foreach { b =>
+      StreamingMv.mvBatch(
+        ev.filter(pmod(col("event_id"), lit(4)) === b), store, b.toLong)
+      val got = StreamingMv.mvTable(spark, store).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == oneShot(b), s"MV invariant broken after batch $b")
+    }
+    // replaying a committed batch must not change the view
+    val before = StreamingMv.mvTable(spark, store).collect().toSeq
+    StreamingMv.mvBatch(
+      ev.filter(pmod(col("event_id"), lit(4)) === 2), store, 2L)
+    val after = StreamingMv.mvTable(spark, store).collect().toSeq
+    assert(after == before, "replay of a committed batch mutated the MV")
+  }
+
   test("streaming funnel: pre-view click never advances, cross-batch stages chain") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
