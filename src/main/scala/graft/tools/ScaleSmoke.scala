@@ -23,11 +23,17 @@ object ScaleSmoke {
     }.reduce(_ union _)
   }
 
-  private def time(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val rows = f
-    println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
-  }
+  /** Optional label-substring filter: SPARK_GRAFT_SMOKE_ONLY=minhash
+    * runs just the matching shapes (targeted re-measurement). */
+  private val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+
+  private def time(label: String)(f: => Long): Unit =
+    if (only.exists(o => !label.contains(o))) ()
+    else {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -220,6 +226,24 @@ object ScaleSmoke {
         val dropped = d.filter(!col("kept")).count()
         println(s"[scale]   streaming semantic: vectors=${d.count()} dropped=$dropped")
         dropped
+      }
+      // incremental MV (q162's shape): 8 micro-batches folded into the
+      // snapshot store — per-batch cost is O(batch + MV rows) and the MV
+      // (windows × types) does NOT grow with the amplified event count,
+      // so per-batch times must stay flat and the final view must equal
+      // the one-shot aggregate's row count.
+      time(s"streaming_mv") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_mv").toString
+        val evm = ev.select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          graft.streaming.StreamingMv.mvBatch(
+            evm.filter(pmod(col("event_id"), lit(8)) === i), storeDir, i)
+          println(f"[scale]   mv batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        graft.streaming.StreamingMv.mvTable(spark, storeDir).count()
       }
       // the pathological corpus at scale: mult×10k BYTE-IDENTICAL docs —
       // every band bucket is one corpus-sized hot bucket, the LSH worst
