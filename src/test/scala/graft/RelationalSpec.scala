@@ -75,7 +75,15 @@ class RelationalSpec extends AnyFunSuite {
       ("Multimodal", operators.Multimodal, Set.empty),
       ("Dedup", operators.Dedup, Set.empty),
       ("Similarity", operators.Similarity, Set.empty),
+      ("Behavioral", operators.Behavioral, Set.empty),
+      // hotAggregate: the cached table BEHIND the registered q66 wrapper,
+      // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
+      ("Sources", operators.Sources, Set("hotAggregate")),
       ("EventStreams", streaming.EventStreams, Set.empty),
+      ("StreamingMv", streaming.StreamingMv,
+        // store-assembly step of the registered q162 wrapper (String
+        // param is the store dir); MV invariant asserted in StreamingSpec
+        Set("mvTable")),
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence
