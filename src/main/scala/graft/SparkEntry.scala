@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_json_funcs"        -> (Relational.jsonFuncs _),
     "q27_asof_join"         -> (graft.operators.Joins.asofJoin _),
     "q28_range_join_binned" -> (graft.operators.Joins.rangeJoinBinned _),
+    "q163_point_in_time"    -> (graft.operators.Joins.pointInTime _),
     "q29_dense_groupby"     -> (Relational.denseGroupBy _),
     "q54_approx_distinct"   -> (Relational.approxDistinct _),
     "q55_array_funcs"       -> (Relational.arrayFuncs _),
@@ -340,6 +341,21 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts
         |ORDER BY p.event_id""".stripMargin,
+    // q163: latest-at-or-before probe per (user, probe) — the row picked
+    // by (ts DESC, event_id DESC) is the max_by tie-break exactly.
+    "q163_point_in_time" ->
+      """WITH probes AS (
+        |  SELECT unnest(['2024-01-08', '2024-01-15',
+        |                 '2024-01-22', '2024-01-29']) AS probe_date),
+        |cand AS (
+        |  SELECT e.user_id, p.probe_date, e.event_id, e.value, e.ts
+        |  FROM events e JOIN probes p
+        |    ON e.ts <= CAST(p.probe_date AS TIMESTAMP))
+        |SELECT user_id, probe_date, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, probe_date
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM cand)
+        |WHERE rk = 1 ORDER BY user_id, probe_date""".stripMargin,
     "q28_range_join_binned" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty

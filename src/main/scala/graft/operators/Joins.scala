@@ -39,6 +39,34 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** Point-in-time lookup (q163) — the time-travel/SCD2 read every
+    * warehouse runs ("state of every entity as of T"): for each user and
+    * each of four probe instants, the LATEST event at or before the
+    * probe, picked deterministically by (ts, event_id). The as-of join
+    * generalized from one probe per row (q27) to a fixed probe batch
+    * per entity.
+    *
+    * Scale shape: the probe set is a broadcast literal relation (audit
+    * dates are a handful no matter the corpus); candidates shuffle once
+    * on (user, probe) into a max_by partial+final aggregate — no window,
+    * no sort, map-side combinable. The ts ≤ probe inequality join
+    * against a 4-row broadcast is a fan-out of ≤ |probes| per event. */
+  def pointInTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+      .toDF("probe_date")
+      .withColumn("pts", to_timestamp(col("probe_date"), "yyyy-MM-dd"))
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(broadcast(probes), col("ts") <= col("pts"))
+      .groupBy(col("user_id"), col("probe_date"))
+      .agg(max_by(struct(col("event_id"), col("value")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("probe_date"),
+        col("s.event_id").as("event_id"), col("s.value").as("value"))
+      .orderBy(col("user_id"), col("probe_date"))
+  }
+
   /** Range join via binning: lineitems shipped within [o_orderdate,
     * o_orderdate + 30 days) for a bounded set of orders. The order side
     * explodes into the month bins its range touches; the lineitem side
