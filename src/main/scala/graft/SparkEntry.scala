@@ -2498,7 +2498,9 @@ object SparkEntry {
     // q160: the audit's rule replayed definitionally — per-arrival-batch
     // exclusive running max minus delay, window-end ≤ watermark.
     "q160_late_data_audit" ->
-      """WITH wb AS (SELECT event_id, ts, event_id // 2500 AS batch FROM events),
+      """WITH bs AS (SELECT max(event_id) // 8 + 1 AS sz FROM events),
+        |wb AS (SELECT event_id, ts, event_id // (SELECT sz FROM bs) AS batch
+        |       FROM events),
         |bm AS (SELECT batch, max(epoch_us(ts)) AS mx FROM wb GROUP BY 1),
         |wm AS (SELECT batch,
         |  max(mx) OVER (ORDER BY batch

@@ -131,16 +131,11 @@ object CorpusOps {
     val offsets = bases.map { case (b, Seq(c)) => (b, c) }.toDF("bucket", "rn_base")
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("quality_pm").desc, col("doc_id"))
-    val k = 10L
-    val q = lit(total / k)
-    val r = lit(total % k)
     val rn = col("rn_base") + row_number().over(wLocal)
-    val decile = when(rn <= (q + 1) * r, floor((rn - 1) / (q + 1)) + 1)
-      .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
     bucketed
       .join(broadcast(offsets), Seq("bucket"))
       .select(col("doc_id"), col("quality_pm"),
-        decile.cast("long").as("decile"))
+        GlobalOrder.ntileFromRank(rn, lit(total), 10).cast("long").as("decile"))
       .orderBy(col("doc_id"))
   }
 
@@ -352,15 +347,9 @@ object CorpusOps {
       .bucketizeForUniqueOrder(scored, col("quality_pm"), desc = true,
         col("doc_id"))
     // per-(source, bucket) totals → per-source exclusive prefix offsets
-    val grpTotals = bucketed.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val offsets = grpTotals.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, b, t) =>
-        val base = (s, b, acc); acc += t; base
-      }
-    }.toDF("source", "bucket", "tok_base")
+    val (bases2, _) = GlobalOrder.exclusiveOffsetsBy(bucketed, "source",
+      sum(col("n_tokens")).as("t"))
+    val offsets = bases2.toDF("source", "bucket", "tok_base")
     val wLocal = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("quality_pm").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -401,34 +390,20 @@ object CorpusOps {
         col("doc_id"))
       .persist()
     grpDecCache.rotate(bucketed)
-    val grp = bucketed.groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val offsets = grp.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, b, c) =>
-        val base = (l, b, acc); acc += c; base
-      }
-    }
-    val totals = grp.groupBy(_._1).map { case (l, rows) =>
-      (l, rows.map(_._3).sum)
-    }.toSeq
+    val (bases, totals) = GlobalOrder.exclusiveOffsetsBy(bucketed, "lang",
+      count(lit(1)).as("c"))
     import spark.implicits._
-    val offsetsDf = offsets.toDF("lang", "bucket", "rn_base")
+    val offsetsDf = bases.toDF("lang", "bucket", "rn_base")
     val totalsDf = totals.toDF("lang", "n_lang")
     val wLocal = Window.partitionBy(col("lang"), col("bucket"))
       .orderBy(col("quality_pm").desc, col("doc_id"))
-    val k = 10L
-    val q = expr(s"n_lang div $k")
-    val r = col("n_lang") % k
     val rn = col("rn_base") + row_number().over(wLocal)
-    val decile = when(rn <= (q + 1) * r, floor((rn - 1) / (q + 1)) + 1)
-      .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
     bucketed
       .join(broadcast(offsetsDf), Seq("lang", "bucket"))
       .join(broadcast(totalsDf), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("quality_pm"),
-        decile.cast("long").as("decile"))
+        GlobalOrder.ntileFromRank(rn, col("n_lang"), 10)
+          .cast("long").as("decile"))
       .orderBy(col("doc_id"))
   }
 
@@ -444,10 +419,15 @@ object CorpusOps {
     * Scale shape: the fragments are each linear scans + key-bounded
     * shuffles (documented at their own entries); the composition joins
     * on doc_id and ends in a ≤ 10 × 3-cell aggregate — metadata out. */
+  /** Bounded cache slot for the report's hashed scan — it feeds both the
+    * canonical aggregate and the dup join. */
+  private val reportCache = new RotatingCache
+
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val deciles = qualityDeciles(spark, dir).select(col("doc_id"), col("decile"))
-    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val hashed = reportCache.rotate(
+      docs.select(col("doc_id"), md5(col("text")).as("h")).persist())
     val canon = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
     val dup = hashed.join(canon, Seq("h"))
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))

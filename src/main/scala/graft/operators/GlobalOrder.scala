@@ -70,6 +70,41 @@ private[graft] object GlobalOrder {
     } else bucketizeByValue(df, key, desc)
   }
 
+  /** GROUPED exclusive offsets: per-(group, bucket) single long-valued
+    * aggregates cumulated into per-GROUP exclusive prefix bases on the
+    * driver — the grouped form of [[exclusiveOffsets]] (per-source
+    * quota cumsum, per-language ranks). The collect is groups × buckets
+    * rows; groups are curated dimensions (sources, languages), so this
+    * stays metadata scale. Returns (group, bucket, base) rows plus the
+    * per-group grand totals. */
+  def exclusiveOffsetsBy(bucketed: DataFrame, groupCol: String,
+      agg: Column): (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
+    val grp = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(agg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bases = grp.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, t) =>
+        val base = (g, b, acc); acc += t; base
+      }
+    }
+    val totals = grp.groupBy(_._1).map { case (g, rows) =>
+      (g, rows.map(_._3).sum)
+    }.toSeq
+    (bases, totals)
+  }
+
+  /** The SQL-spec ntile(k) tile of global rank `rn` (1-based) among
+    * `total` rows: the first total%k tiles get one extra row. The
+    * division by q in the ELSE branch is lazily unreachable when
+    * total < k (then q = 0 but every rank ≤ (q+1)·r). */
+  def ntileFromRank(rn: Column, total: Column, k: Long): Column = {
+    val q = floor(total / lit(k)).cast("long")
+    val r = total % lit(k)
+    when(rn <= (q + 1) * r, floor((rn - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((rn - r * (q + 1) - 1) / q) + 1)
+  }
+
   /** Exclusive per-bucket prefix bases of the given long-valued
     * aggregates: `(bucket, [base_0..base_k])` where `base_i` is the sum
     * of aggregate i over all LOWER buckets, plus the grand totals. The

@@ -604,6 +604,16 @@ object Similarity {
 
   // --------------------------------------------- fixed-point k-means
 
+  /** THE fixed-point quantization rule (floor(x·10⁶) longs — floor, not
+    * round: round's half-tie rule differs between engines) shared by the
+    * k-means (q142), PQ (q148/q159), and recall (q158) tiers. One
+    * definition so the cross-engine determinism contract cannot
+    * desynchronize between operators and their oracles. */
+  private def quantized(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+
   /** Bounded cache slot for the quantized-embedding scan (see
     * [[RotatingCache]]) — it feeds every Lloyd iteration. */
   private val kmCache = new RotatingCache
@@ -636,10 +646,7 @@ object Similarity {
 
   /** Same, over an arbitrary (vec_id, embedding) relation. */
   def kmeansCellsFrom(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val eq = kmCache.rotate(vecs.select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
-      .persist())
+    val eq = kmCache.rotate(quantized(vecs).persist())
     // deterministic seeds: the K lowest-id vectors' quantized components
     var cents: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
@@ -724,10 +731,7 @@ object Similarity {
     * (query_id, lut)). One quantized scan feeds both. */
   private def pqEncode(vecs: DataFrame,
       queryMod: Long): (DataFrame, DataFrame) = {
-    val eq = pqCache.rotate(vecs.select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
-      .persist())
+    val eq = pqCache.rotate(quantized(vecs).persist())
     // codebook: sub-vectors of the PqK lowest-id vectors — metadata collect
     val seeds: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toArray)
@@ -855,10 +859,7 @@ object Similarity {
   def pqRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L): DataFrame = {
     val approx = pqAdcTopKFrom(vecs, queryMod = queryMod)
       .select(col("query_id"), col("neighbor_id"))
-    val eq = pqCache.rotate(vecs.select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
-      .persist())
+    val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val wq = Window.partitionBy(col("query_id"))

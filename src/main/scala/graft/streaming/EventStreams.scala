@@ -185,8 +185,9 @@ object EventStreams {
 
   /** Watermark late-data audit (q160) — the sizing query a team runs
     * BEFORE picking a watermark delay: replay the stream's arrival
-    * order deterministically (arrival batch = event_id div batchSize —
-    * ingestion offsets in a real deployment) and flag, per arrival
+    * order deterministically (a FIXED count of arrival batches — id
+    * ranges here, ingestion offsets in a real deployment) and flag, per
+    * arrival
     * batch, the events a watermarked 10-minute tumbling aggregation
     * would DROP: watermark during batch b = max event time of batches
     * < b minus the delay (structured streaming advances the watermark
@@ -207,8 +208,8 @@ object EventStreams {
     * cumulated on the driver; the late flag is one codegen'd comparison
     * per event. */
   def lateDataAudit(spark: SparkSession, dir: String,
-      batchSize: Long = 2500L, delayMin: Long = 30L): DataFrame =
-    lateDataAuditFrom(Tables(spark, dir).events, batchSize, delayMin)
+      nBatches: Int = 8, delayMin: Long = 30L): DataFrame =
+    lateDataAuditFrom(Tables(spark, dir).events, nBatches, delayMin)
 
   /** Per-event late flags — the audit's row-level core (the spec feeds
     * these rows through a REAL watermarked stream and asserts the final
@@ -241,15 +242,22 @@ object EventStreams {
         col("wm_us").isNotNull && col("win_end_us") <= col("wm_us"))
   }
 
-  /** Same, over an arbitrary (event_id, ts) relation. */
-  def lateDataAuditFrom(ev: DataFrame, batchSize: Long = 2500L,
-      delayMin: Long = 30L): DataFrame =
-    lateFlagsFrom(ev, batchSize, delayMin)
+  /** Same, over an arbitrary (event_id, ts) relation. The replay
+    * granularity is a FIXED batch count (batch size derived from the
+    * observed id range), so the per-batch maxima collected to the
+    * driver are ≤ nBatches rows at ANY corpus size — a fixed batch
+    * SIZE would make the collect linear in the corpus, the driver-state
+    * shape everything else in the engine avoids. */
+  def lateDataAuditFrom(ev: DataFrame, nBatches: Int = 8,
+      delayMin: Long = 30L): DataFrame = {
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    lateFlagsFrom(ev, maxId / nBatches + 1, delayMin)
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         coalesce(first(col("wm_us")), lit(-1L)).as("wm_us"))
       .orderBy(col("batch"))
+  }
 
   // --------------------------------------------- streaming funnel (q154)
 
@@ -293,51 +301,24 @@ object EventStreams {
       }
   }
 
-  /** Registered q154 entry: the fixture events range-chunked on ts into
-    * 8 parquet files, streamed back `maxFilesPerTrigger 1` (so batches
-    * arrive in event-time order without driver materialization, the
-    * q133 feed discipline), folded through [[funnelAdvance]], latest
-    * state per user selected by the update counter. Oracle: the SAME
-    * SQL as batch q149 — the state machine must land on the identical
-    * funnel table. */
+  /** Registered q154 entry: the fixture events chunked into 8 ts-ordered
+    * parquet files ([[FileFeed]] `ordered = true` — value-range bins of
+    * unix_micros(ts), never calendar fields, so the event-time ordering
+    * contract holds for any corpus span), streamed back one file per
+    * micro-batch, folded through [[funnelAdvance]] via a foreachBatch
+    * append to an update log, latest state per user selected by the
+    * update counter. Oracle: the SAME SQL as batch q149 — the state
+    * machine must land on the identical funnel table. */
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_funnel").toString
-    new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
-    val feedDir = s"$tmp/feed"
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    // The file source orders same-mtime files arbitrarily, so the chunks
-    // are WRITTEN sequentially (ascending mtime == ascending time range)
-    // — day-range chunks, each a distributed write, moved into the flat
-    // feed dir in order. Feed prep is harness scaffolding, like q133's.
-    val fsys = new org.apache.hadoop.fs.Path(tmp)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fsys.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
-    val chunked = ev.withColumn("chunk",
-      expr("(dayofmonth(ts) - 1) div 4").cast("int")).persist()
-    (0 until 8).foreach { b =>
-      val stage = s"$tmp/stage$b"
-      chunked.filter(col("chunk") === b).drop("chunk")
-        .coalesce(1).write.parquet(stage)
-      fsys.globStatus(new org.apache.hadoop.fs.Path(s"$stage/part-*"))
-        .foreach { st =>
-          fsys.rename(st.getPath,
-            new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%02d.parquet"))
-        }
-    }
-    chunked.unpersist()
     val sink = s"funnel_${System.nanoTime()}"
     val q = funnelAdvance(
-      spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(feedDir)
-        .as[FEvent])
+      FileFeed.orderedStream(spark, ev, nChunks = 8,
+        unix_micros(col("ts")), purpose = "funnel").as[FEvent])
       .writeStream.outputMode("update")
       .format("memory").queryName(sink)
-      .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Shared file-source feed harness for the registered streaming entries
+  * (q133/q135/q154/q162): write the fixture as N parquet chunks, stream
+  * them back `maxFilesPerTrigger 1` (micro-batches arrive WITHOUT driver
+  * materialization — the q133 feed discipline), run the per-batch body
+  * under a checkpoint with `Trigger.AvailableNow`, and leave assembly to
+  * the caller. Temp feed/checkpoint dirs are registered for deletion at
+  * JVM exit.
+  *
+  * `ordered = false`: chunks are range partitions of `key` written in one
+  * distributed pass — file order is irrelevant to order-insensitive
+  * consumers (the dedup stores, the MV merge).
+  *
+  * `ordered = true`: chunks are VALUE-RANGE bins of the long-valued `key`
+  * (fixed-width over the observed [min, max] — one metadata min/max
+  * aggregate), each written SEQUENTIALLY in ascending bin order and moved
+  * into the flat feed dir under an ascending zero-padded name, so both
+  * modification time and name order equal `key` order. The file source
+  * orders same-mtime files arbitrarily; this is the contract
+  * order-SENSITIVE consumers (the q154 funnel state machine) rely on, and
+  * it holds for any value range — never derived from calendar fields. */
+private[streaming] object FileFeed {
+
+  /** Write the feed chunks; returns (tmpDir, feedDir). */
+  private def prepare(spark: SparkSession, df: DataFrame, nChunks: Int,
+      key: Column, ordered: Boolean, purpose: String): (String, String) = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_feed_$purpose").toString
+    val fsys = Snapshots.fs(spark, tmp)
+    fsys.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
+    val feedDir = s"$tmp/feed"
+    if (!ordered) {
+      df.repartitionByRange(nChunks, key).write.parquet(feedDir)
+    } else {
+      fsys.mkdirs(new org.apache.hadoop.fs.Path(feedDir))
+      val mm = df.agg(min(key), max(key)).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / nChunks + 1
+      val chunked = df
+        .withColumn("__chunk", ((key - lit(lo)) / lit(width)).cast("int"))
+        .persist()
+      (0 until nChunks).foreach { b =>
+        val stage = s"$tmp/stage$b"
+        chunked.filter(col("__chunk") === b).drop("__chunk")
+          .coalesce(1).write.parquet(stage)
+        fsys.globStatus(new org.apache.hadoop.fs.Path(s"$stage/part-*"))
+          .foreach { st =>
+            fsys.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%04d.parquet"))
+          }
+      }
+      chunked.unpersist()
+    }
+    (tmp, feedDir)
+  }
+
+  /** The prepared feed as a file-source stream (order-sensitive
+    * consumers that attach their own sink — the funnel). */
+  def orderedStream(spark: SparkSession, df: DataFrame, nChunks: Int,
+      key: Column, purpose: String): DataFrame = {
+    val (_, feedDir) = prepare(spark, df, nChunks, key, ordered = true, purpose)
+    spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+  }
+
+  /** Prepared feed driven through a foreachBatch body to completion. */
+  def run(spark: SparkSession, df: DataFrame, nChunks: Int, key: Column,
+      ordered: Boolean, purpose: String)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val (tmp, feedDir) = prepare(spark, df, nChunks, key, ordered, purpose)
+    val q = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        body(batch, batchId); ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -275,24 +275,15 @@ object StreamingDedup {
     * equivalence note on the object). Temp feed/store/checkpoint dirs are
     * registered for deletion at JVM exit. */
   def streamingKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_keep").toString
-    fs(spark, tmp).deleteOnExit(new Path(tmp))
-    val feedDir = s"$tmp/feed"
-    val storeDir = s"$tmp/store"
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_keep_store").toString
+    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-    docs.repartitionByRange(4, col("doc_id")).write.parquet(feedDir)
-    val q = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatch(batch, storeDir, batchId); ()
-      }
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "keep") { (batch, batchId) =>
+      dedupBatch(batch, storeDir, batchId)
+    }
     keepList(spark, storeDir)
   }
 
@@ -407,22 +398,13 @@ object StreamingDedup {
     val vecs = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     val cents = Similarity.centroidDirs(vecs, 16)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_sem").toString
-    fs(spark, tmp).deleteOnExit(new Path(tmp))
-    val feedDir = s"$tmp/feed"
-    val storeDir = s"$tmp/store"
-    vecs.repartitionByRange(4, col("vec_id")).write.parquet(feedDir)
-    val q = spark.readStream.schema(vecs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        semanticBatch(batch, storeDir, cents, 0.35, batchId); ()
-      }
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sem_store").toString
+    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
+    FileFeed.run(spark, vecs, nChunks = 4, col("vec_id"),
+      ordered = false, purpose = "sem") { (batch, batchId) =>
+      semanticBatch(batch, storeDir, cents, 0.35, batchId)
+    }
     semanticDecisionTable(spark, storeDir)
   }
 }

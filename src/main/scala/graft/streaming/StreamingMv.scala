@@ -59,25 +59,16 @@ object StreamingMv {
     * folded through [[mvBatch]]; returns the final MV, whose oracle is
     * the plain one-shot SQL aggregate over the whole table. */
   def streamingMv(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_stream_mv").toString
-    Snapshots.fs(spark, tmp)
-      .deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
-    val feedDir = s"$tmp/feed"
-    val storeDir = s"$tmp/store"
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_mv_store").toString
+    Snapshots.fs(spark, storeDir)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    ev.repartitionByRange(4, col("event_id")).write.parquet(feedDir)
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(feedDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mvBatch(batch, storeDir, batchId); ()
-      }
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    FileFeed.run(spark, ev, nChunks = 4, col("event_id"),
+      ordered = false, purpose = "mv") { (batch, batchId) =>
+      mvBatch(batch, storeDir, batchId)
+    }
     mvTable(spark, storeDir)
   }
 }

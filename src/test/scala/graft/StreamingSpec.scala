@@ -714,9 +714,10 @@ class StreamingSpec extends AnyFunSuite {
   test("late-data audit predicts the engine's numRowsDroppedByWatermark exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    // same arrival batches as the audit: event_id div 2500
+    // same arrival batches as the audit: event_id div (max_id div 8 + 1)
     val evs = batchEvents.sortBy(_.event_id)
-    val batches = evs.groupBy(_.event_id / 2500).toSeq.sortBy(_._1)
+    val bsz = evs.map(_.event_id).max / 8 + 1
+    val batches = evs.groupBy(_.event_id / bsz).toSeq.sortBy(_._1)
     val ms = MemoryStream[Ev]
     val sink = s"late_audit_${System.nanoTime()}"
     val q = ms.toDF().withWatermark("ts", "30 minutes")
@@ -766,7 +767,7 @@ class StreamingSpec extends AnyFunSuite {
     val all = (b0 ++ b1).toDF()
       .select(col("event_id"), col("ts"))
     // audit with batchSize 10 → arrival batches {0, 1}
-    val audit = EventStreams.lateDataAuditFrom(all, batchSize = 10L)
+    val audit = EventStreams.lateDataAuditFrom(all, nBatches = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(audit(0L) == 0L)
     assert(audit(1L) == 3L, s"expected 3 late stragglers: $audit")
