@@ -381,8 +381,12 @@ object CorpusOps {
     * window ranks in parallel; the decile derives arithmetically from
     * the per-lang global rank via the SQL-spec ntile formula with the
     * language's own total. */
-  def groupedDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables(spark, dir).documents.select(
+  def groupedDeciles(spark: SparkSession, dir: String): DataFrame =
+    groupedDecilesFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, lang, text) corpus. */
+  def groupedDecilesFrom(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
       col("doc_id"), col("lang"),
       TextFunctions.qualityScore(col("text")).as("quality_pm"))
     val bucketed = GlobalOrder
@@ -392,7 +396,7 @@ object CorpusOps {
     grpDecCache.rotate(bucketed)
     val (bases, totals) = GlobalOrder.exclusiveOffsetsBy(bucketed, "lang",
       count(lit(1)).as("c"))
-    import spark.implicits._
+    import docs.sparkSession.implicits._
     val offsetsDf = bases.toDF("lang", "bucket", "rn_base")
     val totalsDf = totals.toDF("lang", "n_lang")
     val wLocal = Window.partitionBy(col("lang"), col("bucket"))

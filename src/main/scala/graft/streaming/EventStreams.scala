@@ -309,10 +309,15 @@ object EventStreams {
     * append to an update log, latest state per user selected by the
     * update counter. Oracle: the SAME SQL as batch q149 — the state
     * machine must land on the identical funnel table. */
-  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame =
+    streamingFunnelFrom(Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  /** Same, over an arbitrary (event_id, ts, user_id, event_type)
+    * relation (the multi-month regression spec feeds one). */
+  def streamingFunnelFrom(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
     import spark.implicits._
-    val ev = Tables(spark, dir).events
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val sink = s"funnel_${System.nanoTime()}"
     val q = funnelAdvance(
       FileFeed.orderedStream(spark, ev, nChunks = 8,

@@ -542,6 +542,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grouped deciles match a per-group ntile model on tie-heavy random corpora") {
+    import spark.implicits._
+    // clamp-heavy quality domain: many docs share one score, exactly the
+    // regime where bucketizeForUniqueOrder splits ties across buckets —
+    // the per-lang rank must still be the (quality DESC, doc_id) order
+    val docGen = Gen.listOfN(120, Gen.zip(
+      Gen.oneOf("aa", "bb", "cc"),             // lang
+      Gen.choose(0, 3)))                       // word-count bucket → ties
+    forAllSampled(docGen, n = 5) { raw =>
+      val docs = raw.zipWithIndex.map { case ((lang, w), i) =>
+        (i.toLong, lang, Seq.fill(w + 1)("word").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val got = operators.CorpusOps.groupedDecilesFrom(docs).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      // model: per-lang SQL-spec ntile over (quality DESC, doc_id)
+      got.groupBy(_._2._1).foreach { case (lang, rs) =>
+        val n = rs.length
+        val ordered = rs.sortBy { case (id, (_, q, _)) => (-q, id) }
+        val (q, r) = (n / 10, n % 10)
+        ordered.zipWithIndex.foreach { case ((id, (_, _, dec)), idx) =>
+          val rn = idx + 1
+          val expect =
+            if (rn <= (q + 1) * r) (rn - 1) / (q + 1) + 1
+            else r + (rn - r * (q + 1) - 1) / math.max(q, 1) + 1
+          assert(dec == expect, s"$lang doc $id rank $rn")
+        }
+      }
+    }
+  }
+
   test("k-core peel matches an in-memory model on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(120,

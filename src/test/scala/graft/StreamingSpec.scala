@@ -831,6 +831,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replay of a committed batch mutated the MV")
   }
 
+  test("streaming funnel on a multi-month corpus == batch (feed-ordering regression)") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the bug class this pins: a calendar-field chunking would put the
+    // Feb-02 click (day 2) in an EARLIER chunk than the Jan-20 view
+    // (day 20), breaking the cross-batch event-time order the state
+    // machine requires; value-range binning of the actual ts must not.
+    val ev = Seq(
+      (1L, t("2024-01-20 10:00:00"), 1L, "view"),
+      (2L, t("2024-02-02 09:00:00"), 1L, "click"),
+      (3L, t("2024-03-15 12:00:00"), 1L, "purchase"),
+      (4L, t("2024-01-05 08:00:00"), 2L, "view"),
+      (5L, t("2024-03-01 08:00:00"), 2L, "click"),
+      // filler spreading the ts range so every month lands in its own bin
+      (6L, t("2024-01-01 00:00:00"), 3L, "view"),
+      (7L, t("2024-03-30 23:00:00"), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStreams.streamingFunnelFrom(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    val want = operators.Behavioral.eventFunnelFrom(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(1L)._3 != null, "full cross-month funnel must complete")
+  }
+
   test("streaming funnel: pre-view click never advances, cross-batch stages chain") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
