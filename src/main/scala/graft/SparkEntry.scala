@@ -110,6 +110,7 @@ object SparkEntry {
     "q153_kcore" -> ((s: SparkSession, d: String) => GraphOps.kCore(s, d)),
     "q156_personalized_pagerank" ->
       ((s: SparkSession, d: String) => GraphOps.personalizedPageRank(s, d)),
+    "q165_two_hop_counts" -> (GraphOps.twoHopCounts _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -177,6 +178,7 @@ object SparkEntry {
     "q148_pq_adc_topk"         -> (Similarity.pqAdcTopK _),
     "q151_corpus_diff"         -> (graft.operators.CorpusOps.corpusDiff _),
     "q155_corpus_report"       -> (graft.operators.CorpusOps.corpusReport _),
+    "q166_dedup_savings"       -> (Dedup.dedupSavings _),
     "q157_grouped_deciles"     ->
       (graft.operators.CorpusOps.groupedDeciles _),
     "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
@@ -198,6 +200,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStreams.lateDataAudit(s, d)),
     "q162_streaming_mv" -> (graft.streaming.StreamingMv.streamingMv _),
+    "q164_error_sessions" ->
+      (graft.streaming.EventStreams.errorSessions _),
   )
 
   def queries: Map[String, Q] =
@@ -939,6 +943,20 @@ object SparkEntry {
         |            THEN 2000 * coalesce(t.n_tri, 0) // (d.deg * (d.deg - 1))
         |            ELSE 0 END AS BIGINT) AS cc_pm
         |FROM deg d LEFT JOIN tn t USING (node) ORDER BY d.node""".stripMargin,
+    // q165: friend-of-friend pool — wedge join, distinct, direct
+    // neighbors and self excluded; zero-pool nodes kept.
+    "q165_two_hop_counts" ->
+      s"""WITH $edgeCte,
+        |two AS (SELECT DISTINCT e1.src AS a, e2.dst AS c
+        |        FROM ue e1 JOIN ue e2 ON e1.dst = e2.src
+        |        WHERE e2.dst <> e1.src),
+        |fof AS (SELECT t.a, t.c FROM two t
+        |        ANTI JOIN ue d ON d.src = t.a AND d.dst = t.c),
+        |n AS (SELECT DISTINCT src AS node FROM ue)
+        |SELECT n.node, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_two_hop
+        |FROM n LEFT JOIN (SELECT a, count(*) AS cnt FROM fof GROUP BY 1) f
+        |  ON f.a = n.node
+        |ORDER BY n.node""".stripMargin,
     // q152: endpoint-degree Pearson over the symmetrized edge list; the
     // moment sums are exact integers, the coefficient one double
     // expression over them (identical operation order in both engines).
@@ -1227,6 +1245,34 @@ object SparkEntry {
       |SELECT d.doc_id, CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
       |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q166 oracle: the q129 keep-list chain (same CTEs) joined to token
+    * counts and rolled up per duplicate cluster. */
+  private def dedupSavingsOracle: String =
+    s"""WITH RECURSIVE $minhashAgreeCtes,
+      |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
+      |          UNION SELECT ia, ib FROM escpairs),
+      |ue AS (SELECT ia AS src, ib AS dst FROM pairs
+      |       UNION ALL SELECT ib, ia FROM pairs),
+      |walk(node, reach) AS (
+      |  SELECT DISTINCT src, src FROM ue
+      |  UNION
+      |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+      |),
+      |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node),
+      |kl AS (SELECT d.doc_id,
+      |         CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+      |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+      |tok AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+      |    AS t FROM documents)
+      |SELECT kl.canonical_id, count(*) AS n_docs,
+      |  CAST(sum(tok.t) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(CASE WHEN kl.doc_id <> kl.canonical_id THEN tok.t
+      |           ELSE 0 END) AS BIGINT) AS tokens_saved
+      |FROM kl JOIN tok USING (doc_id)
+      |GROUP BY kl.canonical_id HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
 
   // Minhash funnel CTE chain shared by the q42 and q129 oracles: the
   // char-8-gram FNV hashes, the carry-split UBIGINT family signatures,
@@ -1963,6 +2009,9 @@ object SparkEntry {
         |  a.old_md5, b.new_md5
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |ORDER BY 1""".stripMargin,
+    // q166: the q129 keep-list replay re-aggregated per canonical with
+    // exact per-member token sums.
+    "q166_dedup_savings" -> dedupSavingsOracle,
     // q155: the health-report cross-tab — q114's ntile deciles + q40's
     // md5 canonical rule + q117's contamination set, composed; status
     // priority duplicate > contaminated > clean.
@@ -2488,6 +2537,31 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // q164: the q62 gaps-and-islands replay with per-session error
+    // counts; flag rule in exact integer per-mille.
+    "q164_error_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS eus, event_type FROM events),
+        |l AS (SELECT user_id, eus, event_type,
+        |             lag(eus) OVER (PARTITION BY user_id ORDER BY eus) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, eus, event_type,
+        |             CASE WHEN prev IS NULL OR eus - prev >= 300000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM l),
+        |s AS (SELECT user_id, eus, event_type,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY eus
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(min(eus) AS BIGINT) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_errors,
+        |  CAST(1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       // count(*) AS BIGINT) AS error_pm,
+        |  1000 * sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    // count(*) >= 500 AS flagged
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // q162: the MV invariant — the incrementally-merged snapshot must
     // equal the one-shot aggregate over everything ingested.
     "q162_streaming_mv" ->

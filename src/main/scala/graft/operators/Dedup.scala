@@ -563,4 +563,31 @@ object Dedup {
         floor(col("inter") * lit(1000000.0) / col("u")).as("jac_pm"))
       .orderBy(col("ia"), col("ib"))
   }
+
+  /** Dedup savings report (q166) — what the q129 fuzzy-dedup pass is
+    * WORTH: per near-duplicate cluster (keep-list canonical with >1
+    * member), the member count, total token mass, and the tokens
+    * recovered by dropping the non-canonical members — the number a
+    * curation team reads before scheduling the dedup job (near-dup
+    * members differ slightly, so savings sum each member's own count
+    * exactly rather than multiplying one representative).
+    *
+    * Scale shape: the keep-list is the q129 funnel (band-bounded, CC on
+    * pairs only — documented there); the report adds one doc-keyed join
+    * against the token projection and one canonical-keyed aggregate;
+    * output is one row per DUPLICATE cluster, far below corpus scale. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val kl = fuzzyDedupKeep(spark, dir)
+    val tok = Tables(spark, dir).documents.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("t"))
+    kl.join(tok, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("sum_tokens"),
+        sum(when(col("doc_id") =!= col("canonical_id"), col("t"))
+          .otherwise(0L)).as("tokens_saved"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("canonical_id"))
+  }
 }

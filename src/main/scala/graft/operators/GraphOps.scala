@@ -671,6 +671,41 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Two-hop neighborhoods (q165): per node, the count of DISTINCT
+    * nodes at graph distance exactly two — the friend-of-friend
+    * candidate pool sizing query recommendation pipelines run before
+    * choosing an expansion strategy. Exactly-two means direct neighbors
+    * and the node itself are excluded (one anti-join against the edge
+    * relation).
+    *
+    * Scale shape: the wedge join's fan-out is Σ deg(b)² over mid nodes —
+    * the classic FOF explosion; the distinct collapses it back to
+    * ≤ n² pairs and at production scale a hub cap (sample or truncate
+    * mids above a degree bound, as the dedup tiers cap buckets) bounds
+    * the blow-up — the fixture graph's hubs are mild so the exact form
+    * is the registered query. Joins shuffle on node ids; nothing is
+    * quadratic in the NODE count, only in per-hub degree. */
+  def twoHopCounts(spark: SparkSession, dir: String): DataFrame =
+    twoHopCountsFrom(undirectedEdges(Tables(spark, dir)))
+
+  /** Same, over an arbitrary symmetrized edge relation. */
+  private[graft] def twoHopCountsFrom(ue: DataFrame): DataFrame = {
+    val e1 = ue.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = ue.select(col("src").as("b"), col("dst").as("c"))
+    val two = e1.join(e2, Seq("b"))
+      .filter(col("c") =!= col("a"))
+      .select(col("a"), col("c")).distinct()
+    val fof = two.join(
+      ue.select(col("src").as("a"), col("dst").as("c")),
+      Seq("a", "c"), "left_anti")
+    val nodes = ue.select(col("src").as("node")).distinct()
+    nodes.join(
+        fof.groupBy(col("a").as("node")).agg(count(lit(1)).as("n_two_hop")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .orderBy(col("node"))
+  }
+
   /** Degree assortativity (q152): the Pearson correlation of endpoint
     * degrees over the symmetrized edge list — THE one-number summary of
     * whether hubs attach to hubs (social graphs) or to leaves

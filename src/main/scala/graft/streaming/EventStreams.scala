@@ -84,6 +84,29 @@ object EventStreams {
     sessionAgg(Tables(spark, dir).events)
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Error-burst session detection (q164): the q62 session windows
+    * re-aggregated with per-session error counts and an exact per-mille
+    * error rate; sessions at ≥ 50% errors are flagged — the incident-
+    * detection readout an operations dashboard keeps on the same
+    * sessionization the product analytics use. Mode-agnostic like the
+    * other session aggregates: in streaming mode the merging session
+    * state store maintains the counts incrementally. */
+  def errorSessions(spark: SparkSession, dir: String): DataFrame =
+    errorSessionsAgg(Tables(spark, dir).events)
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Same, mode-agnostic core. */
+  def errorSessionsAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("user_id"), unix_micros(col("win.start")).as("session_start_us"),
+        col("n_events"), col("n_errors"),
+        expr("1000 * n_errors div n_events").as("error_pm"))
+      .withColumn("flagged", col("error_pm") >= 500)
+
   private val GapUs = 5L * 60 * 1000000
 
   private def micros(ts: java.sql.Timestamp): Long = {

@@ -1390,6 +1390,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-hop counts: hand-checked path and triangle") {
+    import spark.implicits._
+    // path 1-2-3: 1 and 3 see each other at distance 2; 2 sees nothing new
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val p = GraphOps.twoHopCountsFrom(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+    // triangle: every 2-path endpoint is already a direct neighbor
+    val t3 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val t = GraphOps.twoHopCountsFrom(t3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("error sessions: counts consistent with plain sessions, flag rule exact") {
+    val es = graft.streaming.EventStreams.errorSessions(spark, sf).collect()
+    assert(es.nonEmpty)
+    es.foreach { r =>
+      val (n, errs, pm, flag) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(errs >= 0 && errs <= n)
+      assert(pm == 1000 * errs / n)
+      assert(flag == (pm >= 500))
+    }
+    // same sessionization as q62: identical (user, start) keys
+    val plain = graft.streaming.EventStreams.sessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es.map(r => (r.getLong(0), r.getLong(1))).toSet == plain)
+  }
+
+  test("dedup savings: totals reconcile with the q129 keep-list") {
+    val sv = Dedup.dedupSavings(spark, sf).collect()
+    assert(sv.forall(_.getLong(1) > 1), "only duplicate clusters")
+    val kl = Dedup.fuzzyDedupKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dropped = kl.filter { case (d, c) => d != c }.map(_._1).toSet
+    val toks = Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantSaved = dropped.toSeq.map(toks).sum
+    assert(sv.map(_.getLong(3)).sum == wantSaved,
+      s"savings ${sv.map(_.getLong(3)).sum} != $wantSaved")
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
