@@ -179,6 +179,7 @@ object SparkEntry {
     "q151_corpus_diff"         -> (graft.operators.CorpusOps.corpusDiff _),
     "q155_corpus_report"       -> (graft.operators.CorpusOps.corpusReport _),
     "q166_dedup_savings"       -> (Dedup.dedupSavings _),
+    "q168_agreement_histogram" -> (Dedup.agreementHistogram _),
     "q157_grouped_deciles"     ->
       (graft.operators.CorpusOps.groupedDeciles _),
     "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
@@ -202,6 +203,10 @@ object SparkEntry {
     "q162_streaming_mv" -> (graft.streaming.StreamingMv.streamingMv _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
+    "q167_session_paths" ->
+      (graft.streaming.EventStreams.sessionPaths _),
+    "q169_return_gaps" ->
+      (graft.streaming.EventStreams.returnGaps _),
   )
 
   def queries: Map[String, Q] =
@@ -2012,6 +2017,12 @@ object SparkEntry {
     // q166: the q129 keep-list replay re-aggregated per canonical with
     // exact per-member token sums.
     "q166_dedup_savings" -> dedupSavingsOracle,
+    // q168: the q42 funnel's candidate relation rolled up by exact
+    // agreement count — the threshold-tuning readout.
+    "q168_agreement_histogram" ->
+      s"""WITH $minhashAgreeCtes
+        |SELECT CAST(agree AS BIGINT) AS agree, count(*) AS n_pairs
+        |FROM withagree GROUP BY 1 ORDER BY 1""".stripMargin,
     // q155: the health-report cross-tab — q114's ntile deciles + q40's
     // md5 canonical rule + q117's contamination set, composed; status
     // priority duplicate > contaminated > clean.
@@ -2537,6 +2548,41 @@ object SparkEntry {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // q169: per-user lag over the islands' session starts.
+    "q169_return_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS eus FROM events),
+        |l AS (SELECT *, lag(eus) OVER (PARTITION BY user_id ORDER BY eus)
+        |             AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR eus - prev >= 300000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY eus
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f),
+        |sess AS (SELECT user_id, CAST(min(eus) AS BIGINT) AS session_start_us,
+        |                count(*) AS n_events
+        |         FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start_us, n_events,
+        |  CAST(coalesce(session_start_us - lag(session_start_us)
+        |    OVER (PARTITION BY user_id ORDER BY session_start_us), -1)
+        |    AS BIGINT) AS gap_us
+        |FROM sess ORDER BY user_id, session_start_us""".stripMargin,
+    // q167: the islands replay with an ordered string_agg — the
+    // (eus, event_id) order matches the Spark sort_array canon.
+    "q167_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS eus,
+        |                  event_type FROM events),
+        |l AS (SELECT *, lag(eus) OVER (PARTITION BY user_id ORDER BY eus)
+        |             AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR eus - prev >= 300000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY eus
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(min(eus) AS BIGINT) AS session_start_us,
+        |  count(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY eus, event_id) AS path
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // q164: the q62 gaps-and-islands replay with per-session error
     // counts; flag rule in exact integer per-mille.
     "q164_error_sessions" ->

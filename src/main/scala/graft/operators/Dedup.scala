@@ -201,6 +201,23 @@ object Dedup {
       .crossJoin(nEsc)
   }
 
+  /** Candidate-agreement histogram (q168) — the threshold-tuning
+    * diagnostic behind the funnel's `agree >= 32` dup rule: how many
+    * candidate pairs agree on exactly k of 64 signature slots. A
+    * bimodal histogram (noise hump low, near-dup spike high) validates
+    * the threshold; mass piling at the cut means the τ needs moving —
+    * the readout a pipeline owner checks before re-tuning minhash
+    * parameters. Same funnel as q42 (band-bounded candidates, guard
+    * applied), so the histogram costs one extra metadata-scale
+    * aggregate over the candidate relation. */
+  def agreementHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val (_, withEst, _, _) = minhashCandidates(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")), 1000)
+    withEst.groupBy(col("agree").cast("long").as("agree"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("agree"))
+  }
+
   /** Fuzzy-dedup keep-list — the ACTION tier on top of the q42 funnel:
     * the same minhash-LSH candidates and agree >= 32 dup rule, then
     * connected components over the dup-pair graph (GraphX min-id labels,

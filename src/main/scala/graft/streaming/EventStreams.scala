@@ -107,6 +107,48 @@ object EventStreams {
         expr("1000 * n_errors div n_events").as("error_pm"))
       .withColumn("flagged", col("error_pm") >= 500)
 
+  /** Session path extraction (q167) — the clickstream readout: per
+    * session, the '>'-joined sequence of event types in (ts, event_id)
+    * order. The sequence is assembled per GROUP (collect_list under a
+    * session_window aggregate, canonicalized by sort_array on the
+    * (ts, event_id, type) struct — collect order is partition-dependent,
+    * the sort makes it exact), so no window function and no global
+    * state: the heavy lifting is one session-merging aggregate, path
+    * length bounded by session length. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))).as("seq"))
+      .select(col("user_id"),
+        unix_micros(col("win.start")).as("session_start_us"),
+        col("n_events"),
+        array_join(transform(col("seq"), e => e.getField("event_type")), ">")
+          .as("path"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Return-visit gaps (q169): per session, the time since the same
+    * user's PREVIOUS session started (−1 for the first) — the
+    * re-engagement interval behind retention modeling, computed as a
+    * per-user lag over the session relation (sessions per user are
+    * bounded; the window is user-partitioned, never global). */
+  def returnGaps(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("win.start")).as("session_start_us"), col("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start_us"))
+    sessions
+      .withColumn("gap_us",
+        coalesce(col("session_start_us")
+          - lag(col("session_start_us"), 1).over(w), lit(-1L)))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   private val GapUs = 5L * 60 * 1000000
 
   private def micros(ts: java.sql.Timestamp): Long = {
