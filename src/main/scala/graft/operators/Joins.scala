@@ -51,13 +51,17 @@ object Joins {
     * on (user, probe) into a max_by partial+final aggregate — no window,
     * no sort, map-side combinable. The ts ≤ probe inequality join
     * against a 4-row broadcast is a fan-out of ≤ |probes| per event. */
-  def pointInTime(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def pointInTime(spark: SparkSession, dir: String): DataFrame =
+    pointInTimeFrom(Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value")))
+
+  /** Same, over an arbitrary (event_id, user_id, ts, value) relation. */
+  def pointInTimeFrom(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val probes = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
       .toDF("probe_date")
       .withColumn("pts", to_timestamp(col("probe_date"), "yyyy-MM-dd"))
-    Tables(spark, dir).events
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    ev
       .join(broadcast(probes), col("ts") <= col("pts"))
       .groupBy(col("user_id"), col("probe_date"))
       .agg(max_by(struct(col("event_id"), col("value")),

@@ -572,6 +572,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-time lookup matches an in-memory as-of model on random events") {
+    import spark.implicits._
+    val probes = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+      .map(p => p -> java.sql.Timestamp.valueOf(s"$p 00:00:00").getTime)
+    val evGen = Gen.listOfN(80, Gen.zip(
+      Gen.choose(1L, 5L),                      // user
+      Gen.choose(0L, 29L * 24 * 3600),         // seconds offset into January
+      Gen.choose(-100, 100)))                  // value
+    forAllSampled(evGen, n = 5) { raw =>
+      val evs = raw.zipWithIndex.map { case ((u, off, v), i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + off * 1000), u,
+          v.toDouble)
+      }
+      val got = operators.Joins.pointInTimeFrom(
+        evs.toDF("event_id", "ts", "user_id", "value")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      // model: per (user, probe) the latest event at or before the probe
+      // by (ts, event_id)
+      val want = (for {
+        u <- evs.map(_._3).distinct
+        (p, pMs) <- probes
+        best = evs.filter(e => e._3 == u && e._2.getTime <= pMs)
+          .sortBy(e => (e._2.getTime, e._1)).lastOption
+        b <- best
+      } yield (u, p) -> (b._1, b._4)).toMap
+      assert(got == want)
+    }
+  }
+
   test("k-core peel matches an in-memory model on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(120,

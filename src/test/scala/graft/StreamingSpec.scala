@@ -169,6 +169,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming error sessions == batch q164 (merging session state)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val evs = batchEvents
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+      999999L, "sentinel", 0.0, "{}")
+    val ms = MemoryStream[Ev]
+    val sink = s"err_sess_${System.nanoTime()}"
+    val q = EventStreams.errorSessionsAgg(
+        ms.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      ms.addData(evs); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      val got = spark.table(sink)
+        .filter(col("user_id") =!= 999999L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      val want = EventStreams.errorSessions(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming decontamination (stream-static broadcast join) == batch q117") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
