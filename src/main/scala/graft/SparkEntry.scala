@@ -71,6 +71,7 @@ object SparkEntry {
     "q66_cached_reuse"      -> (graft.operators.Sources.cachedReuse _),
     "q69_parse_timestamps"  -> (graft.operators.Sources.parseTimestamps _),
     "q161_malformed_ingest" -> (graft.operators.Sources.malformedIngest _),
+    "q171_integrity_audit"  -> (Relational.integrityAudit _),
     "q149_event_funnel"     -> (graft.operators.Behavioral.eventFunnel _),
     "q150_cohort_retention" ->
       (graft.operators.Behavioral.cohortRetention _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q156_personalized_pagerank" ->
       ((s: SparkSession, d: String) => GraphOps.personalizedPageRank(s, d)),
     "q165_two_hop_counts" -> (GraphOps.twoHopCounts _),
+    "q172_reciprocity" -> (GraphOps.reciprocity _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -180,6 +182,8 @@ object SparkEntry {
     "q155_corpus_report"       -> (graft.operators.CorpusOps.corpusReport _),
     "q166_dedup_savings"       -> (Dedup.dedupSavings _),
     "q168_agreement_histogram" -> (Dedup.agreementHistogram _),
+    "q170_quality_drift"       ->
+      (graft.operators.CorpusOps.qualityDrift _),
     "q157_grouped_deciles"     ->
       (graft.operators.CorpusOps.groupedDeciles _),
     "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
@@ -545,6 +549,36 @@ object SparkEntry {
         |           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: each relationship = one anti-join count against the parent
+    // key set.
+    "q171_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL) AS n_dangling
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders x LEFT JOIN customer c
+        |       ON x.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer x LEFT JOIN nation n
+        |       ON x.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'nation->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation x LEFT JOIN region r
+        |       ON x.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'supplier->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier x LEFT JOIN nation n
+        |       ON x.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL))
+        |ORDER BY relationship""".stripMargin,
     // q149: strict-ordering funnel — each stage's timestamp is the
     // earliest occurrence AFTER the previous stage; stages chain via
     // min-joins, so the replay is definitional.
@@ -925,6 +959,17 @@ object SparkEntry {
         |            ELSE CAST(count(*) - 1 AS DOUBLE) / CAST(sum(cost) AS DOUBLE)
         |       END AS closeness
         |FROM mc GROUP BY origin ORDER BY origin""".stripMargin,
+    // q172: edges with an existing reverse / all edges; ratio is one
+    // double division over exact longs.
+    "q172_reciprocity" ->
+      s"""WITH $edgeCte,
+        |r AS (SELECT count(*) AS n_reciprocated FROM e
+        |      SEMI JOIN (SELECT dst AS src, src AS dst FROM e) x
+        |      USING (src, dst))
+        |SELECT (SELECT count(*) FROM e) AS n_edges, r.n_reciprocated,
+        |  CAST(r.n_reciprocated AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity
+        |FROM r""".stripMargin,
     // q147: per-vertex triangles via the plain unoriented wedge join
     // (the Spark side's degree orientation changes the enumeration
     // order, not the per-corner counts); coefficient in exact integer
@@ -1996,6 +2041,45 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q170: per-source exact quality sums per snapshot; drift as an
+    // exact rational (num/den) — integer division on negatives is the
+    // one div/floor divergence between the engines, so none is taken.
+    "q170_quality_drift" ->
+      """WITH olddocs AS (
+        |  SELECT source, text FROM documents WHERE doc_id % 5 <> 4),
+        |newdocs AS (
+        |  SELECT source, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |                      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |qa AS (SELECT source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS q FROM olddocs),
+        |qb AS (SELECT source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS q FROM newdocs),
+        |a AS (SELECT source, count(*) AS old_n,
+        |        CAST(sum(q) AS BIGINT) AS old_q_sum FROM qa GROUP BY 1),
+        |b AS (SELECT source, count(*) AS new_n,
+        |        CAST(sum(q) AS BIGINT) AS new_q_sum FROM qb GROUP BY 1)
+        |SELECT coalesce(a.source, b.source) AS source,
+        |  CAST(coalesce(old_n, 0) AS BIGINT) AS old_n,
+        |  CAST(coalesce(new_n, 0) AS BIGINT) AS new_n,
+        |  CAST(coalesce(old_q_sum, 0) AS BIGINT) AS old_q_sum,
+        |  CAST(coalesce(new_q_sum, 0) AS BIGINT) AS new_q_sum,
+        |  CAST(coalesce(new_q_sum, 0) * coalesce(old_n, 0)
+        |     - coalesce(old_q_sum, 0) * coalesce(new_n, 0) AS BIGINT)
+        |    AS drift_num,
+        |  CAST(coalesce(old_n, 0) * coalesce(new_n, 0) AS BIGINT) AS drift_den
+        |FROM a FULL OUTER JOIN b ON a.source = b.source
+        |ORDER BY source""".stripMargin,
     // q151: snapshot diff by content digest — version A drops
     // doc_id%5==4, version B drops %5==0 and revises %7==0; status from
     // null-ness and digest equality across the full-outer join.

@@ -451,6 +451,43 @@ object CorpusOps {
       .orderBy(col("decile"), col("status"))
   }
 
+  /** Per-source quality drift (q170) — the monitoring readout between
+    * corpus snapshots (same A/B split as q151): per source, document
+    * counts and EXACT integer quality sums for both versions plus the
+    * drift of the mean in per-mille (old/new means compared as exact
+    * integer cross-products — no float division). A souring source
+    * (crawler regression, template change) shows as negative drift
+    * before it poisons training. One scored scan per side, one
+    * source-keyed aggregate — metadata out. */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def scored(side: DataFrame) = side.select(col("source"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+    val a = scored(docs.filter(col("doc_id") % 5 =!= 4))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("old_n"), sum(col("q")).as("old_q_sum"))
+    val b = scored(docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("new_n"), sum(col("q")).as("new_q_sum"))
+    a.join(b, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"),
+        coalesce(col("old_q_sum"), lit(0L)).as("old_q_sum"),
+        coalesce(col("new_q_sum"), lit(0L)).as("new_q_sum"))
+      // drift of the mean as an exact RATIONAL (num/den) — a division
+      // here would hit the div-truncates vs //-floors divergence on
+      // NEGATIVE drift, the one place the engines' integer division
+      // disagrees; the sign lives in the numerator
+      .withColumn("drift_num",
+        col("new_q_sum") * col("old_n") - col("old_q_sum") * col("new_n"))
+      .withColumn("drift_den", col("old_n") * col("new_n"))
+      .orderBy(col("source"))
+  }
+
   /** Incremental corpus diff (q151) — the snapshot-to-snapshot delta a
     * pipeline computes before an incremental re-crawl/re-train: which
     * documents were added, removed, changed, or kept between corpus

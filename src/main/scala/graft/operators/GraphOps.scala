@@ -706,6 +706,25 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Graph reciprocity (q172): the fraction of directed edges whose
+    * reverse edge also exists — 1.0 for mutual-follow graphs, ≈0 for
+    * strict hierarchies; the one-number directionality summary read
+    * before deciding whether symmetrization loses information. Exact
+    * integer counts (edges, reciprocated) plus the double ratio (one
+    * division over exact longs, IEEE-identical like q134's closeness).
+    * One self-semi-join on the reversed key — edge-keyed shuffle, no
+    * iteration. */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val de = directedEdges(Tables(spark, dir))
+    val recip = de.join(
+      de.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    de.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocated")))
+      .withColumn("reciprocity",
+        col("n_reciprocated").cast("double") / col("n_edges").cast("double"))
+  }
+
   /** Degree assortativity (q152): the Pearson correlation of endpoint
     * degrees over the symmetrized edge list — THE one-number summary of
     * whether hubs attach to hubs (social graphs) or to leaves

@@ -639,4 +639,39 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_id"))
       .limit(500)
+
+  /** Referential-integrity audit (q171) — the data-quality gate a
+    * warehouse runs after every load: for each foreign-key relationship
+    * in the star schema, total child rows and how many dangle (no
+    * matching parent). Each check is one left-anti join against the
+    * parent's key projection (broadcast for dimensions, key-shuffle for
+    * the fact chain) + a count — linear per relationship, the exact
+    * shape of the reference's CSR verify pass re-aimed at relational
+    * constraints. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def check(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val dangling = child
+        .join(parent.select(col(parentKey).as(childKey)),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_dangling"))
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(dangling)
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_dangling"))
+    }
+    check("lineitem->orders", t.lineitem.select(col("l_orderkey")),
+        "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(check("orders->customer", t.orders.select(col("o_custkey")),
+        "o_custkey", t.customer, "c_custkey"))
+      .unionByName(check("customer->nation",
+        t.customer.select(col("c_nationkey")),
+        "c_nationkey", t.nation, "n_nationkey"))
+      .unionByName(check("nation->region", t.nation.select(col("n_regionkey")),
+        "n_regionkey", t.region, "r_regionkey"))
+      .unionByName(check("supplier->nation",
+        t.supplier.select(col("s_nationkey")),
+        "s_nationkey", t.nation, "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
 }

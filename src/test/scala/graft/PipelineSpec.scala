@@ -1436,6 +1436,46 @@ class PipelineSpec extends AnyFunSuite {
       s"savings ${sv.map(_.getLong(3)).sum} != $wantSaved")
   }
 
+  test("quality drift: exact rational sign agrees with float means; splits correct") {
+    val rows = operators.CorpusOps.qualityDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (oldN, newN, oldQ, newQ, num, den) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(den == oldN * newN)
+      assert(num == newQ * oldN - oldQ * newN)
+      if (oldN > 0 && newN > 0) {
+        val floatDrift = newQ.toDouble / newN - oldQ.toDouble / oldN
+        assert(math.signum(num.toDouble) == math.signum(floatDrift) ||
+          floatDrift == 0.0, s"${r.getString(0)}")
+      }
+    }
+  }
+
+  test("integrity audit: star-schema fixture has zero dangling keys") {
+    val rows = operators.Relational.integrityAudit(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)} dangles")
+      assert(r.getLong(1) > 0L)
+    }
+    // row counts match the raw tables
+    val t = Tables(spark, sf)
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("lineitem->orders") == t.lineitem.count())
+    assert(counts("orders->customer") == t.orders.count())
+  }
+
+  test("reciprocity: matches an in-memory recount over the directed edges") {
+    val r = GraphOps.reciprocity(spark, sf).head()
+    val edges = GraphOps.directedEdges(Tables(spark, sf)).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recip = edges.count { case (s, d) => edges.contains((d, s)) }
+    assert(r.getLong(0) == edges.size && r.getLong(1) == recip)
+    assert(r.getDouble(2) == recip.toDouble / edges.size)
+  }
+
   test("PQ ADC top-k matches an in-memory model exactly") {
     val emb = Tables(spark, sf).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
