@@ -994,18 +994,31 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS cc_pm
         |FROM deg d LEFT JOIN tn t USING (node) ORDER BY d.node""".stripMargin,
     // q165: friend-of-friend pool — wedge join, distinct, direct
-    // neighbors and self excluded; zero-pool nodes kept.
+    // neighbors and self excluded; zero-pool nodes kept. Mids with
+    // degree above the wired hub cap (256, = GraphOps.TwoHopMidDegCap)
+    // generate no wedges; their skipped mass is reported in the two
+    // summary columns (0 on the fixture, whose max degree is ~34).
     "q165_two_hop_counts" ->
       s"""WITH $edgeCte,
+        |deg AS (SELECT src AS b, CAST(count(*) AS BIGINT) AS mdeg
+        |        FROM ue GROUP BY 1),
+        |hot AS (SELECT b, mdeg FROM deg WHERE mdeg > 256),
+        |capped AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_mids,
+        |                  CAST(coalesce(sum(mdeg * (mdeg - 1)), 0) AS BIGINT)
+        |                    AS n_capped_wedges
+        |           FROM hot),
         |two AS (SELECT DISTINCT e1.src AS a, e2.dst AS c
         |        FROM ue e1 JOIN ue e2 ON e1.dst = e2.src
-        |        WHERE e2.dst <> e1.src),
+        |        WHERE e2.dst <> e1.src
+        |          AND e1.dst NOT IN (SELECT b FROM hot)),
         |fof AS (SELECT t.a, t.c FROM two t
         |        ANTI JOIN ue d ON d.src = t.a AND d.dst = t.c),
         |n AS (SELECT DISTINCT src AS node FROM ue)
-        |SELECT n.node, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_two_hop
+        |SELECT n.node, CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_two_hop,
+        |       capped.n_capped_mids, capped.n_capped_wedges
         |FROM n LEFT JOIN (SELECT a, count(*) AS cnt FROM fof GROUP BY 1) f
         |  ON f.a = n.node
+        |CROSS JOIN capped
         |ORDER BY n.node""".stripMargin,
     // q152: endpoint-degree Pearson over the symmetrized edge list; the
     // moment sums are exact integers, the coefficient one double

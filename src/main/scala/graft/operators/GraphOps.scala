@@ -679,18 +679,40 @@ object GraphOps {
     * relation).
     *
     * Scale shape: the wedge join's fan-out is Σ deg(b)² over mid nodes —
-    * the classic FOF explosion; the distinct collapses it back to
-    * ≤ n² pairs and at production scale a hub cap (sample or truncate
-    * mids above a degree bound, as the dedup tiers cap buckets) bounds
-    * the blow-up — the fixture graph's hubs are mild so the exact form
-    * is the registered query. Joins shuffle on node ids; nothing is
-    * quadratic in the NODE count, only in per-hub degree. */
+    * the classic FOF explosion. The registered query wires the
+    * [[BucketGuard]] discipline the dedup funnels use: mid nodes whose
+    * degree exceeds `midDegCap` are excluded from wedge generation (one
+    * anti join of the a→mid side against the tiny hot-mid list — empty
+    * on a healthy graph, so AQE broadcasts it) and their skipped mass is
+    * reported in two summary columns, `n_capped_mids` (hot mids) and
+    * `n_capped_wedges` (Σ deg·(deg−1) over them — the ordered 2-paths
+    * the cap refused to materialize). Under the cap the result is exact
+    * (the fixture graph's max degree is ~34, far below the 256 default),
+    * and above it per-hub cost is bounded by cap² instead of the hub's
+    * true deg². Joins shuffle on node ids; nothing is quadratic in the
+    * NODE count, only in per-(capped)-mid degree. */
   def twoHopCounts(spark: SparkSession, dir: String): DataFrame =
-    twoHopCountsFrom(undirectedEdges(Tables(spark, dir)))
+    twoHopCountsFrom(undirectedEdges(Tables(spark, dir)), TwoHopMidDegCap)
 
-  /** Same, over an arbitrary symmetrized edge relation. */
-  private[graft] def twoHopCountsFrom(ue: DataFrame): DataFrame = {
+  /** Registered mid-degree bound for q165 — mirrored literally in the
+    * oracle SQL; keep the two in sync. */
+  private[graft] val TwoHopMidDegCap = 256
+
+  /** Same, over an arbitrary symmetrized edge relation. `midDegCap`
+    * bounds the degree of mid (wedge-center) nodes: hubs above the cap
+    * contribute NO wedges (their skipped mass is reported instead), so
+    * a power-law hub cannot make one task quadratic in its degree. */
+  private[graft] def twoHopCountsFrom(
+      ue: DataFrame, midDegCap: Int = Int.MaxValue): DataFrame = {
+    val hot = ue.groupBy(col("src").as("b")).agg(count(lit(1)).as("_mdeg"))
+      .filter(col("_mdeg") > midDegCap)
+      .persist()
+    val capped = hot.agg(
+      count(lit(1)).as("n_capped_mids"),
+      coalesce(sum(col("_mdeg") * (col("_mdeg") - lit(1L))), lit(0L))
+        .as("n_capped_wedges"))
     val e1 = ue.select(col("src").as("a"), col("dst").as("b"))
+      .join(hot.select(col("b")), Seq("b"), "left_anti")
     val e2 = ue.select(col("src").as("b"), col("dst").as("c"))
     val two = e1.join(e2, Seq("b"))
       .filter(col("c") =!= col("a"))
@@ -703,6 +725,7 @@ object GraphOps {
         fof.groupBy(col("a").as("node")).agg(count(lit(1)).as("n_two_hop")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .crossJoin(broadcast(capped))
       .orderBy(col("node"))
   }
 

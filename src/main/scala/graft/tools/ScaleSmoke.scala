@@ -308,6 +308,27 @@ object ScaleSmoke {
       }
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
+      // two-hop hub cap (q165's guard): a degenerate planted hub of
+      // degree 20k·mult grafted onto the amplified graph. Uncapped, the
+      // hub alone contributes ~4·10⁸·mult² wedges to one join key; with
+      // the registered 256 cap the hub is refused and wedge mass stays
+      // bounded by the mild-degree remainder — this row's cost must
+      // track the OTHER graph rows linearly, and the skipped-mass
+      // summary must carry exactly the hub's deg·(deg−1).
+      time(s"two_hop_capped_hub") {
+        val hubId = mult * 10000000L + 999999L
+        val hubDeg = 20000L * mult
+        val hub = spark.range(1, hubDeg + 1)
+          .select(lit(hubId).as("src"), col("id").as("dst"))
+        val ueHub = ue.union(hub)
+          .union(hub.select(col("dst").as("src"), col("src").as("dst")))
+        val th = graft.operators.GraphOps
+          .twoHopCountsFrom(ueHub, midDegCap = 256)
+        val first = th.head()
+        println(s"[scale]   two-hop: capped_mids=${first.getLong(2)} " +
+          s"capped_wedges=${first.getLong(3)} (hub deg=$hubDeg)")
+        th.count()
+      }
       // per-vertex attribution (q147's shape): the same oriented wedge
       // join plus an explode + count over TRIANGLE rows — must track the
       // triangle_count row above, not add a new asymptotic term.

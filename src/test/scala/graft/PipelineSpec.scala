@@ -1405,6 +1405,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(t == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("two-hop counts: planted hub is capped and its mass reported") {
+    import spark.implicits._
+    // star: hub 1000 ↔ leaves 1..100 (degree 100), plus a mild path
+    // 5000-5001-5002 untouched by the cap
+    val star = (1L to 100L).flatMap(l => Seq((1000L, l), (l, 1000L)))
+    val path = Seq((5000L, 5001L), (5001L, 5000L),
+      (5001L, 5002L), (5002L, 5001L))
+    val ue = (star ++ path).toDF("src", "dst")
+    // uncapped: each leaf sees the 99 other leaves; summary columns 0
+    val exact = GraphOps.twoHopCountsFrom(ue).collect()
+    assert(exact.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    val em = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(em(1L) == 99L && em(1000L) == 0L && em(5000L) == 1L)
+    // cap 64 < hub degree 100: hub-mediated wedges refused, the mild
+    // path's exact counts survive, skipped mass = deg·(deg−1) = 9900
+    val capped = GraphOps.twoHopCountsFrom(ue, midDegCap = 64).collect()
+    assert(capped.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == 100L * 99L))
+    val cm = capped.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm(1L) == 0L && cm(1000L) == 0L)
+    assert(cm(5000L) == 1L && cm(5001L) == 0L && cm(5002L) == 1L)
+    // the registered cap (256) leaves this graph exact
+    val reg = GraphOps
+      .twoHopCountsFrom(ue, midDegCap = GraphOps.TwoHopMidDegCap).collect()
+    assert(reg.map(r => r.getLong(0) -> r.getLong(1)).toMap == em)
+    assert(reg.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("error sessions: counts consistent with plain sessions, flag rule exact") {
     val es = graft.streaming.EventStreams.errorSessions(spark, sf).collect()
     assert(es.nonEmpty)
