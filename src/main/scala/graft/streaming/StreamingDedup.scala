@@ -15,15 +15,20 @@ import org.apache.spark.sql.streaming.Trigger
   * `foreachBatch` (the same pattern the reference covers only as one-shot
   * batch dedup; its streaming surface has no near-dup tier).
   *
-  * Store layout (all artifacts batch-keyed, see exactly-once below):
+  * Store layout (all artifacts batch-keyed, see exactly-once below; the
+  * joinable stores — bands and the semantic tier's asg — add a second
+  * `pb=` level, hash(join key) mod [[StoreBuckets]], so the per-batch
+  * candidate join partition-prunes to the buckets the batch touches):
   * {{{
-  *   store/sigs/b=N    (doc_id, sig)                     minhash signatures
-  *   store/bands/b=N   (doc_id, band_idx, band_val)      pre-exploded bands
-  *   store/ids/b=N     (doc_id, md5)                     every seen doc
-  *   store/pairs/b=N   (ia, ib, band_idx, band_val)      verified dup pairs,
+  *   store/sigs/b=N       (doc_id, sig)                  minhash signatures
+  *   store/bands/b=N/pb=K (doc_id, band_idx, band_val)   pre-exploded bands,
+  *                                                       K = hash(band key)
+  *                                                       mod 64
+  *   store/ids/b=N        (doc_id, md5)                  every seen doc
+  *   store/pairs/b=N      (ia, ib, band_idx, band_val)   verified dup pairs,
   *                                                       keyed by the bucket
   *                                                       that generated them
-  *   store/counts/b=N  (band_idx, band_val, n)           CUMULATIVE bucket
+  *   store/counts/b=N     (band_idx, band_val, n)        CUMULATIVE bucket
   *                                                       counts through N
   * }}}
   *
@@ -74,8 +79,12 @@ import org.apache.spark.sql.streaming.Trigger
   * Scale shape: per-batch work is |batch| signature computation, an
   * O(batch + touched-buckets) counts merge, and a band-key equi-join
   * against the stored band rows — a shuffle on (band_idx, band_val),
-  * never all-pairs and never a full-store re-aggregation. Store probes go
-  * through Hadoop `FileSystem`, so the store can live on HDFS/S3.
+  * never all-pairs and never a full-store re-aggregation. The store side
+  * of that join is partition-pruned to the batch's touched hash buckets
+  * (`pb=` dirs), so its READ mass tracks the batch's key spread, not the
+  * accumulated store size — a trailing small batch against a season of
+  * corpus reads touched/64 of the band store. Store probes go through
+  * Hadoop `FileSystem`, so the store can live on HDFS/S3.
   */
 object StreamingDedup {
 
@@ -103,10 +112,50 @@ object StreamingDedup {
       spark.read.parquet(root).filter(col("b") < before).drop("b")
     else emptyLike.limit(0)
 
+  /** Hash-bucket fan-out of the band/assignment stores: each batch's
+    * rows are written under `b=N/pb=K` where K = hash(join key) mod
+    * this. The per-batch candidate equi-join then reads ONLY the
+    * buckets the batch's own keys touch (equal keys hash to the same
+    * bucket, so pruning is lossless) — directory-level partition
+    * pruning, no data file of an untouched bucket is ever opened. A
+    * small trailing batch against a large accumulated store reads
+    * touched-buckets/64 of it instead of all of it — the store-layout
+    * fix for the last O(store)-per-batch term. */
+  private[graft] val StoreBuckets = 64
+
+  private def bucketCol(keys: Seq[String]) =
+    pmod(hash(keys.map(col): _*), lit(StoreBuckets))
+
+  /** The ≤[[StoreBuckets]] bucket ids a batch's join keys touch —
+    * a bounded (metadata-scale) driver collect. */
+  private def touchedBuckets(rows: DataFrame, keys: Seq[String]): Seq[Int] =
+    rows.select(bucketCol(keys).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Accumulated rows from batches before `before` restricted to the
+    * given hash buckets — both filters are on partition directory
+    * columns, so the scan plans only the touched `b=`/`pb=` dirs. */
+  private def readBeforeBuckets(spark: SparkSession, root: String,
+      before: Long, emptyLike: DataFrame, touched: Seq[Int]): DataFrame =
+    if (pathExists(spark, root))
+      spark.read.parquet(root)
+        .filter(col("b") < before && col("pb").isin(touched: _*))
+        .drop("b", "pb")
+    else emptyLike.limit(0)
+
+  /** Write a batch artifact hash-bucketed by its join key: one
+    * batch-local shuffle into ~[[StoreBuckets]] tasks so each `pb=` dir
+    * gets one file, not one per task. */
+  private def writeBucketed(rows: DataFrame, keys: Seq[String],
+      path: String): Unit =
+    rows.withColumn("pb", bucketCol(keys))
+      .repartition(StoreBuckets, col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(path)
+
   /** All committed artifact rows (assembly-time read). */
   private def readAll(spark: SparkSession, root: String,
       emptyLike: => DataFrame): DataFrame =
-    if (pathExists(spark, root)) spark.read.parquet(root).drop("b")
+    if (pathExists(spark, root)) spark.read.parquet(root).drop("b", "pb")
     else emptyLike.limit(0)
 
   private def pruneSnapshots(spark: SparkSession, countsDir: String,
@@ -154,7 +203,10 @@ object StreamingDedup {
       // provenance key; skipping here just avoids the quadratic work.
       val hotNow = counts.filter(col("n") > maxBucket)
         .select(col("band_idx"), col("band_val"))
-      val oldBands = readBefore(spark, s"$storeDir/bands", batchId, newBands)
+      // store read pruned to the hash buckets this batch's band keys
+      // touch — a trailing small batch reads a fraction of the store
+      val oldBands = readBeforeBuckets(spark, s"$storeDir/bands", batchId,
+        newBands, touchedBuckets(newBands, Seq("band_idx", "band_val")))
       val kept = newBands.join(hotNow, Seq("band_idx", "band_val"),
         "left_anti")
       val keptOld = oldBands.join(hotNow, Seq("band_idx", "band_val"),
@@ -192,7 +244,8 @@ object StreamingDedup {
       verified.write.mode("overwrite").parquet(s"$storeDir/pairs/b=$batchId")
       sigs.select(col("doc_id"), col("sig"))
         .write.mode("overwrite").parquet(s"$storeDir/sigs/b=$batchId")
-      newBands.write.mode("overwrite").parquet(s"$storeDir/bands/b=$batchId")
+      writeBucketed(newBands, Seq("band_idx", "band_val"),
+        s"$storeDir/bands/b=$batchId")
       batch.select(col("doc_id"), md5(col("text")).as("md5"))
         .write.mode("overwrite").parquet(s"$storeDir/ids/b=$batchId")
       // the commit marker — written last
@@ -314,7 +367,8 @@ object StreamingDedup {
       val delta = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       val counts = mergedCounts(spark, countsDir, batchId, delta, Seq("cell"))
       val hotNow = counts.filter(col("n") > maxCell).select(col("cell"))
-      val old = readBefore(spark, s"$storeDir/asg", batchId, asg)
+      val old = readBeforeBuckets(spark, s"$storeDir/asg", batchId, asg,
+        touchedBuckets(asg, Seq("cell")))
       val newIn = asg.join(hotNow, Seq("cell"), "left_anti")
       val oldIn = old.join(hotNow, Seq("cell"), "left_anti")
       val within = newIn.alias("a").join(newIn.alias("b"),
@@ -330,7 +384,7 @@ object StreamingDedup {
         .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
       within.unionByName(cross).distinct()
         .write.mode("overwrite").parquet(s"$storeDir/dropped/b=$batchId")
-      asg.write.mode("overwrite").parquet(s"$storeDir/asg/b=$batchId")
+      writeBucketed(asg, Seq("cell"), s"$storeDir/asg/b=$batchId")
       counts.write.mode("overwrite").parquet(s"$countsDir/b=$batchId")
       pruneSnapshots(spark, countsDir, batchId)
     } finally asg.unpersist()

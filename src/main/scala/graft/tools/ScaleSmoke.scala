@@ -200,6 +200,33 @@ object ScaleSmoke {
             docs.filter(pmod(col("doc_id"), lit(8)) === i), storeDir, i)
           println(f"[scale]   streaming batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
         }
+        // store-pruning evidence: the band store is hash-bucketed on its
+        // join key (pb= dirs); a single doc's band keys touch ≤16 of the
+        // 64 buckets, so the per-batch store read for a 1-doc trailing
+        // batch opens only those buckets' FILES — read mass must track
+        // the touched-bucket count, not the accumulated store size.
+        val bands = spark.read.parquet(s"$storeDir/bands")
+        val totalRows = bands.count()
+        val touched = bands.filter(col("doc_id") === 1)
+          .select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+        val pruned = bands.filter(col("pb").isin(touched: _*))
+        val qe = pruned.queryExecution
+        val prunedRows = qe.toRdd.count()
+        val files = qe.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+        val totFiles = {
+          val q2 = bands.queryExecution
+          q2.toRdd.count()
+          q2.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numFiles").value
+          }.sum
+        }
+        println(s"[scale]   band store pruning: buckets=${touched.length}/" +
+          s"${graft.streaming.StreamingDedup.StoreBuckets} " +
+          s"rows=$prunedRows/$totalRows files=$files/$totFiles")
         val k = graft.streaming.StreamingDedup.keepList(spark, storeDir)
         val merged = k.filter(col("doc_id") =!= col("canonical_id")).count()
         println(s"[scale]   streaming keep-list: docs=${k.count()} merged=$merged")
