@@ -1040,25 +1040,16 @@ object SparkEntry {
         |    / sqrt(CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DOUBLE))
         |    AS assortativity
         |FROM wd""".stripMargin,
-    // q153: the fixed four-round k=2 peel unrolled — each round drops
-    // nodes with residual degree < 2 and keeps only edges between
-    // survivors, exactly the Spark loop's semantics.
+    // q153: the k=2 run-to-fixpoint peel — each round drops nodes with
+    // residual degree < 2 and keeps only edges between survivors. The
+    // Spark side iterates until no node drops; the oracle unrolls the
+    // fixture's realized round count plus slack (post-fixpoint rounds
+    // are the identity, so the longer unroll is exact).
     "q153_kcore" ->
       s"""WITH $edgeCte,
-        |k1 AS (SELECT src AS node FROM ue GROUP BY 1 HAVING count(*) >= 2),
-        |e1 AS (SELECT e.src, e.dst FROM ue e
-        |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
-        |k2 AS (SELECT src AS node FROM e1 GROUP BY 1 HAVING count(*) >= 2),
-        |e2 AS (SELECT e.src, e.dst FROM e1 e
-        |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
-        |k3 AS (SELECT src AS node FROM e2 GROUP BY 1 HAVING count(*) >= 2),
-        |e3 AS (SELECT e.src, e.dst FROM e2 e
-        |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node),
-        |k4 AS (SELECT src AS node FROM e3 GROUP BY 1 HAVING count(*) >= 2),
-        |e4 AS (SELECT e.src, e.dst FROM e3 e
-        |       JOIN k4 a ON e.src = a.node JOIN k4 b ON e.dst = b.node)
+        |${kCoreUnrollCtes(6)}
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS residual_deg
-        |FROM e4 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->
@@ -1236,6 +1227,50 @@ object SparkEntry {
   // the coarse quantizer (16 lowest-id vectors, driver-normalized in
   // Spark, normalized the same way here) and the per-vector cell-score
   // array, all in strict-fold double arithmetic.
+  /** The q153 peel unroll: one (survivor filter → edge restriction)
+    * block per round, MATERIALIZED so DuckDB evaluates each round once
+    * instead of inlining the doubly-referenced chain exponentially.
+    * Rounds past the fixpoint are the identity, so the caller passes
+    * realized-rounds-plus-slack. */
+  private def kCoreUnrollCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) "ue" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM $prev
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+         |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** The q158 trained-codebook CTE unroll: one (distance → argmin →
+    * floor-mean update → codeword merge) block per Lloyd round,
+    * GENERATED from the same [[operators.Similarity.PqTrainIters]]
+    * constant the Spark side trains with — the iteration count cannot
+    * desynchronize between the operator and its oracle. Each block is
+    * exactly the q142 replay shape restricted to one sub-space's 16
+    * components; empty codewords carry the previous round's forward. */
+  private def pqLloydUnrollCtes: String =
+    (1 to operators.Similarity.PqTrainIters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v.vec_id, v.m, v.sv, c.j,
+         |    CAST(list_sum(list_transform(range(1, 17),
+         |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
+         |  FROM sv v JOIN cb${i - 1} c ON c.m = v.m),
+         |a$i AS MATERIALIZED (SELECT vec_id, m, sv, j FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |     ORDER BY d, j) AS rk FROM d$i) WHERE rk = 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT m, j, i.i AS comp,
+         |    CAST(floor(CAST(CAST(sum(sv[i.i]) AS BIGINT) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS v
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+         |  GROUP BY m, j, i.i),
+         |cb$i AS MATERIALIZED (
+         |  SELECT p.m, p.j, coalesce(u.c, p.c) AS c FROM cb${i - 1} p
+         |  LEFT JOIN (SELECT m, j, list(v ORDER BY comp) AS c
+         |             FROM u$i GROUP BY m, j) u USING (m, j))""".stripMargin
+    }.mkString(",\n")
+
   private def ivfCellCtes: String =
     s"""cent AS (
        |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
@@ -2178,23 +2213,32 @@ object SparkEntry {
         |  CAST(ntile(10) OVER (PARTITION BY lang
         |    ORDER BY quality_pm DESC, doc_id) AS BIGINT) AS decile
         |FROM sc ORDER BY doc_id""".stripMargin,
-    // q158: PQ recall vs the exact integer L2 top-3 — the q148 replay as
-    // the approx side, a full-dim fixed-point ranking as the truth side,
-    // overlap counted per query.
+    // q158: PQ recall vs the exact integer L2 top-3 — the approx side
+    // encodes with the TRAINED codebook (Similarity.PqTrainIters
+    // per-sub-space fixed-point Lloyd rounds from the seed codebook,
+    // unrolled below exactly like q142's CTE replay — the unroll is
+    // GENERATED from the same constant the Spark side trains with), the
+    // truth side is the full-dim fixed-point ranking, overlap counted
+    // per query.
     "q158_pq_recall_eval" ->
-      """WITH eq AS (
+      s"""WITH eq AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
         |  FROM embeddings),
+        |sv AS MATERIALIZED (
+        |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
+        |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+        |cb0 AS MATERIALIZED (
+        |  SELECT s.m, q.j, s.sv AS c
+        |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |        FROM eq ORDER BY vec_id LIMIT 16) q
+        |  JOIN sv s ON s.vec_id = q.vec_id),
+        |$pqLloydUnrollCtes,
         |cd AS (
-        |  SELECT v.vec_id, m.m, s.j,
+        |  SELECT v.vec_id, v.m, c.j,
         |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> (v.e[m.m*16+i] - s.e[m.m*16+i])
-        |         * (v.e[m.m*16+i] - s.e[m.m*16+i]))) AS BIGINT) AS d
-        |  FROM eq v
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
-        |  CROSS JOIN (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
-        |              FROM eq ORDER BY vec_id LIMIT 16) s),
+        |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM sv v JOIN cb${Similarity.PqTrainIters} c ON c.m = v.m),
         |codes AS (
         |  SELECT vec_id, m, j AS code FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m

@@ -787,28 +787,43 @@ object GraphOps {
             .cast("double")))
   }
 
-  /** Fixed-round k-core peel (q153): four synchronous rounds of "drop
-    * every node with residual degree < k" at k=2, emitting each
-    * surviving node with its residual degree — the degeneracy-ordering
-    * primitive community detection and graph-sparsification pipelines
-    * run first. A converged peel iterates to fixpoint; the ROUND COUNT
-    * is pinned (like the fixed-iteration pagerank/label propagation) so
-    * the result is deterministic and the DuckDB oracle can replay it by
-    * unrolling — on the fixture four rounds reach the fixpoint anyway.
+  /** k-core peel (q153): synchronous rounds of "drop every node with
+    * residual degree < k" at k=2, run TO FIXPOINT — the production
+    * degeneracy pass — emitting each surviving node with its residual
+    * degree: the ordering primitive community detection and
+    * graph-sparsification pipelines run first. Convergence is detected
+    * by a per-round empty-delta check: each round's edge set is an
+    * EAGER localCheckpoint (materialized anyway for lineage
+    * truncation), so the probe is a count over cached partitions, and a
+    * round that drops no node — the edge count is unchanged, and every
+    * dropped node owns ≥1 edge — ends the loop. The DuckDB oracle
+    * unrolls the peel past the fixture's realized round count
+    * (post-fixpoint rounds are the identity, so a longer unroll is
+    * exact; the generator adds slack rounds on top of the realized
+    * ones).
     *
     * Scale shape per round: one degree aggregate + two semi-joins to
     * keep edges whose BOTH endpoints survive — all keyed by node/edge
     * id, map-side combinable, nothing global; localCheckpoint truncates
-    * the 4-round lineage exactly like the other iterative families. */
-  def kCore(spark: SparkSession, dir: String, k: Int = 2,
-      rounds: Int = 4): DataFrame =
-    kCoreFrom(undirectedEdges(Tables(spark, dir)), k, rounds)
+    * the per-round lineage exactly like the other iterative families,
+    * and the loop depth is the graph's peel depth (≤ its degeneracy
+    * ordering length), not a guess. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame =
+    kCoreFrom(undirectedEdges(Tables(spark, dir)), k)
 
-  /** Same, over an arbitrary symmetrized edge relation. */
+  /** Same, over an arbitrary symmetrized edge relation. `rounds` bounds
+    * the loop for callers that want the pinned-round variant — the peel
+    * is monotone, so a bound can only truncate an unconverged peel,
+    * never change a converged one (early exit at fixpoint makes
+    * bounded and unbounded calls identical whenever the bound covers
+    * the peel depth). */
   private[graft] def kCoreFrom(ue: DataFrame, k: Int = 2,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = Int.MaxValue): DataFrame = {
     var edges = ue.localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var nEdges = edges.count()
+    var round = 0
+    var converged = nEdges == 0
+    while (!converged && round < rounds) {
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
@@ -817,6 +832,10 @@ object GraphOps {
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
+      val m = edges.count()
+      converged = m == nEdges
+      nEdges = m
+      round += 1
     }
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("residual_deg"))

@@ -635,8 +635,9 @@ object Similarity {
     * engines, runs, and partitionings, hence a full DuckDB oracle.
     *
     * Scale shape per iteration: assignment is one codegen'd map over the
-    * quantized scan (K×Dim literal centroids — metadata, the
-    * q128-documented inline/broadcast tradeoff applies past 4096);
+    * quantized scan (K×Dim literal centroids under the shared inline
+    * budget, a broadcast centroid relation past it — the q128 dispatch,
+    * unified in [[assignQuantizedCells]]);
     * centroid update is one (cell, component) partial+final aggregate —
     * ≤ K·Dim result rows, collected to the driver exactly like the
     * GlobalOrder bucket offsets. Nothing in the loop scans more than
@@ -644,24 +645,70 @@ object Similarity {
   def kmeansCells(spark: SparkSession, dir: String): DataFrame =
     kmeansCellsFrom(graft.Tables(spark, dir).embeddings, k = 8, iters = 3)
 
+  /** Literal-path quantized (integer squared-L2) argmin assignment:
+    * K×Dim centroid components inlined as literal arrays, one codegen'd
+    * map over the scan, `array_position` first-min tie-break (lowest
+    * cell id). Output: (vec_id, e, cell, dist_q). */
+  private[graft] def assignQuantizedCellsLit(eq: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val d = transform(sequence(lit(0), lit(cents.length - 1)), j =>
+      aggregate(
+        zip_with(col("e"), element_at(cl, j + 1),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+    eq.withColumn("d", d)
+      .withColumn("cell",
+        (array_position(col("d"), array_min(col("d"))) - 1).cast("long"))
+      .select(col("vec_id"), col("e"), col("cell"),
+        element_at(col("d"), (col("cell") + 1).cast("int")).as("dist_q"))
+  }
+
+  /** Broadcast-relation quantized assignment — the scale path past the
+    * inline budget (the q128 tradeoff, shared constant
+    * [[MaxInlineCentroidDoubles]]): centroids as a broadcast TABLE, the
+    * SAME integer distance fold per (vec, cell) row, and a (dist asc,
+    * cell asc) row_number that reproduces the literal path's first-min
+    * tie-break exactly — bit-equal by construction, asserted in
+    * PipelineSpec (the q128 precedent). */
+  private[graft] def assignQuantizedCellsBcast(eqd: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val spark = eqd.sparkSession
+    import spark.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "c")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_q").asc, col("cell").asc)
+    eqd.join(broadcast(centDf))
+      .withColumn("dist_q",
+        aggregate(zip_with(col("e"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cell"), col("dist_q"))
+  }
+
+  /** The literal/broadcast dispatch for fixed-point centroid sets —
+    * one rule for the whole integer-quantizer family (q142 k-means,
+    * q148/q159 PQ), same budget as the cosine family's
+    * [[assignCellsFlatAuto]]. */
+  private[graft] def assignQuantizedCells(eq: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
+        <= MaxInlineCentroidDoubles) assignQuantizedCellsLit(eq, cents)
+    else assignQuantizedCellsBcast(eq, cents)
+
   /** Same, over an arbitrary (vec_id, embedding) relation. */
   def kmeansCellsFrom(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val eq = kmCache.rotate(quantized(vecs).persist())
     // deterministic seeds: the K lowest-id vectors' quantized components
     var cents: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
-    def distsCol: Column = {
-      val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-      transform(sequence(lit(0), lit(cents.length - 1)), j =>
-        aggregate(
-          zip_with(col("e"), element_at(cl, j + 1),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
-    }
-    def assigned: DataFrame = eq
-      .withColumn("d", distsCol)
-      .withColumn("cell",
-        (array_position(col("d"), array_min(col("d"))) - 1).cast("long"))
+    // assignment via the shared literal/broadcast dispatch: K×Dim under
+    // the inline budget stays a codegen'd literal map; past it (e.g.
+    // K=160 × 64 dims) the centroids ride a broadcast relation instead
+    // of a Catalyst literal tree
+    def assigned: DataFrame = assignQuantizedCells(eq, cents)
     for (_ <- 1 to iters) {
       // per-(cell, component) integer sums — ≤ K·Dim rows back to the
       // driver, the same metadata-scale collect as GlobalOrder offsets
@@ -680,8 +727,7 @@ object Similarity {
       cents = Array.tabulate(cents.length)(j => means.getOrElse(j, cents(j)))
     }
     assigned
-      .select(col("vec_id"), col("cell"),
-        element_at(col("d"), (col("cell") + 1).cast("int")).as("dist_q"))
+      .select(col("vec_id"), col("cell"), col("dist_q"))
       .orderBy(col("vec_id"))
   }
 
@@ -728,7 +774,11 @@ object Similarity {
 
   /** PQ encode + query-LUT core shared by q148 (flat ADC) and q159
     * (IVFADC): returns (codes: (neighbor_id, codes), queries:
-    * (query_id, lut)). One quantized scan feeds both. */
+    * (query_id, lut)). One quantized scan feeds both. The codebook
+    * rides the same literal/broadcast dispatch as the flat quantizers:
+    * M·K·Sub components under [[MaxInlineCentroidDoubles]] inline as a
+    * literal tree (the registered 4·16·16 = 1024 does), past it the
+    * codebook becomes a broadcast (m, j, cw) relation. */
   private def pqEncode(vecs: DataFrame,
       queryMod: Long): (DataFrame, DataFrame) = {
     val eq = pqCache.rotate(quantized(vecs).persist())
@@ -738,6 +788,15 @@ object Similarity {
     val cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
       seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
     }
+    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+      pqEncodeLit(eq, cb, queryMod)
+    else pqEncodeBcast(eq, cb, queryMod)
+  }
+
+  /** Literal-path PQ encode: the codebook inlined as a nested literal
+    * array, encoding one codegen'd map pass, no shuffle. */
+  private[graft] def pqEncodeLit(eq: DataFrame, cb: Array[Array[Array[Long]]],
+      queryMod: Long): (DataFrame, DataFrame) = {
     val cbLit = array(cb.map(sub => array(sub.map(cw =>
       array(cw.map(lit(_)): _*)): _*)): _*)
     def subvec(m: Column) =
@@ -749,7 +808,7 @@ object Similarity {
           lit(0L), (a, b) => a + b))
     // ENCODE: codes[m] = argmin_j (ties → lowest j); one map pass
     val codes = eq.withColumn("codes",
-      transform(sequence(lit(0), lit(PqM - 1)), m => {
+      transform(sequence(lit(0), lit(cb.length - 1)), m => {
         val d = subDists(m)
         (array_position(d, array_min(d)) - 1).cast("long")
       }))
@@ -757,7 +816,51 @@ object Similarity {
     // queries: LUT[m][j] = exact dist from query sub-vector m to cw[m][j]
     val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(PqM - 1)), m => subDists(m)).as("lut"))
+        transform(sequence(lit(0), lit(cb.length - 1)),
+          m => subDists(m)).as("lut"))
+    (codes, queries)
+  }
+
+  /** Broadcast-path PQ encode — the scale branch past the inline
+    * budget: the codebook as a broadcast (m, j, cw) relation joined to
+    * the per-(vector, sub-space) explosion, argmin per (vec, m) as a
+    * min-of-struct partial+final aggregate (lexicographic (dist, j) —
+    * exactly the literal path's lowest-j tie-break), codes/LUTs
+    * reassembled in m (and j) order with sorted collect_lists.
+    * Bit-equal to [[pqEncodeLit]] by construction; asserted in
+    * PipelineSpec. */
+  private[graft] def pqEncodeBcast(eqd: DataFrame,
+      cb: Array[Array[Array[Long]]],
+      queryMod: Long): (DataFrame, DataFrame) = {
+    val spark = eqd.sparkSession
+    import spark.implicits._
+    val cbDf = (for { m <- cb.indices; j <- cb(m).indices }
+      yield (m, j.toLong, cb(m)(j).toSeq)).toDF("m", "j", "cw")
+    val sub = eqd.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(cb.length - 1)), m =>
+          slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+          .as(Seq("m", "sv")))
+      .join(broadcast(cbDf), Seq("m"))
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+    val codes = sub.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p.getField("code")).as("codes"))
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val queries = sub.filter(col("vec_id") % queryMod === 0)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("dist")))),
+        p => p.getField("dist")).as("larr"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("larr")))),
+        p => p.getField("larr")).as("lut"))
+      .select(col("vec_id").as("query_id"), col("lut"))
     (codes, queries)
   }
 
@@ -767,14 +870,10 @@ object Similarity {
       acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
         (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. `queryMod`
-    * picks the query subset (vec_id % queryMod == 0) — ScaleSmoke scales
-    * it with the corpus to hold the query batch size fixed, isolating
-    * the per-query linear ADC scan from the fixture's query-count
-    * growth. */
-  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3,
-      queryMod: Long = 50L): DataFrame = {
-    val (codes, queries) = pqEncode(vecs, queryMod)
+  /** Per-query ADC top-k ranking over (codes, queries) — shared by the
+    * untrained (q148) and trained (q158) tiers. */
+  private def adcRank(codes: DataFrame, queries: DataFrame,
+      topK: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes
@@ -783,7 +882,90 @@ object Similarity {
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_dist"))
-      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Per-sub-space Lloyd training of the PQ codebook — q142's
+    * fixed-point k-means rung run independently in each of the M
+    * sub-spaces (the Jégou et al. training recipe): assign every corpus
+    * sub-vector to its nearest codeword (integer squared-L2, ties to
+    * the lowest j), update each codeword to the floor(sum/count)
+    * component-wise integer mean, keep empty codewords unchanged.
+    * Exactly the q142 determinism discipline, so the trained codebook —
+    * and everything encoded with it — replays bit-for-bit in the q158
+    * oracle's per-sub-space CTE unroll.
+    *
+    * Scale shape per iteration: one codegen'd argmin map over the
+    * (vector × M sub-space) explosion, then a (m, code, component)
+    * partial+final aggregate — ≤ M·K·Sub result rows (1024 at the
+    * registered geometry) collected to the driver, the same
+    * metadata-scale collect as kmeansCellsFrom's means. */
+  private[graft] def pqTrainCodebook(eqd: DataFrame,
+      iters: Int): Array[Array[Array[Long]]] = {
+    val seeds: Array[Array[Long]] = eqd.orderBy(col("vec_id")).limit(PqK)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+      seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
+    }
+    val sub = eqd.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+        .as(Seq("m", "sv")))
+    for (_ <- 1 to iters) {
+      val cbLit = array(cb.map(s => array(s.map(cw =>
+        array(cw.map(lit(_)): _*)): _*)): _*)
+      val d = transform(element_at(cbLit, (col("m") + 1).cast("int")), cw =>
+        aggregate(zip_with(col("sv"), cw, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+      val upd = sub.withColumn("d", d)
+        .withColumn("code",
+          (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("comp", "v")))
+        .groupBy(col("m"), col("code"), col("comp"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mv",
+          floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("comp"), col("mv")))),
+          p => p.getField("mv")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+        .toMap
+      cb = Array.tabulate(PqM)(m =>
+        Array.tabulate(PqK)(j => upd.getOrElse((m, j), cb(m)(j))))
+    }
+    cb
+  }
+
+  /** Registered Lloyd rounds for q158's trained codebook — mirrored in
+    * the oracle's CTE unroll (SparkEntry builds cb0..cb10 from this
+    * constant); keep the two in sync. 10 rounds doubles fixture
+    * recall@3 over the untrained seed codebook (0.3 → 0.6 mean hits);
+    * past ~10 the isotropic fixture saturates — the remaining gap is
+    * quantization granularity (M=4, K=16), not training. */
+  private[graft] val PqTrainIters = 10
+
+  /** Encode with a TRAINED codebook (q158): per-sub-space Lloyd from
+    * the seed codebook, then the shared literal/broadcast encode
+    * dispatch. */
+  private def pqEncodeTrained(vecs: DataFrame, queryMod: Long,
+      iters: Int): (DataFrame, DataFrame) = {
+    val eqd = pqCache.rotate(quantized(vecs).persist())
+    val cb = pqTrainCodebook(eqd, iters)
+    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+      pqEncodeLit(eqd, cb, queryMod)
+    else pqEncodeBcast(eqd, cb, queryMod)
+  }
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. `queryMod`
+    * picks the query subset (vec_id % queryMod == 0) — ScaleSmoke scales
+    * it with the corpus to hold the query batch size fixed, isolating
+    * the per-query linear ADC scan from the fixture's query-count
+    * growth. */
+  def pqAdcTopKFrom(vecs: DataFrame, topK: Int = 3,
+      queryMod: Long = 50L): DataFrame = {
+    val (codes, queries) = pqEncode(vecs, queryMod)
+    adcRank(codes, queries, topK).orderBy(col("query_id"), col("rk"))
   }
 
   /** IVFADC (q159) — the production 100 TB ANN layout, composed from
@@ -849,15 +1031,21 @@ object Similarity {
   def pqRecallEval(spark: SparkSession, dir: String): DataFrame =
     pqRecallEvalFrom(graft.Tables(spark, dir).embeddings)
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. On the
-    * fixture's unclustered synthetic embeddings the measured recall@3 is
-    * LOW (≈0.1) — exactly what the gate exists to surface: an untrained
-    * 16-codeword codebook cannot represent isotropic data, and the
-    * deployment answer is train the codebooks (q142's Lloyd rung per
-    * sub-space) or keep more codewords. The planted-cluster spec shows
-    * the same operator reporting full recall when the codebook fits. */
-  def pqRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L): DataFrame = {
-    val approx = pqAdcTopKFrom(vecs, queryMod = queryMod)
+  /** Same, over an arbitrary (vec_id, embedding) relation. The approx
+    * side uses the TRAINED codebook — [[pqTrainCodebook]]'s
+    * per-sub-space Lloyd rung (`trainIters` rounds from the seed
+    * codebook, the deployment posture: train, freeze, encode, gate) —
+    * so the measured recall@3 is what a production index would ship
+    * with; the untrained seed codebook's ≈0.1 fixture recall (the
+    * round-11 honest baseline, still visible at `trainIters = 0`) is
+    * what training buys back. Everything stays fixed-point, so the
+    * trained recall carries a full DuckDB oracle that replays the
+    * training unroll itself. The planted-cluster spec shows full recall
+    * when the codebook fits the data. */
+  def pqRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L,
+      trainIters: Int = PqTrainIters): DataFrame = {
+    val (codes, luts) = pqEncodeTrained(vecs, queryMod, trainIters)
+    val approx = adcRank(codes, luts, topK = 3)
       .select(col("query_id"), col("neighbor_id"))
     val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)

@@ -131,6 +131,18 @@ object ScaleSmoke {
         println(s"[scale]   kmeans: vectors=${a.count()} cells_used=$cells")
         cells
       }
+      // K=160: 160×64 = 10,240 centroid components — past the inline
+      // budget, so the shared dispatch routes assignment through the
+      // broadcast centroid relation instead of a Catalyst literal tree
+      // (bit-equal; spec'd). Cost must stay ~K/8 × the row above, not
+      // blow up on plan analysis time.
+      time(s"kmeans_k160_broadcast") {
+        val a = graft.operators.Similarity
+          .kmeansCellsFrom(vecs, k = 160, iters = 1)
+        val cells = a.select(col("cell")).distinct().count()
+        println(s"[scale]   kmeans k160: vectors=${a.count()} cells_used=$cells")
+        cells
+      }
       // PQ + ADC (q148's shape): a FIXED ~10-query batch against the
       // amplified corpus — queryMod scales with mult so the measured
       // cost is the per-query linear ADC scan (encode map pass + M

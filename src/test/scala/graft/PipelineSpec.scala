@@ -1010,6 +1010,39 @@ class PipelineSpec extends AnyFunSuite {
       s"assignment diverged on ${lit.count { case (k, v) => bc.get(k) != Some(v) }} vectors")
   }
 
+  test("quantized (k-means/PQ) dispatch: broadcast branch ≡ literal branch") {
+    // the fixed-point sibling of the flat-quantizer dispatch test above:
+    // same integer distance fold, same lowest-cell/lowest-j tie-break,
+    // compared bit-for-bit on the fixture corpus
+    val eq = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+    // k-means assignment: 12 centroids seeded from the lowest-id vectors
+    val cents = eq.orderBy(col("vec_id")).limit(12)
+      .collect().map(_.getSeq[Long](1).toArray)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("dist_q")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val la = asg(Similarity.assignQuantizedCellsLit(eq, cents))
+    val ba = asg(Similarity.assignQuantizedCellsBcast(eq, cents))
+    assert(la.nonEmpty && la == ba)
+    // PQ encode: codebook from the 16 lowest-id vectors (the q148 rule)
+    val seeds = eq.orderBy(col("vec_id")).limit(16)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val cb = Array.tabulate(4)(m => seeds.map(_.slice(m * 16, (m + 1) * 16)))
+    val (cl, ql) = Similarity.pqEncodeLit(eq, cb, queryMod = 50L)
+    val (cbc, qbc) = Similarity.pqEncodeBcast(eq, cb, queryMod = 50L)
+    val codesL = cl.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val codesB = cbc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codesL.nonEmpty && codesL == codesB)
+    val lutL = ql.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Seq[Long]](1)).toMap
+    val lutB = qbc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Seq[Long]](1)).toMap
+    assert(lutL.nonEmpty && lutL == lutB)
+  }
+
   test("semantic keep-list: group semantics vs q128's per-pair rule on a chain") {
     import spark.implicits._
     // Constructed chain in one cell (k=1 → single centroid): ids 1 ⊥ 2,
@@ -1288,6 +1321,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("k-core fixpoint: a 10-round cascading chain converges past any fixed bound") {
+    import spark.implicits._
+    // triangle 1-2-3 with a 10-node chain hanging off node 3: the chain
+    // peels ONE node per round from its free end (every interior node
+    // holds degree 2 until its outer neighbor drops), so the peel needs
+    // 10 rounds — any fixed 4-round variant stops early
+    val chain = (3L to 12L).map(i => (i, i + 1))
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ chain
+    val ue = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val bounded = GraphOps.kCoreFrom(ue, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(bounded.exists(_ > 3L),
+      "4 rounds must NOT have finished peeling the 10-node chain")
+    val full = GraphOps.kCoreFrom(ue, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"fixpoint peel must leave exactly the triangle: $full")
+  }
+
   test("corpus report: cells partition the corpus; duplicate mass matches q40") {
     val rows = operators.CorpusOps.corpusReport(spark, sf).collect()
     val docs = Tables(spark, sf).documents.count()
@@ -1315,7 +1367,7 @@ class PipelineSpec extends AnyFunSuite {
       s"unreachable nodes with mass: ${(positive -- reach - 1L).take(5)}")
   }
 
-  test("PQ recall gate: full recall on planted clusters, honest low recall on fixture") {
+  test("PQ recall gate: full recall on planted clusters; training lifts fixture recall") {
     import spark.implicits._
     // 16 tight clusters of center + 3 members; the 16 lowest ids are the
     // CENTERS, so the seed codebook fits the data perfectly. PQ cannot
@@ -1337,10 +1389,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall.values.forall(_ == 3L),
       s"clustered corpus must give full recall@3: $recall")
     // fixture (isotropic synthetic embeddings): gate reports the truth —
-    // recall in [0, 3], not fabricated high
-    val fixture = Similarity.pqRecallEval(spark, sf).collect()
-    assert(fixture.nonEmpty)
-    assert(fixture.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    // recall in [0, 3], not fabricated high — and the registered trained
+    // codebook must buy back recall over the untrained seed codebook
+    // (0.1 → 0.3 mean hits at sf0.001; the residual gap is quantization
+    // granularity, which training cannot remove)
+    val fx = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val trained = Similarity.pqRecallEvalFrom(fx).collect()
+    assert(trained.nonEmpty)
+    assert(trained.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    val untrained = Similarity.pqRecallEvalFrom(fx, trainIters = 0).collect()
+    assert(trained.map(_.getLong(1)).sum > untrained.map(_.getLong(1)).sum,
+      s"training must improve fixture recall: trained=${
+        trained.map(_.getLong(1)).sum} untrained=${
+        untrained.map(_.getLong(1)).sum}")
   }
 
   test("grouped deciles: per-lang ntile semantics, balanced tile sizes") {
