@@ -333,9 +333,20 @@ object CorpusOps {
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .persist()
     mixtureCache.rotate(scored)
-    // weight table: #sources rows (metadata scale — domains are curated)
+    // weight table: #sources rows (metadata scale — domains are curated).
+    // Alphabetical rank is by UTF-8 BYTE order (≡ code-point order — a
+    // UTF-8 property), matching SQL binary collation (DuckDB ORDER BY);
+    // Scala's default String ordering is UTF-16 code-UNIT order, which
+    // diverges for non-BMP source names.
     val srcs = scored.select(col("source")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.getString(0))
+      .sortWith { (a, b) =>
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n && x(i) == y(i)) i += 1
+        if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+      }
     val weights = srcs.zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) }
     val sumW = weights.map(_._2).sum
     val total = scored.agg(sum(col("n_tokens"))).head().getLong(0)

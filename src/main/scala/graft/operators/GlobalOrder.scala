@@ -76,12 +76,28 @@ private[graft] object GlobalOrder {
     * quota cumsum, per-language ranks). The collect is groups × buckets
     * rows; groups are curated dimensions (sources, languages), so this
     * stays metadata scale. Returns (group, bucket, base) rows plus the
-    * per-group grand totals. */
+    * per-group grand totals.
+    *
+    * Preconditions (fail-fast, not silent): `groupCol` must be a
+    * NON-NULL string column (a null group would otherwise vanish in the
+    * caller's later equi-join), and `agg` must evaluate to LongType (a
+    * double/decimal sum would corrupt the integer prefix bases). */
   def exclusiveOffsetsBy(bucketed: DataFrame, groupCol: String,
       agg: Column): (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
     val grp = bucketed.groupBy(col(groupCol), col("bucket"))
       .agg(agg)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"exclusiveOffsetsBy: null '$groupCol' " +
+          "group value — group keys must be non-null strings")
+        val t = r.get(2) match {
+          case l: java.lang.Long => l.longValue()
+          case other => throw new IllegalArgumentException(
+            "exclusiveOffsetsBy: aggregate must be LongType, got " +
+              (if (other == null) "null"
+               else other.getClass.getSimpleName))
+        }
+        (r.getString(0), r.getLong(1), t)
+      }
     val bases = grp.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       var acc = 0L
       rows.sortBy(_._2).map { case (_, b, t) =>

@@ -18,12 +18,17 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * `ordered = true`: chunks are VALUE-RANGE bins of the long-valued `key`
   * (fixed-width over the observed [min, max] — one metadata min/max
-  * aggregate), each written SEQUENTIALLY in ascending bin order and moved
-  * into the flat feed dir under an ascending zero-padded name, so both
-  * modification time and name order equal `key` order. The file source
-  * orders same-mtime files arbitrarily; this is the contract
-  * order-SENSITIVE consumers (the q154 funnel state machine) rely on, and
-  * it holds for any value range — never derived from calendar fields. */
+  * aggregate), ALL written in one distributed pass (repartition on the
+  * bin id + partitionBy, one file per non-empty bin), then each moved
+  * into the flat feed dir under an ascending zero-padded name with a
+  * STRICTLY ascending explicit mtime stamp (rename + setTimes — two
+  * metadata ops per bin, no data movement). The file source processes
+  * files in modification-time order but leaves same-mtime ties
+  * unspecified; the explicit stamps remove the ties entirely (and the
+  * ascending names are a second witness of the same order). This is the
+  * contract order-SENSITIVE consumers (the q154 funnel state machine)
+  * rely on, and it holds for any value range — never derived from
+  * calendar fields. */
 private[streaming] object FileFeed {
 
   /** Write the feed chunks; returns (tmpDir, feedDir). */
@@ -41,20 +46,26 @@ private[streaming] object FileFeed {
       val mm = df.agg(min(key), max(key)).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / nChunks + 1
-      val chunked = df
-        .withColumn("__chunk", ((key - lit(lo)) / lit(width)).cast("int"))
-        .persist()
+      // one distributed pass: repartition on the bin id co-locates each
+      // bin in one task, partitionBy writes one file per non-empty bin
+      val stage = s"$tmp/stage"
+      df.withColumn("__chunk", ((key - lit(lo)) / lit(width)).cast("int"))
+        .repartition(nChunks, col("__chunk"))
+        .write.partitionBy("__chunk").parquet(stage)
+      // bin order → feed order via metadata ops only: ascending names
+      // plus strictly ascending explicit mtimes (no same-mtime ties for
+      // the file source to break arbitrarily)
+      val base = System.currentTimeMillis()
       (0 until nChunks).foreach { b =>
-        val stage = s"$tmp/stage$b"
-        chunked.filter(col("__chunk") === b).drop("__chunk")
-          .coalesce(1).write.parquet(stage)
-        fsys.globStatus(new org.apache.hadoop.fs.Path(s"$stage/part-*"))
+        fsys.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stage/__chunk=$b/part-*"))
           .foreach { st =>
-            fsys.rename(st.getPath,
-              new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%04d.parquet"))
+            val dst =
+              new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%04d.parquet")
+            fsys.rename(st.getPath, dst)
+            fsys.setTimes(dst, base + b, -1)
           }
       }
-      chunked.unpersist()
     }
     (tmp, feedDir)
   }

@@ -913,4 +913,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterB1.getLong(2) == -1L, "pre-view click ignored")
     } finally q.stop()
   }
+
+  test("streaming funnel: cross-batch OUT-OF-ORDER feed diverges from batch (pinned)") {
+    // THE equivalence boundary, pinned both ways: greedy advance equals
+    // the batch q149 min-chain iff events arrive in event-time order
+    // ACROSS batches (within a batch any order — the handler sorts).
+    // The registered feed guarantees cross-batch order by range-binning
+    // on ts; this spec feeds the SAME three events with a late first
+    // view and documents the exact divergence a production deployment
+    // accepts (and repairs via the batch replay, as with the dedup
+    // stores).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      graft.streaming.FEvent(1L, t("2024-01-01 01:00:00"), 5L, "view"),
+      graft.streaming.FEvent(2L, t("2024-01-01 02:00:00"), 5L, "click"),
+      graft.streaming.FEvent(3L, t("2024-01-01 03:00:00"), 5L, "view"))
+    // batch q149 truth: first view 01:00, first click after it 02:00
+    val truth = graft.operators.Behavioral.eventFunnelFrom(
+      evs.toDF().select(col("user_id"), col("event_type"), col("ts"))).head()
+    assert(truth.getTimestamp(1) == t("2024-01-01 01:00:00"))
+    assert(truth.getTimestamp(2) == t("2024-01-01 02:00:00"))
+    def run(batches: Seq[Seq[graft.streaming.FEvent]]): (Long, Long) = {
+      val ms = MemoryStream[graft.streaming.FEvent]
+      val sink = s"funnel_ooo_${System.nanoTime()}"
+      val q = EventStreams.funnelAdvance(ms.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(sink)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val last = spark.table(sink).orderBy(col("upd").desc).head()
+        (last.getLong(1), last.getLong(2))
+      } finally q.stop()
+    }
+    def us(s: String) = t(s).getTime * 1000L
+    // event-time-ordered batching: streaming ≡ batch
+    val (v1, c1) = run(Seq(Seq(evs(0)), Seq(evs(1), evs(2))))
+    assert(v1 == us("2024-01-01 01:00:00") && c1 == us("2024-01-01 02:00:00"))
+    // OUT-OF-ORDER: the 03:00 view arrives in batch 1, the true first
+    // view and the click in batch 2 — greedy locks view=03:00, so the
+    // 02:00 click can never chain (click must follow the locked view):
+    // view diverges from batch's 01:00 and the click stage is LOST
+    val (v2, c2) = run(Seq(Seq(evs(2)), Seq(evs(0), evs(1))))
+    assert(v2 == us("2024-01-01 03:00:00"),
+      "late-arriving earlier view must NOT rewind the locked state")
+    assert(c2 == -1L,
+      "click before the locked view must NOT advance — the documented loss")
+  }
 }
