@@ -75,6 +75,8 @@ object SparkEntry {
     "q149_event_funnel"     -> (graft.operators.Behavioral.eventFunnel _),
     "q150_cohort_retention" ->
       (graft.operators.Behavioral.cohortRetention _),
+    "q176_event_transitions" ->
+      (graft.operators.Behavioral.eventTransitions _),
   )
 
   /** Window / analytic functions (SURVEY §2.e). */
@@ -113,6 +115,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => GraphOps.personalizedPageRank(s, d)),
     "q165_two_hop_counts" -> (GraphOps.twoHopCounts _),
     "q172_reciprocity" -> (GraphOps.reciprocity _),
+    "q175_ktruss" -> ((s: SparkSession, d: String) => GraphOps.kTruss(s, d)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -187,6 +190,12 @@ object SparkEntry {
     "q157_grouped_deciles"     ->
       (graft.operators.CorpusOps.groupedDeciles _),
     "q158_pq_recall_eval"      -> (Similarity.pqRecallEval _),
+    "q173_hash_sampling"       ->
+      (graft.operators.CorpusOps.hashSampling _),
+    "q174_cross_source_duplicates" ->
+      (graft.operators.CorpusOps.crossSourceDuplicates _),
+    "q177_vocabulary_spectrum" ->
+      (TextAnalysis.vocabularySpectrum _),
     "q159_ivfadc_topk"         -> (Similarity.ivfAdcTopK _),
   )
 
@@ -612,6 +621,23 @@ object SparkEntry {
         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM act a JOIN fs f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q176: first-order Markov transition matrix — adjacency in the
+    // per-user (ts, event_id) order, exact integer counts, permille
+    // quantized AFTER the counts (1000·n div row-total ≡ //).
+    "q176_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |  CAST(1000 * p.n // t.row_total AS BIGINT) AS p_pm
+        |FROM p JOIN t USING (prev_type)
+        |ORDER BY 1, 2""".stripMargin,
     // q69 parses STRING timestamps/numerics (the reference's
     // types_utils.cpp format "%Y-%m-%dT%H:%M:%S"); the CSV text hop is
     // value-exact (ISO seconds; shortest-roundtrip doubles), so the oracle
@@ -1050,6 +1076,16 @@ object SparkEntry {
         |${kCoreUnrollCtes(6)}
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS residual_deg
         |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q175: the k=3 truss peel run past its fixpoint (4 unrolled rounds
+    // vs the fixture's realized 2) — surviving canonical edges with
+    // their converged triangle-support counts.
+    "q175_ktruss" ->
+      s"""WITH $edgeCte,
+        |${kTrussUnrollCtes(4)}
+        |SELECT e.a AS src, e.b AS dst,
+        |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+        |FROM e4 e LEFT JOIN sf s ON s.u = e.a AND s.v = e.b
+        |ORDER BY 1, 2""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->
@@ -1241,6 +1277,40 @@ object SparkEntry {
          |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** The q175 k-truss peel unroll: per round, enumerate a<b<c triangles
+    * over the surviving canonical edge set, explode each onto its three
+    * edges for support counts, keep edges with support ≥ k−2 (k=3 →
+    * ≥ 1). MATERIALIZED for the same doubly-referenced-chain reason as
+    * the q153 unroll; rounds past the fixpoint are the identity, so the
+    * caller passes realized-rounds-plus-slack. Emits e0..e$rounds plus a
+    * FINAL support block (tf/sf) over the converged edge set. */
+  private def kTrussUnrollCtes(rounds: Int): String = {
+    def triBlock(t: String, s: String, prev: String): String =
+      s"""$t AS MATERIALIZED (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM $prev e1
+         |  JOIN $prev e2 ON e2.a = e1.b
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |$s AS MATERIALIZED (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT a AS u, b AS v FROM $t
+         |    UNION ALL SELECT a, c FROM $t
+         |    UNION ALL SELECT b, c FROM $t) x
+         |  GROUP BY 1, 2)""".stripMargin
+    val roundBlocks = (1 to rounds).map { i =>
+      s"""${triBlock(s"t$i", s"s$i", s"e${i - 1}")},
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN s$i s ON s.u = e.a AND s.v = e.b
+         |  WHERE s.sup >= 1)""".stripMargin
+    }
+    (Seq("""e0 AS MATERIALIZED (
+           |  SELECT src AS a, dst AS b FROM ue WHERE src < dst)"""
+        .stripMargin)
+      ++ roundBlocks
+      ++ Seq(triBlock("tf", "sf", s"e$rounds"))).mkString(",\n")
+  }
 
   /** The q158 trained-codebook CTE unroll: one (distance → argmin →
     * floor-mean update → codeword merge) block per Lloyd round,
@@ -2149,6 +2219,42 @@ object SparkEntry {
     // q166: the q129 keep-list replay re-aggregated per canonical with
     // exact per-member token sums.
     "q166_dedup_savings" -> dedupSavingsOracle,
+    // q173: content-addressed deterministic sampling — first two md5
+    // hex chars under '29' (≈16%); identical digests in both engines.
+    "q173_hash_sampling" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(1000 * CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |       // count(*) AS BIGINT) AS realized_pm
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q174: digest-level overlap between every ordered source pair,
+    // over the corpus plus the simulated zz_mirror republisher (every
+    // fourth doc verbatim — the q151-style production stand-in).
+    "q174_cross_source_duplicates" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'zz_mirror' AS source, text FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |d AS (SELECT DISTINCT md5(text) AS h, source FROM corpus)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_digests
+        |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q177: frequency-of-frequencies over whitespace terms; class 11
+    // is the 11+ tail bucket.
+    "q177_vocabulary_spectrum" ->
+      """WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents) x
+        |  GROUP BY 1)
+        |SELECT CAST(CASE WHEN c <= 10 THEN c ELSE 11 END AS BIGINT)
+        |    AS freq_class,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
     // q168: the q42 funnel's candidate relation rolled up by exact
     // agreement count — the threshold-tuning readout.
     "q168_agreement_histogram" ->

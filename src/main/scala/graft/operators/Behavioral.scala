@@ -79,4 +79,33 @@ object Behavioral {
         col("week_offset"), col("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Event-type transition matrix (q176) — the first-order Markov
+    * readout of user behavior: for every (prev_type, next_type) pair,
+    * the count of consecutive same-user transitions and the
+    * per-prev-type probability in integer permille (1000·n div
+    * row-total — quantized AFTER exact integer counts, so the matrix is
+    * bit-stable). Consecutive = adjacent in the user's (ts, event_id)
+    * order, the same total order every sessionization query uses.
+    *
+    * Scale shape: one lead() window PARTITIONED BY user (parallel per
+    * user, never global), then a (prev, next) aggregate — ≤ types²
+    * result rows; the permille join is against the types-sized row
+    * totals, broadcast by size. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("1000 * n div row_total").as("p_pm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
 }

@@ -528,4 +528,68 @@ object CorpusOps {
         col("old_md5"), col("new_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic hash sampling (q173) — the reproducible
+    * corpus-subsetting primitive every training-data pipeline needs:
+    * a document is sampled iff the first two hex chars of md5(text)
+    * fall below a threshold (here "29" → 41/256 ≈ 16%), so the SAME
+    * subset comes out on any engine, any partitioning, any run — no
+    * RNG, no seed plumbing, and content-addressed (a re-ingested copy
+    * of a doc samples identically). Per-source realized rates are
+    * reported next to the shared nominal rate, the drift readout that
+    * catches a source whose content correlates with its digests (it
+    * cannot, for a cryptographic hash — which is exactly why the
+    * realized pm hugs 160 for every healthy source).
+    *
+    * Scale shape: one codegen'd map over the text scan (md5 + one
+    * string compare), then a source-keyed partial+final aggregate —
+    * ≤ #sources result rows. Zero joins, zero windows. */
+  def hashSampling(spark: SparkSession, dir: String): DataFrame =
+    hashSamplingFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, source, text) corpus. */
+  private[graft] def hashSamplingFrom(docs: DataFrame,
+      hexBound: String = "29"): DataFrame = {
+    val sampled = substring(md5(col("text")), 1, 2) < lit(hexBound)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("realized_pm",
+        expr("1000 * n_sampled div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source duplicate matrix (q174) — for every ordered source
+    * pair, how many distinct document CONTENTS (md5 digests) appear in
+    * both: the contamination/forking diagnostic read before mixing
+    * corpora (a high-overlap pair means one source republishes the
+    * other, and dedup budgets should be planned jointly). Diagonal
+    * excluded; pairs ordered source_a < source_b so each unordered
+    * pair appears once. The fixture's sources never share content, so
+    * the registered query simulates the production scenario the same
+    * way q151 simulates two snapshots: a `zz_mirror` source
+    * republishing every fourth document verbatim — each real source
+    * then overlaps the mirror by exactly its republished digests.
+    *
+    * Scale shape: the join runs on the (digest, source) DISTINCT
+    * relation — one row per source a digest appears in, far below
+    * document scale — and fans out per digest only over its own source
+    * set (bounded by the curated source count, the q140 prefix-filter
+    * argument in miniature). The final aggregate is ≤ sources² rows. */
+  def crossSourceDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    crossSourceDuplicatesFrom(docs.select(col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 4 === 0)
+        .select(lit("zz_mirror").as("source"), col("text"))))
+  }
+
+  /** Same, over an arbitrary (source, text) corpus. */
+  private[graft] def crossSourceDuplicatesFrom(docs: DataFrame): DataFrame = {
+    val d = docs.select(md5(col("text")).as("h"), col("source")).distinct()
+    d.alias("a").join(d.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_digests"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -842,6 +842,65 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** k-truss decomposition (q175) — the edge-strength sibling of the
+    * q153 node peel: keep only edges supported by ≥ k−2 triangles among
+    * SURVIVING edges, iterated to fixpoint (k=3 registered: every
+    * surviving edge closes at least one surviving triangle — the
+    * community-core subgraph link-recommendation and cohesion pipelines
+    * extract). Output: surviving canonical (src < dst) edges with their
+    * converged support count.
+    *
+    * Per round, support is computed by enumerating triangles ONCE over
+    * the current canonical edge set (the q34 a<b<c three-way join —
+    * wedge fan-out bounded by orientation out-degree, no per-edge
+    * neighborhood intersection) and exploding each triangle onto its
+    * three edges — a triangle-keyed aggregate, map-side combinable.
+    * Convergence uses the q153 empty-delta probe (edge count unchanged
+    * on an eager localCheckpoint). The DuckDB oracle unrolls the peel
+    * with slack rounds (the identity after the fixpoint), generated
+    * like the q153/q158 unrolls. */
+  def kTruss(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    kTrussFrom(undirectedEdges(Tables(spark, dir)), k)
+
+  /** Same, over an arbitrary symmetrized edge relation. `rounds` bounds
+    * the loop (truncation-only, as with kCoreFrom). */
+  private[graft] def kTrussFrom(ue: DataFrame, k: Int = 3,
+      rounds: Int = Int.MaxValue): DataFrame = {
+    val minSup = k - 2
+    var edges = ue.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var round = 0
+    var converged = nEdges == 0
+    def support(e: DataFrame): DataFrame = {
+      val tri = e
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      tri.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("a").as("u"), col("c").as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("e"))
+        .select(col("e.u").as("a"), col("e.v").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    while (!converged && round < rounds) {
+      edges = edges
+        .join(support(edges).filter(col("support") >= minSup)
+          .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      val m = edges.count()
+      converged = m == nEdges
+      nEdges = m
+      round += 1
+    }
+    edges.join(support(edges), Seq("a", "b"), "left")
+      .select(col("a").as("src"), col("b").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Connected components (GraphX label propagation to the min vertex id;
     * converged, so equal to "min reachable id" — the transitive-closure
     * oracle recomputes exactly that). */

@@ -345,4 +345,27 @@ object TextAnalysis {
         col("tfidf_q"))
       .orderBy(col("doc_id"), col("term"))
   }
+
+  /** Vocabulary frequency spectrum (q177) — the Zipf/Heaps readout a
+    * corpus audit runs before tokenizer training: for each term
+    * frequency class k (1..10, then an 11+ tail bucket), how many
+    * DISTINCT terms occur exactly k times (k=1 is the hapax count — the
+    * misspelling/noise mass) and how many tokens that class carries.
+    * Whitespace tokens, the same rule as the surprisal/TF-IDF tier, so
+    * the spectra compose.
+    *
+    * Scale shape: a double aggregation — token explode → per-term
+    * counts (term-keyed, map-side combinable), then counts-of-counts
+    * over the TERM relation (vocabulary scale, far below token scale) —
+    * the classic frequency-of-frequencies shape; result is ≤ 11 rows. */
+  def vocabularySpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val termCounts = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    termCounts
+      .withColumn("freq_class", when(col("c") <= 10, col("c")).otherwise(11L))
+      .groupBy(col("freq_class"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tokens"))
+      .orderBy(col("freq_class"))
+  }
 }

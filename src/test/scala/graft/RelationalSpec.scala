@@ -92,7 +92,7 @@ class RelationalSpec extends AnyFunSuite {
         // incremental counts merge) that only look query-shaped in
         // bytecode.
         Set("keepList", "semanticDecisionTable",
-          "readBefore", "readAll", "mergedCounts")))
+          "readBefore", "readBeforeBuckets", "readAll", "mergedCounts")))
     val unwired = modules.flatMap { case (name, obj, allow) =>
       obj.getClass.getDeclaredMethods.toSeq
         .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
