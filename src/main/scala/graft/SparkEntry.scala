@@ -116,6 +116,7 @@ object SparkEntry {
     "q165_two_hop_counts" -> (GraphOps.twoHopCounts _),
     "q172_reciprocity" -> (GraphOps.reciprocity _),
     "q175_ktruss" -> ((s: SparkSession, d: String) => GraphOps.kTruss(s, d)),
+    "q178_ktruss4" -> ((s: SparkSession, d: String) => GraphOps.kTrussDense(s, d, k = 4)),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -1073,18 +1074,43 @@ object SparkEntry {
     // are the identity, so the longer unroll is exact).
     "q153_kcore" ->
       s"""WITH $edgeCte,
-        |${kCoreUnrollCtes(6)}
+        |${kCoreUnrollCtes(operators.GraphOps.KCoreOracleUnroll)}
         |SELECT src AS node, CAST(count(*) AS BIGINT) AS residual_deg
-        |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin,
-    // q175: the k=3 truss peel run past its fixpoint (4 unrolled rounds
-    // vs the fixture's realized 2) — surviving canonical edges with
-    // their converged triangle-support counts.
+        |FROM e${operators.GraphOps.KCoreOracleUnroll} GROUP BY 1 ORDER BY 1"""
+        .stripMargin,
+    // q175: the k=3 truss peel run past its fixpoint (unroll depth =
+    // GraphOps.KTrussOracleUnroll, which the operator fail-fast-guards
+    // against its realized round count — unroll exhaustion surfaces as a
+    // named error, never a hash mismatch) — surviving canonical edges
+    // with their converged triangle-support counts.
     "q175_ktruss" ->
       s"""WITH $edgeCte,
-        |${kTrussUnrollCtes(4)}
+        |${kTrussUnrollCtes(operators.GraphOps.KTrussOracleUnroll, 1)}
         |SELECT e.a AS src, e.b AS dst,
         |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
-        |FROM e4 e LEFT JOIN sf s ON s.u = e.a AND s.v = e.b
+        |FROM e${operators.GraphOps.KTrussOracleUnroll} e
+        |LEFT JOIN sf s ON s.u = e.a AND s.v = e.b
+        |ORDER BY 1, 2""".stripMargin,
+    // q178: the k=4 peel (support ≥ 2) over the mod-folded edge
+    // relation (the raw fixture graph holds no 4-truss — every edge
+    // would peel, a trivially-empty gate) — proves the truss loop
+    // generalizes past the registered k=3 gate; same unroll generator
+    // at minSup=2, same fail-fast unroll guard. The fold constant is
+    // GraphOps.TrussDenseMod, interpolated here so the two sides cannot
+    // desynchronize.
+    "q178_ktruss4" ->
+      s"""WITH $edgeCte,
+        |uf AS MATERIALIZED (
+        |  SELECT DISTINCT src % ${operators.GraphOps.TrussDenseMod} AS src,
+        |         dst % ${operators.GraphOps.TrussDenseMod} AS dst
+        |  FROM ue
+        |  WHERE src % ${operators.GraphOps.TrussDenseMod}
+        |     <> dst % ${operators.GraphOps.TrussDenseMod}),
+        |${kTrussUnrollCtes(operators.GraphOps.KTrussOracleUnroll, 2, "uf")}
+        |SELECT e.a AS src, e.b AS dst,
+        |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+        |FROM e${operators.GraphOps.KTrussOracleUnroll} e
+        |LEFT JOIN sf s ON s.u = e.a AND s.v = e.b
         |ORDER BY 1, 2""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
@@ -1280,12 +1306,14 @@ object SparkEntry {
 
   /** The q175 k-truss peel unroll: per round, enumerate a<b<c triangles
     * over the surviving canonical edge set, explode each onto its three
-    * edges for support counts, keep edges with support ≥ k−2 (k=3 →
-    * ≥ 1). MATERIALIZED for the same doubly-referenced-chain reason as
+    * edges for support counts, keep edges with support ≥ `minSup`
+    * (= k−2: q175 passes 1, q178 passes 2).
+    * MATERIALIZED for the same doubly-referenced-chain reason as
     * the q153 unroll; rounds past the fixpoint are the identity, so the
     * caller passes realized-rounds-plus-slack. Emits e0..e$rounds plus a
     * FINAL support block (tf/sf) over the converged edge set. */
-  private def kTrussUnrollCtes(rounds: Int): String = {
+  private def kTrussUnrollCtes(rounds: Int, minSup: Int,
+      edgeRel: String = "ue"): String = {
     def triBlock(t: String, s: String, prev: String): String =
       s"""$t AS MATERIALIZED (
          |  SELECT e1.a, e1.b, e2.b AS c
@@ -1303,10 +1331,10 @@ object SparkEntry {
          |e$i AS MATERIALIZED (
          |  SELECT e.a, e.b FROM e${i - 1} e
          |  JOIN s$i s ON s.u = e.a AND s.v = e.b
-         |  WHERE s.sup >= 1)""".stripMargin
+         |  WHERE s.sup >= $minSup)""".stripMargin
     }
-    (Seq("""e0 AS MATERIALIZED (
-           |  SELECT src AS a, dst AS b FROM ue WHERE src < dst)"""
+    (Seq(s"""e0 AS MATERIALIZED (
+           |  SELECT src AS a, dst AS b FROM $edgeRel WHERE src < dst)"""
         .stripMargin)
       ++ roundBlocks
       ++ Seq(triBlock("tf", "sf", s"e$rounds"))).mkString(",\n")
@@ -2375,8 +2403,10 @@ object SparkEntry {
         |  USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
     // q159: IVFADC — q68's strict-fold cell assignment (corpus argmax +
-    // query nprobe=4 probes) composed with q148's PQ encode/LUT; ADC
-    // candidates restricted to probed cells.
+    // query nprobe=4 probes) composed with q158's TRAINED PQ encode/LUT
+    // (the Lloyd unroll is generated from the same PqTrainIters constant
+    // the Spark side trains with); ADC candidates restricted to probed
+    // cells.
     "q159_ivfadc_topk" ->
       s"""WITH $ivfCellCtes,
         |corpus AS (
@@ -2394,19 +2424,24 @@ object SparkEntry {
         |        ORDER BY cos_c DESC, i ASC) AS pr
         |    FROM qexp)
         |  WHERE pr <= 4),
-        |eq AS (
+        |eq AS MATERIALIZED (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
         |  FROM embeddings),
+        |sv AS MATERIALIZED (
+        |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
+        |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+        |cb0 AS MATERIALIZED (
+        |  SELECT s.m, q.j, s.sv AS c
+        |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |        FROM eq ORDER BY vec_id LIMIT 16) q
+        |  JOIN sv s ON s.vec_id = q.vec_id),
+        |$pqLloydUnrollCtes,
         |cd AS (
-        |  SELECT v.vec_id, m.m, s.j,
+        |  SELECT v.vec_id, v.m, c.j,
         |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> (v.e[m.m*16+i] - s.e[m.m*16+i])
-        |         * (v.e[m.m*16+i] - s.e[m.m*16+i]))) AS BIGINT) AS d
-        |  FROM eq v
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
-        |  CROSS JOIN (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
-        |              FROM eq ORDER BY vec_id LIMIT 16) s),
+        |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
+        |  FROM sv v JOIN cb${Similarity.PqTrainIters} c ON c.m = v.m),
         |codes AS (
         |  SELECT vec_id, m, j AS code FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m

@@ -702,11 +702,22 @@ object GraphOps {
     * bounds the degree of mid (wedge-center) nodes: hubs above the cap
     * contribute NO wedges (their skipped mass is reported instead), so
     * a power-law hub cannot make one task quadratic in its degree. */
+  /** Bounded cache slot for the hot-mid list: `hot` feeds both the
+    * skipped-mass summary and the anti-join, and a bare `.persist()`
+    * would leak one cached plan per call for the session lifetime (the
+    * RotatingCache doc's exact accumulation); the rotate bounds it to
+    * one live slot, matching every other reused relation in this file.
+    * The list stays DISTRIBUTED — on a power-law web graph the >cap hub
+    * set can be millions of nodes, so a driver collect/isin is not the
+    * scale-safe shape here. */
+  private val twoHopHotCache = new RotatingCache
+
   private[graft] def twoHopCountsFrom(
       ue: DataFrame, midDegCap: Int = Int.MaxValue): DataFrame = {
-    val hot = ue.groupBy(col("src").as("b")).agg(count(lit(1)).as("_mdeg"))
-      .filter(col("_mdeg") > midDegCap)
-      .persist()
+    val hot = twoHopHotCache.rotate(
+      ue.groupBy(col("src").as("b")).agg(count(lit(1)).as("_mdeg"))
+        .filter(col("_mdeg") > midDegCap)
+        .persist())
     val capped = hot.agg(
       count(lit(1)).as("n_capped_mids"),
       coalesce(sum(col("_mdeg") * (col("_mdeg") - lit(1L))), lit(0L))
@@ -808,8 +819,14 @@ object GraphOps {
     * the per-round lineage exactly like the other iterative families,
     * and the loop depth is the graph's peel depth (≤ its degeneracy
     * ordering length), not a guess. */
-  def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame =
-    kCoreFrom(undirectedEdges(Tables(spark, dir)), k)
+  def kCore(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val (df, realized) = kCoreWithRounds(undirectedEdges(Tables(spark, dir)), k)
+    require(realized <= KCoreOracleUnroll,
+      s"k-core peel realized $realized rounds but the q153 oracle unrolls " +
+      s"only $KCoreOracleUnroll — the ORACLE is exhausted, not the " +
+      "operator wrong; raise GraphOps.KCoreOracleUnroll")
+    df
+  }
 
   /** Same, over an arbitrary symmetrized edge relation. `rounds` bounds
     * the loop for callers that want the pinned-round variant — the peel
@@ -818,7 +835,24 @@ object GraphOps {
     * bounded and unbounded calls identical whenever the bound covers
     * the peel depth). */
   private[graft] def kCoreFrom(ue: DataFrame, k: Int = 2,
-      rounds: Int = Int.MaxValue): DataFrame = {
+      rounds: Int = Int.MaxValue): DataFrame =
+    kCoreWithRounds(ue, k, rounds)._1
+
+  /** Oracle unroll depths for the peel families, referenced by BOTH the
+    * operators' fail-fast guards and SparkEntry's oracle generators (the
+    * q158 `PqTrainIters` pattern — one constant, no desynchronization).
+    * A fixture whose realized peel depth exceeds the unroll makes the
+    * ORACLE wrong, not the operator: the registered queries throw with
+    * that diagnosis instead of surfacing an inscrutable hash mismatch.
+    * The loop's final confirming round is the identity, so realized ≤
+    * unroll is exact. */
+  val KCoreOracleUnroll  = 6
+  val KTrussOracleUnroll = 4
+
+  /** [[kCoreFrom]] plus the realized round count (the fail-fast guards
+    * and unroll-sufficiency specs read the count). */
+  private[graft] def kCoreWithRounds(ue: DataFrame, k: Int = 2,
+      rounds: Int = Int.MaxValue): (DataFrame, Int) = {
     var edges = ue.localCheckpoint(true)
     var nEdges = edges.count()
     var round = 0
@@ -837,9 +871,9 @@ object GraphOps {
       nEdges = m
       round += 1
     }
-    edges.groupBy(col("src").as("node"))
+    (edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("residual_deg"))
-      .orderBy(col("node"))
+      .orderBy(col("node")), round)
   }
 
   /** k-truss decomposition (q175) — the edge-strength sibling of the
@@ -851,21 +885,65 @@ object GraphOps {
     * converged support count.
     *
     * Per round, support is computed by enumerating triangles ONCE over
-    * the current canonical edge set (the q34 a<b<c three-way join —
-    * wedge fan-out bounded by orientation out-degree, no per-edge
-    * neighborhood intersection) and exploding each triangle onto its
-    * three edges — a triangle-keyed aggregate, map-side combinable.
-    * Convergence uses the q153 empty-delta probe (edge count unchanged
-    * on an eager localCheckpoint). The DuckDB oracle unrolls the peel
-    * with slack rounds (the identity after the fixpoint), generated
-    * like the q153/q158 unrolls. */
-  def kTruss(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    kTrussFrom(undirectedEdges(Tables(spark, dir)), k)
+    * the current edge set under a fresh (deg,id) DEGREE ORIENTATION —
+    * q34's rule, recomputed over SURVIVING edges each round — so wedges
+    * are generated only at each triangle's lowest-degree corner and
+    * per-vertex wedge work is bounded by orientation out-degree (O(√m)
+    * on any graph, including a power-law hub mid-peel). Each triangle's
+    * three edges are mapped back to canonical (least,greatest) form for
+    * the support aggregate, so support counts are identical to the
+    * unoriented formulation — the SQL oracle's a<b<c enumeration is
+    * unchanged. Convergence uses the q153 empty-delta probe (edge count
+    * unchanged on an eager localCheckpoint). The DuckDB oracle unrolls
+    * the peel with slack rounds (the identity after the fixpoint),
+    * generated like the q153/q158 unrolls. */
+  def kTruss(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (df, realized) = kTrussWithRounds(undirectedEdges(Tables(spark, dir)), k)
+    require(realized <= KTrussOracleUnroll,
+      s"k-truss peel (k=$k) realized $realized rounds but its oracle " +
+      s"unrolls only $KTrussOracleUnroll — the ORACLE is exhausted, not " +
+      "the operator wrong; raise GraphOps.KTrussOracleUnroll")
+    df
+  }
 
   /** Same, over an arbitrary symmetrized edge relation. `rounds` bounds
     * the loop (truncation-only, as with kCoreFrom). */
   private[graft] def kTrussFrom(ue: DataFrame, k: Int = 3,
-      rounds: Int = Int.MaxValue): DataFrame = {
+      rounds: Int = Int.MaxValue): DataFrame =
+    kTrussWithRounds(ue, k, rounds)._1
+
+  /** Node-space fold for the q178 k=4 truss — mirrored literally in the
+    * oracle SQL; keep the two in sync. The fixture graph is too sparse
+    * to hold any 4-truss (every edge peels away), so q178 runs the peel
+    * over the same edge relation FOLDED onto `id % 97` residues: the
+    * projection is triangle-rich at every SF, making the k=4 gate a
+    * real demonstration (non-empty survivors, multi-round cascade)
+    * instead of a trivially-empty one. */
+  private[graft] val TrussDenseMod = 97L
+
+  /** k-truss at k=4 (q178) over the mod-[[TrussDenseMod]] folded edge
+    * relation — proves the peel loop generalizes past the registered
+    * k=3 gate (support ≥ 2, deeper cascades). Folding preserves
+    * symmetry; self-loops and duplicate folded edges are dropped before
+    * the peel (supports are per-edge counts, so multi-edges would
+    * double-count). Same fail-fast oracle-unroll guard as q175. */
+  def kTrussDense(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val folded = undirectedEdges(Tables(spark, dir))
+      .select((col("src") % TrussDenseMod).as("src"),
+        (col("dst") % TrussDenseMod).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val (df, realized) = kTrussWithRounds(folded, k)
+    require(realized <= KTrussOracleUnroll,
+      s"k-truss peel (k=$k, folded) realized $realized rounds but its " +
+      s"oracle unrolls only $KTrussOracleUnroll — the ORACLE is " +
+      "exhausted, not the operator wrong; raise GraphOps.KTrussOracleUnroll")
+    df
+  }
+
+  /** [[kTrussFrom]] plus the realized round count. */
+  private[graft] def kTrussWithRounds(ue: DataFrame, k: Int = 3,
+      rounds: Int = Int.MaxValue): (DataFrame, Int) = {
     val minSup = k - 2
     var edges = ue.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
@@ -874,13 +952,33 @@ object GraphOps {
     var round = 0
     var converged = nEdges == 0
     def support(e: DataFrame): DataFrame = {
-      val tri = e
-        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      // Re-orient the SURVIVING edges low-degree→high-degree (id
+      // tie-break — e is canonical a<b, so `<=` encodes it) so the
+      // wedge self-join fans out at the (deg,id)-lowest corner only;
+      // peeling changes degrees, so the orientation must be per-round.
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      val oriented = withDeg.select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+      // Triangle x<y<z in (deg,id) order, found once as the wedge (y,z)
+      // at x closed by the oriented edge y→z; corners map back to
+      // canonical edges via least/greatest for the support aggregate.
+      val tri = oriented.select(col("u").as("x"), col("v").as("y"))
+        .join(oriented.select(col("u").as("x"), col("v").as("z")), Seq("x"))
+        .filter(col("y") =!= col("z"))
+        .join(oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
       tri.select(explode(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(col("a").as("u"), col("c").as("v")),
-          struct(col("b").as("u"), col("c").as("v")))).as("e"))
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")),
+          struct(least(col("x"), col("z")).as("u"),
+            greatest(col("x"), col("z")).as("v")),
+          struct(least(col("y"), col("z")).as("u"),
+            greatest(col("y"), col("z")).as("v")))).as("e"))
         .select(col("e.u").as("a"), col("e.v").as("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
@@ -895,10 +993,10 @@ object GraphOps {
       nEdges = m
       round += 1
     }
-    edges.join(support(edges), Seq("a", "b"), "left")
+    (edges.join(support(edges), Seq("a", "b"), "left")
       .select(col("a").as("src"), col("b").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))
-      .orderBy(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")), round)
   }
 
   /** Connected components (GraphX label propagation to the min vertex id;

@@ -1003,7 +1003,9 @@ object Similarity {
     val qProbes = qScored.withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), (col("pos") + 1).cast("long").as("cell"))
-    val (codes, queries) = pqEncode(vecs, queryMod)
+    // TRAINED codebook (q158's Lloyd rung): the production layout ships
+    // the recall the training measurably buys back, not the seed codes.
+    val (codes, queries) = pqEncodeTrained(vecs, queryMod, PqTrainIters)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes

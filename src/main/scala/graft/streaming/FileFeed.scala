@@ -56,16 +56,37 @@ private[streaming] object FileFeed {
       // plus strictly ascending explicit mtimes (no same-mtime ties for
       // the file source to break arbitrarily)
       val base = System.currentTimeMillis()
-      (0 until nChunks).foreach { b =>
+      val stamped = (0 until nChunks).flatMap { b =>
         fsys.globStatus(
             new org.apache.hadoop.fs.Path(s"$stage/__chunk=$b/part-*"))
-          .foreach { st =>
+          .map { st =>
             val dst =
               new org.apache.hadoop.fs.Path(f"$feedDir/chunk-$b%04d.parquet")
             fsys.rename(st.getPath, dst)
             fsys.setTimes(dst, base + b, -1)
+            (dst, base + b)
           }
       }
+      // FileSystem.setTimes is a SILENT no-op on some implementations
+      // (the base class ignores it; object-store FSs commonly inherit
+      // that), which would reintroduce same-mtime ties and quietly
+      // degrade the order contract the funnel relies on. Read the
+      // stamps back and verify strict ascent; where the FS ignored the
+      // stamps, fail fast with the cause rather than feed an
+      // unspecified order to an order-sensitive consumer.
+      val readBack = stamped.map { case (p, want) =>
+        (p, want, fsys.getFileStatus(p).getModificationTime)
+      }
+      val honored = readBack.forall { case (_, want, got) => got == want }
+      val strict = readBack.map(_._3).sliding(2)
+        .forall(w => w.length < 2 || w(0) < w(1))
+      require(honored && strict,
+        s"ordered feed needs strictly ascending mtimes, but ${fsys.getClass
+          .getSimpleName}.setTimes was not honored (" +
+        readBack.take(4).map { case (p, w, g) =>
+          s"${p.getName}: want=$w got=$g" }.mkString(", ") +
+        " …) — this FS cannot host an order-SENSITIVE feed; use an " +
+        "FS with working setTimes or an order-insensitive consumer")
     }
     (tmp, feedDir)
   }

@@ -137,20 +137,51 @@ object StreamingDedup {
     * columns, so the scan plans only the touched `b=`/`pb=` dirs. */
   private def readBeforeBuckets(spark: SparkSession, root: String,
       before: Long, emptyLike: DataFrame, touched: Seq[Int]): DataFrame =
-    if (pathExists(spark, root))
-      spark.read.parquet(root)
-        .filter(col("b") < before && col("pb").isin(touched: _*))
-        .drop("b", "pb")
-    else emptyLike.limit(0)
+    if (pathExists(spark, root)) {
+      val df = spark.read.parquet(root)
+      // Migration path: a store written BEFORE the pb= bucket level was
+      // added has no `pb` partition column — filtering on it would fail
+      // with an unresolved-column error mid-resume. Probe the discovered
+      // schema and fall back to the unpruned (but still b=-pruned) read.
+      // Spark's partition discovery rejects a MIXED tree (some b= dirs
+      // bucketed, some not), so a pre-change store that resumes here
+      // keeps its flat layout for ALL subsequent batches too (the write
+      // path probes the same way — see writeBucketed); converting to
+      // the bucketed layout is a one-time store rebuild (re-run the
+      // feed).
+      if (df.columns.contains("pb"))
+        df.filter(col("b") < before && col("pb").isin(touched: _*))
+          .drop("b", "pb")
+      else df.filter(col("b") < before).drop("b")
+    } else emptyLike.limit(0)
+
+  /** Once-per-store memo of "this store predates the pb= bucket level"
+    * (probed from the discovered schema). Keeps a resumed legacy store's
+    * layout CONSISTENT — Spark's partition discovery rejects a mixed
+    * tree — while new stores bucket from batch 0. */
+  private val legacyFlatStore =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def isLegacyFlat(spark: SparkSession, root: String): Boolean =
+    legacyFlatStore.getOrElseUpdate(root,
+      pathExists(spark, root) &&
+        !spark.read.parquet(root).columns.contains("pb"))
 
   /** Write a batch artifact hash-bucketed by its join key: one
     * batch-local shuffle into ~[[StoreBuckets]] tasks so each `pb=` dir
-    * gets one file, not one per task. */
+    * gets one file, not one per task. A store that predates the bucket
+    * level keeps its flat layout (see [[isLegacyFlat]]) so resume never
+    * produces a mixed tree; such stores read unpruned until rebuilt. */
   private def writeBucketed(rows: DataFrame, keys: Seq[String],
-      path: String): Unit =
-    rows.withColumn("pb", bucketCol(keys))
-      .repartition(StoreBuckets, col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(path)
+      root: String, batchId: Long): Unit = {
+    val path = s"$root/b=$batchId"
+    if (isLegacyFlat(rows.sparkSession, root))
+      rows.repartition(StoreBuckets, bucketCol(keys))
+        .write.mode("overwrite").parquet(path)
+    else
+      rows.withColumn("pb", bucketCol(keys))
+        .repartition(StoreBuckets, col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(path)
+  }
 
   /** All committed artifact rows (assembly-time read). */
   private def readAll(spark: SparkSession, root: String,
@@ -245,7 +276,7 @@ object StreamingDedup {
       sigs.select(col("doc_id"), col("sig"))
         .write.mode("overwrite").parquet(s"$storeDir/sigs/b=$batchId")
       writeBucketed(newBands, Seq("band_idx", "band_val"),
-        s"$storeDir/bands/b=$batchId")
+        s"$storeDir/bands", batchId)
       batch.select(col("doc_id"), md5(col("text")).as("md5"))
         .write.mode("overwrite").parquet(s"$storeDir/ids/b=$batchId")
       // the commit marker — written last
@@ -384,7 +415,7 @@ object StreamingDedup {
         .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
       within.unionByName(cross).distinct()
         .write.mode("overwrite").parquet(s"$storeDir/dropped/b=$batchId")
-      writeBucketed(asg, Seq("cell"), s"$storeDir/asg/b=$batchId")
+      writeBucketed(asg, Seq("cell"), s"$storeDir/asg", batchId)
       counts.write.mode("overwrite").parquet(s"$countsDir/b=$batchId")
       pruneSnapshots(spark, countsDir, batchId)
     } finally asg.unpersist()
