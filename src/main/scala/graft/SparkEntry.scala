@@ -198,6 +198,7 @@ object SparkEntry {
     "q177_vocabulary_spectrum" ->
       (TextAnalysis.vocabularySpectrum _),
     "q159_ivfadc_topk"         -> (Similarity.ivfAdcTopK _),
+    "q179_ivfadc_recall"       -> (Similarity.ivfAdcRecallEval _),
   )
 
   /** Streaming-equivalent window aggregations (SURVEY §2.j): same transform
@@ -1390,6 +1391,63 @@ object SparkEntry {
        |  FROM n, cent c
        |  WHERE nrm > 0)""".stripMargin
 
+  /** The IVFADC CTE chain shared by q159 (top-k) and q179 (recall):
+    * q68's strict-fold cell assignment (corpus argmax + query nprobe=4
+    * probes), the TRAINED PQ codebook (the Lloyd unroll is generated
+    * from the same `PqTrainIters` constant the Spark side trains with),
+    * and the probed-cell ADC aggregate. Ends at `adc`; callers append
+    * their own final ranking/overlap blocks (also exposes `eq` for the
+    * exact side). */
+  private def ivfAdcOracleChain: String =
+    s"""$ivfCellCtes,
+      |corpus AS (
+      |  SELECT vec_id AS nid,
+      |    list_position(cells, list_aggregate(cells, 'max')) AS cell
+      |  FROM ca),
+      |qexp AS (
+      |  SELECT vec_id, unnest(cells) AS cos_c,
+      |         generate_subscripts(cells, 1) AS i
+      |  FROM ca WHERE vec_id % 50 = 0),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, i AS cell FROM (
+      |    SELECT vec_id, i,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY cos_c DESC, i ASC) AS pr
+      |    FROM qexp)
+      |  WHERE pr <= 4),
+      |eq AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |sv AS MATERIALIZED (
+      |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
+      |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+      |cb0 AS MATERIALIZED (
+      |  SELECT s.m, q.j, s.sv AS c
+      |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      |        FROM eq ORDER BY vec_id LIMIT 16) q
+      |  JOIN sv s ON s.vec_id = q.vec_id),
+      |$pqLloydUnrollCtes,
+      |cd AS (
+      |  SELECT v.vec_id, v.m, c.j,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
+      |  FROM sv v JOIN cb${Similarity.PqTrainIters} c ON c.m = v.m),
+      |codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY d, j) AS rk FROM cd)
+      |  WHERE rk = 1),
+      |adc AS (
+      |  SELECT qp.query_id, x.vec_id AS neighbor_id,
+      |    CAST(sum(l.d) AS BIGINT) AS adc_dist
+      |  FROM codes x
+      |  JOIN corpus co ON co.nid = x.vec_id
+      |  JOIN qprobe qp ON qp.cell = co.cell
+      |  JOIN cd l ON l.m = x.m AND l.j = x.code AND l.vec_id = qp.query_id
+      |  WHERE x.vec_id <> qp.query_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   // SemDeDup decision-table replay shared by q128 (batch) and q135
   // (streaming): the q68 cell assignment, the within-cell pairwise
   // compare with the conservative hot-cell guard, the keep-lowest-id
@@ -2408,59 +2466,37 @@ object SparkEntry {
     // the Spark side trains with); ADC candidates restricted to probed
     // cells.
     "q159_ivfadc_topk" ->
-      s"""WITH $ivfCellCtes,
-        |corpus AS (
-        |  SELECT vec_id AS nid,
-        |    list_position(cells, list_aggregate(cells, 'max')) AS cell
-        |  FROM ca),
-        |qexp AS (
-        |  SELECT vec_id, unnest(cells) AS cos_c,
-        |         generate_subscripts(cells, 1) AS i
-        |  FROM ca WHERE vec_id % 50 = 0),
-        |qprobe AS (
-        |  SELECT vec_id AS query_id, i AS cell FROM (
-        |    SELECT vec_id, i,
-        |      row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY cos_c DESC, i ASC) AS pr
-        |    FROM qexp)
-        |  WHERE pr <= 4),
-        |eq AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
-        |  FROM embeddings),
-        |sv AS MATERIALIZED (
-        |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
-        |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
-        |cb0 AS MATERIALIZED (
-        |  SELECT s.m, q.j, s.sv AS c
-        |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-        |        FROM eq ORDER BY vec_id LIMIT 16) q
-        |  JOIN sv s ON s.vec_id = q.vec_id),
-        |$pqLloydUnrollCtes,
-        |cd AS (
-        |  SELECT v.vec_id, v.m, c.j,
-        |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
-        |  FROM sv v JOIN cb${Similarity.PqTrainIters} c ON c.m = v.m),
-        |codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-        |      ORDER BY d, j) AS rk FROM cd)
-        |  WHERE rk = 1),
-        |adc AS (
-        |  SELECT qp.query_id, x.vec_id AS neighbor_id,
-        |    CAST(sum(l.d) AS BIGINT) AS adc_dist
-        |  FROM codes x
-        |  JOIN corpus co ON co.nid = x.vec_id
-        |  JOIN qprobe qp ON qp.cell = co.cell
-        |  JOIN cd l ON l.m = x.m AND l.j = x.code AND l.vec_id = qp.query_id
-        |  WHERE x.vec_id <> qp.query_id
-        |  GROUP BY 1, 2)
+      s"""WITH $ivfAdcOracleChain
         |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q179: IVFADC recall — the q159 chain's top-3 overlapped with the
+    // exact full-dimension integer L2 top-3 (q158's truth side): the
+    // per-query number an ANN deployment reads before picking nprobe.
+    "q179_ivfadc_recall" ->
+      s"""WITH $ivfAdcOracleChain,
+        |appx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= 3),
+        |ed AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT) AS d
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d, neighbor_id) AS rk FROM ed) WHERE rk <= 3)
+        |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS recall3
+        |FROM (SELECT vec_id AS query_id FROM eq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT a.query_id, count(*) AS hits FROM appx a
+        |           JOIN ex USING (query_id, neighbor_id) GROUP BY 1) h
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

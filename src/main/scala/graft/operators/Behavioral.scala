@@ -92,10 +92,15 @@ object Behavioral {
     * user, never global), then a (prev, next) aggregate — ≤ types²
     * result rows; the permille join is against the types-sized row
     * totals, broadcast by size. */
-  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsFrom(Tables(spark, dir).events)
+
+  /** Same, over an arbitrary (user_id, ts, event_id, event_type)
+    * relation — ScaleSmoke runs this on the amplified event stream. */
+  private[graft] def eventTransitionsFrom(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables(spark, dir).events
+    val pairs = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)

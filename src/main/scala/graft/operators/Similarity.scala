@@ -987,9 +987,12 @@ object Similarity {
   def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
     ivfAdcTopKFrom(graft.Tables(spark, dir).embeddings)
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  /** Same, over an arbitrary (vec_id, embedding) relation. `trainIters`
+    * selects the codebook rung (0 = the untrained seed — the round-11
+    * baseline the recall gate measures training against). */
   def ivfAdcTopKFrom(vecs: DataFrame, topK: Int = 3, queryMod: Long = 50L,
-      k: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 16, nprobe: Int = 4,
+      trainIters: Int = PqTrainIters): DataFrame = {
     val cents = centroidDirs(vecs, k)
     val corpusCells = withCellScores(vecs, cents)
       .select(col("vec_id").as("neighbor_id"),
@@ -1005,7 +1008,7 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("cell"))
     // TRAINED codebook (q158's Lloyd rung): the production layout ships
     // the recall the training measurably buys back, not the seed codes.
-    val (codes, queries) = pqEncodeTrained(vecs, queryMod, PqTrainIters)
+    val (codes, queries) = pqEncodeTrained(vecs, queryMod, trainIters)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes
@@ -1048,6 +1051,49 @@ object Similarity {
       trainIters: Int = PqTrainIters): DataFrame = {
     val (codes, luts) = pqEncodeTrained(vecs, queryMod, trainIters)
     val approx = adcRank(codes, luts, topK = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val eq = pqCache.rotate(quantized(vecs).persist())
+    val queries = eq.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("neighbor_id"))
+    val exact = eq.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    queries.select(col("query_id"))
+      .join(approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("recall3"))
+      .orderBy(col("query_id"))
+  }
+
+  /** IVFADC recall gate (q179) — q158's deployment readout for the
+    * PRODUCTION layout: per query, how many of q159's IVFADC top-3
+    * (trained codes, nprobe-bounded candidates) appear in the exact
+    * full-dimension integer L2 top-3. This is the number an ANN
+    * deployment reads before picking its nprobe operating point — the
+    * flat-ADC gate (q158) measures quantization loss alone; this one
+    * adds the IVF pruning loss on top. Everything stays fixed-point /
+    * strict-fold, so the composition carries a full DuckDB oracle.
+    * Scale shape: the IVFADC side is q159's cell-bounded plan; the
+    * exact side is the q46 broadcast-queries × corpus scan; the overlap
+    * join is k×queries rows — metadata. */
+  def ivfAdcRecallEval(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcRecallEvalFrom(graft.Tables(spark, dir).embeddings)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation; `nprobe` and
+    * `trainIters` expose the two knobs the SCALING.md sensitivity sweep
+    * reads (trainIters = 0 reproduces the untrained composition). */
+  def ivfAdcRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L,
+      nprobe: Int = 4, trainIters: Int = PqTrainIters): DataFrame = {
+    val approx = ivfAdcTopKFrom(vecs, topK = 3, queryMod = queryMod,
+        nprobe = nprobe, trainIters = trainIters)
       .select(col("query_id"), col("neighbor_id"))
     val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)

@@ -358,8 +358,13 @@ object TextAnalysis {
     * counts (term-keyed, map-side combinable), then counts-of-counts
     * over the TERM relation (vocabulary scale, far below token scale) —
     * the classic frequency-of-frequencies shape; result is ≤ 11 rows. */
-  def vocabularySpectrum(spark: SparkSession, dir: String): DataFrame = {
-    val termCounts = Tables(spark, dir).documents
+  def vocabularySpectrum(spark: SparkSession, dir: String): DataFrame =
+    vocabularySpectrumFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (text) corpus — ScaleSmoke runs this at
+    * amplified vocabulary scale. */
+  private[graft] def vocabularySpectrumFrom(docs: DataFrame): DataFrame = {
+    val termCounts = docs
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
     termCounts

@@ -368,6 +368,96 @@ object ScaleSmoke {
           s"capped_wedges=${first.getLong(3)} (hub deg=$hubDeg)")
         th.count()
       }
+      // k-truss peel on the planted-hub graph (q175's shape): the
+      // per-round triangle enumeration is now (deg,id)-DEGREE-oriented
+      // over surviving edges, so the 20k·mult-degree hub — whose
+      // id-oriented wedge join would put ~(deg/2)² pairs on one key
+      // EVERY round — has near-zero out-degree and its wedges are
+      // charged to its degree-1 spokes. This row's cost must track the
+      // triangle_count row, not the hub's deg².
+      time(s"ktruss_planted_hub") {
+        val hubId = mult * 10000000L + 888888L
+        val hubDeg = 20000L * mult
+        val hub = spark.range(1, hubDeg + 1)
+          .select(lit(hubId).as("src"), col("id").as("dst"))
+        val ueHub = ue.union(hub)
+          .union(hub.select(col("dst").as("src"), col("src").as("dst")))
+        val (tr, rounds) = graft.operators.GraphOps.kTrussWithRounds(ueHub, 3)
+        val survivors = tr.count()
+        println(s"[scale]   ktruss hub: survivors=$survivors " +
+          s"rounds=$rounds (hub deg=$hubDeg)")
+        survivors
+      }
+      // IVFADC operating-point sweep (q159/q179's shape): recall@3 vs
+      // the exact integer L2 top-3 at nprobe ∈ {1,2,4,8} on trained
+      // codes, plus the untrained seed-codebook composition at the
+      // registered nprobe=4 — the sensitivity table a deployment reads
+      // before picking its operating point (recorded in SCALING.md).
+      if (mult == 1) time(s"ivfadc_nprobe_sweep") {
+        val fx = t.embeddings.select(col("vec_id"), col("embedding"))
+        def meanRecall(np: Int, iters: Int): Double = {
+          val r = graft.operators.Similarity
+            .ivfAdcRecallEvalFrom(fx, nprobe = np, trainIters = iters)
+          val m = r.agg(avg(col("recall3"))).head().getDouble(0)
+          val t0 = System.nanoTime()
+          r.count()
+          println(f"[scale]   ivfadc nprobe=$np iters=$iters " +
+            f"mean_recall3=$m%.2f (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+          m
+        }
+        Seq(1, 2, 4, 8).foreach(np =>
+          meanRecall(np, graft.operators.Similarity.PqTrainIters))
+        meanRecall(4, 0) // the untrained baseline at the registered point
+        1L
+      }
+      // cross-source duplicate matrix (q174's shape) on a MANY-sources
+      // corpus: the join runs on the (digest, source) DISTINCT relation
+      // and fans out per digest only over its own source set, so cost
+      // tracks corpus size linearly at a fixed source count — and the
+      // result stays ≤ sources² rows no matter the amplification.
+      time(s"cross_source_matrix") {
+        val srcDocs = docs.select(
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))).as("source"),
+          col("text"))
+        val m = graft.operators.CorpusOps.crossSourceDuplicatesFrom(srcDocs)
+        val pairs = m.count()
+        val shared = m.agg(sum(col("n_shared_digests"))).head().getLong(0)
+        println(s"[scale]   cross-source: pairs=$pairs shared=$shared")
+        pairs
+      }
+      // vocabulary spectrum (q177's shape): token explode → term counts
+      // → counts-of-counts. The second aggregate runs at VOCABULARY
+      // scale (which grows with the mutated copies), the result stays
+      // ≤ 11 rows — cost must track the token scan linearly.
+      time(s"vocab_spectrum") {
+        val s = graft.operators.TextAnalysis.vocabularySpectrumFrom(docs)
+        val total = s.agg(sum(col("n_tokens"))).head().getLong(0)
+        println(s"[scale]   vocab spectrum: classes=${s.count()} tokens=$total")
+        total
+      }
+      // deterministic hash sampling (q173's shape): one codegen'd map
+      // over the text scan + a source-keyed aggregate — zero joins,
+      // zero windows; realized per-mille must hug the 160 target for
+      // every source at every scale.
+      time(s"hash_sampling") {
+        val srcDocs = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        val h = graft.operators.CorpusOps.hashSamplingFrom(srcDocs)
+        val drift = h.agg(max(abs(col("realized_pm") - 160L))).head().getLong(0)
+        println(s"[scale]   hash sampling: sources=${h.count()} max_drift_pm=$drift")
+        drift
+      }
+      // event-transition matrix (q176's shape): one user-partitioned
+      // lead() window + a types²-bounded aggregate over the amplified
+      // stream — user-parallel, never global.
+      time(s"transition_matrix") {
+        val tm = graft.operators.Behavioral.eventTransitionsFrom(
+          ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")))
+        val cells = tm.count()
+        println(s"[scale]   transitions: cells=$cells")
+        cells
+      }
       // per-vertex attribution (q147's shape): the same oriented wedge
       // join plus an explode + count over TRIANGLE rows — must track the
       // triangle_count row above, not add a new asymptotic term.

@@ -1340,6 +1340,55 @@ class PipelineSpec extends AnyFunSuite {
       s"fixpoint peel must leave exactly the triangle: $full")
   }
 
+  test("k=4 truss: strip braces cascade away, the K5 core survives with support 3") {
+    import spark.implicits._
+    // K5 on {1..5} (every edge in 3 triangles — a 5-truss, so certainly
+    // a 4-truss) with a 5-triangle strip hanging off edge (4,5):
+    // round 1 drops the strip's support-1 boundary edges, which
+    // destroys every strip triangle, so round 2 drops the now-
+    // support-0 interior rungs — a genuine multi-round cascade at
+    // minSup=2, ending at exactly the K5 with all supports 3.
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val strip = Seq((4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (8L, 10L), (9L, 10L))
+    val e = k5 ++ strip
+    val ue = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val (df, rounds) = GraphOps.kTrussWithRounds(ue, k = 4)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rounds >= 3, s"cascade must need >1 peel round, got $rounds")
+    assert(got == k5.map(_ -> 3L).toMap,
+      s"k=4 truss must be exactly the K5 with support 3: $got")
+  }
+
+  test("peel-oracle unroll depths cover the fixture (exhaustion fails fast, named)") {
+    // The q153/q175/q178 oracles unroll a FIXED round count; the
+    // operators fail fast when the realized peel depth exceeds it
+    // (an exhausted unroll makes the ORACLE wrong, not the operator).
+    // This spec pins the current fixture inside the unrolls with ≥1
+    // round of slack, so a deeper future fixture trips HERE with the
+    // cause named instead of surfacing as a correctness-gate hash
+    // mismatch.
+    val t = Tables(spark, sf)
+    val ue = GraphOps.undirectedEdges(t)
+    val core = GraphOps.kCoreWithRounds(ue)._2
+    assert(core < GraphOps.KCoreOracleUnroll,
+      s"k-core realized $core rounds; unroll ${GraphOps.KCoreOracleUnroll} " +
+      "has no slack left — raise KCoreOracleUnroll")
+    val truss = GraphOps.kTrussWithRounds(ue)._2
+    assert(truss < GraphOps.KTrussOracleUnroll,
+      s"k-truss realized $truss rounds; unroll ${GraphOps.KTrussOracleUnroll} " +
+      "has no slack left — raise KTrussOracleUnroll")
+    val folded = ue
+      .select((col("src") % GraphOps.TrussDenseMod).as("src"),
+        (col("dst") % GraphOps.TrussDenseMod).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val t4 = GraphOps.kTrussWithRounds(folded, k = 4)._2
+    assert(t4 < GraphOps.KTrussOracleUnroll,
+      s"k=4 folded truss realized $t4 rounds; unroll " +
+      s"${GraphOps.KTrussOracleUnroll} has no slack left")
+  }
+
   test("corpus report: cells partition the corpus; duplicate mass matches q40") {
     val rows = operators.CorpusOps.corpusReport(spark, sf).collect()
     val docs = Tables(spark, sf).documents.count()

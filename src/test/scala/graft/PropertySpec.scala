@@ -629,6 +629,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("k-truss peel matches an in-memory model on random graphs") {
+    import spark.implicits._
+    // The Spark side enumerates triangles under a per-round (deg,id)
+    // DEGREE ORIENTATION; the model counts supports naively over a<b<c
+    // triples — equal results prove the orientation never changes
+    // support counts, only where the wedge work lands.
+    val edgeGen = Gen.listOfN(140,
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)))
+    forAllSampled(edgeGen, n = 5) { raw =>
+      val canon = raw.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (canon.nonEmpty) {
+        def supports(edges: List[(Long, Long)]): Map[(Long, Long), Long] = {
+          val es = edges.toSet
+          val tris = for {
+            (a, b) <- edges
+            c <- edges.collect { case (`b`, x) => x }
+            if es.contains((a, c))
+          } yield (a, b, c)
+          tris.flatMap { case (a, b, c) => Seq((a, b), (a, c), (b, c)) }
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        }
+        // in-memory fixpoint peel, k=3 (support ≥ 1)
+        var edges = canon
+        var changed = true
+        while (changed) {
+          val sup = supports(edges)
+          val next = edges.filter(e => sup.getOrElse(e, 0L) >= 1L)
+          changed = next.size != edges.size
+          edges = next
+        }
+        val want = edges.map(e => e -> supports(edges).getOrElse(e, 0L)).toMap
+        val ue = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+        val got = operators.GraphOps.kTrussFrom(ue, k = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+        assert(got == want, s"edges=$canon")
+      }
+    }
+  }
+
   test("funnel state machine ≡ batch min-chain on random ordered event feeds") {
     import spark.implicits._
     val evGen = Gen.listOfN(60, Gen.zip(

@@ -403,6 +403,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
   }
 
+  test("legacy flat band store: resume reads it, keeps writing flat, same keep-list") {
+    import spark.implicits._
+    // A store written BEFORE the pb= bucket level must resume cleanly:
+    // reads fall back to the unpruned (b=-only) path, and subsequent
+    // batches keep the FLAT layout — a mixed tree would break Spark's
+    // partition discovery. Build two batches bucketed, replicate them
+    // as a pre-bucketing store (bands flattened), run batch 3 against
+    // both, and require identical keep-lists plus a flat new dir.
+    val base = Tables(spark, sf).documents.filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    val chunks = base.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq.grouped(40).toSeq
+    val storeA = java.nio.file.Files
+      .createTempDirectory("graft_legacy_bucketed").toString
+    chunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      graft.streaming.StreamingDedup.dedupBatch(c.toDF("doc_id", "text"),
+        storeA, i)
+    }
+    val storeB = java.nio.file.Files
+      .createTempDirectory("graft_legacy_flat").toString
+    for (sub <- Seq("sigs", "ids", "pairs", "counts"); b <- 0 to 1) {
+      val src = s"$storeA/$sub/b=$b"
+      if (new java.io.File(src).exists())
+        spark.read.parquet(src).write.parquet(s"$storeB/$sub/b=$b")
+    }
+    for (b <- 0 to 1)
+      spark.read.parquet(s"$storeA/bands/b=$b").drop("pb")
+        .write.parquet(s"$storeB/bands/b=$b")
+    Seq(storeA, storeB).foreach { st =>
+      graft.streaming.StreamingDedup.dedupBatch(
+        chunks(2).toDF("doc_id", "text"), st, 2)
+    }
+    val newDirs = new java.io.File(s"$storeB/bands/b=2").listFiles()
+      .map(_.getName)
+    assert(!newDirs.exists(_.startsWith("pb=")),
+      s"legacy store must stay flat, got $newDirs")
+    assert(new java.io.File(s"$storeA/bands/b=2").listFiles()
+      .exists(_.getName.startsWith("pb=")),
+      "bucketed store must stay bucketed")
+    val gotA = graft.streaming.StreamingDedup.keepList(spark, storeA)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gotB = graft.streaming.StreamingDedup.keepList(spark, storeB)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotA == gotB,
+      s"legacy-layout keep-list diverged: ${gotB.size} vs ${gotA.size}")
+  }
+
   test("streaming dedup degenerate corpus: caps bind, compaction == batch escalation") {
     import spark.implicits._
     // All-identical corpus — the LSH/cell worst case no banding fixes.
