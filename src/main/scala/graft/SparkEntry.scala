@@ -117,6 +117,11 @@ object SparkEntry {
     "q172_reciprocity" -> (GraphOps.reciprocity _),
     "q175_ktruss" -> ((s: SparkSession, d: String) => GraphOps.kTruss(s, d)),
     "q178_ktruss4" -> ((s: SparkSession, d: String) => GraphOps.kTrussDense(s, d, k = 4)),
+    "q180_hits" -> (GraphOps.hits _),
+    "q181_eccentricity_sample" ->
+      ((s: SparkSession, d: String) => GraphOps.eccentricitySample(s, d)),
+    "q182_temperature_mixture" ->
+      (graft.operators.CorpusOps.temperatureMixture _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -838,6 +843,44 @@ object SparkEntry {
        |SELECT node, rank AS rank_micro FROM r10 ORDER BY node""".stripMargin
   }
 
+  /** q180 oracle: the HITS mutual-reinforcement recurrence unrolled to 5
+    * rounds — auth = in-edge hub sums, hub = out-edge auth sums, each
+    * side max-normalized to 10⁶ ppm per round, all BIGINT floor
+    * division (`//` ≡ Spark `div` on non-negatives), bit-identical to
+    * GraphOps.hits. */
+  private val hitsOracle: String = {
+    val levels = (1 to 5).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(sum(s.hub), 0) AS BIGINT) AS ar
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN hs${k - 1} s ON s.node = e.src
+         |  GROUP BY n.node),
+         |a$k AS MATERIALIZED (
+         |  SELECT node,
+         |    (1000000 * ar) // (SELECT greatest(max(ar), 1) FROM ar$k) AS auth
+         |  FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(sum(a.auth), 0) AS BIGINT) AS hr
+         |  FROM nodes n
+         |  LEFT JOIN e ON e.src = n.node
+         |  LEFT JOIN a$k a ON a.node = e.dst
+         |  GROUP BY n.node),
+         |hs$k AS MATERIALIZED (
+         |  SELECT node,
+         |    (1000000 * hr) // (SELECT greatest(max(hr), 1) FROM hr$k) AS hub
+         |  FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |hs0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |$levels
+       |SELECT n.node, CAST(h.hub AS BIGINT) AS hub_ppm,
+       |  CAST(a.auth AS BIGINT) AS auth_ppm
+       |FROM nodes n JOIN hs5 h ON h.node = n.node JOIN a5 a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** q38 oracle: synchronous min-tie-break label propagation unrolled to
     * 5 rounds — per-round neighbor-label counts + per-node argmax with
     * (cnt DESC, label ASC) ordering, identical to GraphOps
@@ -1113,6 +1156,47 @@ object SparkEntry {
         |FROM e${operators.GraphOps.KTrussOracleUnroll} e
         |LEFT JOIN sf s ON s.u = e.a AND s.v = e.b
         |ORDER BY 1, 2""".stripMargin,
+    // q180: the HITS recurrence unrolled — per round an in-edge hub sum,
+    // a max-normalize to 10⁶ ppm, an out-edge auth sum, and its
+    // normalize, all BIGINT floor division like q36.
+    "q180_hits" -> hitsOracle,
+    // q181: the q126 multi-source walk from 16 deterministic sources,
+    // folded to per-origin max distance + reached count, with the
+    // sample max as a diameter lower bound on every row.
+    "q181_eccentricity_sample" ->
+      s"""WITH RECURSIVE $edgeCte,
+        |srcs AS (
+        |  SELECT DISTINCT CAST(1 + (t.i * 41) %
+        |    (SELECT max(c_custkey) FROM customer) AS BIGINT) AS s
+        |  FROM range(0, 16) t(i)),
+        |walk(origin, node, d) AS (
+        |  SELECT s, s, 0 FROM srcs
+        |  UNION
+        |  SELECT w.origin, ue.dst, w.d + 1
+        |  FROM walk w JOIN ue ON ue.src = w.node
+        |  WHERE w.d < 10),
+        |md AS (SELECT origin, node, min(d) AS d FROM walk GROUP BY 1, 2),
+        |per AS (
+        |  SELECT origin, CAST(max(d) AS BIGINT) AS eccentricity,
+        |    CAST(count(*) AS BIGINT) AS n_reached
+        |  FROM md GROUP BY 1)
+        |SELECT origin, eccentricity, n_reached,
+        |  (SELECT max(eccentricity) FROM per) AS diameter_lb
+        |FROM per ORDER BY origin""".stripMargin,
+    // q182: temperature mixture — ⌊√n⌋ weights (exact in IEEE for any
+    // representable count) and floor-division shares/quotas; the epoch
+    // budget is interpolated from the same constant the Spark side uses.
+    "q182_temperature_mixture" ->
+      s"""WITH w AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, weight,
+        |  CAST(1000 * weight // tw AS BIGINT) AS mix_pm,
+        |  CAST((${operators.CorpusOps.MixtureEpochBudget} * weight) // tw
+        |    AS BIGINT) AS quota_docs
+        |FROM w, t ORDER BY source""".stripMargin,
     // q125: landmark index (lwalk) + od batch (swalk), both hop-capped
     // like q33; the upper bound is a min-plus join over the index.
     "q125_landmark_bounds" ->

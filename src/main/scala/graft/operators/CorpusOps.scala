@@ -592,4 +592,40 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared_digests"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Temperature-scaled source mixture (q182) — the epoch-mixture
+    * design step every multi-source training run starts from: raw
+    * per-source doc counts are flattened by a temperature exponent
+    * (α = 1/2 here: weight = ⌊√n⌋ — the standard up-weight-the-tail
+    * rule that keeps big sources from drowning small ones), then a
+    * fixed epoch budget is split proportionally. Weights and quotas
+    * stay integer (⌊√n⌋ is exact in IEEE for any representable n, and
+    * the split is floor division over BIGINTs), so the mixture replays
+    * bit-identically in the oracle. Output per source: raw count,
+    * weight, per-mille mixture share, and the document quota at the
+    * registered 100k-doc epoch budget.
+    *
+    * Scale shape: one source-keyed count aggregate (map-side
+    * combinable, ≤ #sources rows) + a broadcast 1-row weight total —
+    * the corpus is scanned once, nothing else moves. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixtureFrom(Tables(spark, dir).documents)
+
+  /** Registered epoch budget for q182 — mirrored literally in the
+    * oracle SQL; keep the two in sync. */
+  private[graft] val MixtureEpochBudget = 100000L
+
+  /** Same, over an arbitrary (source) corpus. */
+  private[graft] def temperatureMixtureFrom(docs: DataFrame,
+      budget: Long = MixtureEpochBudget): DataFrame = {
+    val w = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    w.crossJoin(broadcast(w.agg(sum(col("weight")).as("tw"))))
+      .select(col("source"), col("n_docs"), col("weight"),
+        expr("1000 * weight div tw").as("mix_pm"),
+        expr(s"($budget * weight) div tw").as("quota_docs"))
+      .orderBy(col("source"))
+  }
 }

@@ -1153,4 +1153,88 @@ object GraphOps {
     ranks.select(col("node"), col("rank").as("rank_micro"))
       .orderBy(col("node"))
   }
+
+  /** HITS hubs & authorities (q180) — Kleinberg's mutual-reinforcement
+    * fixed point over the DIRECTED graph: auth(v) = Σ_{u→v} hub(u),
+    * hub(u) = Σ_{u→v} auth(v), 5 synchronous rounds, each side
+    * re-normalized per round so the top score is exactly 10⁶. All
+    * arithmetic is BIGINT with floor division (the q36 discipline), so
+    * the scores are bit-identical under any partitioning and the oracle
+    * unrolls the recurrence exactly. The ppm scale bounds the per-round
+    * sums at maxIndeg·10¹² — inside a long for any curated graph; a
+    * web-scale deployment drops the scale to 10³ (same two-line
+    * change on both sides).
+    *
+    * Scale shape per round: two (edge join + node-keyed sum) passes and
+    * two 1-row max aggregates broadcast back — all map-side combinable,
+    * nothing quadratic; localCheckpoint truncates per-round lineage
+    * like the other iterative families. */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsFrom(directedEdges(Tables(spark, dir)))
+
+  /** Same, over an arbitrary directed edge relation. */
+  private[graft] def hitsFrom(de: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = de.persist()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
+    var scores = nodes
+      .select(col("node"), lit(1000000L).as("hub"), lit(1000000L).as("auth"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val araw = nodes.join(
+          edges.join(scores.select(col("node").as("src"), col("hub")),
+              Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val anorm = araw
+        .crossJoin(broadcast(
+          araw.agg(greatest(max(col("ar")), lit(1L)).as("am"))))
+        .select(col("node"), expr("(1000000 * ar) div am").as("auth"))
+      val hraw = nodes.join(
+          edges.join(anorm.select(col("node").as("dst"), col("auth")),
+              Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val hnorm = hraw
+        .crossJoin(broadcast(
+          hraw.agg(greatest(max(col("hr")), lit(1L)).as("hm"))))
+        .select(col("node"), expr("(1000000 * hr) div hm").as("hub"))
+      scores = nodes.join(hnorm, Seq("node")).join(anorm, Seq("node"))
+        .select(col("node"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); nodes.unpersist()
+    scores.select(col("node"), col("hub").as("hub_ppm"),
+        col("auth").as("auth_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** Hop-bounded eccentricity sample (q181) — for k deterministic
+    * sample sources, the max BFS distance within a 10-hop horizon plus
+    * the reached-node count, and the sample's max eccentricity as a
+    * diameter lower bound riding every row (the 1-row broadcast summary
+    * pattern). The "how far apart is this graph" readout run before
+    * picking traversal horizons — exact eccentricity needs all-pairs,
+    * which no one runs at scale; the k-source sample IS the production
+    * form, and it rides the same batched multi-source sweep as
+    * q126 (one frontier relation keyed by (origin, node), never k
+    * separate traversals). */
+  def eccentricitySample(spark: SparkSession, dir: String, k: Int = 16,
+      maxHops: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    require(m > 0, s"nonpositive max c_custkey $m at $dir")
+    val sources = (0 until k).map(i => 1L + (i.toLong * 41L) % m).distinct
+    val unweighted = symmetrizedEdges(t)
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    val per = multiSourceCostsFrom(spark, unweighted, sources, maxHops)
+      .groupBy(col("origin"))
+      .agg(max(col("cost")).as("eccentricity"),
+        count(lit(1)).as("n_reached"))
+    per.crossJoin(broadcast(
+        per.agg(max(col("eccentricity")).as("diameter_lb"))))
+      .orderBy(col("origin"))
+  }
 }
