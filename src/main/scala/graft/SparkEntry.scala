@@ -122,6 +122,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => GraphOps.eccentricitySample(s, d)),
     "q182_temperature_mixture" ->
       (graft.operators.CorpusOps.temperatureMixture _),
+    "q183_edit_linkage" -> (graft.operators.Dedup.editLinkage _),
+    "q184_degree_histogram" -> (GraphOps.degreeHistogram _),
+    "q185_source_vocab_overlap" ->
+      (graft.operators.CorpusOps.sourceVocabOverlap _),
   )
 
   /** SQL front door: TPC-H-shaped queries via spark.sql; the query text is
@@ -1183,6 +1187,72 @@ object SparkEntry {
         |SELECT origin, eccentricity, n_reached,
         |  (SELECT max(eccentricity) FROM per) AS diameter_lb
         |FROM per ORDER BY origin""".stripMargin,
+    // q183: blocked edit-distance linkage — 16-char prefix blocks with
+    // the >cap blocks excluded AND reported (mirrored cap), levenshtein
+    // ≤ 8 over the 80-char slice; levenshtein is the same exact integer
+    // DP in both engines.
+    "q183_edit_linkage" ->
+      s"""WITH keyed AS (
+        |  SELECT doc_id, substring(text, 1, 16) AS bk,
+        |         substring(text, 1, ${operators.Dedup.LinkageSliceLen})
+        |           AS slice
+        |  FROM documents),
+        |hot AS (
+        |  SELECT bk, count(*) AS bsz FROM keyed GROUP BY 1
+        |  HAVING count(*) > ${operators.Dedup.LinkageBlockCap}),
+        |skipped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_blocks,
+        |         CAST(coalesce(sum(bsz), 0) AS BIGINT) AS n_skipped_docs
+        |  FROM hot),
+        |inplay AS (SELECT k.* FROM keyed k ANTI JOIN hot h USING (bk))
+        |SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(levenshtein(a.slice, b.slice) AS BIGINT) AS dist,
+        |  s.n_skipped_blocks, s.n_skipped_docs
+        |FROM inplay a
+        |JOIN inplay b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |CROSS JOIN skipped s
+        |WHERE levenshtein(a.slice, b.slice) <= 8
+        |ORDER BY 1, 2""".stripMargin,
+    // q184: log-binned degree histogram — bin = bit length of the
+    // degree via length(bin(deg)), exact in both engines.
+    "q184_degree_histogram" ->
+      s"""WITH $edgeCte,
+        |deg AS (SELECT src, count(*) AS deg FROM ue GROUP BY 1)
+        |SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bin,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg,
+        |  CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q185: per-source top-100 term sets ((count DESC, term ASC) total
+    // order) → pairwise shared counts + exact per-mille Jaccard over
+    // the realized set sizes.
+    "q185_source_vocab_overlap" ->
+      s"""WITH tc AS (
+        |  SELECT source, term, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, term FROM (
+        |    SELECT source, term,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, term ASC) AS rn
+        |    FROM tc)
+        |  WHERE rn <= ${operators.CorpusOps.VocabTopN}),
+        |sizes AS (SELECT source, count(*) AS n FROM top GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM top a JOIN top b
+        |    ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |  CAST(1000 * p.n_shared // (sa.n + sb.n - p.n_shared) AS BIGINT)
+        |    AS jaccard_pm
+        |FROM pairs p
+        |JOIN sizes sa ON sa.source = p.source_a
+        |JOIN sizes sb ON sb.source = p.source_b
+        |ORDER BY 1, 2""".stripMargin,
     // q182: temperature mixture — ⌊√n⌋ weights (exact in IEEE for any
     // representable count) and floor-division shares/quotas; the epoch
     // budget is interpolated from the same constant the Spark side uses.

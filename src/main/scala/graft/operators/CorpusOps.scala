@@ -615,6 +615,51 @@ object CorpusOps {
     * oracle SQL; keep the two in sync. */
   private[graft] val MixtureEpochBudget = 100000L
 
+  /** Source vocabulary overlap (q185) — for every ordered source pair,
+    * the overlap of their top-100 term sets (count DESC, term ASC
+    * tie-break — a total order, so the sets are deterministic) as a
+    * shared-term count and an exact per-mille Jaccard over the REALIZED
+    * set sizes. The content-level sibling of q174's exact-digest
+    * matrix: two sources can share zero whole documents yet write about
+    * the same things — this is the diagnostic that catches it before
+    * mixture weights double-count a topic.
+    *
+    * Scale shape: per-source term counts (map-side combinable) → the
+    * per-source top-k is a source-partitioned WindowGroupLimit (per-
+    * group heap, bounded state — the q139 shape, never a global sort);
+    * the pair join runs over ≤ sources·100 rows and fans out per term
+    * only over the sources that share it; output ≤ sources² rows. */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceVocabOverlapFrom(Tables(spark, dir).documents)
+
+  /** Top-set size for q185 — mirrored literally in the oracle SQL. */
+  private[graft] val VocabTopN = 100
+
+  /** Same, over an arbitrary (source, text) corpus. */
+  private[graft] def sourceVocabOverlapFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("term").asc)
+    val top = tc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= VocabTopN)
+      .select(col("source"), col("term"))
+    val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    top.alias("a").join(top.alias("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        expr("1000 * n_shared div (na + nb - n_shared)").as("jaccard_pm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Same, over an arbitrary (source) corpus. */
   private[graft] def temperatureMixtureFrom(docs: DataFrame,
       budget: Long = MixtureEpochBudget): DataFrame = {

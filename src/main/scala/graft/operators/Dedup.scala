@@ -607,4 +607,49 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy(col("canonical_id"))
   }
+
+  /** Blocking cap and compared-slice length for q183 — mirrored
+    * literally in the oracle SQL; keep the two in sync. */
+  private[graft] val LinkageBlockCap  = 64
+  private[graft] val LinkageSliceLen  = 80
+
+  /** Blocked edit-distance linkage (q183) — the classic record-linkage
+    * shape over document text: block on the first 16 characters (a
+    * cheap deterministic key — near-identical records share it), then
+    * verify within-block pairs by LEVENSHTEIN distance ≤ 8 over the
+    * first [[LinkageSliceLen]] characters. This is the edit-distance
+    * complement to the set-based funnels (minhash/Jaccard measure
+    * shared vocabulary; edit distance catches character-level variants
+    * — OCR noise, typo farms, template fills — that token sets miss).
+    * Levenshtein is an exact integer in both engines, so the pair list
+    * carries a full oracle.
+    *
+    * Scale shape: the self-join is BLOCK-keyed (shuffle on the prefix),
+    * and blocks above [[LinkageBlockCap]] members are excluded and
+    * REPORTED (the BucketGuard discipline — a boilerplate prefix cannot
+    * go quadratic); per-pair work is the O(slice²) DP on an 80-char
+    * slice — constant. Output: verified pairs + the skipped-block
+    * summary on every row. */
+  def editLinkage(spark: SparkSession, dir: String): DataFrame =
+    editLinkageFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def editLinkageFrom(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, 16).as("bk"),
+      substring(col("text"), 1, LinkageSliceLen).as("slice"))
+    val hot = keyed.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > LinkageBlockCap)
+    val skipped = hot.agg(
+      count(lit(1)).as("n_skipped_blocks"),
+      coalesce(sum(col("bsz")), lit(0L)).as("n_skipped_docs"))
+    val inPlay = keyed.join(hot.select(col("bk")), Seq("bk"), "left_anti")
+    inPlay.alias("a").join(inPlay.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        levenshtein(col("a.slice"), col("b.slice")).cast("long").as("dist"))
+      .filter(col("dist") <= 8)
+      .crossJoin(broadcast(skipped))
+      .orderBy(col("ia"), col("ib"))
+  }
 }

@@ -1237,4 +1237,25 @@ object GraphOps {
         per.agg(max(col("eccentricity")).as("diameter_lb"))))
       .orderBy(col("origin"))
   }
+
+  /** Log-binned degree histogram (q184) — node counts per power-of-two
+    * degree bin (bin = bit length of the degree, an exact integer in
+    * both engines via `length(bin(deg))` — no float log near bin
+    * boundaries), with the bin's realized min/max degree. THE first
+    * diagnostic read on an unknown graph: a straight line down the bins
+    * is the power law that decides whether hub caps, salting, and
+    * degree orientation are needed at all. Output is ≤ 64 rows at any
+    * scale — the full per-degree histogram would be O(√m) rows and is
+    * what this query exists to avoid.
+    *
+    * Scale shape: one degree aggregate (map-side combinable) + one
+    * ≤64-group aggregate over the NODE relation. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val deg = undirectedEdges(Tables(spark, dir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    deg.groupBy(length(bin(col("deg"))).cast("long").as("deg_bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("deg_bin"))
+  }
 }

@@ -89,13 +89,20 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
-  /** Shuffle (sort-merge capable) join on the fact table: lineitem ⋈ orders.
-    * Both sides are large, so Spark shuffles on the join key; AQE may still
-    * convert to broadcast at small SFs. Revenue per order priority. */
+  /** Shuffle (sort-merge) join on the fact table: lineitem ⋈ orders.
+    * Revenue per order priority. The merge hint PINS the fact-fact
+    * strategy this query exists to demonstrate (§2.c "shuffle/SMJ"):
+    * without it AQE converts to broadcast at bench SFs, which (a) isn't
+    * the plan a 100 TB orders side would ever get, and (b) moves the
+    * cost onto a driver-side 150k-row broadcast build whose
+    * GC-sensitive variance polluted the q07 trend line (rounds 12-13
+    * measured 0.85-1.01 s as BHJ vs 0.70-0.81 s as SMJ at sf0.1 —
+    * the executor-side shuffle is both the honest shape and faster). */
   def shuffleJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(t.orders, t.lineitem("l_orderkey") === t.orders("o_orderkey"))
+      .join(t.orders.hint("merge"),
+        t.lineitem("l_orderkey") === t.orders("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("cnt"),

@@ -1487,9 +1487,14 @@ class PipelineSpec extends AnyFunSuite {
           centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
       }
     val vecs = rows.toDF("vec_id", "embedding")
+    // cell-bounding equivalence is a property of the IVF composition,
+    // not the codebook rung: compare at the SAME rung (trainIters = 0 ≡
+    // pqAdcTopKFrom's seed codebook; the registered q159 uses the
+    // trained rung, gated separately by q179)
     val flat = Similarity.pqAdcTopKFrom(vecs, queryMod = 40L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val ivf = Similarity.ivfAdcTopKFrom(vecs, queryMod = 40L).collect()
+    val ivf = Similarity.ivfAdcTopKFrom(vecs, queryMod = 40L, trainIters = 0)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(ivf.nonEmpty && ivf.toSeq == flat.toSeq)
     // fixture: well-formed ranks, no self-matches, candidates probed-only
