@@ -172,6 +172,7 @@ object SparkEntry {
     "q121_full_pipeline"       -> (graft.operators.CorpusOps.fullPipeline _),
     "q122_cms_heavy_hitters"   -> (TextAnalysis.cmsHeavyHitters _),
     "q123_resize_stride"       -> (Multimodal.resizePayload _),
+    "q187_image_phash"         -> (Multimodal.imagePhashGroups _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
     "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
@@ -225,6 +226,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStreams.lateDataAudit(s, d)),
     "q162_streaming_mv" -> (graft.streaming.StreamingMv.streamingMv _),
+    "q186_streaming_transitions" ->
+      (graft.streaming.EventStreams.streamingTransitions _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -635,20 +638,11 @@ object SparkEntry {
     // q176: first-order Markov transition matrix — adjacency in the
     // per-user (ts, event_id) order, exact integer counts, permille
     // quantized AFTER the counts (1000·n div row-total ≡ //).
-    "q176_event_transitions" ->
-      """WITH nx AS (
-        |  SELECT event_type AS prev_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS next_type
-        |  FROM events),
-        |p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
-        |      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
-        |      FROM p GROUP BY 1)
-        |SELECT p.prev_type, p.next_type, p.n,
-        |  CAST(1000 * p.n // t.row_total AS BIGINT) AS p_pm
-        |FROM p JOIN t USING (prev_type)
-        |ORDER BY 1, 2""".stripMargin,
+    "q176_event_transitions" -> transitionsOracle,
+    // q186: the streaming sibling must land on the batch matrix exactly
+    // — its oracle IS q176's replay (the cross-batch last-event state
+    // makes boundary-straddling adjacency identical to the window).
+    "q186_streaming_transitions" -> transitionsOracle,
     // q69 parses STRING timestamps/numerics (the reference's
     // types_utils.cpp format "%Y-%m-%dT%H:%M:%S"); the CSV text hop is
     // value-exact (ISO seconds; shortest-roundtrip doubles), so the oracle
@@ -846,6 +840,26 @@ object SparkEntry {
        |$levels
        |SELECT node, rank AS rank_micro FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** q176/q186 oracle: first-order Markov transition matrix — adjacency
+    * in the per-user (ts, event_id) order, exact integer counts,
+    * permille quantized AFTER the counts (1000·n div row-total ≡ //).
+    * The streaming q186 shares it verbatim: the batch window and the
+    * cross-batch state machine must produce the same matrix. */
+  private def transitionsOracle: String =
+    """WITH nx AS (
+      |  SELECT event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+      |      FROM p GROUP BY 1)
+      |SELECT p.prev_type, p.next_type, p.n,
+      |  CAST(1000 * p.n // t.row_total AS BIGINT) AS p_pm
+      |FROM p JOIN t USING (prev_type)
+      |ORDER BY 1, 2""".stripMargin
 
   /** q180 oracle: the HITS mutual-reinforcement recurrence unrolled to 5
     * rounds — auth = in-edge hub sums, hub = out-edge auth sums, each
@@ -2989,6 +3003,36 @@ object SparkEntry {
         |       CAST(strlen(regexp_replace(text, '(.).', '\1', 'g')) AS BIGINT) AS resized_bytes,
         |       md5(regexp_replace(text, '(.).', '\1', 'g')) AS resized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q187: aHash replay from the raw text bytes (the q53 framing — 8
+    // px wide, h = bytes//24 rows, h ≥ 8): per 8×8 grid cell the floor
+    // mean of floor-gray values over its row band, bit = cell > floor
+    // mean of the 64 cells, emitted as the same 64-char '0'/'1' string.
+    "q187_image_phash" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |      c -> ascii(c)) AS bs,
+        |    strlen(text) // 24 AS h
+        |  FROM documents
+        |  WHERE strlen(text) // 24 >= 8),
+        |cells AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      list_sum(list_transform(
+        |        range((k // 8) * h // 8, ((k // 8) + 1) * h // 8),
+        |        r -> (bs[24*r + 3*(k % 8) + 1] + bs[24*r + 3*(k % 8) + 2]
+        |            + bs[24*r + 3*(k % 8) + 3]) // 3))
+        |      // (((k // 8) + 1) * h // 8 - (k // 8) * h // 8)) AS cl
+        |  FROM cs),
+        |ph AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(cl, x ->
+        |      CASE WHEN x > list_sum(cl) // 64 THEN '1' ELSE '0' END), '')
+        |      AS phash
+        |  FROM cells)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+        |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

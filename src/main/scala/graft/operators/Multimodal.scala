@@ -86,7 +86,10 @@ object Multimodal {
     final case class Features(doc_id: Long, width: Long, height: Long,
         maxval: Long, r_mean: Double, g_mean: Double, b_mean: Double)
 
-    def decode(id: Long, p: Array[Byte]): Option[Features] = {
+    /** Header parse shared by [[decode]] and [[aHash]]: returns
+      * (width, height, maxval, raster offset) or None on any malformed
+      * or truncated header/raster. */
+    private def parseHeader(p: Array[Byte]): Option[(Long, Long, Long, Int)] = {
       var i = 0
       def isWs(b: Byte): Boolean =
         b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
@@ -113,19 +116,65 @@ object Multimodal {
       val w = readAsciiInt(); val h = readAsciiInt(); val mv = readAsciiInt()
       if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
       i += 1 // the single whitespace byte between header and raster
-      val n = w * h
-      if (i + n * 3 > p.length) return None
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var k = 0
-      while (k < n) {
-        sr += p(i + 3 * k) & 0xff
-        sg += p(i + 3 * k + 1) & 0xff
-        sb += p(i + 3 * k + 2) & 0xff
-        k += 1
-      }
-      Some(Features(id, w, h, mv,
-        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      if (i + w * h * 3 > p.length) return None
+      Some((w, h, mv, i))
     }
+
+    def decode(id: Long, p: Array[Byte]): Option[Features] =
+      parseHeader(p).map { case (w, h, mv, off) =>
+        val n = w * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var k = 0
+        while (k < n) {
+          sr += p(off + 3 * k) & 0xff
+          sg += p(off + 3 * k + 1) & 0xff
+          sb += p(off + 3 * k + 2) & 0xff
+          k += 1
+        }
+        Features(id, w, h, mv,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+
+    /** Average-hash (aHash) perceptual fingerprint: the image is
+      * block-averaged onto an 8×8 grid of integer grayscale cells
+      * (gray = (R+G+B)/3, both divisions floor — bit-stable), each cell
+      * set to 1 iff it exceeds the 64-cell floor mean; emitted as a
+      * 64-char '0'/'1' string (a packed long would overflow on bit 63;
+      * the string groups and compares identically). Needs ≥ 8 rows and
+      * ≥ 8 columns to resize onto the grid — smaller images fall out
+      * through the None branch like corrupt rows. */
+    def aHash(id: Long, p: Array[Byte]): Option[(Long, String)] =
+      parseHeader(p).flatMap { case (w, h, _, off) =>
+        if (w < 8 || h < 8) None
+        else {
+          val cells = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            val r0 = (j * h / 8).toInt; val r1 = ((j + 1) * h / 8).toInt
+            var c = 0
+            while (c < 8) {
+              val c0 = (c * w / 8).toInt; val c1 = ((c + 1) * w / 8).toInt
+              var s = 0L
+              var r = r0
+              while (r < r1) {
+                var cc = c0
+                while (cc < c1) {
+                  val b = off + 3 * (r * w.toInt + cc)
+                  s += ((p(b) & 0xff) + (p(b + 1) & 0xff) +
+                    (p(b + 2) & 0xff)) / 3
+                  cc += 1
+                }
+                r += 1
+              }
+              cells(j * 8 + c) = s / ((r1 - r0).toLong * (c1 - c0))
+              c += 1
+            }
+            j += 1
+          }
+          val mean = cells.sum / 64
+          Some((id, cells.map(v => if (v > mean) '1' else '0').mkString))
+        }
+      }
   }
 
   /** Per-partition batch image decode over the binary column — the
@@ -159,5 +208,39 @@ object Multimodal {
         round(col("g_mean"), 4).as("g_mean"),
         round(col("b_mean"), 4).as("b_mean"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual-hash image dedup groups (q187) — the image-side sibling
+    * of the text exact-dedup tier: every (framed) image is fingerprinted
+    * with the classic average-hash ([[PpmDecoder.aHash]]: 8×8
+    * block-average grid, bit = cell > mean — all floor-integer, so the
+    * hash is bit-stable), then grouped on the exact hash with the
+    * keep-lowest-id rule. Visually-identical-after-downscale images
+    * (recompressions, minor crops at the block scale) share a hash;
+    * the hamming-neighborhood tier would band the hash like q43's
+    * simhash — the grouping here is the hamming-0 rung every image
+    * pipeline runs first.
+    *
+    * Scale shape: decode + hash is one per-partition map pass over the
+    * payload scan (codec init amortized — the mapPartitions pattern);
+    * the group is one 64-byte-key aggregate, map-side combinable.
+    * Images under 8×8 fall out via the corrupt-row branch like q53. */
+  def imagePhashGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("h", floor(octet_length(col("text")) / lit(24)).cast("int"))
+      .filter(col("h") >= 8)
+      .select(col("doc_id"),
+        concat(lit("P6\n8 "), col("h").cast("string"), lit("\n255\n"),
+          col("text").substr(lit(1), col("h") * lit(24)))
+          .cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) => PpmDecoder.aHash(id, payload) }
+      }
+      .toDF("doc_id", "phash")
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("phash"))
   }
 }

@@ -16,6 +16,11 @@ final case class FunnelState(v: Long, c: Long, p: Long, upd: Long)
 /** Funnel state emitted per (user, batch) update. */
 final case class FunnelUpd(user_id: Long, view_us: Long, click_us: Long,
     purchase_us: Long, upd: Long)
+/** Last-seen event per user for the streaming transition matrix
+  * (q186): one fixed-size row per user — BOUNDED state. */
+final case class TransState(lastUs: Long, lastId: Long, lastType: String)
+/** One emitted first-order transition. */
+final case class TransOut(prev_type: String, next_type: String)
 /** Open-session state carried between micro-batches. */
 final case class SessState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 /** Emitted closed session. */
@@ -364,6 +369,73 @@ object EventStreams {
           state.update(ns)
           FunnelUpd(user, v, c, p, ns.upd)
       }
+  }
+
+  /** The q186 per-user advance: each batch's events (sorted by
+    * (ts, event_id) — shuffle order inside a batch is irrelevant) emit
+    * one (prev, next) transition against the REMEMBERED last event,
+    * which crosses micro-batch boundaries through the state row — the
+    * part a per-batch lead() window cannot see. State is one fixed
+    * struct per user (q154's boundedness argument); equivalence to the
+    * batch q176 window holds under the ordered-feed contract, exactly
+    * like the funnel. */
+  def transitionsAdvance(events: Dataset[FEvent]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[FEvent], state: GroupState[TransState]) =>
+          var last = state.getOption.getOrElse(TransState(-1L, -1L, ""))
+          val out = Seq.newBuilder[TransOut]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (last.lastUs >= 0) out += TransOut(last.lastType, e.event_type)
+            last = TransState(micros(e.ts), e.event_id, e.event_type)
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming transition matrix (q186) — the q176 first-order Markov
+    * matrix maintained as a true stream: the ordered file feed drives
+    * [[transitionsAdvance]], emitted transitions append to the sink,
+    * and the matrix is the same (prev, next) aggregate + broadcast
+    * row-total permille as batch q176 — whose SQL is this query's
+    * oracle verbatim. Integer counts make the final aggregate
+    * order-insensitive; the cross-batch adjacency is exact because the
+    * last-event state carries over where a per-batch window would
+    * miss every boundary-straddling pair. */
+  def streamingTransitions(spark: SparkSession, dir: String): DataFrame =
+    streamingTransitionsFrom(Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  /** Same, over an arbitrary (event_id, ts, user_id, event_type)
+    * relation. */
+  def streamingTransitionsFrom(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val sink = s"transitions_${System.nanoTime()}"
+    val q = transitionsAdvance(
+      FileFeed.orderedStream(spark, ev, nChunks = 8,
+        unix_micros(col("ts")), purpose = "transitions").as[FEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // row totals via a prev-partitioned window over the ≤ types² matrix
+    // (a pairs⋈totals self-join over the memory sink trips conflicting-
+    // reference resolution on the MemoryPlan view; the window needs no
+    // second reference and the relation is metadata-sized)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    spark.table(sink)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("1000 * n div row_total").as("p_pm"))
+      .orderBy(col("prev_type"), col("next_type"))
   }
 
   /** Registered q154 entry: the fixture events chunked into 8 ts-ordered

@@ -403,6 +403,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
   }
 
+  test("streaming transitions: every pair straddles a batch boundary, equals batch") {
+    import spark.implicits._
+    // 6 users × 8 events, timestamps spread so the 8-chunk ordered feed
+    // puts each event in its OWN micro-batch — every single transition
+    // crosses a batch boundary and exists only because the last-event
+    // state carries over; a per-batch window would emit nothing.
+    val types = Seq("view", "click", "purchase", "error")
+    val evs = for {
+      u <- 1L to 6L
+      i <- 0L until 8L
+    } yield (u * 100 + i, // event_id
+      new java.sql.Timestamp(1704067200000L + i * 3600 * 1000 + u * 1000),
+      u, types(((u + i) % 4).toInt))
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStreams.streamingTransitionsFrom(df)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = operators.Behavioral.eventTransitionsFrom(df)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want,
+      s"streaming transitions diverged from batch: $got vs $want")
+    assert(got.map(_._3).sum == 6 * 7,
+      "all 42 adjacent pairs must be found across batch boundaries")
+  }
+
   test("legacy flat band store: resume reads it, keeps writing flat, same keep-list") {
     import spark.implicits._
     // A store written BEFORE the pb= bucket level must resume cleanly:
