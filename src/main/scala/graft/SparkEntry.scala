@@ -173,6 +173,7 @@ object SparkEntry {
     "q122_cms_heavy_hitters"   -> (TextAnalysis.cmsHeavyHitters _),
     "q123_resize_stride"       -> (Multimodal.resizePayload _),
     "q187_image_phash"         -> (Multimodal.imagePhashGroups _),
+    "q188_image_neardup"       -> (Multimodal.imageNearDup _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
     "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
@@ -840,6 +841,34 @@ object SparkEntry {
        |$levels
        |SELECT node, rank AS rank_micro FROM r10 ORDER BY node""".stripMargin
   }
+
+  /** The aHash fingerprint CTE chain shared by q187 (exact groups) and
+    * q188 (hamming funnel): text-byte framing (8 px wide, h = bytes//24
+    * rows, h ≥ 8), 8×8 block-average grid in floor-integer grayscale,
+    * bit = cell > floor mean, 64-char '0'/'1' hash. Ends at `ph`. */
+  private def phashCtes: String =
+    """cs AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |      c -> ascii(c)) AS bs,
+      |    strlen(text) // 24 AS h
+      |  FROM documents
+      |  WHERE strlen(text) // 24 >= 8),
+      |cells AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), k ->
+      |      list_sum(list_transform(
+      |        range((k // 8) * h // 8, ((k // 8) + 1) * h // 8),
+      |        r -> (bs[24*r + 3*(k % 8) + 1] + bs[24*r + 3*(k % 8) + 2]
+      |            + bs[24*r + 3*(k % 8) + 3]) // 3))
+      |      // (((k // 8) + 1) * h // 8 - (k // 8) * h // 8)) AS cl
+      |  FROM cs),
+      |ph AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(cl, x ->
+      |      CASE WHEN x > list_sum(cl) // 64 THEN '1' ELSE '0' END), '')
+      |      AS phash
+      |  FROM cells)""".stripMargin
 
   /** q176/q186 oracle: first-order Markov transition matrix — adjacency
     * in the per-user (ts, event_id) order, exact integer counts,
@@ -3008,31 +3037,42 @@ object SparkEntry {
     // mean of floor-gray values over its row band, bit = cell > floor
     // mean of the 64 cells, emitted as the same 64-char '0'/'1' string.
     "q187_image_phash" ->
-      """WITH cs AS (
-        |  SELECT doc_id,
-        |    list_transform(list_filter(string_split(text, ''), c -> c != ''),
-        |      c -> ascii(c)) AS bs,
-        |    strlen(text) // 24 AS h
-        |  FROM documents
-        |  WHERE strlen(text) // 24 >= 8),
-        |cells AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 64), k ->
-        |      list_sum(list_transform(
-        |        range((k // 8) * h // 8, ((k // 8) + 1) * h // 8),
-        |        r -> (bs[24*r + 3*(k % 8) + 1] + bs[24*r + 3*(k % 8) + 2]
-        |            + bs[24*r + 3*(k % 8) + 3]) // 3))
-        |      // (((k // 8) + 1) * h // 8 - (k // 8) * h // 8)) AS cl
-        |  FROM cs),
-        |ph AS (
-        |  SELECT doc_id,
-        |    array_to_string(list_transform(cl, x ->
-        |      CASE WHEN x > list_sum(cl) // 64 THEN '1' ELSE '0' END), '')
-        |      AS phash
-        |  FROM cells)
+      s"""WITH $phashCtes
         |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id
         |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q188: the hamming funnel over the same fingerprints — 8 bands of
+    // 8 bits (pigeonhole-exact at τ=7), >64-member bands excluded and
+    // reported, exact hamming verify.
+    "q188_image_neardup" ->
+      s"""WITH $phashCtes,
+        |bands AS (
+        |  SELECT doc_id, phash, b AS band_idx,
+        |         substring(phash, CAST(b * 8 + 1 AS INTEGER), 8) AS band_val
+        |  FROM ph CROSS JOIN range(0, 8) r(b)),
+        |hot AS (
+        |  SELECT band_idx, band_val, count(*) AS bsz FROM bands
+        |  GROUP BY 1, 2 HAVING count(*) > 64),
+        |skipped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_bands,
+        |         CAST(coalesce(sum(bsz), 0) AS BIGINT) AS n_skipped_rows
+        |  FROM hot),
+        |ip AS (SELECT x.* FROM bands x ANTI JOIN hot h
+        |       USING (band_idx, band_val)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |         a.phash AS pa, b.phash AS pb
+        |  FROM ip a JOIN ip b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id)
+        |SELECT ia, ib,
+        |  CAST(len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
+        |    AS BIGINT) AS hamming,
+        |  s.n_skipped_bands, s.n_skipped_rows
+        |FROM cand CROSS JOIN skipped s
+        |WHERE len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
+        |      BETWEEN 1 AND 7
+        |ORDER BY 1, 2""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -225,7 +225,15 @@ object Multimodal {
     * payload scan (codec init amortized — the mapPartitions pattern);
     * the group is one 64-byte-key aggregate, map-side combinable.
     * Images under 8×8 fall out via the corrupt-row branch like q53. */
-  def imagePhashGroups(spark: SparkSession, dir: String): DataFrame = {
+  def imagePhashGroups(spark: SparkSession, dir: String): DataFrame =
+    imagePhashes(spark, dir)
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy(col("phash"))
+
+  /** The (doc_id, phash) fingerprint relation shared by q187 (exact
+    * groups) and q188 (hamming funnel). */
+  private[graft] def imagePhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
       .withColumn("h", floor(octet_length(col("text")) / lit(24)).cast("int"))
@@ -239,8 +247,64 @@ object Multimodal {
         rows.flatMap { case (id, payload) => PpmDecoder.aHash(id, payload) }
       }
       .toDF("doc_id", "phash")
-      .groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
-      .orderBy(col("phash"))
+  }
+
+  /** Banding geometry and caps for q188 — mirrored literally in the
+    * oracle SQL; keep the two in sync. 8 bands of 8 bits with τ = 7
+    * give ZERO false negatives by pigeonhole: two hashes within
+    * hamming 7 differ in at most 7 bands, so at least one band is
+    * bit-identical and generates the candidate. */
+  private[graft] val PhashBands   = 8
+  private[graft] val PhashTau     = 7
+  private[graft] val PhashBandCap = 64
+
+  /** Image near-dup funnel (q188) — the hamming tier above q187's
+    * exact groups, built exactly like the q42 text funnel: band the
+    * 64-bit hash into [[PhashBands]] 8-bit bands, equi-join on
+    * (band_idx, band_val) for candidates, verify with the exact
+    * hamming distance (1 ≤ hamming ≤ [[PhashTau]] — the 0 rung IS
+    * q187), and exclude + REPORT bands over [[PhashBandCap]] members
+    * (a corpus of near-black images makes the all-zeros band hot; the
+    * guard keeps pair generation bounded while the exact-hash tier
+    * still collapses the identical mass). Pigeonhole makes the funnel
+    * exact at τ=7 — zero false negatives among in-play bands — so the
+    * pair list carries a full oracle.
+    *
+    * Scale shape: band-keyed self-join (shuffle on 10-byte keys,
+    * fan-out bounded by cap²), DISTINCT pair dedup, per-pair O(64)
+    * verify; the skipped-band summary rides every row broadcast. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupFrom(imagePhashes(spark, dir))
+
+  /** Same, over an arbitrary (doc_id, phash) relation — the pigeonhole
+    * exactness spec feeds constructed hashes. */
+  private[graft] def imageNearDupFrom(ph: DataFrame): DataFrame = {
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band_idx"))
+      .withColumn("band_val",
+        expr(s"substring(phash, band_idx * 8 + 1, 8)"))
+    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > PhashBandCap)
+    val skipped = hot.agg(
+      count(lit(1)).as("n_skipped_bands"),
+      coalesce(sum(col("bsz")), lit(0L)).as("n_skipped_rows"))
+    val inPlay = bands.join(hot.select(col("band_idx"), col("band_val")),
+      Seq("band_idx", "band_val"), "left_anti")
+    val cand = inPlay.alias("a").join(inPlay.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        size(filter(zip_with(split(col("pa"), ""), split(col("pb"), ""),
+          (x, y) => x =!= y), x => x)).cast("long"))
+      .filter(col("hamming") >= 1 && col("hamming") <= PhashTau)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .crossJoin(broadcast(skipped))
+      .orderBy(col("ia"), col("ib"))
   }
 }

@@ -1389,6 +1389,40 @@ class PipelineSpec extends AnyFunSuite {
       s"${GraphOps.KTrussOracleUnroll} has no slack left")
   }
 
+  test("image near-dup funnel: pigeonhole-exact vs brute force; caps bind") {
+    import spark.implicits._
+    // constructed hashes: base all-zeros; neighbors at controlled
+    // hamming distances 1..9 (flips spread across DIFFERENT bands — the
+    // pigeonhole worst case); funnel must equal brute-force τ∈[1,7]
+    val base = "0" * 64
+    def flip(s: String, bits: Seq[Int]): String =
+      bits.foldLeft(s)((a, b) => a.updated(b, if (a(b) == '0') '1' else '0'))
+    val rows = Seq(
+      (1L, base),
+      (2L, flip(base, Seq(0))),                       // d(1,2)=1
+      (3L, flip(base, Seq(8, 16, 24, 32))),           // d(1,3)=4, spread
+      (4L, flip(base, (0 until 7).map(_ * 8))),       // d(1,4)=7 — max in
+      (5L, flip(base, (0 until 9).map(i => i * 7)))   // d(1,5)=9 — out
+    )
+    val got = operators.Multimodal.imageNearDupFrom(rows.toDF("doc_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val want = (for {
+      (ia, pa) <- rows; (ib, pb) <- rows if ia < ib
+      d = ham(pa, pb) if d >= 1 && d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"funnel $got != brute $want")
+    assert(got.exists(_._3 == 7L), "the τ=7 boundary pair must be found")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L), "d=9 must be out")
+    // cap binds: 70 copies of one hash make all its bands hot — pair
+    // generation refused, mass reported (exact-dup tier is q187's job)
+    val degen = (1L to 70L).map(i => (i, base)) :+ (100L, flip(base, Seq(0)))
+    val d2 = operators.Multimodal.imageNearDupFrom(degen.toDF("doc_id", "phash"))
+      .collect()
+    assert(d2.isEmpty || d2.forall(_.getLong(3) > 0),
+      "hot bands must be excluded and reported")
+  }
+
   test("corpus report: cells partition the corpus; duplicate mass matches q40") {
     val rows = operators.CorpusOps.corpusReport(spark, sf).collect()
     val docs = Tables(spark, sf).documents.count()
