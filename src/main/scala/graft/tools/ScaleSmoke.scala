@@ -458,6 +458,54 @@ object ScaleSmoke {
         println(s"[scale]   transitions: cells=$cells")
         cells
       }
+      // HITS (q180's shape): 5 synchronous rounds over the amplified
+      // directed graph — two node-keyed sums + two broadcast 1-row
+      // maxes per round; must track pagerank_10iter at roughly half the
+      // rounds' cost.
+      time(s"hits_5round") {
+        graft.operators.GraphOps.hitsFrom(de).count()
+      }
+      // blocked edit-distance linkage (q183's shape): amplified copies
+      // share their base doc's 16-char prefix, so blocks hold ~mult
+      // members (far under the 64 cap) — pair count grows as
+      // C(mult,2)·docs (real near-dup mass, inherently quadratic in
+      // copy count) while per-pair work stays the constant 80-char DP.
+      time(s"edit_linkage") {
+        val l = graft.operators.Dedup.editLinkageFrom(docs)
+        val pairs = l.count()
+        println(s"[scale]   edit linkage: pairs=$pairs")
+        pairs
+      }
+      // source vocabulary overlap (q185's shape): per-source top-100
+      // via WindowGroupLimit, pair join over ≤ sources·100 rows — time
+      // must track the term-count scan; output fixed at C(20,2).
+      time(s"vocab_overlap") {
+        val srcDocs = docs.withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        graft.operators.CorpusOps.sourceVocabOverlapFrom(srcDocs).count()
+      }
+      // perceptual-hash tier (q187/q188's shape): per-partition decode +
+      // hash map pass, hash-keyed group, then the banded hamming funnel
+      // — both must scale with the payload scan; amplified exact copies
+      // collapse into the same hash groups (n_docs grows, hashes don't).
+      time(s"image_phash_funnel") {
+        val ph = docs
+          .withColumn("h",
+            floor(octet_length(col("text")) / lit(24)).cast("int"))
+          .filter(col("h") >= 8)
+          .select(col("doc_id"),
+            concat(lit("P6\n8 "), col("h").cast("string"), lit("\n255\n"),
+              expr("substring(text, 1, h * 24)")).cast("binary").as("payload"))
+        import spark.implicits._
+        val hashes = ph.as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, p) =>
+            graft.operators.Multimodal.PpmDecoder.aHash(id, p) })
+          .toDF("doc_id", "phash")
+        val groups = hashes.groupBy(col("phash")).count().count()
+        val nd = graft.operators.Multimodal.imageNearDupFrom(hashes).count()
+        println(s"[scale]   phash: distinct_hashes=$groups neardup_pairs=$nd")
+        groups
+      }
       // per-vertex attribution (q147's shape): the same oriented wedge
       // join plus an explode + count over TRIANGLE rows — must track the
       // triangle_count row above, not add a new asymptotic term.

@@ -72,7 +72,9 @@ class RelationalSpec extends AnyFunSuite {
       ("Skew", operators.Skew, Set.empty),
       ("TextAnalysis", operators.TextAnalysis, Set.empty),
       ("CorpusOps", operators.CorpusOps, Set.empty),
-      ("Multimodal", operators.Multimodal, Set.empty),
+      // imagePhashes: the shared fingerprint relation BEHIND the
+      // registered q187/q188 wrappers (both call it directly)
+      ("Multimodal", operators.Multimodal, Set("imagePhashes")),
       ("Dedup", operators.Dedup, Set.empty),
       ("Similarity", operators.Similarity, Set.empty),
       ("Behavioral", operators.Behavioral, Set.empty),
