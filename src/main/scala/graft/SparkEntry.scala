@@ -229,6 +229,9 @@ object SparkEntry {
     "q162_streaming_mv" -> (graft.streaming.StreamingMv.streamingMv _),
     "q186_streaming_transitions" ->
       (graft.streaming.EventStreams.streamingTransitions _),
+    "q189_streaming_sampling" ->
+      (graft.streaming.StreamingMv.streamingSampleMonitor _),
+    "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -869,6 +872,19 @@ object SparkEntry {
       |      CASE WHEN x > list_sum(cl) // 64 THEN '1' ELSE '0' END), '')
       |      AS phash
       |  FROM cells)""".stripMargin
+
+  /** q173/q189 oracle: the content-addressed sampling readout — shared
+    * verbatim by the batch query and the streaming monitor (additive
+    * integer counts land the stream on the one-shot aggregate for any
+    * batching). */
+  private def hashSamplingOracle: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(1000 * CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
+      |                       THEN 1 ELSE 0 END) AS BIGINT)
+      |       // count(*) AS BIGINT) AS realized_pm
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q176/q186 oracle: first-order Markov transition matrix — adjacency
     * in the per-user (ts, event_id) order, exact integer counts,
@@ -2504,14 +2520,43 @@ object SparkEntry {
     "q166_dedup_savings" -> dedupSavingsOracle,
     // q173: content-addressed deterministic sampling — first two md5
     // hex chars under '29' (≈16%); identical digests in both engines.
-    "q173_hash_sampling" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |  CAST(1000 * CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '29'
-        |                       THEN 1 ELSE 0 END) AS BIGINT)
-        |       // count(*) AS BIGINT) AS realized_pm
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_hash_sampling" -> hashSamplingOracle,
+    // q190: exact lower medians (rank (n+1)//2 of the unique
+    // (cents, event_id) order) for value and absolute deviation per
+    // type, then the |x−med| > 3·MAD flag — all integer.
+    "q190_robust_outliers" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+        |r1 AS (SELECT event_type, cents, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY cents, event_id) AS rn
+        |  FROM c),
+        |med AS (SELECT r1.event_type, r1.cents AS med_cents
+        |  FROM r1 JOIN n USING (event_type) WHERE r1.rn = (n.n + 1) // 2),
+        |d AS (SELECT c.event_type, c.event_id,
+        |    abs(c.cents - m.med_cents) AS dev, m.med_cents
+        |  FROM c JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, dev, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY dev, event_id) AS rn
+        |  FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad_cents
+        |  FROM r2 JOIN n USING (event_type) WHERE r2.rn = (n.n + 1) // 2)
+        |SELECT d.event_type, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(max(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(max(m.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > 3 * m.mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(1000 * sum(CASE WHEN d.dev > 3 * m.mad_cents
+        |                  THEN 1 ELSE 0 END) // n.n AS BIGINT)
+        |    AS outlier_pm
+        |FROM d JOIN mad m USING (event_type) JOIN n USING (event_type)
+        |GROUP BY d.event_type, n.n
+        |ORDER BY d.event_type""".stripMargin,
+    // q189: the monitor's additive counts land on q173's one-shot
+    // readout exactly for any batching — the oracle is its replay.
+    "q189_streaming_sampling" -> hashSamplingOracle,
     // q174: digest-level overlap between every ordered source pair,
     // over the corpus plus the simulated zz_mirror republisher (every
     // fourth doc verbatim — the q151-style production stand-in).

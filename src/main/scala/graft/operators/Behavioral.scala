@@ -113,4 +113,77 @@ object Behavioral {
         expr("1000 * n div row_total").as("p_pm"))
       .orderBy(col("prev_type"), col("next_type"))
   }
+
+  /** Robust outlier detection (q190) — per event type, the median /
+    * MAD (median absolute deviation) rule every telemetry-cleaning
+    * pass runs before trusting its value column: flag rows with
+    * |x − median| > 3·MAD. Mean/stddev break down under the very
+    * outliers they are supposed to find (one 10⁶ value drags the mean);
+    * the median pair is breakdown-resistant. Both medians are EXACT
+    * integer order statistics (lower median: the rank-(n+1)÷2 element
+    * of the unique (cents, event_id) order), so the whole readout is
+    * bit-stable with a full oracle.
+    *
+    * Scale shape: event_type is a LOW-cardinality key, so a
+    * type-partitioned window would sort a fifth of the corpus in one
+    * task — both medians instead ride the GROUPED GlobalOrder two-pass
+    * (q157's shape): value-bucketed local sorts in parallel,
+    * per-(type, bucket) counts cumulated at metadata scale, the
+    * rank-k row selected by global rank. The deviation join is against
+    * the ≤ types-row broadcast median relation. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame =
+    robustOutliersFrom(Tables(spark, dir).events)
+
+  /** Bounded cache slots for the two bucketized scans (each feeds the
+    * offsets collect AND the rank re-join). */
+  private val medCache = new RotatingCache
+  private val madCache = new RotatingCache
+
+  /** Same, over an arbitrary (event_id, event_type, value) relation. */
+  private[graft] def robustOutliersFrom(ev: DataFrame): DataFrame = {
+    val c = ev.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = groupedLowerMedian(c, medCache)
+      .select(col("event_type"), col("v").as("med_cents"))
+    val d = c.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = groupedLowerMedian(
+        d.select(col("event_type"), col("event_id"),
+          col("dev").as("cents")), madCache)
+      .select(col("event_type"), col("v").as("mad_cents"))
+    d.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_pm", expr("1000 * n_outliers div n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The rank-(n+1)÷2 (lower-median) element of the (cents, event_id)
+    * order per event_type, via the grouped GlobalOrder two-pass. */
+  private def groupedLowerMedian(c: DataFrame,
+      cache: RotatingCache): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import c.sparkSession.implicits._
+    val bucketed = GlobalOrder
+      .bucketizeForUniqueOrder(c, col("cents"), desc = false,
+        col("event_id"))
+      .persist()
+    cache.rotate(bucketed)
+    val (bases, totals) = GlobalOrder.exclusiveOffsetsBy(bucketed,
+      "event_type", count(lit(1)).as("c"))
+    val offsetsDf = bases.toDF("event_type", "bucket", "rn_base")
+    val totalsDf = totals.toDF("event_type", "n")
+    val wLocal = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("cents"), col("event_id"))
+    bucketed
+      .join(broadcast(offsetsDf), Seq("event_type", "bucket"))
+      .join(broadcast(totalsDf), Seq("event_type"))
+      .withColumn("rn", col("rn_base") + row_number().over(wLocal))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("v"))
+  }
 }

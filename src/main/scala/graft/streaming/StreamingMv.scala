@@ -54,6 +54,58 @@ object StreamingMv {
         lit("").as("event_type"), lit(0L).as("cnt"), lit(0L).as("sum_cents")))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** Streaming ingest sampling monitor (q189) — q173's deterministic
+    * hash-sampling readout maintained incrementally while a corpus
+    * streams in: per micro-batch, one source-keyed (docs, sampled)
+    * delta merged additively into the snapshot store (integer counts —
+    * merge order cannot perturb them), realized per-mille computed at
+    * READ time from the merged counts (a ratio is not additive; the
+    * counts are). The ops dashboard a production ingest keeps open: a
+    * source whose realized rate drifts from the 160‰ target mid-stream
+    * signals content duplication or truncation in flight, caught while
+    * the crawl is still running instead of at end-of-ingest. Oracle:
+    * q173's one-shot SQL over the whole corpus — additive counts make
+    * the stream land on it exactly for any batching. */
+  def sampleBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = s"$storeDir/smon"
+    if (Snapshots.committed(spark, dir, batchId)) return
+    val sampled = substring(md5(col("text")), 1, 2) < lit("29")
+    val delta = batch.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+    Snapshots.merge(spark, dir, batchId, delta,
+        Seq("source"), Seq("n_docs", "n_sampled"))
+      .write.mode("overwrite").parquet(s"$dir/b=$batchId")
+    Snapshots.prune(spark, dir, batchId)
+  }
+
+  /** Current monitor contents (latest committed snapshot). */
+  def sampleMonitorTable(spark: SparkSession, storeDir: String): DataFrame =
+    Snapshots.latest(spark, s"$storeDir/smon", Long.MaxValue)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.range(0).select(lit("").as("source"),
+        lit(0L).as("n_docs"), lit(0L).as("n_sampled")))
+      .withColumn("realized_pm", expr("1000 * n_sampled div n_docs"))
+      .orderBy(col("source"))
+
+  /** Registered q189 entry: the documents as a 4-chunk file-source
+    * stream folded through [[sampleBatch]]; returns the final monitor
+    * table. */
+  def streamingSampleMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_smon_store").toString
+    Snapshots.fs(spark, storeDir)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "smon") { (batch, batchId) =>
+      sampleBatch(batch, storeDir, batchId)
+    }
+    sampleMonitorTable(spark, storeDir)
+  }
+
   /** Registered q162 entry: the fixture events as a 4-chunk file-source
     * stream (the q133 feed discipline — no driver materialization),
     * folded through [[mvBatch]]; returns the final MV, whose oracle is
