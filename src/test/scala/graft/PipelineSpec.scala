@@ -1389,6 +1389,106 @@ class PipelineSpec extends AnyFunSuite {
       s"${GraphOps.KTrussOracleUnroll} has no slack left")
   }
 
+  test("HITS: directed star puts all authority on the center, all hubness on spokes") {
+    import spark.implicits._
+    // spokes 2..6 each point at center 1: auth(1)=1e6 (the only cited
+    // node), hub(spokes)=1e6 (they cite the max authority), and the
+    // center cites nobody / is cited by nobody else → hub(1)=0; spokes
+    // are uncited → auth(spokes)=0. Fixed point from round 1.
+    val de = (2L to 6L).map(s => (s, 1L)).toDF("src", "dst")
+    val got = GraphOps.hitsFrom(de).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (0L, 1000000L), s"center: ${got(1L)}")
+    (2L to 6L).foreach(s =>
+      assert(got(s) == (1000000L, 0L), s"spoke $s: ${got(s)}"))
+  }
+
+  test("eccentricity sample: rows well-formed, diameter_lb is the sample max") {
+    val rows = GraphOps.eccentricitySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val dia = rows.map(_._2).max
+    assert(rows.forall(_._4 == dia), "diameter_lb must ride every row")
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 10), "hop cap bounds ecc")
+    assert(rows.forall(_._3 >= 1), "origin itself is always reached")
+  }
+
+  test("temperature mixture: sqrt flattening up-weights the tail; quotas bounded") {
+    import spark.implicits._
+    // 10000-doc giant vs 100-doc tail: raw ratio 100:1, sqrt ratio 10:1
+    val docs = ((1L to 10000L).map(i => (i, "big")) ++
+      (1L to 100L).map(i => (10000L + i, "small")))
+      .toDF("doc_id", "source")
+    val m = operators.CorpusOps.temperatureMixtureFrom(docs, budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m("big") == ((10000L, 100L, 909L, 909L)), m("big").toString)
+    assert(m("small") == ((100L, 10L, 90L, 90L)), m("small").toString)
+    // quotas never exceed the budget in total (floor division)
+    assert(m.values.map(_._4).sum <= 1000L)
+  }
+
+  test("edit linkage: planted typo pair found, divergent pair rejected, cap binds") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val typo = base.updated(20, 'z').updated(30, 'q') // same 16-char prefix, dist 2
+    val far  = base.take(16) + ("x" * 60)              // same block, dist >> 8
+    val docs = Seq((1L, base), (2L, typo), (3L, far)).toDF("doc_id", "text")
+    val got = operators.Dedup.editLinkageFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), got.mkString(","))
+    // 70 docs sharing a block: excluded and reported, zero pairs
+    val degen = (1L to 70L).map(i => (i, base + i)).toDF("doc_id", "text")
+    val d = operators.Dedup.editLinkageFrom(degen).collect()
+    assert(d.isEmpty, "over-cap block must generate no pairs")
+  }
+
+  test("degree histogram: hand graph bins exactly by bit length") {
+    import spark.implicits._
+    // star: center degree 9 (bin 4: 1001b), spokes degree 1 (bin 1)
+    val e = (2L to 10L).map(s => (1L, s))
+    val ue = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // the operator is dir-bound; assert its binning rule — bit length
+    // via length(bin(deg)) — against the JVM's own bit arithmetic
+    val bins = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .select(length(bin(col("deg"))).cast("long").as("b"), col("deg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bins.forall { case (b, d) =>
+      b == 64 - java.lang.Long.numberOfLeadingZeros(d) })
+  }
+
+  test("source vocab overlap: constructed shared/unique vocabularies score exactly") {
+    import spark.implicits._
+    // srcA and srcB share 3 of their (tiny) vocabularies; srcC disjoint
+    val docs = Seq(
+      (1L, "a", "apple banana cherry date"),
+      (2L, "b", "apple banana cherry elder"),
+      (3L, "c", "xylo ygdra zeta")).toDF("doc_id", "source", "text")
+    val got = operators.CorpusOps.sourceVocabOverlapFrom(
+        docs.select(col("source"), col("text")))
+      .collect().map(r =>
+        ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // |A|=4, |B|=4, shared=3 → jaccard = 3/5 = 600‰
+    assert(got(("a", "b")) == ((3L, 600L)), got.toString)
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")),
+      "disjoint vocabularies must yield no row")
+  }
+
+  test("robust outliers: constructed corpus with one wild point flags exactly it") {
+    import spark.implicits._
+    // values 1..9 (cents 100..900) + one 10000: med=500 (rank 5 of 10),
+    // devs {400,300,200,100,0,100,...,400, 999500}; sorted devs
+    // 0,100,100,200,200,300,300,400,400,999500 → MAD = dev at rank 5
+    // = 200; 3·MAD = 600 → only the wild point (dev 999500) exceeds it
+    val ev = ((1L to 9L).map(i => (i, "t", i.toDouble)) :+ (10L, "t", 10000.0))
+      .toDF("event_id", "event_type", "value")
+    val r = operators.Behavioral.robustOutliersFrom(ev).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 500L &&
+      r.getLong(3) == 200L && r.getLong(4) == 1L,
+      r.toString)
+  }
+
   test("image near-dup funnel: pigeonhole-exact vs brute force; caps bind") {
     import spark.implicits._
     // constructed hashes: base all-zeros; neighbors at controlled
