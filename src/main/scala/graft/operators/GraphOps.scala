@@ -1201,7 +1201,10 @@ object GraphOps {
         .crossJoin(broadcast(
           hraw.agg(greatest(max(col("hr")), lit(1L)).as("hm"))))
         .select(col("node"), expr("(1000000 * hr) div hm").as("hub"))
-      scores = nodes.join(hnorm, Seq("node")).join(anorm, Seq("node"))
+      // hnorm and anorm each already carry EVERY node (both are built
+      // from the nodes left join), so one equi-join reassembles the
+      // score pair — no third join back to the node relation
+      scores = hnorm.join(anorm, Seq("node"))
         .select(col("node"), col("hub"), col("auth"))
         .localCheckpoint(true)
     }

@@ -506,6 +506,18 @@ object ScaleSmoke {
         println(s"[scale]   phash: distinct_hashes=$groups neardup_pairs=$nd")
         groups
       }
+      // robust outliers (q190's shape): two exact grouped medians via
+      // the GlobalOrder two-pass — event_type is 5-valued, so the
+      // NON-scale shape (type-partitioned window) would sort a fifth of
+      // the corpus in one task; this row must scale with the value scan,
+      // not with the biggest type's share.
+      time(s"robust_outliers") {
+        val ro = graft.operators.Behavioral.robustOutliersFrom(
+          ev.select(col("event_id"), col("event_type"), col("value")))
+        val out = ro.agg(sum(col("n_outliers"))).head().getLong(0)
+        println(s"[scale]   robust outliers: types=${ro.count()} flagged=$out")
+        out
+      }
       // per-vertex attribution (q147's shape): the same oriented wedge
       // join plus an explode + count over TRIANGLE rows — must track the
       // triangle_count row above, not add a new asymptotic term.

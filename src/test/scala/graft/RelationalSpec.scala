@@ -85,7 +85,9 @@ class RelationalSpec extends AnyFunSuite {
       ("StreamingMv", streaming.StreamingMv,
         // store-assembly step of the registered q162 wrapper (String
         // param is the store dir); MV invariant asserted in StreamingSpec
-        Set("mvTable")),
+        // sampleMonitorTable: store-assembly step of the registered
+        // q189 wrapper (String param is the store dir)
+        Set("mvTable", "sampleMonitorTable")),
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence
