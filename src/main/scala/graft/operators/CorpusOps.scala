@@ -180,6 +180,10 @@ object CorpusOps {
       .select(col("doc_id"))
     val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
       .select(col("g")).distinct()
+    // NOT cached deliberately: the corpus relation carries full text
+    // blobs, and materializing them costs more than re-deriving the
+    // cheap md5-keep join from the (column-pruned) scan — measured
+    // 4.9 s cached vs 3.0 s recomputed at sf0.1.
     val corpus = docs.join(keep, Seq("doc_id"))
       .filter(col("doc_id") % 5 =!= 0)
     val contaminated = TextAnalysis.docGrams(corpus)
