@@ -29,13 +29,16 @@ import org.apache.spark.sql.streaming.Trigger
   * contract order-SENSITIVE consumers (the q154 funnel state machine)
   * rely on, and it holds for any value range — never derived from
   * calendar fields. */
-private[streaming] object FileFeed {
+private[graft] object FileFeed {
 
-  /** Write the feed chunks; returns (tmpDir, feedDir). */
-  private def prepare(spark: SparkSession, df: DataFrame, nChunks: Int,
-      key: Column, ordered: Boolean, purpose: String): (String, String) = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft_feed_$purpose").toString
+  /** Write the feed chunks; returns (tmpDir, feedDir). `baseDir`
+    * overrides the temp location (the no-op-setTimes guard spec points
+    * it at a filesystem that ignores mtime stamps). */
+  private[graft] def prepare(spark: SparkSession, df: DataFrame,
+      nChunks: Int, key: Column, ordered: Boolean, purpose: String,
+      baseDir: Option[String] = None): (String, String) = {
+    val tmp = baseDir.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft_feed_$purpose").toString)
     val fsys = Snapshots.fs(spark, tmp)
     fsys.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
     val feedDir = s"$tmp/feed"

@@ -403,6 +403,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppedCopies == 100, s"only $droppedCopies of 100 copies dropped")
   }
 
+  test("ordered feed fails fast where the filesystem ignores setTimes") {
+    import spark.implicits._
+    // An object-store-like FS whose setTimes is the base-class silent
+    // no-op: the ordered feed's mtime readback must detect the
+    // unhonored stamps and refuse with the named cause, never hand an
+    // order-sensitive consumer an unspecified file order.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setClass("fs.noset.impl", classOf[graft.NoSetTimesFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_noset_feed").toString
+    val ev = Tables(spark, sf).events.limit(200)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.FileFeed.prepare(spark, ev, nChunks = 4,
+        unix_micros(col("ts")), ordered = true, purpose = "noset",
+        baseDir = Some(s"noset://$base"))
+    }
+    assert(e.getMessage.contains("setTimes was not honored"),
+      s"must name the cause: ${e.getMessage}")
+    // the same FS is fine for ORDER-INSENSITIVE feeds (no stamps needed)
+    val (_, feedDir) = graft.streaming.FileFeed.prepare(spark, ev,
+      nChunks = 4, col("event_id"), ordered = false, purpose = "noset2",
+      baseDir = Some(s"noset://$base-unordered"))
+    assert(spark.read.parquet(feedDir).count() == 200)
+  }
+
   test("streaming transitions: every pair straddles a batch boundary, equals batch") {
     import spark.implicits._
     // 6 users × 8 events, timestamps spread so the 8-chunk ordered feed
