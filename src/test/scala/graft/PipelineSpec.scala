@@ -1389,6 +1389,21 @@ class PipelineSpec extends AnyFunSuite {
       s"${GraphOps.KTrussOracleUnroll} has no slack left")
   }
 
+  test("vocabulary spectrum: constructed counts fill every frequency class exactly") {
+    import spark.implicits._
+    // term t_k occurs exactly k times for k = 1..12: classes 1..10 get
+    // one term each, class 11 collects the 11- and 12-count terms
+    // (the fixture's word-salad corpus lands everything in class 11 —
+    // this pins the binning rule itself)
+    val text = (1 to 12).flatMap(k => Seq.fill(k)(s"t$k")).mkString(" ")
+    val got = operators.TextAnalysis.vocabularySpectrumFrom(
+        Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 10L).foreach(k =>
+      assert(got(k) == ((1L, k)), s"class $k: ${got(k)}"))
+    assert(got(11L) == ((2L, 23L)), s"class 11: ${got(11L)}")
+  }
+
   test("HITS: directed star puts all authority on the center, all hubness on spokes") {
     import spark.implicits._
     // spokes 2..6 each point at center 1: auth(1)=1e6 (the only cited
