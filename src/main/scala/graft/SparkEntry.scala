@@ -232,6 +232,7 @@ object SparkEntry {
     "q189_streaming_sampling" ->
       (graft.streaming.StreamingMv.streamingSampleMonitor _),
     "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
+    "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1312,6 +1313,26 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = p.source_a
         |JOIN sizes sb ON sb.source = p.source_b
         |ORDER BY 1, 2""".stripMargin,
+    // q191: priority sampling with the Knuth-hash uniform and the
+    // integer floor priority — both sides replay the exact order.
+    "q191_weighted_sample" ->
+      """SELECT doc_id, weight, priority FROM (
+        |  SELECT doc_id,
+        |    greatest(1, greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    ))) AS weight,
+        |    ((doc_id * 2654435761) % 4294967296 + 1) * 1000000
+        |      // greatest(1, greatest(0, least(1000,
+        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
+        |                            / len(string_split(text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    ))) AS priority
+        |  FROM documents)
+        |ORDER BY priority, doc_id LIMIT 64""".stripMargin,
     // q182: temperature mixture — ⌊√n⌋ weights (exact in IEEE for any
     // representable count) and floor-division shares/quotas; the epoch
     // budget is interpolated from the same constant the Spark side uses.

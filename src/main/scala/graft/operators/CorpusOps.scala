@@ -664,6 +664,31 @@ object CorpusOps {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Deterministic weighted priority sample (q191) — the
+    * priority-sampling family (Ohlsson's sequential Poisson / Duffield
+    * et al.) with the randomness DERANDOMIZED: each document draws its
+    * "uniform" from the Knuth multiplicative hash of its id (the q112
+    * discipline — reproducible across engines, runs, partitionings) and
+    * competes with priority ⌊u·10⁶ / weight⌋, weight = its quality
+    * score — so high-quality documents systematically win the sample
+    * while every document keeps weight-proportional inclusion odds
+    * under the hash's uniformity. The integer floor makes the order
+    * (priority, doc_id) exact, so the sample replays bit-identically.
+    *
+    * Scale shape: one codegen map pass (hash + score), then a global
+    * top-k that plans as TakeOrderedAndProject — per-partition bounded
+    * heaps, no global sort, no window. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = greatest(TextFunctions.qualityScore(col("text")), lit(1L))
+    val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) + lit(1L)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), w.as("weight"), u.as("u"))
+      .withColumn("priority", expr("(u * 1000000) div weight"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(64)
+  }
+
   /** Same, over an arbitrary (source) corpus. */
   private[graft] def temperatureMixtureFrom(docs: DataFrame,
       budget: Long = MixtureEpochBudget): DataFrame = {
