@@ -1313,24 +1313,17 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = p.source_a
         |JOIN sizes sb ON sb.source = p.source_b
         |ORDER BY 1, 2""".stripMargin,
-    // q191: priority sampling with the Knuth-hash uniform and the
-    // integer floor priority — both sides replay the exact order.
+    // q191: priority sampling with the Knuth-hash uniform (carry-split,
+    // knuthHash32Sql) and the integer floor priority — both sides replay
+    // the exact order. The weight is the shared qualityScoreSql fragment
+    // (the DuckDB mirror of TextFunctions.qualityScore), stated once and
+    // interpolated into both positions.
     "q191_weighted_sample" ->
-      """SELECT doc_id, weight, priority FROM (
+      s"""SELECT doc_id, weight, priority FROM (
         |  SELECT doc_id,
-        |    greatest(1, greatest(0, least(1000,
-        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
-        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
-        |                            / len(string_split(text, ' '))) AS BIGINT)
-        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
-        |    ))) AS weight,
-        |    ((doc_id * 2654435761) % 4294967296 + 1) * 1000000
-        |      // greatest(1, greatest(0, least(1000,
-        |      200 + CAST(len(string_split(text, ' ')) AS BIGINT)
-        |          + 10 * CAST(floor((length(text) - len(string_split(text, ' ')) + 1.0)
-        |                            / len(string_split(text, ' '))) AS BIGINT)
-        |          - 2 * CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS BIGINT)
-        |    ))) AS priority
+        |    greatest(1, ${qualityScoreSql("text")}) AS weight,
+        |    ((${knuthHash32Sql("doc_id")}) + 1) * 1000000
+        |      // greatest(1, ${qualityScoreSql("text")}) AS priority
         |  FROM documents)
         |ORDER BY priority, doc_id LIMIT 64""".stripMargin,
     // q182: temperature mixture — ⌊√n⌋ weights (exact in IEEE for any
@@ -1473,6 +1466,29 @@ object SparkEntry {
   // multiply splits the state into 32-bit halves: (h*P) mod 2^64 =
   // ((h_hi*P) mod 2^32)*2^32 + h_lo*P (mod 2^64), and the byte XOR only
   // touches h_lo (bytes < 256), so it runs on BIGINT halves.
+  // ANSI-safe Knuth hash replay: (c * 2654435761) mod 2^32 via carry-split
+  // 16-bit limbs, mirroring CorpusOps.knuthHash32 exactly (keep in sync).
+  // The naive BIGINT multiply overflows both engines once c > ~3.47e9 —
+  // DuckDB errors and Spark's ANSI mode throws — so both sides split:
+  // (x*A) mod 2^32 = (((x mod 2^32 // 2^16)*A mod 2^16)*2^16
+  //                   + (x mod 2^16)*A) mod 2^32, every term < 2^49.
+  private def knuthHash32Sql(c: String): String =
+    s"((((($c % 4294967296) // 65536) * 2654435761) % 65536) * 65536" +
+      s" + ($c % 65536) * 2654435761) % 4294967296"
+
+  // Shared quality-score replay fragment — the DuckDB translation of
+  // TextFunctions.qualityScore (keep in sync with that definition):
+  // 200 + words + 10*floor(avg word len) - 2*non-[a-z ] chars, clamped to
+  // [0, 1000]. Interpolated wherever an oracle needs the score so the
+  // formula lives in exactly one place per engine.
+  private def qualityScoreSql(t: String): String =
+    s"""greatest(0, least(1000,
+       |      200 + CAST(len(string_split($t, ' ')) AS BIGINT)
+       |          + 10 * CAST(floor((length($t) - len(string_split($t, ' ')) + 1.0)
+       |                            / len(string_split($t, ' '))) AS BIGINT)
+       |          - 2 * CAST(length($t) - length(regexp_replace($t, '[^a-z ]', '', 'g')) AS BIGINT)
+       |    ))""".stripMargin
+
   private def fnvSql(expr: String, init: String): String =
     s"""list_reduce(
        |  list_prepend($init::HUGEINT,
@@ -2269,11 +2285,11 @@ object SparkEntry {
     // shard = hkey % 32, and per-shard position/exclusive token offset
     // as shard-partitioned windows. Integer end to end.
     "q141_shard_assignment" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))
         |      AS BIGINT) AS n_tokens,
-        |    (doc_id * 2654435761) % 4294967296 AS hkey
+        |    (${knuthHash32Sql("doc_id")}) AS hkey
         |  FROM documents)
         |SELECT doc_id, hkey % 32 AS shard,
         |  CAST(row_number() OVER sw AS BIGINT) AS pos, n_tokens,
@@ -3016,13 +3032,15 @@ object SparkEntry {
         |FROM ranked ORDER BY doc_id""".stripMargin,
     // q112: Knuth multiplicative hash folded to [0,1000) — pure BIGINT
     // arithmetic, bit-identical in any dialect (no RNG, no engine hash).
+    // Carry-split multiply (knuthHash32Sql) so it replays without
+    // overflow at any doc_id, matching the Spark side.
     "q112_stratified_sample" ->
-      """SELECT doc_id, lang,
-        |  ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket_pm,
+      s"""SELECT doc_id, lang,
+        |  (${knuthHash32Sql("doc_id")}) % 1000 AS bucket_pm,
         |  CAST(CASE WHEN lang = 'en' THEN 100 WHEN lang = 'fr' THEN 250
         |            WHEN lang = 'de' THEN 500 ELSE 750 END AS BIGINT) AS rate_pm,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
-        |  ((doc_id * 2654435761) % 4294967296) % 1000 <
+        |  (${knuthHash32Sql("doc_id")}) % 1000 <
         |    CASE WHEN lang = 'en' THEN 100 WHEN lang = 'fr' THEN 250
         |         WHEN lang = 'de' THEN 500 ELSE 750 END AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,

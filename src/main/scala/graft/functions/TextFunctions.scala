@@ -60,7 +60,8 @@ object TextFunctions {
   /** Document quality score in parts-per-thousand: rewards mid-length
     * documents and word structure, penalizes non-letter density.
     * score_pm = min(1000, 200 + n_words + 10*avg_word_len - 2*n_punct),
-    * floored at 0 — all integer arithmetic. */
+    * floored at 0 — all integer arithmetic. The DuckDB oracle mirror is
+    * `SparkEntry.qualityScoreSql` — any change here must land there too. */
   def qualityScore(text: Column): Column = {
     val nWords = wordCount(text)
     val nChars = length(text).cast("long")

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,27 @@ object CorpusOps {
   /** Bounded cache slot for the scored scan (see [[RotatingCache]]) — it
     * feeds three passes (budget total, bucket totals, final cumsum). */
   private val scoreCache = new RotatingCache
+
+  /** Knuth multiplicative constant (2654435761 = ⌊2³²/φ⌋, Knuth TAOCP
+    * vol. 3 §6.4) shared by the deterministic-sampling family
+    * (q112/q141/q191) and their oracle replays. */
+  private[graft] val KnuthA = 2654435761L
+
+  /** ANSI-safe `(id * KnuthA) mod 2³²` — the deterministic "uniform"
+    * behind q112/q141/q191, computed with carry-split 16-bit limbs so it
+    * cannot overflow at corpus scale. The naive `id * 2654435761L` throws
+    * ARITHMETIC_OVERFLOW under Spark's default ANSI mode once
+    * id > Long.MaxValue / KnuthA ≈ 3.47e9 — and a 100 TB corpus at
+    * 2–20 KB/doc holds 5e9–5e10 documents, so the naive form crashes at
+    * exactly the scale these queries target. Identities used:
+    * (x·A) mod 2³² = ((x mod 2³²)·A) mod 2³², and with
+    * lo = x mod 2³² = hi16·2¹⁶ + lo16,
+    * (lo·A) mod 2³² = (((hi16·A) mod 2¹⁶)·2¹⁶ + lo16·A) mod 2³².
+    * Every intermediate stays < 2⁴⁹ ≪ Long.MaxValue. The DuckDB oracle
+    * mirror is `SparkEntry.knuthHash32Sql` — keep both in sync. */
+  private[graft] def knuthHash32(c: String): Column = expr(
+    s"((((($c % 4294967296) div 65536) * $KnuthA) % 65536) * 65536" +
+      s" + ($c % 65536) * $KnuthA) % 4294967296")
 
   /** Greedy corpus selection under a token budget: order documents by
     * (quality_pm DESC, doc_id), accumulate token counts in that order,
@@ -227,13 +248,17 @@ object CorpusOps {
     * [0, 1000)) rather than an RNG, so the sample is reproducible across
     * engines, runs, and partitionings, and any SQL dialect can replay it.
     * One codegen'd map pass, no shuffle before the presentation sort. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val h = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) % lit(1000L)
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, lang, text) corpus. */
+  private[graft] def stratifiedSampleFrom(docs: DataFrame): DataFrame = {
+    val h = knuthHash32("doc_id") % lit(1000L)
     val rate = when(col("lang") === "en", lit(100L))
       .when(col("lang") === "fr", lit(250L))
       .when(col("lang") === "de", lit(500L))
       .otherwise(lit(750L))
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), col("lang"), h.as("bucket_pm"), rate.as("rate_pm"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("kept", col("bucket_pm") < col("rate_pm"))
@@ -288,11 +313,16 @@ object CorpusOps {
     * reason trainers shuffle BEFORE sharding, done here without a
     * single-task global sort. */
   def shardAssignment(spark: SparkSession, dir: String,
+      nShards: Int = 32): DataFrame =
+    shardAssignmentFrom(Tables(spark, dir).documents, nShards)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def shardAssignmentFrom(docs: DataFrame,
       nShards: Int = 32): DataFrame = {
-    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val h = knuthHash32("doc_id")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("hkey"), col("doc_id"))
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         h.as("hkey"))
@@ -678,10 +708,14 @@ object CorpusOps {
     * Scale shape: one codegen map pass (hash + score), then a global
     * top-k that plans as TakeOrderedAndProject — per-partition bounded
     * heaps, no global sort, no window. */
-  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def weightedSampleFrom(docs: DataFrame): DataFrame = {
     val w = greatest(TextFunctions.qualityScore(col("text")), lit(1L))
-    val u = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) + lit(1L)
-    Tables(spark, dir).documents
+    val u = knuthHash32("doc_id") + lit(1L)
+    docs
       .select(col("doc_id"), w.as("weight"), u.as("u"))
       .withColumn("priority", expr("(u * 1000000) div weight"))
       .select(col("doc_id"), col("weight"), col("priority"))

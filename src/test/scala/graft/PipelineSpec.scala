@@ -1805,4 +1805,43 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(got.size == model.length)
   }
+
+  test("knuth hash carry-split survives doc_id past the ANSI overflow cliff (q112/q141/q191)") {
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    // ids straddling Long.MaxValue / 2654435761 ≈ 3.47e9 — the point where
+    // the naive `doc_id * 2654435761L` throws ARITHMETIC_OVERFLOW under
+    // Spark's default ANSI mode. A 100 TB corpus holds 5e9–5e10 docs, so
+    // the sampling family must stay exact out to Long.MaxValue.
+    val ids = Seq(1L, 999L, 3474700000L, 3500000017L, 5000000003L,
+      50000000011L, (1L << 52) + 9L, Long.MaxValue)
+    val docs = ids.map(i => (i, "en", s"plain sample text body number $i"))
+      .toDF("doc_id", "lang", "text")
+    // bit-exact replay of (id * A) mod 2^32 in unbounded arithmetic
+    def ref(id: Long): Long =
+      ((BigInt(id) * CorpusOps.KnuthA) % BigInt(4294967296L)).toLong
+    if (spark.conf.get("spark.sql.ansi.enabled") == "true")
+      intercept[Exception] { // the naive form really does overflow here
+        docs.select((col("doc_id") * lit(CorpusOps.KnuthA)).as("x"))
+          .collect()
+      }
+    val s = CorpusOps.stratifiedSampleFrom(docs).collect()
+    assert(s.map(_.getAs[Long]("doc_id")).toSeq == ids.sorted)
+    assert(s.map(_.getAs[Long]("bucket_pm")).toSeq ==
+      ids.sorted.map(ref(_) % 1000))
+    val sh = CorpusOps.shardAssignmentFrom(docs).collect()
+    assert(sh.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard")))
+      .toMap == ids.map(i => i -> ref(i) % 32).toMap)
+    val ws = CorpusOps.weightedSampleFrom(docs).collect()
+    assert(ws.length == ids.length)
+    ws.foreach { r =>
+      val (id, w, p) = (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("priority"))
+      assert(w >= 1L)
+      assert(p == (ref(id) + 1L) * 1000000L / w, s"priority of $id")
+    }
+    // the output really is ordered by (priority, doc_id)
+    val ord = ws.map(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id")))
+    assert(ord.toSeq == ord.toSeq.sorted)
+  }
 }
