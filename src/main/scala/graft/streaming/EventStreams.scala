@@ -396,15 +396,53 @@ object EventStreams {
       }
   }
 
+  /** Fold one micro-batch of emitted transitions into the (prev, next)
+    * counts store — the per-batch delta is a plain additive count
+    * aggregate, so it rides the same batchId-keyed [[Snapshots]] merge
+    * as the q189 monitor: O(batch + matrix rows) per batch, and the
+    * matrix is ≤ types², metadata scale. Exactly-once: committed
+    * batches are no-ops on replay; the state store rolls back with the
+    * batch, so a replayed batch re-emits the identical delta. */
+  private[streaming] def transBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = s"$storeDir/trans"
+    if (Snapshots.committed(spark, dir, batchId)) return
+    val delta = batch.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    Snapshots.merge(spark, dir, batchId, delta,
+        Seq("prev_type", "next_type"), Seq("n"))
+      .write.mode("overwrite").parquet(s"$dir/b=$batchId")
+    Snapshots.prune(spark, dir, batchId)
+  }
+
+  /** Current transition matrix (latest committed snapshot → permille). */
+  private[streaming] def transitionsTable(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev_type"))
+    Snapshots.latest(spark, s"$storeDir/trans", Long.MaxValue)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.range(0).select(lit("").as("prev_type"),
+        lit("").as("next_type"), lit(0L).as("n")))
+      .withColumn("row_total", sum(col("n")).over(wp))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("1000 * n div row_total").as("p_pm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Streaming transition matrix (q186) — the q176 first-order Markov
     * matrix maintained as a true stream: the ordered file feed drives
-    * [[transitionsAdvance]], emitted transitions append to the sink,
-    * and the matrix is the same (prev, next) aggregate + broadcast
-    * row-total permille as batch q176 — whose SQL is this query's
-    * oracle verbatim. Integer counts make the final aggregate
-    * order-insensitive; the cross-batch adjacency is exact because the
-    * last-event state carries over where a per-batch window would
-    * miss every boundary-straddling pair. */
+    * [[transitionsAdvance]], each batch's emitted transitions fold
+    * ADDITIVELY into the batchId-keyed parquet counts store (the q189
+    * [[Snapshots]] discipline — nothing ever materializes on the
+    * driver; the old memory sink held O(events) driver rows), and the
+    * matrix read is the same (prev, next) aggregate + row-total
+    * permille as batch q176 — whose SQL is this query's oracle
+    * verbatim. Integer counts make the merge order-insensitive; the
+    * cross-batch adjacency is exact because the last-event state
+    * carries over where a per-batch window would miss every
+    * boundary-straddling pair. */
   def streamingTransitions(spark: SparkSession, dir: String): DataFrame =
     streamingTransitionsFrom(Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
@@ -414,37 +452,66 @@ object EventStreams {
   def streamingTransitionsFrom(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val sink = s"transitions_${System.nanoTime()}"
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_trans_store").toString
+    Snapshots.fs(spark, storeDir)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
     val q = transitionsAdvance(
       FileFeed.orderedStream(spark, ev, nChunks = 8,
         unix_micros(col("ts")), purpose = "transitions").as[FEvent])
       .writeStream.outputMode("append")
-      .format("memory").queryName(sink)
+      .foreachBatch { (batch: Dataset[TransOut], batchId: Long) =>
+        transBatch(batch.toDF(), storeDir, batchId); ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // row totals via a prev-partitioned window over the ≤ types² matrix
-    // (a pairs⋈totals self-join over the memory sink trips conflicting-
-    // reference resolution on the MemoryPlan view; the window needs no
-    // second reference and the relation is metadata-sized)
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("prev_type"))
-    spark.table(sink)
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("row_total", sum(col("n")).over(wp))
-      .select(col("prev_type"), col("next_type"), col("n"),
-        expr("1000 * n div row_total").as("p_pm"))
-      .orderBy(col("prev_type"), col("next_type"))
+    transitionsTable(spark, storeDir)
   }
+
+  /** Fold one micro-batch of funnel-state updates into the per-user
+    * state store: [[Snapshots.mergeLatest]] keeps one row per user —
+    * the highest update counter wins — so the store is O(distinct
+    * users touched so far), the same scale as the operator's own state
+    * store, never O(users × batches) like the old driver-side memory
+    * update log. Exactly-once as [[transBatch]]. */
+  private[streaming] def funnelBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = s"$storeDir/funnel"
+    if (Snapshots.committed(spark, dir, batchId)) return
+    Snapshots.mergeLatest(spark, dir, batchId, batch,
+        Seq("user_id"), "upd")
+      .write.mode("overwrite").parquet(s"$dir/b=$batchId")
+    Snapshots.prune(spark, dir, batchId)
+  }
+
+  /** Current funnel table (latest committed snapshot → timestamps). */
+  private[streaming] def funnelTable(spark: SparkSession,
+      storeDir: String): DataFrame =
+    Snapshots.latest(spark, s"$storeDir/funnel", Long.MaxValue)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.range(0).select(col("id").as("user_id"),
+        lit(-1L).as("view_us"), lit(-1L).as("click_us"),
+        lit(-1L).as("purchase_us"), lit(0L).as("upd")))
+      .select(col("user_id"),
+        when(col("view_us") >= 0, timestamp_micros(col("view_us")))
+          .as("view_ts"),
+        when(col("click_us") >= 0, timestamp_micros(col("click_us")))
+          .as("click_ts"),
+        when(col("purchase_us") >= 0, timestamp_micros(col("purchase_us")))
+          .as("purchase_ts"))
+      .orderBy(col("user_id"))
 
   /** Registered q154 entry: the fixture events chunked into 8 ts-ordered
     * parquet files ([[FileFeed]] `ordered = true` — value-range bins of
     * unix_micros(ts), never calendar fields, so the event-time ordering
     * contract holds for any corpus span), streamed back one file per
-    * micro-batch, folded through [[funnelAdvance]] via a foreachBatch
-    * append to an update log, latest state per user selected by the
-    * update counter. Oracle: the SAME SQL as batch q149 — the state
+    * micro-batch, folded through [[funnelAdvance]], each batch's state
+    * updates compacted into the batchId-keyed parquet store by the
+    * update counter ([[Snapshots.mergeLatest]] — no driver
+    * materialization; the old memory sink accumulated every update row
+    * on the driver). Oracle: the SAME SQL as batch q149 — the state
     * machine must land on the identical funnel table. */
   def streamingFunnel(spark: SparkSession, dir: String): DataFrame =
     streamingFunnelFrom(Tables(spark, dir).events
@@ -455,26 +522,20 @@ object EventStreams {
   def streamingFunnelFrom(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val sink = s"funnel_${System.nanoTime()}"
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_funnel_store").toString
+    Snapshots.fs(spark, storeDir)
+      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
     val q = funnelAdvance(
       FileFeed.orderedStream(spark, ev, nChunks = 8,
         unix_micros(col("ts")), purpose = "funnel").as[FEvent])
       .writeStream.outputMode("update")
-      .format("memory").queryName(sink)
+      .foreachBatch { (batch: Dataset[FunnelUpd], batchId: Long) =>
+        funnelBatch(batch.toDF(), storeDir, batchId); ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
-      .groupBy(col("user_id"))
-      .agg(max_by(struct(col("view_us"), col("click_us"), col("purchase_us")),
-        col("upd")).as("s"))
-      .select(col("user_id"),
-        when(col("s.view_us") >= 0, timestamp_micros(col("s.view_us")))
-          .as("view_ts"),
-        when(col("s.click_us") >= 0, timestamp_micros(col("s.click_us")))
-          .as("click_ts"),
-        when(col("s.purchase_us") >= 0, timestamp_micros(col("s.purchase_us")))
-          .as("purchase_ts"))
-      .orderBy(col("user_id"))
+    funnelTable(spark, storeDir)
   }
 }

@@ -66,4 +66,21 @@ private[streaming] object Snapshots {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Merge the previous snapshot with a LATEST-STATE delta: one row per
+    * key survives, the one with the highest `ord` value (update-log
+    * compaction — the non-additive sibling of [[merge]], for stores
+    * whose rows are full replacement states carrying a monotone update
+    * counter, like the q154 funnel slots). Same cost shape:
+    * O(previous keys + batch keys). */
+  def mergeLatest(spark: SparkSession, snapDir: String, batchId: Long,
+      delta: DataFrame, keys: Seq[String], ord: String): DataFrame = {
+    val prev = latest(spark, snapDir, batchId)
+      .map(spark.read.parquet(_)).getOrElse(delta.limit(0))
+    val payload = delta.columns.filterNot(keys.contains).toSeq
+    prev.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(ord)).as("s"))
+      .select(keys.map(col) ++ payload.map(c => col(s"s.$c").as(c)): _*)
+  }
 }
