@@ -1641,34 +1641,66 @@ object SparkEntry {
        |  FROM n, cent c
        |  WHERE nrm > 0)""".stripMargin
 
+  /** The coarse-quantizer Lloyd unroll for the IVFADC chain — the
+    * full-dimension sibling of [[pqLloydUnrollCtes]], generated from
+    * the same `IvfCoarseIters` constant the Spark side trains with
+    * (Similarity.trainQuantizedCents): per round, corpus×K integer
+    * squared-L2 distances, (d, j) argmin assignment, per-(cell,
+    * component) floor-mean update, empty cells carrying forward. */
+  private def coarseLloydUnrollCtes: String =
+    (1 to operators.Similarity.IvfCoarseIters).map { i =>
+      s"""kd$i AS MATERIALIZED (
+         |  SELECT v.vec_id, v.e, c.j,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT) AS d
+         |  FROM eq v CROSS JOIN kc${i - 1} c),
+         |ka$i AS MATERIALIZED (SELECT vec_id, e, j FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY d, j) AS rk FROM kd$i) WHERE rk = 1),
+         |ku$i AS MATERIALIZED (
+         |  SELECT j, i.i AS comp,
+         |    CAST(floor(CAST(CAST(sum(e[i.i]) AS BIGINT) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS v
+         |  FROM ka$i CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY j, i.i),
+         |kc$i AS MATERIALIZED (
+         |  SELECT p.j, coalesce(u.c, p.c) AS c FROM kc${i - 1} p
+         |  LEFT JOIN (SELECT j, list(v ORDER BY comp) AS c
+         |             FROM ku$i GROUP BY j) u USING (j))""".stripMargin
+    }.mkString(",\n")
+
   /** The IVFADC CTE chain shared by q159 (top-k) and q179 (recall):
-    * q68's strict-fold cell assignment (corpus argmax + query nprobe=4
-    * probes), the TRAINED PQ codebook (the Lloyd unroll is generated
-    * from the same `PqTrainIters` constant the Spark side trains with),
-    * and the probed-cell ADC aggregate. Ends at `adc`; callers append
-    * their own final ranking/overlap blocks (also exposes `eq` for the
-    * exact side). */
+    * the TRAINED coarse quantizer (kc0..kcN — the q142 fixed-point
+    * Lloyd rule over the full 64 dims, integer-L2 corpus assignment +
+    * query nprobe=4 probes with (d, j) tie-breaks), the TRAINED PQ
+    * codebook (cb0..cbN, generated from the same `PqTrainIters`
+    * constant the Spark side trains with), and the probed-cell ADC
+    * aggregate. Ends at `adc`; callers append their own final
+    * ranking/overlap blocks (also exposes `eq` for the exact side). */
   private def ivfAdcOracleChain: String =
-    s"""$ivfCellCtes,
-      |corpus AS (
-      |  SELECT vec_id AS nid,
-      |    list_position(cells, list_aggregate(cells, 'max')) AS cell
-      |  FROM ca),
-      |qexp AS (
-      |  SELECT vec_id, unnest(cells) AS cos_c,
-      |         generate_subscripts(cells, 1) AS i
-      |  FROM ca WHERE vec_id % 50 = 0),
-      |qprobe AS (
-      |  SELECT vec_id AS query_id, i AS cell FROM (
-      |    SELECT vec_id, i,
-      |      row_number() OVER (PARTITION BY vec_id
-      |        ORDER BY cos_c DESC, i ASC) AS pr
-      |    FROM qexp)
-      |  WHERE pr <= 4),
-      |eq AS MATERIALIZED (
+    s"""eq AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
       |  FROM embeddings),
+      |kc0 AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
+      |  FROM eq ORDER BY vec_id LIMIT 16),
+      |$coarseLloydUnrollCtes,
+      |kd AS (
+      |  SELECT v.vec_id, c.j,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT) AS d
+      |  FROM eq v CROSS JOIN kc${operators.Similarity.IvfCoarseIters} c),
+      |corpus AS (
+      |  SELECT vec_id AS nid, j AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, j) AS rk FROM kd)
+      |  WHERE rk = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, j AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, j) AS pr FROM kd WHERE vec_id % 50 = 0)
+      |  WHERE pr <= 4),
       |sv AS MATERIALIZED (
       |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
       |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),

@@ -698,21 +698,19 @@ object Similarity {
         <= MaxInlineCentroidDoubles) assignQuantizedCellsLit(eq, cents)
     else assignQuantizedCellsBcast(eq, cents)
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. */
-  def kmeansCellsFrom(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val eq = kmCache.rotate(quantized(vecs).persist())
-    // deterministic seeds: the K lowest-id vectors' quantized components
+  /** The Lloyd loop itself, factored so the IVF coarse quantizer
+    * (q159/q179) trains its cells through the SAME fixed-point rule as
+    * q142: seeds = the K lowest-id vectors' quantized components, then
+    * `iters` rounds of (integer-L2 argmin assignment → per-(cell,
+    * component) floor-mean update), empty cells carrying forward. Per
+    * round: one assignment map over the scan + a ≤ K·Dim-row aggregate
+    * collected to the driver (the GlobalOrder-offsets collect scale). */
+  private[graft] def trainQuantizedCents(eq: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
-    // assignment via the shared literal/broadcast dispatch: K×Dim under
-    // the inline budget stays a codegen'd literal map; past it (e.g.
-    // K=160 × 64 dims) the centroids ride a broadcast relation instead
-    // of a Catalyst literal tree
-    def assigned: DataFrame = assignQuantizedCells(eq, cents)
     for (_ <- 1 to iters) {
-      // per-(cell, component) integer sums — ≤ K·Dim rows back to the
-      // driver, the same metadata-scale collect as GlobalOrder offsets
-      val means = assigned
+      val means = assignQuantizedCells(eq, cents)
         .select(col("cell"), posexplode(col("e")).as(Seq("comp", "v")))
         .groupBy(col("cell"), col("comp"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -726,9 +724,68 @@ object Similarity {
         .map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
       cents = Array.tabulate(cents.length)(j => means.getOrElse(j, cents(j)))
     }
-    assigned
+    cents
+  }
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. Assignment
+    * via the shared literal/broadcast dispatch: K×Dim under the inline
+    * budget stays a codegen'd literal map; past it (e.g. K=160 × 64
+    * dims) the centroids ride a broadcast relation instead of a
+    * Catalyst literal tree. */
+  def kmeansCellsFrom(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val eq = kmCache.rotate(quantized(vecs).persist())
+    val cents = trainQuantizedCents(eq, k, iters)
+    assignQuantizedCells(eq, cents)
       .select(col("vec_id"), col("cell"), col("dist_q"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Per-cell corpus populations under the (optionally trained) coarse
+    * quantizer — the balance diagnostic ScaleSmoke records: a hot cell
+    * is a straggler task for every query probing it at 100 TB. */
+  private[graft] def coarseCellPopulations(vecs: DataFrame, k: Int,
+      coarseIters: Int): DataFrame = {
+    val eqd = pqCache.rotate(quantized(vecs).persist())
+    val coarse = trainQuantizedCents(eqd, k, coarseIters)
+    assignQuantizedCells(eqd, coarse)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cell"))
+  }
+
+  /** Top-`nprobe` quantized cells per query — the probe-side sibling of
+    * [[assignQuantizedCells]] (same integer squared-L2, same
+    * (dist asc, cell asc) tie rule, same literal/broadcast dispatch),
+    * keeping the best `nprobe` cells instead of the single argmin.
+    * Output: (query_id, cell), 0-based cells. */
+  private[graft] def probeQuantizedCells(eqQ: DataFrame,
+      cents: Array[Array[Long]], nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_c").asc, col("cell").asc)
+    val scored =
+      if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
+          <= MaxInlineCentroidDoubles) {
+        val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+        val d = transform(sequence(lit(0), lit(cents.length - 1)), j =>
+          aggregate(
+            zip_with(col("e"), element_at(cl, j + 1),
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, b) => a + b))
+        eqQ.select(col("vec_id").as("query_id"),
+          posexplode(d).as(Seq("cell", "dist_c")))
+      } else {
+        val spark = eqQ.sparkSession
+        import spark.implicits._
+        val centDf = cents.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "c")
+        eqQ.select(col("vec_id").as("query_id"), col("e"))
+          .join(broadcast(centDf))
+          .withColumn("dist_c",
+            aggregate(zip_with(col("e"), col("c"),
+              (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+      }
+    scored.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell").cast("long").as("cell"))
   }
 
   // --------------------------------------- product quantization + ADC
@@ -987,25 +1044,33 @@ object Similarity {
   def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
     ivfAdcTopKFrom(graft.Tables(spark, dir).embeddings)
 
+  /** Registered Lloyd rounds for the IVF COARSE quantizer — mirrored in
+    * the oracle's kc0..kcN unroll (SparkEntry generates it from this
+    * constant); keep the two in sync. Training the cells moves them off
+    * the arbitrary lowest-id seeds onto the corpus's actual density,
+    * which both balances cell populations (the 100 TB skew argument)
+    * and lifts the recall the q179 gate measures. */
+  private[graft] val IvfCoarseIters = 5
+
   /** Same, over an arbitrary (vec_id, embedding) relation. `trainIters`
-    * selects the codebook rung (0 = the untrained seed — the round-11
-    * baseline the recall gate measures training against). */
+    * selects the PQ codebook rung and `coarseIters` the coarse-cell
+    * rung (0 = the untrained seeds — the prior-round baselines the
+    * recall gate measures training against). */
   def ivfAdcTopKFrom(vecs: DataFrame, topK: Int = 3, queryMod: Long = 50L,
       k: Int = 16, nprobe: Int = 4,
-      trainIters: Int = PqTrainIters): DataFrame = {
-    val cents = centroidDirs(vecs, k)
-    val corpusCells = withCellScores(vecs, cents)
-      .select(col("vec_id").as("neighbor_id"),
-        array_position(col("ca"), array_max(col("ca"))).as("cell"))
-    val qScored = withCellScores(
-        vecs.filter(col("vec_id") % queryMod === 0), cents)
-      .select(col("vec_id").as("query_id"),
-        posexplode(col("ca")).as(Seq("pos", "cos_c")))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_c").desc, col("pos").asc)
-    val qProbes = qScored.withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("cell"))
+      trainIters: Int = PqTrainIters,
+      coarseIters: Int = IvfCoarseIters): DataFrame = {
+    // TRAINED coarse quantizer (the q142 fixed-point Lloyd rule): cells
+    // live in the same floor(x·1e6) integer space as the PQ codes, so
+    // corpus assignment and query probes are integer L2 — bit-stable,
+    // and the oracle replays the coarse training unroll exactly like
+    // the PQ one.
+    val eqd = pqCache.rotate(quantized(vecs).persist())
+    val coarse = trainQuantizedCents(eqd, k, coarseIters)
+    val corpusCells = assignQuantizedCells(eqd, coarse)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val qProbes = probeQuantizedCells(
+      eqd.filter(col("vec_id") % queryMod === 0), coarse, nprobe)
     // TRAINED codebook (q158's Lloyd rung): the production layout ships
     // the recall the training measurably buys back, not the seed codes.
     val (codes, queries) = pqEncodeTrained(vecs, queryMod, trainIters)
@@ -1087,13 +1152,16 @@ object Similarity {
   def ivfAdcRecallEval(spark: SparkSession, dir: String): DataFrame =
     ivfAdcRecallEvalFrom(graft.Tables(spark, dir).embeddings)
 
-  /** Same, over an arbitrary (vec_id, embedding) relation; `nprobe` and
-    * `trainIters` expose the two knobs the SCALING.md sensitivity sweep
-    * reads (trainIters = 0 reproduces the untrained composition). */
+  /** Same, over an arbitrary (vec_id, embedding) relation; `nprobe`,
+    * `trainIters` and `coarseIters` expose the knobs the SCALING.md
+    * sensitivity sweep reads (iters = 0 reproduces the untrained
+    * composition). */
   def ivfAdcRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L,
-      nprobe: Int = 4, trainIters: Int = PqTrainIters): DataFrame = {
+      nprobe: Int = 4, trainIters: Int = PqTrainIters,
+      coarseIters: Int = IvfCoarseIters): DataFrame = {
     val approx = ivfAdcTopKFrom(vecs, topK = 3, queryMod = queryMod,
-        nprobe = nprobe, trainIters = trainIters)
+        nprobe = nprobe, trainIters = trainIters,
+        coarseIters = coarseIters)
       .select(col("query_id"), col("neighbor_id"))
     val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)

@@ -395,19 +395,35 @@ object ScaleSmoke {
       // before picking its operating point (recorded in SCALING.md).
       if (mult == 1) time(s"ivfadc_nprobe_sweep") {
         val fx = t.embeddings.select(col("vec_id"), col("embedding"))
-        def meanRecall(np: Int, iters: Int): Double = {
+        def meanRecall(np: Int, iters: Int, coarse: Int): Double = {
           val r = graft.operators.Similarity
-            .ivfAdcRecallEvalFrom(fx, nprobe = np, trainIters = iters)
+            .ivfAdcRecallEvalFrom(fx, nprobe = np, trainIters = iters,
+              coarseIters = coarse)
           val m = r.agg(avg(col("recall3"))).head().getDouble(0)
           val t0 = System.nanoTime()
           r.count()
-          println(f"[scale]   ivfadc nprobe=$np iters=$iters " +
+          println(f"[scale]   ivfadc nprobe=$np pq_iters=$iters " +
+            f"coarse_iters=$coarse " +
             f"mean_recall3=$m%.2f (${(System.nanoTime() - t0) / 1e9}%.1f s)")
           m
         }
-        Seq(1, 2, 4, 8).foreach(np =>
-          meanRecall(np, graft.operators.Similarity.PqTrainIters))
-        meanRecall(4, 0) // the untrained baseline at the registered point
+        val pqI = graft.operators.Similarity.PqTrainIters
+        val kcI = graft.operators.Similarity.IvfCoarseIters
+        Seq(1, 2, 4, 8).foreach(np => meanRecall(np, pqI, kcI))
+        meanRecall(4, pqI, 0) // untrained coarse cells, trained codes
+        meanRecall(4, 0, 0)   // the fully untrained baseline
+        // cell-population balance, seeded vs trained coarse cells: the
+        // max/mean ratio is the 100 TB skew readout — a hot cell is a
+        // straggler task for every query that probes it.
+        Seq(0, kcI).foreach { ci =>
+          val pops = graft.operators.Similarity
+            .coarseCellPopulations(fx, k = 16, coarseIters = ci)
+            .collect().map(_.getLong(1))
+          println(f"[scale]   ivf cells coarse_iters=$ci " +
+            f"max=${pops.max} mean=${pops.sum / pops.length} " +
+            f"ratio=${pops.max.toDouble * pops.length / pops.sum}%.2f " +
+            f"nonempty=${pops.count(_ > 0)}/16")
+        }
         1L
       }
       // cross-source duplicate matrix (q174's shape) on a MANY-sources

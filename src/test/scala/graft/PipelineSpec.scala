@@ -1655,6 +1655,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF coarse cells: Lloyd collapses quantization error on clustered data") {
+    import spark.implicits._
+    // adversarial seeding: the 16 lowest ids (= the seed centroids) all
+    // sit in ONE tight cluster, while 7 other well-separated clusters
+    // hold the rest of the corpus — the case where an untrained coarse
+    // quantizer is worst (every distant cluster lumps onto whichever
+    // near-identical seed is closest). Training must migrate cells onto
+    // the actual density: the k-means objective (total within-cell
+    // integer squared L2) collapses, and the IVFADC recall at nprobe=1
+    // cannot get worse.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    def member(c: Int): Seq[Float] =
+      centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq
+    val rows = (0 until 16).map(i => (i.toLong, member(0))) ++
+      (0 until 70).map(i => (16L + i, member(1 + i % 7)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    def objective(iters: Int): Long =
+      Similarity.kmeansCellsFrom(vecs, 16, iters)
+        .agg(sum(col("dist_q"))).head().getLong(0)
+    val seeded = objective(0)
+    val trained = objective(Similarity.IvfCoarseIters)
+    assert(trained * 3 < seeded,
+      s"Lloyd must collapse the clustered objective: $seeded -> $trained")
+    def recall1(coarse: Int): Long =
+      Similarity.ivfAdcRecallEvalFrom(vecs, queryMod = 40L, nprobe = 1,
+          coarseIters = coarse)
+        .agg(sum(col("recall3"))).head().getLong(0)
+    assert(recall1(Similarity.IvfCoarseIters) >= recall1(0))
+  }
+
   test("two-hop counts: hand-checked path and triangle") {
     import spark.implicits._
     // path 1-2-3: 1 and 3 see each other at distance 2; 2 sees nothing new
