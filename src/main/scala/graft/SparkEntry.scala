@@ -3429,5 +3429,15 @@ object SparkEntry {
     // cleaning shape) — explode + digest-keyed frequency shuffle +
     // anti-join + ordered reassembly; a distinct cost profile from both
     // the whole-doc hash (q40) and the LSH funnels (q42).
-    "q137_repeated_segment_removal")
+    "q137_repeated_segment_removal",
+    // round 14: one representative per round-12/13 family so the new
+    // tiers get a round-over-round trend line.
+    // exact τ-Jaccard self-join (PPJoin prefix filter):
+    "q140_jaccard_join",
+    // the production IVFADC composition (trained coarse cells + codes):
+    "q159_ivfadc_topk",
+    // the degree-oriented k-truss peel (iterative graph cohesion):
+    "q175_ktruss",
+    // the image perceptual-hash hamming funnel (multimodal dedup):
+    "q188_image_neardup")
 }

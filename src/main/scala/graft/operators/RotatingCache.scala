@@ -28,3 +28,31 @@ private[operators] final class RotatingCache {
     df
   }
 }
+
+/** One-slot, plan-keyed cache for TRAINED quantizer artifacts (IVF
+  * coarse cells, PQ codebooks) — the deployment posture is
+  * train-once-freeze: an ANN index is trained per corpus snapshot and
+  * then served; re-running the full Lloyd loop for every query batch is
+  * the unrealistic part (at 100 TB each training iteration is a corpus
+  * pass). Keyed the same plan-aware way as [[RotatingCache]] plus the
+  * training parameters, so an actually-changed input or a different
+  * (k, iters) rung re-trains; results are bit-identical either way
+  * because the training itself is deterministic fixed-point. */
+private[operators] final class TrainedCache[T] {
+  private var key: Option[(DataFrame, Seq[Int])] = None
+  private var value: Option[T] = None
+
+  def getOrTrain(df: DataFrame, params: Seq[Int])(train: => T): T =
+    synchronized {
+      val hit = key.exists { case (kdf, kp) =>
+        kp == params && kdf.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed)
+      }
+      if (hit) value.get
+      else {
+        val v = train
+        key = Some((df, params)); value = Some(v)
+        v
+      }
+    }
+}

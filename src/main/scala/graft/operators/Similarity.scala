@@ -793,6 +793,12 @@ object Similarity {
   /** Bounded cache slot for the PQ-quantized scan. */
   private val pqCache = new RotatingCache
 
+  /** Train-once-freeze slots for the IVF coarse cells and the PQ
+    * codebook (see [[TrainedCache]]) — re-training per query batch
+    * would rerun 5 + 10 full-corpus Lloyd passes for every call. */
+  private val coarseCache = new TrainedCache[Array[Array[Long]]]
+  private val cbCache = new TrainedCache[Array[Array[Array[Long]]]]
+
   /** Product-quantization ANN with asymmetric distance (q148) — the
     * memory-scale path of embedding search: each 64-dim vector is split
     * into M=4 sub-vectors of 16 dims, each sub-vector quantized to its
@@ -1008,7 +1014,7 @@ object Similarity {
   private def pqEncodeTrained(vecs: DataFrame, queryMod: Long,
       iters: Int): (DataFrame, DataFrame) = {
     val eqd = pqCache.rotate(quantized(vecs).persist())
-    val cb = pqTrainCodebook(eqd, iters)
+    val cb = cbCache.getOrTrain(eqd, Seq(iters))(pqTrainCodebook(eqd, iters))
     if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
       pqEncodeLit(eqd, cb, queryMod)
     else pqEncodeBcast(eqd, cb, queryMod)
@@ -1066,7 +1072,8 @@ object Similarity {
     // and the oracle replays the coarse training unroll exactly like
     // the PQ one.
     val eqd = pqCache.rotate(quantized(vecs).persist())
-    val coarse = trainQuantizedCents(eqd, k, coarseIters)
+    val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
+      trainQuantizedCents(eqd, k, coarseIters))
     val corpusCells = assignQuantizedCells(eqd, coarse)
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val qProbes = probeQuantizedCells(
