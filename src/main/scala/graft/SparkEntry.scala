@@ -233,6 +233,7 @@ object SparkEntry {
       (graft.streaming.StreamingMv.streamingSampleMonitor _),
     "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
     "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
+    "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2255,6 +2256,31 @@ object SparkEntry {
         |LEFT JOIN tot t USING (doc_id)
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q192: arbitrary-span repeated-substring detection — every 8-token
+    // window counted corpus-wide (Spark shuffles md5 digests; counting
+    // the gram text is the same multiset), positions with duplicated
+    // windows run-merged per doc into maximal spans. Parallel unnests
+    // zip in DuckDB, pairing each position with its gram.
+    "q192_repeated_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
+        |    unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM w),
+        |rep AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh SEMI JOIN rep USING (g)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // q138: PII redaction — counts per class on the raw text, then the
     // sequential email→ip→phone replace. Patterns are interpolated from
     // the SAME Scala constants the operator compiles, and stay in the

@@ -5,6 +5,7 @@ import graft.functions.PolyHash.poly_hash
 import graft.functions.SimHash64.simhash64
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2.l; north star
@@ -434,6 +435,64 @@ object Dedup {
           coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Arbitrary-span repeated-substring detection (q192) — the rung
+    * between q137's FIXED 10-word segments and q40's whole documents:
+    * the Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better") cleaning tier that flags repeated spans of ANY length ≥
+    * `n` tokens. The suffix-array formulation is pointer-chasing; this
+    * is the shuffle-idiom equivalent: every `n`-token window (shingle)
+    * is counted corpus-wide, and per document the positions whose
+    * window is corpus-duplicated (≥ 2 occurrences anywhere, including
+    * within the same document) are RUN-MERGED — maximal runs of
+    * consecutive duplicated windows — so a repeated span of k ≥ n
+    * tokens surfaces as one row with its exact start and length
+    * (k − n + 1 consecutive duplicated windows ⟺ a k-token span).
+    * Semantics note: this is span COVERAGE (every n-window of the span
+    * is duplicated somewhere), the practical cleaning rule — a true
+    * suffix array additionally proves the span repeats as one unit;
+    * coverage is the superset a pipeline masks.
+    *
+    * Output: (doc_id, span_start 1-based, span_tokens, n_windows) per
+    * maximal span — integer end to end, full DuckDB oracle.
+    *
+    * Scale shape: the shingle explosion is ~token mass; the frequency
+    * tier shuffles md5 digests (16-byte keys, q137's discipline) into a
+    * map-side-combinable count; the mark step is a digest-keyed
+    * left_semi (same key, same partitioning); the run-merge window is
+    * PARTITIONED BY doc — per-task state bounded by document length.
+    * No self-join, no pair enumeration anywhere: two key-shuffles plus
+    * a per-doc window, linear in corpus size — the reason no
+    * BucketGuard cap is needed (a hot shingle costs one count row, not
+    * a candidate blow-up). */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpansFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant a
+    * known k-token repeated span and assert exact boundaries. */
+  def repeatedSpansFrom(docs: DataFrame, n: Int = 8): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val sh = words
+      .select(col("doc_id"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => md5(array_join(slice(col("w"), i, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("off", "h")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("h"))
+    val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(rep, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"),
+        (col("n_windows") + (n - 1)).as("span_tokens"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** SimHash near-dup pairs via banded Hamming join: candidate pairs share

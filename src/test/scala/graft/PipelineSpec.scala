@@ -1655,6 +1655,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repeated spans: planted k-token span found with exact boundaries") {
+    import spark.implicits._
+    // a 20-token span shared verbatim by docs 1 and 2 at different
+    // offsets; the rest of each doc is unique. n=8 windows: the span
+    // yields 20-8+1 = 13 consecutive duplicated windows in each doc.
+    val span = (1 to 20).map(i => s"sp$i").mkString(" ")
+    val d1 = (1 to 5).map(i => s"aa$i").mkString(" ") + " " + span +
+      " " + (1 to 4).map(i => s"bb$i").mkString(" ")
+    val d2 = (1 to 9).map(i => s"cc$i").mkString(" ") + " " + span
+    val d3 = (1 to 30).map(i => s"un$i").mkString(" ") // all unique
+    // d4 repeats ITS OWN 10 tokens twice — within-doc repetition counts
+    val rep10 = (1 to 10).map(i => s"rr$i").mkString(" ")
+    val d4 = rep10 + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 " + rep10
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.repeatedSpansFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact boundaries: d1's span starts at token 6, d2's at token 10;
+    // both are 20 tokens = 13 windows. d3 contributes nothing. d4's two
+    // copies of the 10-token run each give 3 windows (10-8+1).
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 6L, 20L, 13L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 10L, 20L, 13L)))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.filter(_._1 == 4L).toSeq ==
+      Seq((4L, 1L, 10L, 3L), (4L, 19L, 10L, 3L)))
+    // documents shorter than the window are silently span-free
+    val short = Seq((9L, "only five little words here")).toDF("doc_id", "text")
+    assert(operators.Dedup.repeatedSpansFrom(short).collect().isEmpty)
+  }
+
   test("trained IVF coarse cells: Lloyd collapses quantization error on clustered data") {
     import spark.implicits._
     // adversarial seeding: the 16 lowest ids (= the seed centroids) all
