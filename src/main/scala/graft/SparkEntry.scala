@@ -850,7 +850,11 @@ object SparkEntry {
   /** The aHash fingerprint CTE chain shared by q187 (exact groups) and
     * q188 (hamming funnel): text-byte framing (8 px wide, h = bytes//24
     * rows, h ≥ 8), 8×8 block-average grid in floor-integer grayscale,
-    * bit = cell > floor mean, 64-char '0'/'1' hash. Ends at `ph`. */
+    * bit = cell > floor mean, 64-char '0'/'1' hash. Ends at `ph`.
+    * The strlen = length guard mirrors the Spark side's
+    * byte-transparency requirement (Multimodal.imagePhashes): only
+    * pure-ASCII payloads enter the image tier, so the per-character
+    * ascii() here and the engine's byte framing cannot diverge. */
   private def phashCtes: String =
     """cs AS (
       |  SELECT doc_id,
@@ -858,7 +862,7 @@ object SparkEntry {
       |      c -> ascii(c)) AS bs,
       |    strlen(text) // 24 AS h
       |  FROM documents
-      |  WHERE strlen(text) // 24 >= 8),
+      |  WHERE strlen(text) // 24 >= 8 AND strlen(text) = length(text)),
       |cells AS (
       |  SELECT doc_id,
       |    list_transform(range(0, 64), k ->
@@ -1265,14 +1269,19 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_blocks,
         |         CAST(coalesce(sum(bsz), 0) AS BIGINT) AS n_skipped_docs
         |  FROM hot),
-        |inplay AS (SELECT k.* FROM keyed k ANTI JOIN hot h USING (bk))
-        |SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  CAST(levenshtein(a.slice, b.slice) AS BIGINT) AS dist,
-        |  s.n_skipped_blocks, s.n_skipped_docs
-        |FROM inplay a
-        |JOIN inplay b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        |CROSS JOIN skipped s
-        |WHERE levenshtein(a.slice, b.slice) <= 8
+        |inplay AS (SELECT k.* FROM keyed k ANTI JOIN hot h USING (bk)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(levenshtein(a.slice, b.slice) AS BIGINT) AS dist
+        |  FROM inplay a
+        |  JOIN inplay b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.slice, b.slice) <= 8)
+        |SELECT p.ia, p.ib, p.dist, s.n_skipped_blocks, s.n_skipped_docs
+        |FROM pairs p CROSS JOIN skipped s
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), s.n_skipped_blocks, s.n_skipped_docs
+        |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM pairs)
         |ORDER BY 1, 2""".stripMargin,
     // q184: log-binned degree histogram — bin = bit length of the
     // degree via length(bin(deg)), exact in both engines.
@@ -3206,14 +3215,20 @@ object SparkEntry {
         |         a.phash AS pa, b.phash AS pb
         |  FROM ip a JOIN ip b
         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |   AND a.doc_id < b.doc_id)
-        |SELECT ia, ib,
-        |  CAST(len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
-        |    AS BIGINT) AS hamming,
-        |  s.n_skipped_bands, s.n_skipped_rows
-        |FROM cand CROSS JOIN skipped s
-        |WHERE len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
-        |      BETWEEN 1 AND 7
+        |   AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT ia, ib,
+        |    CAST(len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
+        |      AS BIGINT) AS hamming
+        |  FROM cand
+        |  WHERE len(list_filter(range(1, 65), i -> pa[i] != pb[i]))
+        |        BETWEEN 1 AND 7)
+        |SELECT p.ia, p.ib, p.hamming, s.n_skipped_bands, s.n_skipped_rows
+        |FROM pairs p CROSS JOIN skipped s
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), s.n_skipped_bands, s.n_skipped_rows
+        |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM pairs)
         |ORDER BY 1, 2""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

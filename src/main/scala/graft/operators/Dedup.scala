@@ -692,7 +692,11 @@ object Dedup {
   def editLinkage(spark: SparkSession, dir: String): DataFrame =
     editLinkageFrom(Tables(spark, dir).documents)
 
-  /** Same, over an arbitrary (doc_id, text) corpus. */
+  /** Same, over an arbitrary (doc_id, text) corpus. The skipped-block
+    * summary rides every verified pair; when NO pair verifies (the
+    * degenerate case the cap exists for) it is emitted as one sentinel
+    * row with null pair columns instead of being silently lost — the
+    * oracle mirrors the same rule. */
   private[graft] def editLinkageFrom(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"),
       substring(col("text"), 1, 16).as("bk"),
@@ -703,12 +707,20 @@ object Dedup {
       count(lit(1)).as("n_skipped_blocks"),
       coalesce(sum(col("bsz")), lit(0L)).as("n_skipped_docs"))
     val inPlay = keyed.join(hot.select(col("bk")), Seq("bk"), "left_anti")
-    inPlay.alias("a").join(inPlay.alias("b"),
+    val pairs = inPlay.alias("a").join(inPlay.alias("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         levenshtein(col("a.slice"), col("b.slice")).cast("long").as("dist"))
       .filter(col("dist") <= 8)
-      .crossJoin(broadcast(skipped))
+    // sentinel: the 1-row summary survives the anti-join only when the
+    // pair set is empty (limit(1) early-exits as soon as any pair shows)
+    val sentinel = skipped.join(pairs.limit(1), lit(true), "left_anti")
+      .select(lit(null).cast("long").as("ia"),
+        lit(null).cast("long").as("ib"),
+        lit(null).cast("long").as("dist"),
+        col("n_skipped_blocks"), col("n_skipped_docs"))
+    pairs.crossJoin(broadcast(skipped))
+      .unionByName(sentinel)
       .orderBy(col("ia"), col("ib"))
   }
 }

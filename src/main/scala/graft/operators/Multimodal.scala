@@ -232,10 +232,18 @@ object Multimodal {
       .orderBy(col("phash"))
 
   /** The (doc_id, phash) fingerprint relation shared by q187 (exact
-    * groups) and q188 (hamming funnel). */
+    * groups) and q188 (hamming funnel). The framing treats `text` as a
+    * byte-transparent pixel payload, so it REQUIRES one byte per
+    * character (octet_length = char_length ⟺ pure ASCII): a multi-byte
+    * character would make the char-based substr, the byte-based height
+    * and the UTF-8 binary cast disagree with each other and with the
+    * oracle's per-character ascii() replay. Non-byte-transparent docs
+    * fall out of the image tier exactly like undersized ones (the
+    * oracle mirrors the same strlen = length guard). */
   private[graft] def imagePhashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
+      .filter(octet_length(col("text")) === length(col("text")))
       .withColumn("h", floor(octet_length(col("text")) / lit(24)).cast("int"))
       .filter(col("h") >= 8)
       .select(col("doc_id"),
@@ -298,13 +306,24 @@ object Multimodal {
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         col("a.phash").as("pa"), col("b.phash").as("pb"))
       .distinct()
-    cand
+    val pairs = cand
       .withColumn("hamming",
         size(filter(zip_with(split(col("pa"), ""), split(col("pb"), ""),
           (x, y) => x =!= y), x => x)).cast("long"))
       .filter(col("hamming") >= 1 && col("hamming") <= PhashTau)
       .select(col("ia"), col("ib"), col("hamming"))
+    // when NO pair verifies (e.g. every band over-cap — exactly the
+    // case the cap exists for) the summary is emitted as one sentinel
+    // row with null pair columns instead of being silently lost; the
+    // oracle mirrors the same rule.
+    val sentinel = skipped.join(pairs.limit(1), lit(true), "left_anti")
+      .select(lit(null).cast("long").as("ia"),
+        lit(null).cast("long").as("ib"),
+        lit(null).cast("long").as("hamming"),
+        col("n_skipped_bands"), col("n_skipped_rows"))
+    pairs
       .crossJoin(broadcast(skipped))
+      .unionByName(sentinel)
       .orderBy(col("ia"), col("ib"))
   }
 }

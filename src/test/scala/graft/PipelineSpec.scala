@@ -1452,10 +1452,14 @@ class PipelineSpec extends AnyFunSuite {
     val got = operators.Dedup.editLinkageFrom(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L, 2L)), got.mkString(","))
-    // 70 docs sharing a block: excluded and reported, zero pairs
+    // 70 docs sharing a block: excluded and reported — zero pairs, so
+    // the skipped mass arrives as the one sentinel row (null pair cols)
     val degen = (1L to 70L).map(i => (i, base + i)).toDF("doc_id", "text")
     val d = operators.Dedup.editLinkageFrom(degen).collect()
-    assert(d.isEmpty, "over-cap block must generate no pairs")
+    assert(d.length == 1, "sentinel row must carry the skipped report")
+    assert(d(0).isNullAt(0) && d(0).isNullAt(1) && d(0).isNullAt(2))
+    assert(d(0).getLong(3) == 1L && d(0).getLong(4) == 70L,
+      s"skipped report: ${d(0)}")
   }
 
   test("degree histogram: hand graph bins exactly by bit length") {
@@ -1530,12 +1534,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 7L), "the τ=7 boundary pair must be found")
     assert(!got.exists(p => p._1 == 1L && p._2 == 5L), "d=9 must be out")
     // cap binds: 70 copies of one hash make all its bands hot — pair
-    // generation refused, mass reported (exact-dup tier is q187's job)
+    // generation refused, mass reported via the sentinel row (the
+    // exact-dup tier is q187's job). Bands 1-7 hold 71 members (the
+    // flipped doc shares them), band 0 holds the 70 copies: 8 hot bands,
+    // 70 + 7*71 = 567 skipped rows.
     val degen = (1L to 70L).map(i => (i, base)) :+ (100L, flip(base, Seq(0)))
     val d2 = operators.Multimodal.imageNearDupFrom(degen.toDF("doc_id", "phash"))
       .collect()
-    assert(d2.isEmpty || d2.forall(_.getLong(3) > 0),
-      "hot bands must be excluded and reported")
+    assert(d2.length == 1, "sentinel row must carry the skipped report")
+    assert(d2(0).isNullAt(0) && d2(0).isNullAt(1) && d2(0).isNullAt(2))
+    assert(d2(0).getLong(3) == 8L && d2(0).getLong(4) == 567L,
+      s"skipped report: ${d2(0)}")
   }
 
   test("corpus report: cells partition the corpus; duplicate mass matches q40") {
