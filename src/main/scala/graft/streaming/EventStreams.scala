@@ -403,7 +403,7 @@ object EventStreams {
     * matrix is ≤ types², metadata scale. Exactly-once: committed
     * batches are no-ops on replay; the state store rolls back with the
     * batch, so a replayed batch re-emits the identical delta. */
-  private[streaming] def transBatch(batch: DataFrame, storeDir: String,
+  def transBatch(batch: DataFrame, storeDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val dir = s"$storeDir/trans"
@@ -417,7 +417,7 @@ object EventStreams {
   }
 
   /** Current transition matrix (latest committed snapshot → permille). */
-  private[streaming] def transitionsTable(spark: SparkSession,
+  def transitionsTable(spark: SparkSession,
       storeDir: String): DataFrame = {
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("prev_type"))
@@ -475,7 +475,7 @@ object EventStreams {
     * users touched so far), the same scale as the operator's own state
     * store, never O(users × batches) like the old driver-side memory
     * update log. Exactly-once as [[transBatch]]. */
-  private[streaming] def funnelBatch(batch: DataFrame, storeDir: String,
+  def funnelBatch(batch: DataFrame, storeDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val dir = s"$storeDir/funnel"
@@ -487,7 +487,7 @@ object EventStreams {
   }
 
   /** Current funnel table (latest committed snapshot → timestamps). */
-  private[streaming] def funnelTable(spark: SparkSession,
+  def funnelTable(spark: SparkSession,
       storeDir: String): DataFrame =
     Snapshots.latest(spark, s"$storeDir/funnel", Long.MaxValue)
       .map(spark.read.parquet(_))

@@ -284,6 +284,57 @@ object ScaleSmoke {
         }
         graft.streaming.StreamingMv.mvTable(spark, storeDir).count()
       }
+      // streaming funnel store (q154's shape, post the round-14 sink
+      // fix): 8 batches of per-user state updates compacted through
+      // Snapshots.mergeLatest — per-batch cost is O(batch + store keys)
+      // with the store at DISTINCT-USER scale (the operator's own state
+      // size), never the O(users × batches) update log the old memory
+      // sink accumulated on the driver; per-batch times must stay flat
+      // as batches land and the final table must hold one row per user.
+      time(s"streaming_funnel_store") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_funnel").toString
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          val upd = ev.filter(pmod(col("event_id"), lit(8)) === i)
+            .groupBy(col("user_id"))
+            .agg(max(unix_micros(col("ts"))).as("view_us"))
+            .select(col("user_id"), col("view_us"),
+              lit(-1L).as("click_us"), lit(-1L).as("purchase_us"),
+              lit(i.toLong).as("upd"))
+          graft.streaming.EventStreams.funnelBatch(upd, storeDir, i)
+          println(f"[scale]   funnel batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        val users = graft.streaming.EventStreams
+          .funnelTable(spark, storeDir).count()
+        println(s"[scale]   funnel store: users=$users")
+        users
+      }
+      // streaming transition matrix (q186's shape, post the round-14
+      // sink fix): per-batch (prev, next) deltas folded ADDITIVELY into
+      // the ≤ types² counts snapshot — the merge reads matrix rows +
+      // batch, never event history, so per-batch times must stay flat
+      // and the matrix row count must stay at types² no matter the
+      // amplification.
+      time(s"streaming_transitions_store") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_trans").toString
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          val delta = ev.filter(pmod(col("event_id"), lit(8)) === i)
+            .withColumn("next_type", lead(col("event_type"), 1).over(wl))
+            .filter(col("next_type").isNotNull)
+            .select(col("event_type").as("prev_type"), col("next_type"))
+          graft.streaming.EventStreams.transBatch(delta, storeDir, i)
+          println(f"[scale]   trans batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        val cells = graft.streaming.EventStreams
+          .transitionsTable(spark, storeDir).count()
+        println(s"[scale]   transition matrix: cells=$cells")
+        cells
+      }
       // the pathological corpus at scale: mult×10k BYTE-IDENTICAL docs —
       // every band bucket is one corpus-sized hot bucket, the LSH worst
       // case no banding fixes. The guard bounds pair generation to zero
