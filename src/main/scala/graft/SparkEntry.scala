@@ -234,6 +234,7 @@ object SparkEntry {
     "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
     "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
     "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
+    "q193_span_dedup_clean" -> (Dedup.spanDedupClean _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2290,6 +2291,49 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM runs GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q193: repeated-span cleaning — every duplicated 8-token window
+    // keeps its lexicographically-first (doc_id, pos) occurrence; tokens
+    // covered only by non-canonical duplicated windows drop; survivors
+    // reassemble in order. The canonical pick is the two-step
+    // min(doc_id)-then-min(pos), ≡ Spark's min(struct) lexicographic min.
+    "q193_span_dedup_clean" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
+        |    unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM w),
+        |rep AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |cd AS (
+        |  SELECT s.g, min(s.doc_id) AS cd FROM sh s SEMI JOIN rep r
+        |  USING (g) GROUP BY s.g),
+        |canon AS (
+        |  SELECT s.g, c.cd, min(s.pos) AS cp
+        |  FROM sh s JOIN cd c ON s.g = c.g AND s.doc_id = c.cd
+        |  GROUP BY s.g, c.cd),
+        |masked AS (
+        |  SELECT s.doc_id, s.pos FROM sh s JOIN canon c ON s.g = c.g
+        |  WHERE NOT (s.doc_id = c.cd AND s.pos = c.cp)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + t.t AS ti
+        |  FROM masked CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+        |    unnest(ws) AS tok
+        |  FROM w),
+        |kept AS (SELECT k.* FROM toks k ANTI JOIN covered c
+        |         USING (doc_id, ti)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY ti) AS cleaned_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // q138: PII redaction — counts per class on the raw text, then the
     // sequential email→ip→phone replace. Patterns are interpolated from
     // the SAME Scala constants the operator compiles, and stay in the

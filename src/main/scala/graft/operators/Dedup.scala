@@ -495,6 +495,76 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Repeated-span CLEANING (q193) — the action tier over [[repeatedSpans]]'
+    * detection, completing the Lee et al. rule: every duplicated n-token
+    * window keeps exactly ONE canonical occurrence (the lexicographically
+    * first (doc_id, pos) in the corpus) and every token covered only by
+    * non-canonical duplicated windows is dropped; survivors reassemble
+    * in original order. One copy of each repeated span survives — unlike
+    * q137, which drops a hot segment from EVERY document.
+    *
+    * Output per document: (doc_id, n_tokens, n_dropped, cleaned_text),
+    * the q137 shape — directly hash-comparable and the actual product a
+    * training pipeline writes.
+    *
+    * Scale shape: the q192 funnel plus (a) a per-digest lexicographic-min
+    * aggregate (min(struct) ≡ the oracle's two-step min — map-side
+    * combinable), (b) an n-fold bounded explode of MASKED positions into
+    * covered token indices (≤ n × duplicated-window mass), and (c) the
+    * q137 per-doc reassembly (state bounded by document length). Still
+    * zero pair enumeration. */
+  def spanDedupClean(spark: SparkSession, dir: String): DataFrame =
+    spanDedupCleanFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def spanDedupCleanFrom(docs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val sh = words
+      .select(col("doc_id"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => md5(array_join(slice(col("w"), i, lit(n)), " "))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("off", "h")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("h"))
+    // canonical occurrence per duplicated window: lexicographic min of
+    // (doc_id, pos) — the struct min, identical to the oracle's
+    // min(doc_id)-then-min(pos) two-step
+    val canon = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("c"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("c.doc_id").as("cd"), col("c.pos").as("cp"))
+    val masked = sh.join(canon, Seq("h"))
+      .filter(!(col("doc_id") === col("cd") && col("pos") === col("cp")))
+      .select(col("doc_id"), col("pos"))
+    val covered = masked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
+      .distinct()
+    val toks = words
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(col("w")).as(Seq("off", "tok")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + 1).cast("long").as("ti"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "ti"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("ti"), col("tok")))),
+        x => x.getField("tok")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs via banded Hamming join: candidate pairs share
     * a 16-bit band; verified if Hamming distance ≤ 12. 1-row summary. */
   def simhashNearDupSummary(spark: SparkSession, dir: String): DataFrame =

@@ -704,13 +704,25 @@ object Similarity {
     * `iters` rounds of (integer-L2 argmin assignment → per-(cell,
     * component) floor-mean update), empty cells carrying forward. Per
     * round: one assignment map over the scan + a ≤ K·Dim-row aggregate
-    * collected to the driver (the GlobalOrder-offsets collect scale). */
+    * collected to the driver (the GlobalOrder-offsets collect scale).
+    *
+    * `sampleMod` bounds the TRAINING relation to the deterministic
+    * `vec_id % sampleMod == 0` subset (seeds included — they are the
+    * sample's K lowest ids), the Jégou et al. posture: codebook quality
+    * needs ~100·K training points, not the corpus, so at 100 TB each
+    * Lloyd pass scans a fixed-size sample while assignment/encoding
+    * still covers everything. 1 (train on all) for the registered
+    * fixture queries — the oracles replay that unroll directly; a
+    * cluster deployment raises one argument. The sampled path is
+    * spec'd on the clustered corpus. */
   private[graft] def trainQuantizedCents(eq: DataFrame, k: Int,
-      iters: Int): Array[Array[Long]] = {
-    var cents: Array[Array[Long]] = eq.orderBy(col("vec_id")).limit(k)
+      iters: Int, sampleMod: Long = 1L): Array[Array[Long]] = {
+    val tr = if (sampleMod == 1L) eq
+      else eq.filter(col("vec_id") % sampleMod === 0)
+    var cents: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     for (_ <- 1 to iters) {
-      val means = assignQuantizedCells(eq, cents)
+      val means = assignQuantizedCells(tr, cents)
         .select(col("cell"), posexplode(col("e")).as(Seq("comp", "v")))
         .groupBy(col("cell"), col("comp"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -963,13 +975,19 @@ object Similarity {
     * registered geometry) collected to the driver, the same
     * metadata-scale collect as kmeansCellsFrom's means. */
   private[graft] def pqTrainCodebook(eqd: DataFrame,
-      iters: Int): Array[Array[Array[Long]]] = {
-    val seeds: Array[Array[Long]] = eqd.orderBy(col("vec_id")).limit(PqK)
+      iters: Int, sampleMod: Long = 1L): Array[Array[Array[Long]]] = {
+    // same bounded-training-sample knob as trainQuantizedCents: the
+    // codebook trains on the vec_id % sampleMod == 0 subset (1 = all,
+    // the registered fixture posture the oracles replay), encoding
+    // always covers the full relation.
+    val tr = if (sampleMod == 1L) eqd
+      else eqd.filter(col("vec_id") % sampleMod === 0)
+    val seeds: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toArray)
     var cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
       seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
     }
-    val sub = eqd.select(col("vec_id"),
+    val sub = tr.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqM - 1)), m =>
         slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
         .as(Seq("m", "sv")))

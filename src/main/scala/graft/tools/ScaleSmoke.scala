@@ -193,6 +193,29 @@ object ScaleSmoke {
           s"(expect ${45 * nd / 10})")
         pairs
       }
+      // arbitrary-span repeated-substring detection (q192's shape):
+      // constructed corpus where every 10th doc plants one shared
+      // 20-token span into otherwise-unique text — span mass grows
+      // linearly with docs, and the funnel (gram count shuffle +
+      // left-semi + per-doc run-merge) must track token mass linearly:
+      // no pair enumeration exists anywhere to go quadratic.
+      time(s"repeated_spans") {
+        val nd = 5000L * mult
+        val span = (1 to 20).map(i => s"sp$i").mkString(" ")
+        val rd = spark.range(nd).select(col("id").as("doc_id"),
+          concat(
+            array_join(transform(sequence(lit(0), lit(14)),
+              i => concat(lit("u"), col("id"), lit("w"), i)), " "),
+            when(col("id") % 10 === 0, lit(" " + span)).otherwise(lit("")),
+            lit(" "),
+            array_join(transform(sequence(lit(0), lit(9)),
+              i => concat(lit("v"), col("id"), lit("y"), i)), " "))
+            .as("text"))
+        val spans = graft.operators.Dedup.repeatedSpansFrom(rd).count()
+        println(s"[scale]   repeated spans: docs=$nd spans=$spans " +
+          s"(expect ${nd / 10})")
+        spans
+      }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
       // micro-batches against an accumulating signature store — per-batch
       // cost must stay band-bounded (new×store equi-join on band keys,

@@ -1692,6 +1692,19 @@ class PipelineSpec extends AnyFunSuite {
     // documents shorter than the window are silently span-free
     val short = Seq((9L, "only five little words here")).toDF("doc_id", "text")
     assert(operators.Dedup.repeatedSpansFrom(short).collect().isEmpty)
+    // the cleaning tier (q193): the lexicographically-first occurrence
+    // survives — doc 1 keeps the span, doc 2 loses all 20 tokens, and
+    // doc 4 keeps the FIRST copy of its self-repeated 10-token run
+    val cleaned = operators.Dedup.spanDedupCleanFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cleaned(1L) == ((29L, 0L, d1)), cleaned(1L).toString)
+    assert(cleaned(2L)._2 == 20L)
+    assert(cleaned(2L)._3 == (1 to 9).map(i => s"cc$i").mkString(" "))
+    assert(cleaned(3L) == ((30L, 0L, d3)))
+    assert(cleaned(4L)._2 == 10L)
+    assert(cleaned(4L)._3 ==
+      rep10 + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8")
   }
 
   test("trained IVF coarse cells: Lloyd collapses quantization error on clustered data") {
@@ -1723,6 +1736,19 @@ class PipelineSpec extends AnyFunSuite {
           coarseIters = coarse)
         .agg(sum(col("recall3"))).head().getLong(0)
     assert(recall1(Similarity.IvfCoarseIters) >= recall1(0))
+    // the bounded-training-sample path (the 100 TB posture: each Lloyd
+    // pass scans a fixed sample, assignment covers everything): cells
+    // trained on the vec_id % 2 half must still collapse the FULL
+    // corpus's objective — cluster structure survives sampling.
+    val eqFull = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+    val sampled = Similarity.trainQuantizedCents(eqFull, 16,
+      Similarity.IvfCoarseIters, sampleMod = 2L)
+    val sampledObj = Similarity.assignQuantizedCells(eqFull, sampled)
+      .agg(sum(col("dist_q"))).head().getLong(0)
+    assert(sampledObj * 3 < seeded,
+      s"sample-trained cells must still collapse: $seeded -> $sampledObj")
   }
 
   test("two-hop counts: hand-checked path and triangle") {

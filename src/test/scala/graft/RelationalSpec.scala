@@ -81,7 +81,11 @@ class RelationalSpec extends AnyFunSuite {
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),
-      ("EventStreams", streaming.EventStreams, Set.empty),
+      ("EventStreams", streaming.EventStreams,
+        // store-assembly steps of the registered q154/q186 wrappers
+        // (String param is the store dir, the mvTable precedent);
+        // equivalence asserted in StreamingSpec, flatness in ScaleSmoke
+        Set("funnelTable", "transitionsTable")),
       ("StreamingMv", streaming.StreamingMv,
         // store-assembly step of the registered q162 wrapper (String
         // param is the store dir); MV invariant asserted in StreamingSpec
