@@ -776,7 +776,7 @@ object SparkEntry {
          |      SELECT origin, node, cost, path, pk FROM l${k - 1}
          |      UNION ALL
          |      SELECT p.origin, ue.dst AS node,
-         |             p.cost + ((ue.src * 31 + ue.dst) % 7) + 1 AS cost,
+         |             p.cost + (((ue.src % 7) * 3 + ue.dst % 7) % 7) + 1 AS cost,
          |             p.path || '->' || CAST(ue.dst AS VARCHAR) AS path,
          |             p.pk || '.' || lpad(CAST(ue.dst AS VARCHAR), 19, '0') AS pk
          |      FROM l${k - 1} p JOIN ue ON ue.src = p.node) cand
@@ -1025,7 +1025,7 @@ object SparkEntry {
         |               (CAST(5 AS BIGINT))) s(s)
         |  UNION
         |  SELECT w.origin, ue.dst, w.hops + 1,
-        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |         w.cost + (((ue.src % 7) * 3 + ue.dst % 7) % 7) + 1
         |  FROM walk w JOIN ue ON ue.src = w.node
         |  WHERE w.hops < 8
         |)
@@ -1360,7 +1360,7 @@ object SparkEntry {
         |  FROM (VALUES (CAST(7 AS BIGINT)), (CAST(77 AS BIGINT))) s(s)
         |  UNION
         |  SELECT w.lm, ue.dst, w.hops + 1,
-        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |         w.cost + (((ue.src % 7) * 3 + ue.dst % 7) % 7) + 1
         |  FROM lwalk w JOIN ue ON ue.src = w.node WHERE w.hops < 8
         |),
         |swalk(origin, node, hops, cost) AS (
@@ -1370,7 +1370,7 @@ object SparkEntry {
         |               (CAST(5 AS BIGINT))) s(s)
         |  UNION
         |  SELECT w.origin, ue.dst, w.hops + 1,
-        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |         w.cost + (((ue.src % 7) * 3 + ue.dst % 7) % 7) + 1
         |  FROM swalk w JOIN ue ON ue.src = w.node WHERE w.hops < 8
         |),
         |lidx AS (SELECT lm, node, min(cost) AS cost FROM lwalk GROUP BY 1, 2),
@@ -1413,7 +1413,7 @@ object SparkEntry {
         |  SELECT CAST(1 AS BIGINT), 0, CAST(0 AS BIGINT)
         |  UNION
         |  SELECT ue.dst, w.hops + 1,
-        |         w.cost + ((ue.src * 31 + ue.dst) % 7) + 1
+        |         w.cost + (((ue.src % 7) * 3 + ue.dst % 7) % 7) + 1
         |  FROM walk w JOIN ue ON ue.src = w.node
         |  WHERE w.hops < 8
         |)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -72,6 +72,23 @@ object GraphOps {
     val d = directedEdges(t)
     d.union(d.select(col("dst").as("src"), col("src").as("dst")))
   }
+
+  /** The deterministic synthetic edge weight in [1, 7] shared by the
+    * routing family (q33/q91/q124/q125/q127/q132): (src·31 + dst) mod 7
+    * + 1, computed with the modulus DISTRIBUTED over the product —
+    * ((src mod 7)·3 + dst mod 7) mod 7, since 31 ≡ 3 (mod 7) — so it
+    * cannot overflow for any nonnegative 64-bit id. The naive multiply
+    * throws ARITHMETIC_OVERFLOW under ANSI once src > Long.MaxValue/31
+    * ≈ 3e17 — out of reach for dense ids but NOT for the hashed
+    * (murmur64) node ids web-scale graphs actually carry. Values are
+    * identical to the naive rule for all nonnegative ids; the oracle
+    * mirror is SparkEntry's edgeWeightSql — keep the two in sync. */
+  private[graft] def edgeWeight(src: Column, dst: Column): Column =
+    ((src % 7) * 3 + dst % 7) % 7 + 1
+
+  /** Same rule in JVM arithmetic, for the GraphX edge build. */
+  private[graft] def edgeWeightJvm(s: Long, d: Long): Long =
+    ((s % 7L) * 3L + d % 7L) % 7L + 1L
 
   /** GraphX graph per edge relation, memoized on the analyzed edge plan —
     * the Spark analogue of the reference building its CSR once and
@@ -255,7 +272,7 @@ object GraphOps {
     val ue = symmetrizedEdges(Tables(spark, dir))
     val edgeRdd = ue.select(col("src"), col("dst")).rdd.map { r =>
       val (s, d) = (r.getLong(0), r.getLong(1))
-      Edge(s, d, (s * 31L + d) % 7L + 1L)
+      Edge(s, d, edgeWeightJvm(s, d))
     }
     val g = Graph.fromEdges(edgeRdd, 0L,
         edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
@@ -316,7 +333,7 @@ object GraphOps {
     multiSourcePathsFrom(spark,
       symmetrizedEdges(Tables(spark, dir))
         .select(col("src"), col("dst"),
-          ((col("src") * 31 + col("dst")) % 7 + 1).as("w")),
+          edgeWeight(col("src"), col("dst")).as("w")),
       sources, maxHops)
 
   /** Same, over an arbitrary weighted edge relation (src, dst, w) —
@@ -466,7 +483,7 @@ object GraphOps {
     multiSourceCostsFrom(spark,
       symmetrizedEdges(Tables(spark, dir))
         .select(col("src"), col("dst"),
-          ((col("src") * 31 + col("dst")) % 7 + 1).as("w")),
+          edgeWeight(col("src"), col("dst")).as("w")),
       sources, maxHops)
 
   /** Same, over an arbitrary weighted edge relation (src, dst, w).

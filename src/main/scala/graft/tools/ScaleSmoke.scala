@@ -392,7 +392,7 @@ object ScaleSmoke {
       time(s"p2p_routing_batch") {
         // batched od routing over the amplified graph: one sweep, 5 origins
         val w = ue.select(col("src"), col("dst"),
-          ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+          graft.operators.GraphOps.edgeWeight(col("src"), col("dst")).as("w"))
         graft.operators.GraphOps
           .multiSourceCostsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
       }
@@ -415,7 +415,7 @@ object ScaleSmoke {
         // the q127 shape: route reconstruction rides the same sweep —
         // state adds two bounded strings per (origin, node) row
         val w = ue.select(col("src"), col("dst"),
-          ((col("src") * 31 + col("dst")) % 7 + 1).as("w"))
+          graft.operators.GraphOps.edgeWeight(col("src"), col("dst")).as("w"))
         graft.operators.GraphOps
           .multiSourcePathsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
       }

@@ -1664,6 +1664,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("edge weight: distributed-mod form == naive rule, safe at hash-scale ids") {
+    import spark.implicits._
+    // the routing family's synthetic weight, now computed with the mod
+    // distributed over the product — must equal the naive (src*31+dst)%7+1
+    // everywhere AND survive ids past Long.MaxValue/31 (murmur64 graphs)
+    val ids = Seq((1L, 2L), (1234567L, 987654L),
+      (Long.MaxValue / 31 + 5, Long.MaxValue - 2), (Long.MaxValue, Long.MaxValue))
+    def naive(s: Long, d: Long): Long =
+      ((BigInt(s) * 31 + BigInt(d)) % 7 + 1).toLong
+    val got = ids.toDF("src", "dst")
+      .select(GraphOps.edgeWeight(col("src"), col("dst")).as("w"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ids.map { case (s, d) => naive(s, d) })
+    assert(got.forall(w => w >= 1 && w <= 7))
+    ids.foreach { case (s, d) =>
+      assert(GraphOps.edgeWeightJvm(s, d) == naive(s, d)) }
+  }
+
   test("repeated spans: planted k-token span found with exact boundaries") {
     import spark.implicits._
     // a 20-token span shared verbatim by docs 1 and 2 at different
