@@ -214,6 +214,13 @@ object ScaleSmoke {
         val spans = graft.operators.Dedup.repeatedSpansFrom(rd).count()
         println(s"[scale]   repeated spans: docs=$nd spans=$spans " +
           s"(expect ${nd / 10})")
+        // the cleaning tier on the same corpus: every planted copy but
+        // the canonical first drops its 20 tokens — dropped mass grows
+        // linearly, reassembly stays per-doc bounded
+        val dropped = graft.operators.Dedup.spanDedupCleanFrom(rd)
+          .agg(sum(col("n_dropped"))).head().getLong(0)
+        println(s"[scale]   span clean: dropped_tokens=$dropped " +
+          s"(expect ${20 * (nd / 10 - 1)})")
         spans
       }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
