@@ -108,8 +108,17 @@ object Bench {
     // absorbs load spikes but the min approximates the uncontended cost,
     // so the artifact adjudicates "slow machine vs slow code" by itself.
     val totalMin = results.map(_._4).filter(_ >= 0).sum
+    // The headline list grew in round 14 (q140/q159/q175/q188 added per
+    // the round-13 verdict); the pre-expansion subtotal keeps the
+    // round-over-round trend line comparable against the r07 anchor and
+    // BENCH_r01–r13 without re-deriving which rows are new.
+    val r14Added = Set("q140_jaccard_join", "q159_ivfadc_topk",
+      "q175_ktruss", "q188_image_neardup")
+    val subtotalR13 = results
+      .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
+      .map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"subtotal_r13_list":$subtotalR13,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
     // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
     // driver's bench artifact) — also write it as a file the driver can read.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
