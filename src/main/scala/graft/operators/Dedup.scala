@@ -469,11 +469,17 @@ object Dedup {
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame =
     repeatedSpansFrom(Tables(spark, dir).documents)
 
-  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant a
-    * known k-token repeated span and assert exact boundaries. */
-  def repeatedSpansFrom(docs: DataFrame, n: Int = 8): DataFrame = {
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val sh = words
+  /** Bounded cache slot for the span-shingle relation — it feeds both
+    * q192 (detection) and q193 (cleaning), and each references it from
+    * two plan arms (frequency tier + mark join). */
+  private val spanCache = new RotatingCache
+
+  /** The (doc_id, pos, h) sliding-window digest relation shared by
+    * [[repeatedSpans]] and [[spanDedupClean]]: every n-token window's
+    * md5, 1-based start position. */
+  private def spanShingles(docs: DataFrame, n: Int): DataFrame =
+    spanCache.rotate(docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         posexplode(when(size(col("w")) >= n,
           transform(sequence(lit(1), size(col("w")) - (n - 1)),
@@ -482,6 +488,12 @@ object Dedup {
           .as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         col("h"))
+      .persist())
+
+  /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant a
+    * known k-token repeated span and assert exact boundaries. */
+  def repeatedSpansFrom(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = spanShingles(docs, n)
     val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("h"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -520,15 +532,7 @@ object Dedup {
   private[graft] def spanDedupCleanFrom(docs: DataFrame,
       n: Int = 8): DataFrame = {
     val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val sh = words
-      .select(col("doc_id"),
-        posexplode(when(size(col("w")) >= n,
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => md5(array_join(slice(col("w"), i, lit(n)), " "))))
-          .otherwise(array().cast("array<string>")))
-          .as(Seq("off", "h")))
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
-        col("h"))
+    val sh = spanShingles(docs, n)
     // canonical occurrence per duplicated window: lexicographic min of
     // (doc_id, pos) — the struct min, identical to the oracle's
     // min(doc_id)-then-min(pos) two-step
