@@ -235,6 +235,7 @@ object SparkEntry {
     "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
     "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q193_span_dedup_clean" -> (Dedup.spanDedupClean _),
+    "q194_span_decontaminate" -> (TextAnalysis.spanDecontaminate _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2334,6 +2335,46 @@ object SparkEntry {
         |  coalesce(a.cleaned_text, '') AS cleaned_text
         |FROM w LEFT JOIN agg a USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // q194: span-level decontamination — corpus tokens covered by any
+    // benchmark-overlapping 8-token window drop (ALL occurrences — no
+    // canonical-survivor rule), survivors reassemble in order. The
+    // corpus/benchmark split is q117's doc_id % 5 rule.
+    "q194_span_decontaminate" ->
+      """WITH cw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 5 != 0),
+        |bw AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM bw),
+        |csh AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
+        |    unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM cw),
+        |masked AS (SELECT doc_id, pos FROM csh SEMI JOIN bsh USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos + t.t AS ti
+        |  FROM masked CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti,
+        |    unnest(ws) AS tok
+        |  FROM cw),
+        |kept AS (SELECT k.* FROM toks k ANTI JOIN covered c
+        |         USING (doc_id, ti)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY ti) AS cleaned_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT cw.doc_id, CAST(len(cw.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(cw.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM cw LEFT JOIN agg a USING (doc_id)
+        |ORDER BY cw.doc_id""".stripMargin,
     // q138: PII redaction — counts per class on the raw text, then the
     // sequential email→ip→phone replace. Patterns are interpolated from
     // the SAME Scala constants the operator compiles, and stay in the

@@ -475,10 +475,14 @@ object Dedup {
   private val spanCache = new RotatingCache
 
   /** The (doc_id, pos, h) sliding-window digest relation shared by
-    * [[repeatedSpans]] and [[spanDedupClean]]: every n-token window's
-    * md5, 1-based start position. */
-  private def spanShingles(docs: DataFrame, n: Int): DataFrame =
-    spanCache.rotate(docs
+    * [[repeatedSpans]], [[spanDedupClean]] and the span-level
+    * decontamination (TextAnalysis.spanDecontaminate): every n-token
+    * window's md5, 1-based start position. `cache = false` skips the
+    * one-slot persist for single-reference uses (q194 builds TWO of
+    * these per query — rotating both would evict each other). */
+  private[graft] def spanShingles(docs: DataFrame, n: Int,
+      cache: Boolean = true): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         posexplode(when(size(col("w")) >= n,
@@ -488,7 +492,8 @@ object Dedup {
           .as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         col("h"))
-      .persist())
+    if (cache) spanCache.rotate(sh.persist()) else sh
+  }
 
   /** Same, over an arbitrary (doc_id, text) corpus — lets tests plant a
     * known k-token repeated span and assert exact boundaries. */
@@ -531,7 +536,6 @@ object Dedup {
   /** Same, over an arbitrary (doc_id, text) corpus. */
   private[graft] def spanDedupCleanFrom(docs: DataFrame,
       n: Int = 8): DataFrame = {
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     val sh = spanShingles(docs, n)
     // canonical occurrence per duplicated window: lexicographic min of
     // (doc_id, pos) — the struct min, identical to the oracle's
@@ -544,15 +548,28 @@ object Dedup {
     val masked = sh.join(canon, Seq("h"))
       .filter(!(col("doc_id") === col("cd") && col("pos") === col("cp")))
       .select(col("doc_id"), col("pos"))
+    dropCoveredTokens(docs, masked, n)
+  }
+
+  /** Drop every token covered by a masked window position and reassemble
+    * the survivors in order — the reassembly tier shared by the span
+    * cleaners ([[spanDedupClean]] keep-one-copy masking, span-level
+    * decontamination drop-all masking). `masked` is (doc_id, pos) of
+    * n-token window starts; output is the q137 shape
+    * (doc_id, n_tokens, n_dropped, cleaned_text) over ALL of `docs`.
+    * Scale: the covered explode is ≤ n × masked-window mass; the
+    * reassembly is one per-doc aggregate bounded by document length. */
+  private[graft] def dropCoveredTokens(docs: DataFrame, masked: DataFrame,
+      n: Int): DataFrame = {
     val covered = masked
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
       .distinct()
-    val toks = words
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        posexplode(col("w")).as(Seq("off", "tok")))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("off") + 1).cast("long").as("ti"), col("tok"))
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("off", "tok")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("ti"),
+        col("tok"))
     val kept = toks.join(covered, Seq("doc_id", "ti"), "left_anti")
     val agg = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),

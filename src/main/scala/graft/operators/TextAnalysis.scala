@@ -116,6 +116,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level decontamination (q194) — the surgical companion to the
+    * q117 gate and q146 score: instead of dropping or tagging a WHOLE
+    * document that shares benchmark 8-grams, mask exactly the tokens
+    * covered by benchmark-overlapping windows and keep the rest — the
+    * modern eval-hygiene posture for long documents where one quoted
+    * benchmark passage shouldn't cost the other 10k tokens. ALL
+    * occurrences drop (benchmark text must not survive anywhere — no
+    * canonical-copy rule here, unlike q193). Output is the q137/q193
+    * cleaning shape over the corpus split.
+    *
+    * Scale shape: the benchmark window set is BROADCAST (eval suites
+    * are fixed-size at any corpus scale — the q117 argument); marking
+    * is a shuffle-free left-semi scan of the corpus windows; then the
+    * shared covered-token drop + per-doc reassembly
+    * (Dedup.dropCoveredTokens — ≤ n × hit mass explode, doc-bounded
+    * aggregate). Linear in corpus size, zero self-joins. */
+  def spanDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    spanDecontaminateFrom(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** Same, over arbitrary corpus/benchmark (doc_id, text) relations. */
+  private[graft] def spanDecontaminateFrom(corpus: DataFrame,
+      bench: DataFrame, n: Int = 8): DataFrame = {
+    val benchSet = Dedup.spanShingles(bench, n, cache = false)
+      .select(col("h")).distinct()
+    val masked = Dedup.spanShingles(corpus, n, cache = false)
+      .join(broadcast(benchSet), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    Dedup.dropCoveredTokens(corpus, masked, n)
+  }
+
   /** Most-frequent-word share in per-mille (longest equal run in the
     * sorted word array — shuffle-free). */
   private[graft] def topwordPm(text: Column): Column = {

@@ -1725,6 +1725,29 @@ class PipelineSpec extends AnyFunSuite {
       rep10 + " zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8")
   }
 
+  test("span decontamination: quoted benchmark passage masked, context kept") {
+    import spark.implicits._
+    // a 12-token benchmark passage; any corpus doc quoting it loses
+    // exactly those 12 tokens (the windows fully inside the quote are in
+    // the benchmark set; straddling windows carry corpus context and
+    // are not) — ALL occurrences drop, no canonical-survivor rule
+    val passage = (1 to 12).map(i => s"bm$i").mkString(" ")
+    val bench = Seq((100L, "eval filler intro " + passage + " outro words"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "c1 c2 c3 " + passage + " c4 c5"),
+      (2L, (1 to 20).map(i => s"own$i").mkString(" ")),
+      (3L, passage + " mid1 mid2 " + passage)).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.spanDecontaminateFrom(corpus, bench)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((17L, 12L, "c1 c2 c3 c4 c5")), out(1L).toString)
+    assert(out(2L)._2 == 0L &&
+      out(2L)._3 == (1 to 20).map(i => s"own$i").mkString(" "))
+    assert(out(3L) == ((26L, 24L, "mid1 mid2")), out(3L).toString)
+  }
+
   test("trained IVF coarse cells: Lloyd collapses quantization error on clustered data") {
     import spark.implicits._
     // adversarial seeding: the 16 lowest ids (= the seed centroids) all
