@@ -221,6 +221,15 @@ object ScaleSmoke {
           .agg(sum(col("n_dropped"))).head().getLong(0)
         println(s"[scale]   span clean: dropped_tokens=$dropped " +
           s"(expect ${20 * (nd / 10 - 1)})")
+        // span decontamination (q194's shape): doc 0 is the "benchmark"
+        // carrying the planted span — every planted corpus copy loses
+        // exactly its 20 quoted tokens, linear in hits
+        val deconDropped = graft.operators.TextAnalysis
+          .spanDecontaminateFrom(rd.filter(col("doc_id") =!= 0),
+            rd.filter(col("doc_id") === 0))
+          .agg(sum(col("n_dropped"))).head().getLong(0)
+        println(s"[scale]   span decontaminate: dropped_tokens=" +
+          s"$deconDropped (expect ${20 * (nd / 10 - 1)})")
         spans
       }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
