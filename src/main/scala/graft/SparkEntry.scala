@@ -236,6 +236,10 @@ object SparkEntry {
     "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q193_span_dedup_clean" -> (Dedup.spanDedupClean _),
     "q194_span_decontaminate" -> (TextAnalysis.spanDecontaminate _),
+    "q195_leakage_safe_split" -> (Dedup.leakageSafeSplit _),
+    "q196_dsir_importance" -> (graft.operators.CorpusOps.dsirImportance _),
+    "q197_streaming_contamination" ->
+      (graft.streaming.StreamingMv.streamingContamination _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1338,6 +1342,35 @@ object SparkEntry {
         |      // greatest(1, ${qualityScoreSql("text")}) AS priority
         |  FROM documents)
         |ORDER BY priority, doc_id LIMIT 64""".stripMargin,
+    // q196: DSIR importance replay — unseeded FNV unigram buckets
+    // (mod 256 of the unsigned hash ≡ Spark's pmod of the signed one,
+    // since 2⁶⁴ ≡ 0 mod 256), add-one smoothed per-bucket LLR quantized
+    // floor(ln·1e4) BEFORE the integer per-doc sum (the q143 rule), and
+    // the derandomized top-64 order (dsir_q DESC, doc_id).
+    "q196_dsir_importance" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, (${fnvSql("term", "14695981039346656037")}) % 256 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)),
+        |tgt AS (SELECT b, count(*) AS ct FROM toks WHERE doc_id % 5 = 0
+        |        GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM toks WHERE doc_id % 5 = 0),
+        |rawb AS (SELECT doc_id, b FROM toks WHERE doc_id % 5 <> 0),
+        |rc AS (SELECT b, count(*) AS cr FROM rawb GROUP BY 1),
+        |rt AS (SELECT count(*) AS r FROM rawb),
+        |scores AS (
+        |  SELECT rc.b,
+        |    CAST(floor(ln(
+        |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE))
+        |      / (CAST(cr + 1 AS DOUBLE) / CAST(r + 256 AS DOUBLE))) * 1e4)
+        |      AS BIGINT) AS score_q
+        |  FROM rc LEFT JOIN tgt USING (b) CROSS JOIN tt CROSS JOIN rt),
+        |pd AS (SELECT doc_id, b, count(*) AS n FROM rawb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n * score_q) AS BIGINT) AS dsir_q
+        |FROM pd JOIN scores USING (b)
+        |GROUP BY doc_id
+        |ORDER BY dsir_q DESC, doc_id LIMIT 64""".stripMargin,
     // q182: temperature mixture — ⌊√n⌋ weights (exact in IEEE for any
     // representable count) and floor-division shares/quotas; the epoch
     // budget is interpolated from the same constant the Spark side uses.
@@ -1796,6 +1829,49 @@ object SparkEntry {
 
   /** q166 oracle: the q129 keep-list chain (same CTEs) joined to token
     * counts and rolled up per duplicate cluster. */
+  // Contamination-gate replay shared by q117 (batch) and q197
+  // (streaming): distinct word-8-gram overlap counts of the corpus
+  // slice against the held-out doc_id%5 benchmark set.
+  private def decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 8 + 2),
+      |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
+      |SELECT c.doc_id, count(*) AS n_shared
+      |FROM grams c JOIN bench USING (g)
+      |WHERE c.doc_id % 5 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q195 oracle: the q129 keep-list chain (same CTEs), then the split
+    * CASE on the Knuth uniform of the CANONICAL id — the replay of
+    * Dedup.leakageSafeSplitFrom's 90/5/5 rule. Sharing the component
+    * chain with q129/q166 means a drift in the funnel or the CC labels
+    * hash-mismatches all three together. */
+  private def leakageSplitOracle: String =
+    s"""WITH RECURSIVE $minhashAgreeCtes,
+      |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
+      |          UNION SELECT ia, ib FROM escpairs),
+      |ue AS (SELECT ia AS src, ib AS dst FROM pairs
+      |       UNION ALL SELECT ib, ia FROM pairs),
+      |walk(node, reach) AS (
+      |  SELECT DISTINCT src, src FROM ue
+      |  UNION
+      |  SELECT w.node, ue.dst FROM walk w JOIN ue ON ue.src = w.reach
+      |),
+      |comp AS (SELECT node, min(reach) AS canonical FROM walk GROUP BY node),
+      |kl AS (SELECT d.doc_id,
+      |         CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+      |       FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+      |SELECT doc_id, canonical_id,
+      |  CASE WHEN (${knuthHash32Sql("canonical_id")}) % 100 < 90 THEN 'train'
+      |       WHEN (${knuthHash32Sql("canonical_id")}) % 100 < 95
+      |         THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM kl ORDER BY doc_id""".stripMargin
+
   private def dedupSavingsOracle: String =
     s"""WITH RECURSIVE $minhashAgreeCtes,
       |pairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
@@ -2707,6 +2783,9 @@ object SparkEntry {
     // q166: the q129 keep-list replay re-aggregated per canonical with
     // exact per-member token sums.
     "q166_dedup_savings" -> dedupSavingsOracle,
+    // q195: the keep-list replay plus the canonical-id Knuth split rule —
+    // near-dup components land on one side of the eval boundary whole.
+    "q195_leakage_safe_split" -> leakageSplitOracle,
     // q173: content-addressed deterministic sampling — first two md5
     // hex chars under '29' (≈16%); identical digests in both engines.
     "q173_hash_sampling" -> hashSamplingOracle,
@@ -2986,18 +3065,12 @@ object SparkEntry {
     // q117: word 8-gram overlap against the held-out benchmark subset
     // (every 5th doc). DuckDB list slicing is 1-based inclusive:
     // ws[i:i+7] is 8 words; starts run 1..len-7.
-    "q117_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(ws) - 8 + 2),
-        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
-        |  FROM w),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0)
-        |SELECT c.doc_id, count(*) AS n_shared
-        |FROM grams c JOIN bench USING (g)
-        |WHERE c.doc_id % 5 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_decontaminate" -> decontaminateOracle,
+    // q197: the STREAMING contamination monitor must land on the
+    // identical table — the oracle is literally q117's replay; any
+    // divergence between the micro-batched additive merge and the
+    // one-shot batch gate hash-mismatches here.
+    "q197_streaming_contamination" -> decontaminateOracle,
     // q118: the oracle states the top-word share via the direct
     // unnest + group-by formulation; the Spark side computes the same
     // count as the longest equal-run in the sorted word array (no shuffle).

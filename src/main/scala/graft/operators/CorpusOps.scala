@@ -723,6 +723,80 @@ object CorpusOps {
       .limit(64)
   }
 
+  /** Bucket count of the hashed-ngram feature space (q196) — 256 is
+    * fixture-sized; DSIR's published setting is 10⁴, a one-constant
+    * change (the histograms stay broadcastable at any plausible B). */
+  private[graft] val DsirBuckets = 256
+
+  /** Bounded cache slot for the bucketed token scan (see
+    * [[RotatingCache]]) — it feeds the target histogram, the raw
+    * histogram, both totals, and the per-doc counts. */
+  private val dsirCache = new RotatingCache
+
+  /** DSIR-style importance selection (q196) — Data Selection via
+    * Importance Resampling (Xie et al., NeurIPS 2023): score every raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution than under the raw-corpus distribution, using hashed
+    * n-gram bag-of-words models (here: unigrams FNV-hashed into
+    * [[DsirBuckets]] buckets, the paper's hashed-feature trick that makes
+    * the model size independent of vocabulary). Per bucket b the
+    * log-likelihood ratio under add-one smoothing is
+    * ln(((ct_b+1)/(T+B)) / ((cr_b+1)/(R+B))); a document's importance is
+    * the sum over its tokens. The target here is the fixture's held-out
+    * doc_id%5 slice (the q117 decontamination convention — in production
+    * it is the high-quality reference corpus, e.g. curated text).
+    *
+    * Determinism: the per-bucket ratio quantizes to floor(llr·10⁴) BEFORE
+    * the per-document integer sum (the q143 discipline — ln is the only
+    * cross-engine ulp hazard and it never survives the floor), and the
+    * DSIR resampling step is derandomized into the exact order
+    * (dsir_q DESC, doc_id): top-k selection rather than Gumbel noise,
+    * the same derandomization as q191's priority sample.
+    *
+    * Scale shape: one token explode feeding B-bounded histograms (B rows
+    * shuffle, then BROADCAST — the model is kilobytes no matter how big
+    * the corpus is), per-doc (doc_id, bucket) partial-aggregated counts,
+    * one doc-keyed sum, and a global top-k that plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, no global
+    * sort). Nothing quadratic, nothing driver-side. */
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame =
+    dsirImportanceFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def dsirImportanceFrom(docs: DataFrame,
+      buckets: Int = DsirBuckets, k: Int = 64): DataFrame = {
+    import graft.functions.PolyHash.poly_hash
+    val toks = dsirCache.rotate(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        pmod(poly_hash(col("term"), lit(0L)), lit(buckets.toLong)).as("b"))
+      .persist())
+    val tgt = toks.filter(col("doc_id") % 5 === 0)
+    val raw = toks.filter(col("doc_id") % 5 =!= 0)
+    val ct = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tTot = tgt.agg(count(lit(1)).as("t"))
+    val rc = raw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val rTot = raw.agg(count(lit(1)).as("r"))
+    // per-bucket quantized log-likelihood ratio — only buckets the raw
+    // corpus touches need a score (missing target counts coalesce to 0)
+    val scores = rc.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("score_q", floor(log(
+        ((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+          / (col("t") + buckets).cast("double"))
+          / ((col("cr") + 1).cast("double")
+            / (col("r") + buckets).cast("double"))) * lit(1e4)))
+      .select(col("b"), col("score_q"))
+    raw.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(scores), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("score_q")).as("dsir_q"))
+      .orderBy(col("dsir_q").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_q"))
+  }
+
   /** Same, over an arbitrary (source) corpus. */
   private[graft] def temperatureMixtureFrom(docs: DataFrame,
       budget: Long = MixtureEpochBudget): DataFrame = {

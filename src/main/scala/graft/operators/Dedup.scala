@@ -239,6 +239,14 @@ object Dedup {
 
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def fuzzyDedupKeepFrom(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    keepListFrom(spark, docs, maxBucket).orderBy(col("doc_id"))
+
+  /** Unordered (doc_id, canonical_id) keep-list core shared by the
+    * registered q129 form and the consumers that post-process it
+    * (q166 savings rollup, q195 leakage-safe split) — those add their
+    * own shuffle/order, so the core stays sort-free. */
+  private[graft] def keepListFrom(spark: SparkSession, docs: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     val (_, withEst, _, escPairs) = minhashCandidates(docs, maxBucket)
@@ -257,6 +265,40 @@ object Dedup {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Leakage-safe train/validation/test split (q195): assign every
+    * NEAR-DUP COMPONENT — not every document — to a split, so two
+    * near-duplicate documents can never land on opposite sides of an
+    * evaluation boundary. Splitting i.i.d. per document is the classic
+    * train/test-contamination bug (the eval set "leaks" via paraphrases
+    * and boilerplate twins of training docs); splitting per canonical
+    * component closes it by construction.
+    *
+    * The component labels are exactly q129's keep-list ([[keepListFrom]]:
+    * the q42 minhash funnel, agree >= 32, CC over dup pairs), and the
+    * split decision is the deterministic Knuth uniform of the CANONICAL
+    * id — `hash(canonical) mod 100` → [0,90) train / [90,95) validation /
+    * [95,100) test — the same carry-split ANSI-safe hash as the sampling
+    * family (CorpusOps.knuthHash32), so the split is reproducible across
+    * runs, engines, and corpus growth (a component keeps its side when
+    * new members join it, as long as its minimum id survives).
+    *
+    * Scale shape: inherits the funnel's bucket bounds and pairs-only CC;
+    * the split itself is one hash + CASE on the already-joined canonical
+    * column — zero additional shuffles over q129. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitFrom(spark, Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def leakageSafeSplitFrom(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val h = CorpusOps.knuthHash32("canonical_id") % lit(100L)
+    keepListFrom(spark, docs, maxBucket)
+      .withColumn("split",
+        when(h < 90, lit("train"))
+          .when(h < 95, lit("validation"))
+          .otherwise(lit("test")))
       .orderBy(col("doc_id"))
   }
 

@@ -106,6 +106,71 @@ object StreamingMv {
     sampleMonitorTable(spark, storeDir)
   }
 
+  /** Streaming contamination monitor (q197) — q117's benchmark-overlap
+    * gate maintained while the corpus streams in. Per micro-batch the
+    * batch's documents shingle into DISTINCT word-8-grams that probe the
+    * broadcast benchmark gram set (a stream-static equi-join is
+    * stateless — TextAnalysis.contaminationCounts is literally the batch
+    * operator, applied to the micro-batch), and the per-doc overlap
+    * counts merge additively into the snapshot store. A document arrives
+    * whole in one batch, so its count is final the moment it lands; the
+    * additive merge is then trivially batching-invariant and the monitor
+    * equals q117's one-shot readout after any prefix — which is why the
+    * oracle IS q117's SQL. This is the shape a production ingest wants:
+    * a crawl slice that starts quoting an eval suite is flagged
+    * mid-stream, not at end-of-ingest.
+    *
+    * Scale shape: per batch O(batch grams) against a broadcast
+    * eval-suite set (fixed size regardless of corpus), merge keyed by
+    * the batch's touched doc ids — O(batch + flagged docs), and the
+    * store holds only CONTAMINATED docs (the q117 inner-join contract),
+    * a vanishing fraction of the corpus. */
+  def contamBatch(batch: DataFrame, bench: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = s"$storeDir/contam"
+    if (Snapshots.committed(spark, dir, batchId)) return
+    val delta = graft.operators.TextAnalysis.contaminationCounts(
+      graft.operators.TextAnalysis.docGrams(batch), bench)
+    Snapshots.merge(spark, dir, batchId, delta,
+        Seq("doc_id"), Seq("n_shared"))
+      .write.mode("overwrite").parquet(s"$dir/b=$batchId")
+    Snapshots.prune(spark, dir, batchId)
+  }
+
+  /** Current monitor contents (latest committed snapshot). */
+  def contamTable(spark: SparkSession, storeDir: String): DataFrame =
+    Snapshots.latest(spark, s"$storeDir/contam", Long.MaxValue)
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"),
+        lit(0L).as("n_shared")))
+      .orderBy(col("doc_id"))
+
+  /** Registered q197 entry: the corpus slice (doc_id % 5 <> 0, the q117
+    * fixture convention) as a 4-chunk file-source stream folded through
+    * [[contamBatch]] against the held-out benchmark gram set, persisted
+    * once for the stream's life (eval suites are static; re-shingling
+    * them per batch would rescan the benchmark every trigger). */
+  def streamingContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    val bench = graft.operators.TextAnalysis
+      .docGrams(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("g")).distinct().persist()
+    try {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_contam_store").toString
+      Snapshots.fs(spark, storeDir)
+        .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+      FileFeed.run(spark, docs.filter(col("doc_id") % 5 =!= 0),
+        nChunks = 4, col("doc_id"),
+        ordered = false, purpose = "contam") { (batch, batchId) =>
+        contamBatch(batch, bench, storeDir, batchId)
+      }
+      contamTable(spark, storeDir)
+    } finally bench.unpersist()
+  }
+
   /** Registered q162 entry: the fixture events as a 4-chunk file-source
     * stream (the q133 feed discipline — no driver materialization),
     * folded through [[mvBatch]]; returns the final MV, whose oracle is

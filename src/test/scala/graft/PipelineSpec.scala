@@ -384,6 +384,39 @@ class PipelineSpec extends AnyFunSuite {
       s"dup-free corpus must map every doc to itself: ${keep.filterNot { case (d, c) => d == c }.toSeq}")
   }
 
+  test("leakage-safe split: components move whole, rule replays the Knuth uniform") {
+    // same planted transitive chain as the keep-list spec: 1 ~ 100001 ~
+    // 200001 must all land on ONE side of the split boundary
+    val a = Tables(spark, sf).documents
+      .filter(col("doc_id") === 1L).select(col("doc_id"), col("text"))
+    val b = a.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" zz mutated tail zz")).as("text"))
+    val c = b.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(expr("substring(text, 1, length(text) - 20)"),
+        lit(" yy another tail yy")).as("text"))
+    val rest = Tables(spark, sf).documents
+      .filter(col("doc_id") =!= 1L && col("doc_id") < 50L)
+      .select(col("doc_id"), col("text"))
+    val rows = Dedup.leakageSafeSplitFrom(spark, a.union(b).union(c).union(rest))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    assert(Set(byDoc(1L), byDoc(100001L), byDoc(200001L)).map(_._3).size == 1,
+      s"near-dup chain split across the boundary: ${rows.filter(_._2 == 1L).toSeq}")
+    // every row replays the JVM rule on its canonical id
+    def knuth(c: Long): Long =
+      (((c % 4294967296L) / 65536 * 2654435761L % 65536) * 65536
+        + (c % 65536) * 2654435761L) % 4294967296L
+    def rule(c: Long): String = {
+      val h = knuth(c) % 100
+      if (h < 90) "train" else if (h < 95) "validation" else "test"
+    }
+    val bad = rows.filterNot { case (_, canon, s) => s == rule(canon) }
+    assert(bad.isEmpty, s"split disagrees with the hash rule: ${bad.take(3).toSeq}")
+    // determinism under growth: a singleton's side depends only on its id
+    assert(byDoc(17L)._3 == rule(17L))
+  }
+
   test("repeated-segment removal strips planted boilerplate everywhere, keeps unique text") {
     import spark.implicits._
     // 30 docs: a shared 10-word boilerplate header (planted in every
@@ -586,6 +619,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0L)._3 > out(1L)._3,
       "the rare-token document must have higher mean surprisal")
     assert(out(1L) == out(2L), "identical docs must score identically")
+  }
+
+  test("DSIR importance: exact brute-force replay; target-like docs outrank off-target docs") {
+    import spark.implicits._
+    // target slice (doc_id % 5 == 0) speaks alpha/beta; raw docs either
+    // mimic the target vocabulary or speak omega — the mimics must win
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta"),
+      (5L, "alpha alpha beta"),
+      (1L, "alpha beta alpha"),
+      (2L, "omega omega omega"),
+      (3L, "alpha omega beta"))
+    val out = graft.operators.CorpusOps
+      .dsirImportanceFrom(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force replay: same FNV buckets, same add-one LLR, same
+    // floor-before-sum quantization, same (dsir_q DESC, doc_id) order
+    val B = 256
+    def bucket(t: String): Long = {
+      val h = graft.functions.MinHashSig.fnv(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      ((h % B) + B) % B
+    }
+    val toks = corpus.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => id -> bucket(w)) }
+    val tgt = toks.filter(_._1 % 5 == 0)
+    val raw = toks.filter(_._1 % 5 != 0)
+    val ctM = tgt.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val crM = raw.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (t, r) = (tgt.size.toLong, raw.size.toLong)
+    def sq(b: Long): Long = math.floor(math.log(
+      ((ctM.getOrElse(b, 0L) + 1).toDouble / (t + B))
+        / ((crM(b) + 1).toDouble / (r + B))) * 1e4).toLong
+    val want = raw.groupBy(_._1).map { case (id, ts) =>
+      (id, ts.size.toLong, ts.map(x => sq(x._2)).sum) }
+      .toSeq.sortBy { case (id, _, q) => (-q, id) }
+    assert(out.toSeq == want, s"got ${out.toSeq}\nwant $want")
+    val byId = out.map(x => x._1 -> x._3).toMap
+    assert(byId(1L) > byId(2L), "target-like doc must outscore off-target")
   }
 
   test("fixed-point k-means matches an in-memory Lloyd model and separates planted blobs") {

@@ -91,7 +91,10 @@ class RelationalSpec extends AnyFunSuite {
         // param is the store dir); MV invariant asserted in StreamingSpec
         // sampleMonitorTable: store-assembly step of the registered
         // q189 wrapper (String param is the store dir)
-        Set("mvTable", "sampleMonitorTable")),
+        // contamTable: store-assembly step of the registered q197
+        // wrapper (String param is the store dir); monitor == batch-gate
+        // invariant asserted in StreamingSpec
+        Set("mvTable", "sampleMonitorTable", "contamTable")),
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence

@@ -958,6 +958,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replay of a committed batch mutated the MV")
   }
 
+  test("streaming contamination: monitor == batch gate after EVERY batch; replays no-op") {
+    import graft.streaming.StreamingMv
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("g")).distinct().persist()
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_contam_spec").toString
+    try {
+      def oneShot(maxChunk: Int) = TextAnalysis.contaminationCounts(
+          TextAnalysis.docGrams(
+            corpus.filter(pmod(col("doc_id"), lit(4)) <= maxChunk)), bench)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until 4).foreach { b =>
+        StreamingMv.contamBatch(
+          corpus.filter(pmod(col("doc_id"), lit(4)) === b), bench, store,
+          b.toLong)
+        val got = StreamingMv.contamTable(spark, store).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == oneShot(b), s"contamination invariant broken after batch $b")
+      }
+      assert(StreamingMv.contamTable(spark, store).collect().nonEmpty,
+        "fixture must actually flag contaminated docs")
+      val before = StreamingMv.contamTable(spark, store).collect().toSeq
+      StreamingMv.contamBatch(
+        corpus.filter(pmod(col("doc_id"), lit(4)) === 1), bench, store, 1L)
+      assert(StreamingMv.contamTable(spark, store).collect().toSeq == before,
+        "replay of a committed batch mutated the monitor")
+    } finally bench.unpersist()
+  }
+
   test("streaming funnel on a multi-month corpus == batch (feed-ordering regression)") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
