@@ -232,6 +232,53 @@ object ScaleSmoke {
           s"$deconDropped (expect ${20 * (nd / 10 - 1)})")
         spans
       }
+      // leakage-safe split (q195's shape): every amplified copy is a
+      // near-dup of its base, so each base doc's component (size=mult)
+      // must land on ONE split side; cost must track the keep-list
+      // funnel linearly (the split itself is one hash+CASE projection).
+      time(s"leakage_safe_split") {
+        val s = graft.operators.Dedup.leakageSafeSplitFrom(spark, docs)
+        val straddled = s.groupBy(col("canonical_id"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1).count()
+        val merged = s.filter(col("doc_id") =!= col("canonical_id")).count()
+        println(s"[scale]   leakage split: docs=${s.count()} merged=$merged " +
+          s"straddled_components=$straddled (expect 0)")
+        straddled
+      }
+      // DSIR importance (q196's shape): token explode into a B-bounded
+      // broadcast model — time must track token mass linearly; the model
+      // assembly (B rows) and the top-k (bounded heaps) are flat.
+      time(s"dsir_importance") {
+        graft.operators.CorpusOps.dsirImportanceFrom(docs).count()
+      }
+      // streaming contamination monitor (q197's shape): a FIXED
+      // benchmark gram set (eval suites don't grow with the corpus)
+      // probed by 8 micro-batches of the amplified corpus — per-batch
+      // cost is O(batch grams) + O(batch + touched keys) merge, so
+      // per-batch times must stay FLAT across batches as the store
+      // accumulates (a trend = O(store)-per-batch work crept back).
+      time(s"streaming_contamination") {
+        val bench = graft.operators.TextAnalysis
+          .docGrams(t.documents.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text")))
+          .select(col("g")).distinct().persist()
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_contam").toString
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          graft.streaming.StreamingMv.contamBatch(
+            corpus.filter(pmod(col("doc_id"), lit(8)) === i),
+            bench, storeDir, i)
+          println(f"[scale]   contam batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        val flagged = graft.streaming.StreamingMv
+          .contamTable(spark, storeDir).count()
+        bench.unpersist()
+        println(s"[scale]   streaming contamination: flagged=$flagged")
+        flagged
+      }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
       // micro-batches against an accumulating signature store — per-batch
       // cost must stay band-bounded (new×store equi-join on band keys,
