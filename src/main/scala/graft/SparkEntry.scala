@@ -240,6 +240,8 @@ object SparkEntry {
     "q196_dsir_importance" -> (graft.operators.CorpusOps.dsirImportance _),
     "q197_streaming_contamination" ->
       (graft.streaming.StreamingMv.streamingContamination _),
+    "q198_ivfadc_rerank"   -> (Similarity.ivfAdcRerankTopK _),
+    "q199_containment_join" -> (Dedup.containmentJoin _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1288,6 +1290,46 @@ object SparkEntry {
         |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT), s.n_skipped_blocks, s.n_skipped_docs
         |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM pairs)
+        |ORDER BY 1, 2""".stripMargin,
+    // q199: containment join — distinct word-8-gram sets (raw grams
+    // here; the Spark side's md5 digests are injective on them), the
+    // literal hot-gram cap replay, directed shared counts over the
+    // contained side's full set size, τ = 1/2, integer floor per-mille;
+    // skipped mass rides every row, sentinel when no pair verifies.
+    "q199_containment_join" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS h
+        |  FROM w),
+        |sz AS (SELECT doc_id, count(*) AS size_a FROM grams GROUP BY 1),
+        |hot AS (SELECT h, count(*) AS df FROM grams GROUP BY 1
+        |        HAVING count(*) > ${operators.Dedup.ContainmentGramCap}),
+        |skipped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_grams,
+        |         CAST(coalesce(sum(df), 0) AS BIGINT) AS n_skipped_rows
+        |  FROM hot),
+        |inplay AS (SELECT g.* FROM grams g ANTI JOIN hot USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM inplay a JOIN inplay b
+        |    ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |cpairs AS (
+        |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
+        |    CAST(p.shared * 1000000 // s.size_a AS BIGINT) AS containment_pm
+        |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
+        |  WHERE p.shared * 2 >= s.size_a)
+        |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows
+        |FROM cpairs c CROSS JOIN skipped s
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  s.n_skipped_grams, s.n_skipped_rows
+        |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
         |ORDER BY 1, 2""".stripMargin,
     // q184: log-binned degree histogram — bin = bit length of the
     // degree via length(bin(deg)), exact in both engines.
@@ -2981,6 +3023,27 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q198: IVFADC + exact re-rank — the q159 chain's top-12 ADC
+    // shortlist re-scored with exact full-dimension integer L2 (the
+    // same distance as q179's truth side) and served by the exact rank.
+    "q198_ivfadc_rerank" ->
+      s"""WITH $ivfAdcOracleChain,
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RerankShortlist}),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS exact_dist
+        |  FROM short s JOIN eq q ON q.vec_id = s.query_id
+        |               JOIN eq x ON x.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, exact_dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY exact_dist, neighbor_id) AS rk FROM re)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // q179: IVFADC recall — the q159 chain's top-3 overlapped with the
     // exact full-dimension integer L2 top-3 (q158's truth side): the

@@ -773,6 +773,75 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Hot-gram cap for the containment join (q199) — a gram shared by
+    * more documents than this is excluded from candidate generation
+    * (its df² pair mass would dominate) and its mass reported; mirrored
+    * literally in the oracle SQL. */
+  private[graft] val ContainmentGramCap = 1000
+
+  /** Containment join (q199) — Broder's containment coefficient over
+    * word-8-gram shingle sets: c(A→B) = |S(A) ∩ S(B)| / |S(A)|, the
+    * DIRECTED near-dup relation that resemblance Jaccard (q41/q140)
+    * structurally misses — a short document quoted whole inside a long
+    * one has tiny Jaccard (the union is large) but containment ≈ 1.
+    * This is the quote-inclusion / subset-dup tier of a training
+    * pipeline: drop or down-weight documents that are mostly contained
+    * in another (syndicated excerpts, quoted posts, re-published
+    * abstracts). Emits every ordered pair with c(ia→ib) ≥ 1/2 plus the
+    * exact per-mille coefficient.
+    *
+    * Cap contract (the q183/q188 doctrine): grams with document
+    * frequency above [[ContainmentGramCap]] are EXCLUDED from the
+    * shared count — `shared` is then a LOWER bound (conservative:
+    * misses, never false pairs, since the denominator stays the full
+    * set size) — and the skipped mass rides every row
+    * (n_skipped_grams, n_skipped_rows), as a sentinel row when no pair
+    * verifies. The oracle replays the cap literally.
+    *
+    * Scale shape: distinct (doc, gram) rows shuffle once on the
+    * 16-byte digest key; per-gram pair mass is df² bounded by the cap
+    * (8-gram digests are naturally selective — hot grams are exactly
+    * the boilerplate the cap reports); the verify side is one
+    * (ia, ib)-keyed count plus a doc-keyed size join. No token-level
+    * pair enumeration anywhere. Shares [[spanShingles]]' cached
+    * relation with the q192-q194 span family. */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus; τ = tauNum/tauDen
+    * on the contained side's gram count. */
+  private[graft] def containmentJoinFrom(docs: DataFrame, n: Int = 8,
+      tauNum: Int = 1, tauDen: Int = 2,
+      maxDf: Int = ContainmentGramCap): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
+    val grams = spanShingles(docs, n)
+      .select(col("doc_id"), col("h")).distinct()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
+    val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    val skipped = hot.agg(count(lit(1)).as("n_skipped_grams"),
+      coalesce(sum(col("df")), lit(0L)).as("n_skipped_rows"))
+    val inPlay = grams.join(hot.select(col("h")), Seq("h"), "left_anti")
+    val pairs = inPlay.alias("a").join(inPlay.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sz.withColumnRenamed("doc_id", "ia"), Seq("ia"))
+      .filter(col("shared") * tauDen >= col("size_a") * tauNum)
+      .withColumn("containment_pm",
+        expr("shared * 1000000 div size_a"))
+    val sentinel = skipped.join(pairs.limit(1), lit(true), "left_anti")
+      .select(lit(null).cast("long").as("ia"),
+        lit(null).cast("long").as("ib"),
+        lit(null).cast("long").as("shared"),
+        lit(null).cast("long").as("size_a"),
+        lit(null).cast("long").as("containment_pm"),
+        col("n_skipped_grams"), col("n_skipped_rows"))
+    pairs.crossJoin(broadcast(skipped))
+      .unionByName(sentinel)
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Dedup savings report (q166) — what the q129 fuzzy-dedup pass is
     * WORTH: per near-duplicate cluster (keep-list canonical with >1
     * member), the member count, total token mass, and the tokens

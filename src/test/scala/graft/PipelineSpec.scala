@@ -1736,6 +1736,80 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC re-rank: exact-L2 replay over the ADC shortlist; recall dominates plain ADC") {
+    val fx = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = Similarity.ivfAdcRerankTopKFrom(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // brute-force replay: the registered shortlist (q159 at topK=R),
+    // exact integer L2 in the JVM, same (dist, neighbor) tie-breaks
+    val shortlist = Similarity
+      .ivfAdcTopKFrom(fx, topK = Similarity.RerankShortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val eq = fx.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = shortlist.groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+      ns.map(n => (n._2, d(eq(q), eq(n._2))))
+        .sortBy { case (n, dist) => (dist, n) }
+        .take(3).zipWithIndex.map { case ((n, dist), i) =>
+          (q, i + 1L, n, dist) }
+    }.sortBy(x => (x._1, x._2))
+    assert(out.toSeq.sortBy(x => (x._1, x._2)) == want,
+      "served rank must replay exact L2 over the shortlist")
+    // recall dominance: an exact-top-3 member inside the shortlist
+    // always re-ranks into the served top-3, so re-rank hits >= plain
+    // ADC hits — and on this fixture the lift is strict (ADC ranking
+    // errors inside the shortlist are real here)
+    val exact3 = eq.keys.filter(_ % 50 == 0).flatMap { q =>
+      eq.keys.filter(_ != q).toSeq
+        .map(n => (n, d(eq(q), eq(n))))
+        .sortBy { case (n, dist) => (dist, n) }
+        .take(3).map(n => (q, n._1))
+    }.toSet
+    val plain3 = Similarity.ivfAdcTopKFrom(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val plainHits = plain3.count(exact3)
+    val rerankHits = out.map(x => (x._1, x._3)).count(exact3)
+    assert(rerankHits > plainHits,
+      s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
+  }
+
+  test("containment join: quote-inclusion found directed; Jaccard misses it") {
+    import spark.implicits._
+    // doc 100 (10 words, 3 distinct 8-grams) is quoted whole at the head
+    // of doc 200 (50 words): c(100->200) = 1.0, c(200->100) = 3/43 —
+    // only the directed row passes tau = 1/2
+    val short = "qa qb qc qd qe qf qg qh qi qj"
+    val long = short + " " + (1 to 40).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((100L, short), (200L, long)).toDF("doc_id", "text")
+    val rows = Dedup.containmentJoinFrom(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == Seq((100L, 200L, 3L, 3L, 1000000L, 0L, 0L)),
+      s"got ${rows.toSeq}")
+    // resemblance Jaccard structurally misses the same pair (union-large)
+    assert(Dedup.jaccardJoinFrom(corpus).collect().isEmpty,
+      "tau=0.8 Jaccard must miss the quote-inclusion pair")
+  }
+
+  test("containment join: all-hot corpus degenerates to the sentinel row") {
+    // 1001 identical 8-word docs: the single gram's df exceeds the cap,
+    // so zero pairs verify and the skipped mass must still surface
+    val corpus = spark.range(1001).select(col("id").as("doc_id"),
+      lit("h1 h2 h3 h4 h5 h6 h7 h8").as("text"))
+    val rows = Dedup.containmentJoinFrom(corpus).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)
+      && r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1001L,
+      s"skipped mass must be reported: $r")
+  }
+
   test("edge weight: distributed-mod form == naive rule, safe at hash-scale ids") {
     import spark.implicits._
     // the routing family's synthetic weight, now computed with the mod
