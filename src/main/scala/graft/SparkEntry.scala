@@ -242,6 +242,8 @@ object SparkEntry {
       (graft.streaming.StreamingMv.streamingContamination _),
     "q198_ivfadc_rerank"   -> (Similarity.ivfAdcRerankTopK _),
     "q199_containment_join" -> (Dedup.containmentJoin _),
+    "q200_cluster_balanced_sample" ->
+      (Similarity.clusterBalancedSample _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1764,7 +1766,11 @@ object SparkEntry {
     * constant the Spark side trains with), and the probed-cell ADC
     * aggregate. Ends at `adc`; callers append their own final
     * ranking/overlap blocks (also exposes `eq` for the exact side). */
-  private def ivfAdcOracleChain: String =
+  /** The trained-coarse-cell assignment prefix (eq → kc unroll → kd →
+    * corpus) shared by the IVFADC chain and q200's cluster-balanced
+    * sample — one replay of the coarse quantizer, so a drift in the
+    * Lloyd rule hash-mismatches every consumer together. */
+  private def coarseAssignCtes: String =
     s"""eq AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
@@ -1782,7 +1788,10 @@ object SparkEntry {
       |  SELECT vec_id AS nid, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, j) AS rk FROM kd)
-      |  WHERE rk = 1),
+      |  WHERE rk = 1)""".stripMargin
+
+  private def ivfAdcOracleChain: String =
+    s"""$coarseAssignCtes,
       |qprobe AS (
       |  SELECT vec_id AS query_id, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -3045,6 +3054,19 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY exact_dist, neighbor_id) AS rk FROM re)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q200: cluster-balanced sample — the shared trained-coarse-cell
+    // assignment, then up to quota members per cell by the carry-split
+    // Knuth uniform of vec_id with id tie-break.
+    "q200_cluster_balanced_sample" ->
+      s"""WITH $coarseAssignCtes
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rk AS BIGINT) AS rk
+        |FROM (
+        |  SELECT nid AS vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY (${knuthHash32Sql("nid")}), nid) AS rk
+        |  FROM corpus)
+        |WHERE rk <= ${Similarity.ClusterSampleQuota}
+        |ORDER BY cell, rk""".stripMargin,
     // q179: IVFADC recall — the q159 chain's top-3 overlapped with the
     // exact full-dimension integer L2 top-3 (q158's truth side): the
     // per-query number an ANN deployment reads before picking nprobe.
@@ -3701,5 +3723,15 @@ object SparkEntry {
     // the degree-oriented k-truss peel (iterative graph cohesion):
     "q175_ktruss",
     // the image perceptual-hash hamming funnel (multimodal dedup):
-    "q188_image_neardup")
+    "q188_image_neardup",
+    // round 14: one representative per round-14 family.
+    // arbitrary-span repeated-substring CLEANING (the Lee et al. tier —
+    // detection + canonical-survivor masking + reassembly):
+    "q193_span_dedup_clean",
+    // DSIR importance selection (hashed-ngram LLR scoring):
+    "q196_dsir_importance",
+    // IVFADC + exact re-rank (the served production ANN posture):
+    "q198_ivfadc_rerank",
+    // directed shingle-containment join (quote-inclusion dedup):
+    "q199_containment_join")
 }

@@ -1226,6 +1226,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Per-cell quota for the cluster-balanced sample (q200) — mirrored
+    * literally in the oracle; the production knob is corpus_budget / K. */
+  private[graft] val ClusterSampleQuota = 8
+
+  /** Cluster-balanced sampling (q200) — the topic-balancing selection
+    * step of an embedding-curated corpus (the DCLM / cluster-balanced
+    * curation recipe): assign every vector to its TRAINED k-means cell
+    * (the q159 coarse quantizer — same fixed-point Lloyd rule, same
+    * cached artifact), then keep up to [[ClusterSampleQuota]] members
+    * per cell, chosen by the deterministic carry-split Knuth uniform of
+    * vec_id with id tie-break. A raw corpus over-represents its dense
+    * topics; per-cell quotas flatten that distribution — and because
+    * the choice rule is a pure hash of the id, the sample is
+    * reproducible across runs, engines, and corpus growth (a vector's
+    * selection changes only if its cell gains lower-hash members).
+    *
+    * Scale shape: one assignment pass over the scan (literal/broadcast
+    * dispatch, the shared quantizer rule), then a per-cell top-quota
+    * window over cells of ~N/K rows — K-bounded parallelism with NO
+    * global sort, and the training cost rides the cached
+    * train-once-freeze artifact. Output is ≤ K·quota rows. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    clusterBalancedSampleFrom(graft.Tables(spark, dir).embeddings)
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  private[graft] def clusterBalancedSampleFrom(vecs: DataFrame,
+      k: Int = 16, quota: Int = ClusterSampleQuota,
+      coarseIters: Int = IvfCoarseIters): DataFrame = {
+    val eqd = pqCache.rotate(quantized(vecs).persist())
+    val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
+      trainQuantizedCents(eqd, k, coarseIters))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("u"), col("vec_id"))
+    assignQuantizedCells(eqd, coarse)
+      .withColumn("u", graft.operators.CorpusOps.knuthHash32("vec_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
   /** IVFADC recall gate (q179) — q158's deployment readout for the
     * PRODUCTION layout: per query, how many of q159's IVFADC top-3
     * (trained codes, nprobe-bounded candidates) appear in the exact

@@ -563,6 +563,26 @@ object ScaleSmoke {
         }
         1L
       }
+      // IVFADC + exact re-rank (q198's shape): the refine adds one
+      // broadcast of R×queries shortlist rows over the corpus scan —
+      // its cost must track the underlying q159 index pass, and the
+      // re-ranked recall must dominate the served-by-ADC recall at
+      // every scale (the shortlist-membership argument).
+      time(s"ivfadc_rerank") {
+        val eh = graft.operators.Similarity
+          .ivfAdcRerankTopKFrom(vecs).count()
+        eh
+      }
+      // containment join (q199's shape): amplified copies of one base
+      // doc share its grams, so TRUE directed containment pairs grow
+      // mult²-per-base (output mass, like q42's dup argument) while the
+      // candidate work stays df-bounded per gram under the cap.
+      time(s"containment_join") {
+        val c = graft.operators.Dedup.containmentJoinFrom(docs)
+        val n = c.filter(col("ia").isNotNull).count()
+        println(s"[scale]   containment pairs=$n")
+        n
+      }
       // cross-source duplicate matrix (q174's shape) on a MANY-sources
       // corpus: the join runs on the (digest, source) DISTINCT relation
       // and fans out per digest only over its own source set, so cost

@@ -1778,6 +1778,39 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("cluster-balanced sample: quota honored per cell, choice replays the Knuth rule") {
+    val fx = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = Similarity.clusterBalancedSampleFrom(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // quota per cell, contiguous ranks
+    out.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.length <= Similarity.ClusterSampleQuota, s"cell $c over quota")
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length), s"cell $c ranks")
+    }
+    // JVM replay: the registered cell assignment (q142's rule via
+    // kmeansCellsFrom at the same k/iters) + the carry-split Knuth
+    // uniform with id tie-break must reproduce every selection
+    val cells = Similarity.kmeansCellsFrom(fx, k = 16,
+        iters = Similarity.IvfCoarseIters).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def knuth(c: Long): Long =
+      (((c % 4294967296L) / 65536 * 2654435761L % 65536) * 65536
+        + (c % 65536) * 2654435761L) % 4294967296L
+    val want = cells.groupBy(_._2).toSeq.flatMap { case (c, vs) =>
+      vs.map(_._1).sortBy(v => (knuth(v), v))
+        .take(Similarity.ClusterSampleQuota)
+        .zipWithIndex.map { case (v, i) => (v, c, i + 1L) }
+    }.sortBy(x => (x._2, x._3))
+    assert(out.toSeq.sortBy(x => (x._2, x._3)) == want)
+    // the point of the operator: the sample is flatter than the corpus —
+    // no cell exceeds quota even if the raw cell holds far more
+    val rawMax = cells.groupBy(_._2).values.map(_.length).max
+    assert(rawMax > Similarity.ClusterSampleQuota,
+      "fixture must actually have a dense cell for the test to bite")
+  }
+
   test("containment join: quote-inclusion found directed; Jaccard misses it") {
     import spark.implicits._
     // doc 100 (10 words, 3 distinct 8-grams) is quoted whole at the head
