@@ -174,6 +174,7 @@ object SparkEntry {
     "q123_resize_stride"       -> (Multimodal.resizePayload _),
     "q187_image_phash"         -> (Multimodal.imagePhashGroups _),
     "q188_image_neardup"       -> (Multimodal.imageNearDup _),
+    "q201_audio_energy"        -> (Multimodal.audioEnergy _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
     "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
@@ -3473,6 +3474,51 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT), s.n_skipped_bands, s.n_skipped_rows
         |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM pairs)
         |ORDER BY 1, 2""".stripMargin,
+    // q201: 16-bit little-endian PCM interpretation of the (ASCII,
+    // byte-transparent) payload — integer DC offset via floor division,
+    // mean-crossing count over adjacent centered products, per-64-sample
+    // frame centered energies, argmax peak with first-position tie-break.
+    "q201_audio_energy" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, strlen(text) // 2 AS ns FROM documents
+        |  WHERE strlen(text) = length(text)
+        |    AND strlen(text) // 2 >= ${operators.Multimodal.AudioFrameSamples}),
+        |s AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(range(1, CAST(ns + 1 AS INTEGER)),
+        |      i -> CAST(ascii(substr(text, CAST(2 * i - 1 AS INTEGER), 1))
+        |        + 256 * ascii(substr(text, CAST(2 * i AS INTEGER), 1))
+        |        AS BIGINT)) AS smp
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, ns, smp,
+        |    CAST(list_sum(smp) // ns AS BIGINT) AS dc FROM s),
+        |z AS (
+        |  SELECT doc_id, ns, smp, dc,
+        |    CAST(len(list_filter(
+        |      list_transform(range(1, CAST(ns AS INTEGER)),
+        |        i -> (smp[i] - dc) * (smp[i + 1] - dc)),
+        |      p -> p < 0)) AS BIGINT) AS zero_crossings
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, ns, dc, zero_crossings,
+        |    list_transform(
+        |      range(0, CAST(ns // ${operators.Multimodal.AudioFrameSamples}
+        |        AS INTEGER)),
+        |      f -> CAST(list_sum(list_transform(
+        |        smp[f * ${operators.Multimodal.AudioFrameSamples} + 1
+        |          : f * ${operators.Multimodal.AudioFrameSamples}
+        |            + ${operators.Multimodal.AudioFrameSamples}],
+        |        x -> (x - dc) * (x - dc))) AS BIGINT)) AS fe
+        |  FROM z)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(ns // ${operators.Multimodal.AudioFrameSamples} AS BIGINT)
+        |    AS n_frames,
+        |  dc AS dc_offset, zero_crossings,
+        |  CAST(list_position(fe, list_aggregate(fe, 'max')) - 1 AS BIGINT)
+        |    AS peak_frame,
+        |  CAST(list_aggregate(fe, 'max') AS BIGINT) AS peak_energy
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

@@ -336,4 +336,69 @@ object Multimodal {
       .unionByName(sentinel)
       .orderBy(col("ia"), col("ib"))
   }
+
+  /** Samples per analysis frame for the audio tier (q201) — 64 16-bit
+    * samples = 128 payload bytes; mirrored literally in the oracle. */
+  private[graft] val AudioFrameSamples = 64
+
+  /** Audio feature extraction (q201) — the AUDIO rung of the multimodal
+    * family (images have the real P6 codec + aHash; this is the PCM
+    * analogue): interpret the binary payload as 16-bit little-endian
+    * PCM samples, remove the DC offset (the integer mean sample — the
+    * standard first step before any energy feature), then per
+    * [[AudioFrameSamples]]-sample frame compute the centered energy
+    * Σ(s−dc)² and report per document: sample/frame counts, the DC
+    * offset, the mean-crossing count (zero crossings after DC removal —
+    * the classic voiced/unvoiced discriminator), and the peak frame
+    * (argmax energy, lowest-frame tie-break — where a loudness-based
+    * clip selector would cut). Fixture payloads are document bytes
+    * (ASCII — byte-transparent on both engines, the q187/q188 gate,
+    * enforced by the same octet_length = length filter); a real
+    * pipeline swaps the framing for a decoder batch UDF and keeps
+    * everything downstream.
+    *
+    * All arithmetic is integer (samples ≤ 2¹⁶, centered squares ≤ 2³²,
+    * frame sums ≤ 2³⁸ — no overflow, no float) so the features carry a
+    * full DuckDB oracle.
+    *
+    * Scale shape: ONE projection pass — the sample array, DC fold,
+    * crossing count, and per-frame energies are higher-order functions
+    * that never leave the row; no shuffle until the presentation sort.
+    * Payload-length-bounded per-row cost, trivially linear. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    audioEnergyFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text-as-payload) corpus. */
+  private[graft] def audioEnergyFrom(docs: DataFrame): DataFrame = {
+    val F = AudioFrameSamples
+    docs
+      .filter(octet_length(col("text")) === length(col("text")))
+      .withColumn("ns", (octet_length(col("text")) / lit(2)).cast("int"))
+      .filter(col("ns") >= F)
+      .withColumn("smp", expr(
+        """transform(sequence(1, ns), i ->
+          |  CAST(ascii(substring(text, 2 * i - 1, 1))
+          |    + 256 * ascii(substring(text, 2 * i, 1)) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("dc", expr(
+        "aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x) div ns"))
+      .withColumn("zero_crossings", expr(
+        """CAST(size(filter(
+          |  zip_with(slice(smp, 1, ns - 1), slice(smp, 2, ns - 1),
+          |    (a, b) -> (a - dc) * (b - dc)),
+          |  p -> p < 0)) AS BIGINT)""".stripMargin))
+      .withColumn("fe", expr(
+        s"""transform(sequence(0, ns div $F - 1), f ->
+           |  aggregate(slice(smp, f * $F + 1, $F), CAST(0 AS BIGINT),
+           |    (a, x) -> a + (x - dc) * (x - dc)))""".stripMargin))
+      .select(col("doc_id"),
+        col("ns").cast("long").as("n_samples"),
+        expr(s"CAST(ns div $F AS BIGINT)").as("n_frames"),
+        col("dc").as("dc_offset"),
+        col("zero_crossings"),
+        expr("CAST(array_position(fe, array_max(fe)) - 1 AS BIGINT)")
+          .as("peak_frame"),
+        expr("array_max(fe)").as("peak_energy"))
+      .orderBy(col("doc_id"))
+  }
 }

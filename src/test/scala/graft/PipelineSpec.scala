@@ -1778,6 +1778,38 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("audio energy: JVM PCM replay on a constructed payload; fixture well-formed") {
+    import spark.implicits._
+    // constructed payload: 3 frames of 64 samples — quiet, LOUD, quiet
+    // (loud = alternating '!'/'~' pairs => large centered squares).
+    // 128 ASCII chars per frame; peak must land on frame 1.
+    val quiet = "ab" * 64
+    val loud = "!~" * 64
+    val text = quiet + loud + quiet
+    val out = operators.Multimodal
+      .audioEnergyFrom(Seq((7L, text)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // JVM replay of the documented rule
+    val smp = text.getBytes("US-ASCII").grouped(2)
+      .map(p => p(0).toLong + 256L * p(1)).toArray
+    val dc = smp.sum / smp.length
+    val zc = smp.sliding(2).count(p => (p(0) - dc) * (p(1) - dc) < 0)
+    val fe = smp.grouped(64).map(_.map(x => (x - dc) * (x - dc)).sum).toArray
+    val peak = fe.indexOf(fe.max).toLong
+    assert(out.toSeq == Seq((7L, smp.length.toLong, 3L, dc, zc.toLong,
+      peak, fe.max)), s"got ${out.toSeq}")
+    assert(peak == 1L, "the loud frame must win")
+    // fixture: one row per eligible doc, frames consistent with samples
+    val fx = operators.Multimodal.audioEnergy(spark, sf).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) / 64, s"frame count: $r")
+      assert(r.getLong(5) < r.getLong(2), s"peak frame in range: $r")
+      assert(r.getLong(6) >= 0, s"energy non-negative: $r")
+    }
+  }
+
   test("cluster-balanced sample: quota honored per cell, choice replays the Knuth rule") {
     val fx = graft.Tables(spark, sf).embeddings
       .select(col("vec_id"), col("embedding"))
