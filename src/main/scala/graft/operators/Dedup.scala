@@ -739,14 +739,27 @@ object Dedup {
     val lenP = (col("n") -
       expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
     val prefix = byDoc.select(col("doc_id"), col("n"),
-      explode(slice(col("ordered"), lit(1), lenP)).as("p"))
-      .select(col("doc_id"), col("n"), col("p.term").as("term"))
-    // candidates: prefix collisions (ia < ib) surviving the length filter
+      posexplode(slice(col("ordered"), lit(1), lenP)).as(Seq("p0", "p")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
+        col("p.term").as("term"))
+    // candidates: prefix collisions (ia < ib) surviving the length
+    // filter AND the PPJoin positional filter (Xiao et al. WWW'08): a
+    // collision at 1-based positions (posA, posB) of the shared
+    // (df, term) total order can witness at most
+    // 1 + min(nA - posA, nB - posB) overlapping tokens (everything
+    // before either position is disjoint by the order), and Jaccard ≥ τ
+    // needs overlap ≥ tn·(nA+nB)/(tn+td). The FIRST common token of any
+    // qualifying pair always passes (its upper bound covers the true
+    // overlap), so pruning later collisions loses nothing — exactness is
+    // property-tested against brute force at three taus.
     val cand = prefix.alias("x").join(prefix.alias("y"),
         col("x.term") === col("y.term") &&
         col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n"), col("y.n")) * tauDen >=
-          greatest(col("x.n"), col("y.n")) * tauNum)
+          greatest(col("x.n"), col("y.n")) * tauNum &&
+        (lit(1) + least(col("x.n") - col("x.pos"),
+            col("y.n") - col("y.pos"))) * (tauNum + tauDen) >=
+          (col("x.n") + col("y.n")) * tauNum)
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
     // exact verification: |A ∩ B| as a per-pair codegen'd
