@@ -113,7 +113,10 @@ object Bench {
     // round-over-round trend line comparable against the r07 anchor and
     // BENCH_r01–r13 without re-deriving which rows are new.
     val r14Added = Set("q140_jaccard_join", "q159_ivfadc_topk",
-      "q175_ktruss", "q188_image_neardup")
+      "q175_ktruss", "q188_image_neardup",
+      // the round-14-family representatives, also post-expansion
+      "q193_span_dedup_clean", "q196_dsir_importance",
+      "q198_ivfadc_rerank", "q199_containment_join")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
       .map(_._2).sum
