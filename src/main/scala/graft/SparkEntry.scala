@@ -175,6 +175,8 @@ object SparkEntry {
     "q187_image_phash"         -> (Multimodal.imagePhashGroups _),
     "q188_image_neardup"       -> (Multimodal.imageNearDup _),
     "q201_audio_energy"        -> (Multimodal.audioEnergy _),
+    "q202_streaming_spans"     ->
+      (graft.streaming.StreamingDedup.streamingRepeatedSpans _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
     "q119_ngram_topk"          -> (TextAnalysis.ngramTopK _),
     "q137_repeated_segment_removal" -> (Dedup.repeatedSegmentRemoval _),
@@ -1881,6 +1883,30 @@ object SparkEntry {
 
   /** q166 oracle: the q129 keep-list chain (same CTEs) joined to token
     * counts and rolled up per duplicate cluster. */
+  // Arbitrary-span repeated-substring replay shared by q192 (batch) and
+  // q202 (streaming): corpus-wide 8-token window counts, duplicated
+  // windows run-merged per doc into maximal spans with exact boundaries.
+  private def repeatedSpansOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
+      |    unnest(list_transform(range(1, len(ws) - 8 + 2),
+      |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+      |  FROM w),
+      |rep AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM sh SEMI JOIN rep USING (g)),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM m)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM runs GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   // Contamination-gate replay shared by q117 (batch) and q197
   // (streaming): distinct word-8-gram overlap counts of the corpus
   // slice against the held-out doc_id%5 benchmark set.
@@ -2400,26 +2426,12 @@ object SparkEntry {
     // the gram text is the same multiset), positions with duplicated
     // windows run-merged per doc into maximal spans. Parallel unnests
     // zip in DuckDB, pairing each position with its gram.
-    "q192_repeated_spans" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
-        |    unnest(list_transform(range(1, len(ws) - 8 + 2),
-        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
-        |  FROM w),
-        |rep AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
-        |m AS (SELECT doc_id, pos FROM sh SEMI JOIN rep USING (g)),
-        |runs AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM m)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens,
-        |  CAST(count(*) AS BIGINT) AS n_windows
-        |FROM runs GROUP BY doc_id, grp
-        |ORDER BY doc_id, span_start""".stripMargin,
+    "q192_repeated_spans" -> repeatedSpansOracle,
+    // q202: the STREAMING span monitor must land on the identical
+    // table — the oracle is literally q192's replay; any divergence
+    // between the ingest-time window index + summed count deltas and
+    // the one-shot batch detector hash-mismatches here.
+    "q202_streaming_spans" -> repeatedSpansOracle,
     // q193: repeated-span cleaning — every duplicated 8-token window
     // keeps its lexicographically-first (doc_id, pos) occurrence; tokens
     // covered only by non-canonical duplicated windows drop; survivors

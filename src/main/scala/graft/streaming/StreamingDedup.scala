@@ -371,6 +371,76 @@ object StreamingDedup {
     keepList(spark, storeDir)
   }
 
+  // ----- streaming repeated spans (q202): the ingest-time formulation of
+  // the q192 arbitrary-span detector. The expensive step of the batch
+  // operator — exploding every document into md5-digested 8-token
+  // windows — happens exactly ONCE per document, at ingest; the store
+  // accumulates the window index (doc_id, pos, h) plus each batch's own
+  // per-digest occurrence counts. Nothing is merged per batch:
+  // "duplicated" (total occurrences >= 2) is MONOTONE over the stream,
+  // so per-batch work is a pure O(batch) append — no cumulative-snapshot
+  // rewrite, no store re-scan — and the readout sums the per-batch
+  // count deltas (O(distinct digests), the same aggregate the one-shot
+  // batch run pays) before the q192 run-merge over the stored index.
+  // Streaming ≡ batch EXACTLY for any batching: the accumulated window
+  // index IS spanShingles of the accumulated corpus, and counts sum to
+  // the same per-digest totals — which is why q202's oracle is literally
+  // q192's SQL.
+
+  /** Fold one micro-batch of (doc_id, text) into the span store: window
+    * index rows under `windows/b=N`, the batch's own digest counts under
+    * `wcounts/b=N` (written LAST — the commit marker). Replays of a
+    * committed batch no-op; replays of a half-written one overwrite. */
+  def spanBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (Snapshots.committed(spark, s"$storeDir/wcounts", batchId)) return
+    val sh = Dedup.spanShingles(batch, 8, cache = false)
+    sh.write.mode("overwrite").parquet(s"$storeDir/windows/b=$batchId")
+    sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$storeDir/wcounts/b=$batchId")
+  }
+
+  /** Current monitor contents: q192's exact output over everything
+    * ingested so far — duplicated digests from the summed count deltas,
+    * run-merged into maximal spans over the stored window index (the
+    * corpus text is never re-shingled). */
+  def spanTable(spark: SparkSession, storeDir: String): DataFrame = {
+    val w = readAll(spark, s"$storeDir/windows",
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("pos"),
+        lit(null).cast("string").as("h")))
+    val rep = readAll(spark, s"$storeDir/wcounts",
+        spark.range(0).select(lit(null).cast("string").as("h"),
+          col("id").as("n")))
+      .groupBy(col("h")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    w.join(rep, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"),
+        (col("n_windows") + 7).as("span_tokens"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Registered q202 entry: the fixture corpus as a 4-chunk file-source
+    * stream (the q133 feed discipline) folded through [[spanBatch]];
+    * returns the final monitor, whose oracle is exactly q192's SQL. */
+  def streamingRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_span_store").toString
+    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "spans") { (batch, batchId) =>
+      spanBatch(batch, storeDir, batchId)
+    }
+    spanTable(spark, storeDir)
+  }
+
   // ----- streaming SemDeDup (q135): the embedding sibling of the minhash
   // keep-list above, with the same store discipline: batch-keyed
   // idempotent appends, an incrementally merged cumulative cell-count

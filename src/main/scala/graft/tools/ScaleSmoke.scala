@@ -279,6 +279,25 @@ object ScaleSmoke {
         println(s"[scale]   streaming contamination: flagged=$flagged")
         flagged
       }
+      // streaming span monitor (q202's shape): per-batch work is a PURE
+      // O(batch) append (window index + the batch's own digest counts —
+      // nothing merged, "duplicated" is monotone), so per-batch times
+      // must stay flat across batches at any store size; the readout
+      // pays the one-shot aggregate once.
+      time(s"streaming_spans") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_spans").toString
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          graft.streaming.StreamingDedup.spanBatch(
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), storeDir, i)
+          println(f"[scale]   span batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        val n = graft.streaming.StreamingDedup
+          .spanTable(spark, storeDir).count()
+        println(s"[scale]   streaming spans: rows=$n")
+        n
+      }
       // streaming sibling (q133's shape): the SAME corpus fed as 4
       // micro-batches against an accumulating signature store — per-batch
       // cost must stay band-bounded (new×store equi-join on band keys,

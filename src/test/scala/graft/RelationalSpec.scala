@@ -102,7 +102,10 @@ class RelationalSpec extends AnyFunSuite {
         // private store-IO helpers (batch-keyed partition reads + the
         // incremental counts merge) that only look query-shaped in
         // bytecode.
-        Set("keepList", "semanticDecisionTable",
+        // spanTable: store-assembly step of the registered q202 wrapper
+        // (String param is the store dir); monitor == batch equivalence
+        // asserted in StreamingSpec
+        Set("keepList", "semanticDecisionTable", "spanTable",
           "readBefore", "readBeforeBuckets", "readAll", "mergedCounts")))
     val unwired = modules.flatMap { case (name, obj, allow) =>
       obj.getClass.getDeclaredMethods.toSeq

@@ -958,6 +958,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replay of a committed batch mutated the MV")
   }
 
+  test("streaming spans: monitor == batch detector after EVERY batch; replays no-op") {
+    import graft.streaming.StreamingDedup
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_span_spec").toString
+    def oneShot(maxChunk: Int) = graft.operators.Dedup.repeatedSpansFrom(
+        docs.filter(pmod(col("doc_id"), lit(4)) <= maxChunk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    (0 until 4).foreach { b =>
+      StreamingDedup.spanBatch(
+        docs.filter(pmod(col("doc_id"), lit(4)) === b), store, b.toLong)
+      val got = StreamingDedup.spanTable(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == oneShot(b), s"span monitor diverged after batch $b")
+    }
+    assert(StreamingDedup.spanTable(spark, store).collect().nonEmpty,
+      "fixture must actually hold repeated spans")
+    val before = StreamingDedup.spanTable(spark, store).collect().toSeq
+    StreamingDedup.spanBatch(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 2), store, 2L)
+    assert(StreamingDedup.spanTable(spark, store).collect().toSeq == before,
+      "replay of a committed batch mutated the span monitor")
+  }
+
   test("streaming contamination: monitor == batch gate after EVERY batch; replays no-op") {
     import graft.streaming.StreamingMv
     import graft.operators.TextAnalysis
