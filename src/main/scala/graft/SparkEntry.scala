@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_json_funcs"        -> (Relational.jsonFuncs _),
     "q27_asof_join"         -> (graft.operators.Joins.asofJoin _),
     "q28_range_join_binned" -> (graft.operators.Joins.rangeJoinBinned _),
+    "q203_interval_join"    -> (graft.operators.Joins.intervalOverlapJoin _),
     "q163_point_in_time"    -> (graft.operators.Joins.pointInTime _),
     "q29_dense_groupby"     -> (Relational.denseGroupBy _),
     "q54_approx_distinct"   -> (Relational.approxDistinct _),
@@ -419,6 +420,23 @@ object SparkEntry {
         | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         |WHERE o_orderkey < 100
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q203: the definitional interval-overlap theta join — the binned
+    // owning-bin plan must reproduce it row-for-row; closed intervals,
+    // overlap length inclusive of both endpoints.
+    "q203_interval_join" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate AS a_start,
+        |         l_shipdate + l_linenumber * 10 * INTERVAL 1 DAY AS a_end
+        |  FROM lineitem WHERE l_quantity >= 49),
+        |b AS (
+        |  SELECT o_orderkey, o_orderdate AS b_start,
+        |         o_orderdate + INTERVAL 14 DAY AS b_end
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT a.l_orderkey, a.l_linenumber, b.o_orderkey,
+        |  CAST(date_diff('day', greatest(a_start, b_start),
+        |    least(a_end, b_end)) + 1 AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q29_dense_groupby" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS linenumber, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

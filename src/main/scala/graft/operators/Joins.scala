@@ -71,6 +71,65 @@ object Joins {
       .orderBy(col("user_id"), col("probe_date"))
   }
 
+  /** Interval-overlap join (q203) — the interval×interval sibling of the
+    * point-in-range join below (q28): every pair of a shipment TRANSIT
+    * interval [l_shipdate, l_receiptdate] (rare heavy lines,
+    * l_quantity ≥ 49) and an order FULFILLMENT window [o_orderdate,
+    * +14 days] (the o_orderkey % 97 audit slice) that overlap in time,
+    * with the exact overlap length in days. The general shape behind
+    * sessions×incidents, promos×activity, downtime×shipments.
+    *
+    * Spark-first plan: both sides explode into the MONTH bins their
+    * interval touches, equi-join on the bin (a shuffle join whose skew
+    * is bounded by bin width — never an unbounded theta join), apply
+    * the exact overlap predicate, and emit each true pair ONLY in its
+    * OWNING bin — the month of greatest(start_a, start_b), which both
+    * sides of an overlapping pair necessarily replicated into — so
+    * every pair appears exactly once with NO distinct/dedup shuffle.
+    * Replication factor is ceil(interval/bin) per row; at 100 TB the
+    * bin width is the one knob (wider = less replication, more
+    * post-filter).
+    *
+    * The oracle states the definitional theta join — the binned plan
+    * must reproduce it row-for-row. */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the fixture carries no receipt date — the transit end is the
+    // deterministic l_linenumber-scaled horizon (10-70 days), mirrored
+    // literally in the oracle
+    intervalOverlapJoinFrom(
+      t.lineitem.filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("a_start"),
+          expr("timestampadd(DAY, l_linenumber * 10, l_shipdate)")
+            .as("a_end")),
+      t.orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("b_start"),
+          expr("timestampadd(DAY, 14, o_orderdate)").as("b_end")))
+  }
+
+  /** Same, over arbitrary (keysA, a_start, a_end) × (keysB, b_start,
+    * b_end) relations with closed date intervals. */
+  private[graft] def intervalOverlapJoinFrom(a: DataFrame,
+      b: DataFrame): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("bin", explode(sequence(
+        date_trunc("month", col(s)), date_trunc("month", col(e)),
+        expr("INTERVAL 1 MONTH"))))
+    binned(a, "a_start", "a_end")
+      .join(binned(b, "b_start", "b_end"), Seq("bin"))
+      .filter(col("a_start") <= col("b_end") &&
+              col("b_start") <= col("a_end"))
+      // ownership: exactly one of the shared bins emits the pair
+      .filter(date_trunc("month",
+        greatest(col("a_start"), col("b_start"))) === col("bin"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"),
+        (datediff(least(col("a_end"), col("b_end")),
+          greatest(col("a_start"), col("b_start"))) + 1).cast("long")
+          .as("overlap_days"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+  }
+
   /** Range join via binning: lineitems shipped within [o_orderdate,
     * o_orderdate + 30 days) for a bounded set of orders. The order side
     * explodes into the month bins its range touches; the lineitem side

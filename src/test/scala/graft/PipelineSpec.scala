@@ -1778,6 +1778,46 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("interval join: owning-bin plan == definitional theta join; endpoints closed") {
+    import spark.implicits._
+    // fixture equivalence: the binned plan must reproduce the plain
+    // theta join row-for-row on the registered inputs
+    val t = graft.Tables(spark, sf)
+    val a = t.lineitem.filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").as("a_start"),
+        expr("timestampadd(DAY, l_linenumber * 10, l_shipdate)").as("a_end"))
+    val b = t.orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("b_start"),
+        expr("timestampadd(DAY, 14, o_orderdate)").as("b_end"))
+    val got = operators.Joins.intervalOverlapJoinFrom(a, b).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = a.join(b,
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"),
+        (datediff(least(col("a_end"), col("b_end")),
+          greatest(col("a_start"), col("b_start"))) + 1).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == want.toSet,
+      s"binned != theta: missing=${(want.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- want.toSet).take(3)}")
+    // closed endpoints across a month AND bin boundary: a ends exactly
+    // where b starts -> included with overlap 1; shifted by a day -> gone
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ca = Seq((9L, 1, ts("2024-01-05"), ts("2024-02-01")))
+      .toDF("l_orderkey", "l_linenumber", "a_start", "a_end")
+    val cb1 = Seq((5L, ts("2024-02-01"), ts("2024-02-10")))
+      .toDF("o_orderkey", "b_start", "b_end")
+    val cb2 = Seq((5L, ts("2024-02-02"), ts("2024-02-10")))
+      .toDF("o_orderkey", "b_start", "b_end")
+    val touch = operators.Joins.intervalOverlapJoinFrom(ca, cb1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(touch.toSeq == Seq((9L, 5L, 1L)), s"touching endpoint: ${touch.toSeq}")
+    assert(operators.Joins.intervalOverlapJoinFrom(ca, cb2).collect().isEmpty,
+      "disjoint-by-one-day intervals must not join")
+  }
+
   test("audio energy: JVM PCM replay on a constructed payload; fixture well-formed") {
     import spark.implicits._
     // constructed payload: 3 frames of 64 samples — quiet, LOUD, quiet
