@@ -44,6 +44,7 @@ object SparkEntry {
     "q27_asof_join"         -> (graft.operators.Joins.asofJoin _),
     "q28_range_join_binned" -> (graft.operators.Joins.rangeJoinBinned _),
     "q203_interval_join"    -> (graft.operators.Joins.intervalOverlapJoin _),
+    "q204_hierarchy_rollup" -> (Relational.hierarchyRollup _),
     "q163_point_in_time"    -> (graft.operators.Joins.pointInTime _),
     "q29_dense_groupby"     -> (Relational.denseGroupBy _),
     "q54_approx_distinct"   -> (Relational.approxDistinct _),
@@ -437,6 +438,22 @@ object SparkEntry {
         |    least(a_end, b_end)) + 1 AS BIGINT) AS overlap_days
         |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
         |ORDER BY 1, 2, 3""".stripMargin,
+    // q204: the definitional recursive parent-walk over the implicit
+    // heap hierarchy parent(p) = (p-1)//2 — the engine's closed-form
+    // ancestor explode must agree row-for-row. n_desc excludes self;
+    // subtree totals include self, in exact cents.
+    "q204_hierarchy_rollup" ->
+      """WITH RECURSIVE anc(node, a) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION ALL
+        |  SELECT node, (a - 1) // 2 FROM anc WHERE a >= 1
+        |)
+        |SELECT a AS p_partkey, CAST(count(*) - 1 AS BIGINT) AS n_desc,
+        |  CAST(sum(CAST(round(v.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS subtree_cents
+        |FROM anc JOIN part v ON v.p_partkey = anc.node
+        |WHERE a < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_dense_groupby" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS linenumber, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

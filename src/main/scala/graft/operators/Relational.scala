@@ -681,4 +681,42 @@ object Relational {
         "s_nationkey", t.nation, "n_nationkey"))
       .orderBy(col("relationship"))
   }
+
+  /** Hierarchy rollup (q204) — the BOM-explosion / category-tree
+    * aggregate every warehouse runs ("subtree totals for every node"):
+    * parts form the implicit binary-heap hierarchy parent(p) =
+    * (p−1) div 2 (root 0), and each of the first 50 categories reports
+    * its descendant count and subtree retail-price total in exact
+    * cents.
+    *
+    * Spark-first plan: instead of an O(depth) iterative child→parent
+    * join loop (the naive formulation — depth shuffles, lineage
+    * growth), the heap layout admits a CLOSED FORM for the whole
+    * ancestor chain — the k-th ancestor of p is (p+1) div 2ᵏ − 1 — so
+    * one log₂(n)-bounded explode + ONE shuffle computes every subtree
+    * aggregate at once. The oracle deliberately states the
+    * definitional recursive parent-walk instead; the two must agree
+    * row-for-row. Generalizes to any hierarchy with materialized-path
+    * ids (the standard trick: encode the path, explode prefixes).
+    *
+    * Scale shape: replication = ⌈log₂ n⌉ per row (≈ 34 at 10¹⁰ parts),
+    * one hash aggregate, output bounded by the category filter. */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame =
+    hierarchyRollupFrom(Tables(spark, dir).part
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents")))
+
+  /** Same, over an arbitrary (p_partkey, cents) relation. */
+  private[graft] def hierarchyRollupFrom(parts: DataFrame,
+      maxNode: Long = 50L): DataFrame =
+    parts
+      .select(col("cents"), explode(expr(
+        """filter(transform(sequence(0, 40),
+          |  k -> ((p_partkey + 1) div shiftleft(CAST(1 AS BIGINT), k)) - 1),
+          |  x -> x >= 0)""".stripMargin)).as("anc"))
+      .filter(col("anc") < maxNode)
+      .groupBy(col("anc").as("p_partkey"))
+      .agg((count(lit(1)) - 1).as("n_desc"),
+        sum(col("cents")).as("subtree_cents"))
+      .orderBy(col("p_partkey"))
 }

@@ -1778,6 +1778,32 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("hierarchy rollup: closed-form ancestor explode == JVM parent walk; root holds total") {
+    val parts = graft.Tables(spark, sf).part
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val got = operators.Relational.hierarchyRollup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // JVM replay: walk parent(p) = (p-1)/2 to the root for every part
+    val agg = scala.collection.mutable.Map[Long, (Long, Long)]()
+    parts.foreach { case (p, c) =>
+      var a = p
+      while (a >= 0) {
+        val (n, s) = agg.getOrElse(a, (0L, 0L))
+        agg(a) = (n + 1, s + c)
+        a = if (a >= 1) (a - 1) / 2 else -1L
+      }
+    }
+    val want = agg.toSeq.filter(_._1 < 50).sortBy(_._1)
+      .map { case (a, (n, s)) => (a, n - 1, s) }
+    assert(got.toSeq == want, s"first diff: ${
+      got.toSeq.zip(want).find { case (g, w) => g != w }}")
+    // root subtree == whole-table total, in exact cents
+    val total = parts.map(_._2).sum
+    assert(got.find(_._1 == 0L).get._3 == total, "root must hold the total")
+  }
+
   test("interval join: owning-bin plan == definitional theta join; endpoints closed") {
     import spark.implicits._
     // fixture equivalence: the binned plan must reproduce the plain
