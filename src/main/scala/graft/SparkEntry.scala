@@ -126,6 +126,8 @@ object SparkEntry {
       (graft.operators.CorpusOps.temperatureMixture _),
     "q183_edit_linkage" -> (graft.operators.Dedup.editLinkage _),
     "q184_degree_histogram" -> (GraphOps.degreeHistogram _),
+    "q205_betweenness" ->
+      ((s: SparkSession, d: String) => GraphOps.betweennessSample(s, d)),
     "q185_source_vocab_overlap" ->
       (graft.operators.CorpusOps.sourceVocabOverlap _),
   )
@@ -805,6 +807,54 @@ object SparkEntry {
     * recursive CTE carrying paths would enumerate every distinct walk
     * (exponential); the per-level argmin keeps it at O(nodes + edges) rows
     * per level — exactly one Pregel superstep. */
+  /** q205 oracle: Brandes' two passes unrolled over BFS levels — forward
+    * path-count levels f1..f4 (settledness via NOT EXISTS against every
+    * prior level), then the fixed-point dependency back-propagation
+    * d3..d1, each contribution floor-divided per (v, w) edge BEFORE its
+    * sum (the exact rule GraphOps.betweennessFrom states). */
+  private def betweennessOracle: String = {
+    val L = 4
+    val fwd = (1 to L).map { k =>
+      val prior = (0 until k)
+        .map(j => s"SELECT origin, node FROM f$j").mkString(" UNION ALL ")
+      s"""f$k AS MATERIALIZED (
+         |  SELECT origin, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+         |    SELECT p.origin, ue.dst AS node, p.sigma
+         |    FROM f${k - 1} p JOIN ue ON ue.src = p.node) c
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prior) x
+         |                    WHERE x.origin = c.origin AND x.node = c.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (L to 2 by -1).map { l =>
+      val dPrev = if (l == L) "CAST(0 AS BIGINT)"
+                  else s"coalesce(d$l.delta, 0)"
+      val dJoin = if (l == L) ""
+                  else s"\n  LEFT JOIN d$l ON d$l.origin = w.origin" +
+                       s" AND d$l.node = w.node"
+      s"""d${l - 1} AS MATERIALIZED (
+         |  SELECT v.origin, v.node,
+         |    CAST(sum(v.sigma * (1000000 + $dPrev) // w.sigma) AS BIGINT)
+         |      AS delta
+         |  FROM f${l - 1} v JOIN ue ON ue.src = v.node
+         |  JOIN f$l w ON w.origin = v.origin AND w.node = ue.dst$dJoin
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 until L)
+      .map(j => s"SELECT * FROM d$j").mkString(" UNION ALL ")
+    s"""WITH $edgeCte,
+       |seeds AS (SELECT DISTINCT
+       |    1 + (i * 41) % (SELECT max(c_custkey) FROM customer) AS s
+       |  FROM range(0, 8) t(i)),
+       |f0 AS MATERIALIZED (
+       |  SELECT s AS origin, s AS node, CAST(1 AS BIGINT) AS sigma
+       |  FROM seeds),
+       |$fwd,
+       |$bwd
+       |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_q
+       |FROM ($union)
+       |GROUP BY 1 HAVING sum(delta) > 0 ORDER BY 1""".stripMargin
+  }
+
   /** Unrolled (cost, path, pk) level DP shared by the q91 (single-source)
     * and q127 (multi-source) path oracles — the exact shape of
     * GraphOps.multiSourcePaths, with `origin` carried through every level
@@ -1371,6 +1421,11 @@ object SparkEntry {
         |  s.n_skipped_grams, s.n_skipped_rows
         |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
         |ORDER BY 1, 2""".stripMargin,
+    // q205: sampled bounded-radius Brandes betweenness — unrolled
+    // forward path-count levels (f1..f4) + unrolled fixed-point
+    // dependency back-propagation (d3..d1), floor-divided per edge
+    // before each sum; endpoints excluded, positive rows only.
+    "q205_betweenness" -> betweennessOracle,
     // q184: log-binned degree histogram — bin = bit length of the
     // degree via length(bin(deg)), exact in both engines.
     "q184_degree_histogram" ->

@@ -1258,6 +1258,90 @@ object GraphOps {
       .orderBy(col("origin"))
   }
 
+  /** Sampled bounded-radius betweenness centrality (q205) — Brandes'
+    * algorithm (2001) restricted to k deterministic sources and paths of
+    * ≤ maxHops edges (the "k-betweenness" variant: exact betweenness
+    * needs all-pairs — quadratic — so production graph stacks sample
+    * sources AND bound the radius; both knobs are explicit here). Per
+    * source: an unweighted BFS forward pass counting shortest paths
+    * σ(v) = Σ_{preds} σ, then the dependency back-propagation over BFS
+    * levels, δ(v) = Σ_{w: succ} σv·(M + δ(w)) div σw with M = 10⁶ —
+    * Brandes' (σv/σw)(1 + δw) in fixed point, floor-divided per (v, w)
+    * edge BEFORE the sum (the floor-before-sum discipline), so every
+    * value is an integer and the whole two-pass composition carries a
+    * full DuckDB oracle (an unrolled per-level replay, the q91/q127
+    * pattern). bc_q(v) = Σ_sources δ(v), endpoints excluded, only
+    * positive rows emitted.
+    *
+    * Scale shape: maxHops forward supersteps (frontier×edges joins with
+    * left_anti settledness, per-level lineage cuts) + maxHops−1
+    * backward level joins — each a node-keyed shuffle, never all-pairs.
+    * σ ≤ Δ^maxHops must fit a Long (Δ ≤ ~55k at maxHops=4); past that
+    * ANSI overflow fails fast rather than corrupting — cap the radius
+    * or pre-cap hub degrees (q165's rule) first. */
+  def betweennessSample(spark: SparkSession, dir: String, k: Int = 8,
+      maxHops: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val m = maxCust(t)
+    require(m > 0, s"nonpositive max c_custkey $m at $dir")
+    val sources = (0 until k).map(i => 1L + (i.toLong * 41L) % m).distinct
+    betweennessFrom(spark, undirectedEdges(t), sources, maxHops)
+  }
+
+  /** Same, over an arbitrary undirected (src, dst) edge relation. */
+  private[graft] def betweennessFrom(spark: SparkSession, edges: DataFrame,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    require(maxHops >= 2, "betweenness needs a radius of at least 2")
+    val e = edges.select(col("src"), col("dst"))
+    // forward: per-level settled (origin, node, d, sigma)
+    var settled = sources.toDF("origin").select(col("origin"),
+      col("origin").as("node"), lit(0).as("d"), lit(1L).as("sigma"))
+    var frontier = settled
+    val byLevel = scala.collection.mutable.Map(0 -> frontier)
+    for (l <- 1 to maxHops) {
+      val nxt = frontier.join(e, col("node") === col("src"))
+        .select(col("origin"), col("dst").as("nn"), col("sigma"))
+        .join(settled.select(col("origin"), col("node").as("nn")),
+          Seq("origin", "nn"), "left_anti")
+        .groupBy(col("origin"), col("nn"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("origin"), col("nn").as("node"), lit(l).as("d"),
+          col("sigma"))
+        .localCheckpoint()
+      settled = settled.unionByName(nxt)
+      frontier = nxt
+      byLevel(l) = nxt
+    }
+    // backward: deltas per level, deepest first (delta(maxHops) = 0)
+    var deltaNext: DataFrame = byLevel(maxHops)
+      .select(col("origin"), col("node"), lit(0L).as("delta"))
+    val perLevel = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (l <- maxHops to 2 by -1) {
+      val wSide = byLevel(l)
+        .join(deltaNext, Seq("origin", "node"), "left")
+        .select(col("origin"), col("node").as("wn"),
+          col("sigma").as("sw"), coalesce(col("delta"), lit(0L)).as("dw"))
+      val deltaCur = byLevel(l - 1)
+        .select(col("origin"), col("node").as("vn"), col("sigma").as("sv"))
+        .join(e, col("vn") === col("src"))
+        .join(wSide.withColumnRenamed("origin", "worigin"),
+          col("dst") === col("wn") && col("origin") === col("worigin"))
+        .select(col("origin"), col("vn"),
+          expr("sv * (1000000 + dw) div sw").as("c"))
+        .groupBy(col("origin"), col("vn"))
+        .agg(sum(col("c")).as("delta"))
+        .select(col("origin"), col("vn").as("node"), col("delta"))
+        .localCheckpoint()
+      perLevel += deltaCur
+      deltaNext = deltaCur
+    }
+    perLevel.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("delta")).as("bc_q"))
+      .filter(col("bc_q") > 0)
+      .orderBy(col("node"))
+  }
+
   /** Log-binned degree histogram (q184) — node counts per power-of-two
     * degree bin (bin = bit length of the degree, an exact integer in
     * both engines via `length(bin(deg))` — no float log near bin

@@ -1778,6 +1778,29 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("betweenness: hand-computed Brandes on path/diamond; multi-source sums") {
+    import spark.implicits._
+    def undirected(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // path 1-2-3-4-5, source 1: delta_q(2)=3e6, (3)=2e6, (4)=1e6
+    val path = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val p1 = GraphOps.betweennessFrom(spark, path, Seq(1L), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L), s"$p1")
+    // both ends as sources: interior nodes sum both dependencies
+    val p2 = GraphOps.betweennessFrom(spark, path, Seq(1L, 5L), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 == Map(2L -> 4000000L, 3L -> 4000000L, 4L -> 4000000L), s"$p2")
+    // diamond 1-2-4, 1-3-4: sigma(4)=2 splits the dependency in half
+    val diamond = undirected((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val d1 = GraphOps.betweennessFrom(spark, diamond, Seq(1L), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(2L -> 500000L, 3L -> 500000L), s"$d1")
+    // fixture: well-formed — positive, no source/leaf-only artifacts
+    val fx = GraphOps.betweennessSample(spark, sf).collect()
+    assert(fx.nonEmpty && fx.forall(_.getLong(1) > 0))
+  }
+
   test("hierarchy rollup: closed-form ancestor explode == JVM parent walk; root holds total") {
     val parts = graft.Tables(spark, sf).part
       .select(col("p_partkey"),
