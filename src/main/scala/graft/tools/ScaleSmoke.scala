@@ -68,6 +68,35 @@ object ScaleSmoke {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
             .rowsBetween(Long.MinValue, 0))).count())
+      // interval-overlap join (q203's shape): copies share the date
+      // range, so TRUE overlap pairs grow with both sides' mass (output
+      // mass, the containment/q42 argument); the bin equi-join bounds
+      // candidate work by bin width — never an unbounded theta join.
+      time(s"interval_join") {
+        val a = li.filter(col("l_quantity") >= 49 &&
+            col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").as("a_start"),
+            expr("timestampadd(DAY, l_linenumber * 10, l_shipdate)")
+              .as("a_end"))
+        val b = ord.filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"), col("o_orderdate").as("b_start"),
+            expr("timestampadd(DAY, 14, o_orderdate)").as("b_end"))
+        val n = graft.operators.Joins.intervalOverlapJoinFrom(a, b).count()
+        println(s"[scale]   interval join: pairs=$n")
+        n
+      }
+      // hierarchy rollup (q204's shape): one log2(n)-bounded ancestor
+      // explode + one aggregate — time must track input mass linearly
+      // with NO depth-iterative join loop to regress.
+      time(s"hierarchy_rollup") {
+        val parts = (0 until mult).map { i =>
+          t.part.select((col("p_partkey") + lit(i * 10000000L))
+            .as("p_partkey"),
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+        }.reduce(_ union _)
+        graft.operators.Relational.hierarchyRollupFrom(parts).count()
+      }
       // LLM-pipeline north-star ops: mutate text per copy so amplified
       // docs are near- but not exact dups (the hard case for LSH)
       val docs = (0 until mult).map { i =>
@@ -500,6 +529,15 @@ object ScaleSmoke {
           graft.operators.GraphOps.edgeWeight(col("src"), col("dst")).as("w"))
         graft.operators.GraphOps
           .multiSourcePathsFrom(spark, w, Seq(1L, 2L, 3L, 4L, 5L), 8).count()
+      }
+      // sampled betweenness (q205's shape): the source sample scales
+      // with the graph (8 per amplified copy — the honest posture for
+      // SAMPLED centrality), so total work is per-source-bounded ×
+      // linear in the sample; per-source cost is the 4-hop two-pass.
+      time(s"betweenness_sample") {
+        val srcs = (0 until mult).flatMap(c =>
+          (0 until 8).map(i => c * 10000000L + 1L + (i * 41L) % 15000L))
+        graft.operators.GraphOps.betweennessFrom(spark, ue, srcs, 4).count()
       }
       time(s"triangle_count")(
         graft.operators.GraphOps.triangleCountFrom(ue).head().getLong(0))
