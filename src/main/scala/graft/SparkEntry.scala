@@ -89,6 +89,7 @@ object SparkEntry {
     "q25_window_moving_avg"  -> (Windows.windowMovingAvg _),
     "q26_window_ranking"     -> (Windows.windowRanking _),
     "q87_window_range_frame" -> (Windows.windowRangeFrame _),
+    "q206_scd2_build"        -> (Windows.scd2Build _),
   )
 
   /** Graph analytics (SURVEY §2.i). */
@@ -754,6 +755,17 @@ object SparkEntry {
         |    (PARTITION BY user_id ORDER BY ts, event_id), epoch_us(ts))
         |    AS BIGINT) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+    // q206: the SCD2 dimension build — one validity row per observation,
+    // valid_to = next observation per user ((ts, event_id) order), -1
+    // open-ended sentinel (the q27 convention).
+    "q206_scd2_build" ->
+      """SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(coalesce(lead(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), -1)
+        |    AS BIGINT) AS valid_to_us,
+        |  value
+        |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q25_window_moving_avg" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(floor(

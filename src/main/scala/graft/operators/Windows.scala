@@ -55,6 +55,32 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** SCD2 validity-interval build (q206) — the slowly-changing-dimension
+    * BUILD that q27/q163 later READ: the per-user event log becomes one
+    * validity row per observation, [valid_from, valid_to) with
+    * valid_to = the next observation's timestamp and −1 as the
+    * open-ended sentinel (the q27 convention — a nullable int64 would
+    * drift to float64 in the oracle compare). Ordering ties break on
+    * event_id, so duplicate timestamps chain deterministically. This is
+    * the standard "event log → dimension table" materialization every
+    * warehouse runs before as-of reads.
+    *
+    * Scale shape: ONE keyed window (shuffle on user_id, per-user sort —
+    * exactly q24's plan with lead instead of lag); output mass = input
+    * mass. */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us",
+        coalesce(lead(unix_micros(col("ts")), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_id"), col("valid_from_us"),
+        col("valid_to_us"), col("value"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
   /** Sliding rows frame: moving average of the last 3 orders per customer,
     * computed in exact integer cents (avg of doubles can land on exact
     * half-cent boundaries where engines' rounding of binary doubles

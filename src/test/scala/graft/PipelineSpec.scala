@@ -1778,6 +1778,41 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("SCD2 build: intervals tile each user's timeline; read at probes == q163") {
+    val rows = operators.Windows.scd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // tiling: per user sorted validity, each valid_to == next valid_from,
+    // exactly one open-ended sentinel (the last row)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: gap/overlap between $a and $b")
+        case _ =>
+      }
+      assert(sorted.last._4 == -1L, s"user $u: last row must be open-ended")
+      assert(sorted.init.forall(_._4 != -1L),
+        s"user $u: only the last row may be open-ended")
+    }
+    // family coherence: reading the built dimension at q163's probe
+    // instants must reproduce the point-in-time lookup exactly
+    val probes = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+      .map(d => d -> java.sql.Timestamp.valueOf(d + " 00:00:00").getTime * 1000L)
+    val fromScd2 = (for {
+      (pd, pUs) <- probes
+      (u, rs) <- rows.groupBy(_._1)
+      hit <- rs.filter(r => r._3 <= pUs && (r._4 == -1L || r._4 > pUs))
+        .sortBy(r => (r._3, r._2)).lastOption
+    } yield (u, pd, hit._2, hit._5)).toSet
+    val q163 = operators.Joins.pointInTime(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(fromScd2 == q163, s"SCD2 read diverges from point-in-time: " +
+      s"missing=${(q163 -- fromScd2).take(3)} extra=${(fromScd2 -- q163).take(3)}")
+  }
+
   test("betweenness: hand-computed Brandes on path/diamond; multi-source sums") {
     import spark.implicits._
     def undirected(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
