@@ -240,6 +240,7 @@ object SparkEntry {
     "q189_streaming_sampling" ->
       (graft.streaming.StreamingMv.streamingSampleMonitor _),
     "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
+    "q207_trend_slopes"    -> (graft.operators.Behavioral.trendSlopes _),
     "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
     "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q193_span_dedup_clean" -> (Dedup.spanDedupClean _),
@@ -2957,6 +2958,25 @@ object SparkEntry {
     "q173_hash_sampling" -> hashSamplingOracle,
     // q190: exact lower medians (rank (n+1)//2 of the unique
     // (cents, event_id) order) for value and absolute deviation per
+    // q207: per-type OLS slope over the DAILY value-total series —
+    // exact integer sums, one IEEE double division under the floor
+    // (identical operands → identical quotient in both engines).
+    "q207_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_pm
+        |FROM s WHERE n >= 2 ORDER BY 1""".stripMargin,
     // type, then the |x−med| > 3·MAD flag — all integer.
     "q190_robust_outliers" ->
       """WITH c AS (

@@ -186,4 +186,45 @@ object Behavioral {
       .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("event_type"), col("cents").as("v"))
   }
+
+  /** Per-group trend slopes (q207) — the drift DETECTOR the monitoring
+    * tier runs on every source/stream: per event type, the ordinary-
+    * least-squares slope of the DAILY value total over the day index,
+    * in exact closed form over the aggregated series. Aggregating to
+    * days first is both the statistically right granularity for drift
+    * AND the overflow fix: the per-day series has ≤ 365·years points,
+    * so every OLS sum (Σx, Σy, Σxy, Σx²) fits a Long with room to
+    * spare no matter how many raw events feed a day — the closed form
+    * over RAW rows would overflow n·Σxy at group sizes ≈ 10⁵.
+    *
+    * slope_pm = floor(10⁶ · (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)): the
+    * sums are exact integers; the one division runs in IEEE double
+    * (both engines compute the identical correctly-rounded quotient of
+    * identical operands — the q143 posture) and never survives the
+    * floor. Groups with one day are excluded (zero variance).
+    *
+    * Scale shape: two hash aggregates — (type, day) then (type) — both
+    * map-side combinable; output = one row per group. */
+  def trendSlopes(spark: SparkSession, dir: String): DataFrame =
+    trendSlopesFrom(Tables(spark, dir).events)
+
+  /** Same, over an arbitrary (event_type, ts, value) relation. */
+  private[graft] def trendSlopesFrom(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"),
+        floor((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") * lit(1e6)
+          / (col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("slope_pm"))
+      .orderBy(col("event_type"))
+  }
 }

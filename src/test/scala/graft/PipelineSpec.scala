@@ -1778,6 +1778,41 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("trend slopes: planted linear series recovered exactly; JVM OLS replay on fixture") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // up: value = x dollars on day x -> slope 100 cents/day -> 1e8 pm
+    // down: value = -2x -> slope -200 cents/day -> -2e8 pm (exact floor)
+    val planted = (0 until 10).flatMap(x => Seq(
+      ("up", ts(x), x.toDouble), ("down", ts(x), -2.0 * x)))
+      .toDF("event_type", "ts", "value")
+    val got = operators.Behavioral.trendSlopesFrom(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("up", 10L, 100000000L), ("down", 10L, -200000000L)),
+      s"planted slopes: $got")
+    // fixture: JVM replay of the exact rule
+    val daily = graft.Tables(spark, sf).events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toLocalDate
+        .toEpochDay - java.time.LocalDate.parse("2024-01-01").toEpochDay),
+        r.getLong(2)))
+    val series = daily.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((t, x), y) => (t, x, y) }
+    val want = series.groupBy(_._1).collect {
+      case (t, pts) if pts.size >= 2 =>
+        val n = pts.size.toLong
+        val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+        val sxy = pts.map(p => p._2 * p._3).sum
+        val sxx = pts.map(p => p._2 * p._2).sum
+        (t, n, math.floor((n * sxy - sx * sy).toDouble * 1e6
+          / (n * sxx - sx * sx).toDouble).toLong)
+    }.toSet
+    val fx = operators.Behavioral.trendSlopes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fx == want, s"missing=${want -- fx} extra=${fx -- want}")
+  }
+
   test("SCD2 build: intervals tile each user's timeline; read at probes == q163") {
     val rows = operators.Windows.scd2Build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
