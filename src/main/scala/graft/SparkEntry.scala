@@ -241,6 +241,8 @@ object SparkEntry {
       (graft.streaming.StreamingMv.streamingSampleMonitor _),
     "q190_robust_outliers" -> (graft.operators.Behavioral.robustOutliers _),
     "q207_trend_slopes"    -> (graft.operators.Behavioral.trendSlopes _),
+    "q208_daily_correlations" ->
+      (graft.operators.Behavioral.dailyCorrelations _),
     "q191_weighted_sample" -> (graft.operators.CorpusOps.weightedSample _),
     "q192_repeated_spans"  -> (Dedup.repeatedSpans _),
     "q193_span_dedup_clean" -> (Dedup.spanDedupClean _),
@@ -2977,6 +2979,32 @@ object SparkEntry {
         |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
         |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_pm
         |FROM s WHERE n >= 2 ORDER BY 1""".stripMargin,
+    // q208: pairwise Pearson over the shared daily series — integer
+    // sums, variance factors cast to double before their product, one
+    // sqrt + division on identical IEEE operands under the floor.
+    "q208_daily_correlations" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         a.y AS ya, b.y AS yb
+        |  FROM daily a JOIN daily b
+        |    ON a.x = b.x AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT ta, tb, count(*) AS n,
+        |    sum(ya) AS sa, sum(yb) AS sb, sum(ya * yb) AS sab,
+        |    sum(ya * ya) AS saa, sum(yb * yb) AS sbb
+        |  FROM j GROUP BY 1, 2)
+        |SELECT ta, tb, CAST(n AS BIGINT) AS n_days,
+        |  CAST(floor(CAST(n * sab - sa * sb AS DOUBLE) * 1e6
+        |    / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+        |         * CAST(n * sbb - sb * sb AS DOUBLE))) AS BIGINT)
+        |    AS corr_pm
+        |FROM s WHERE n >= 2 ORDER BY 1, 2""".stripMargin,
     // type, then the |x−med| > 3·MAD flag — all integer.
     "q190_robust_outliers" ->
       """WITH c AS (

@@ -208,12 +208,61 @@ object Behavioral {
   def trendSlopes(spark: SparkSession, dir: String): DataFrame =
     trendSlopesFrom(Tables(spark, dir).events)
 
+  /** The integer daily-total series shared by the monitoring tier
+    * (q207 slopes, q208 correlations): (event_type, day index, cents). */
+  private def dailySeries(ev: DataFrame): DataFrame = ev
+    .groupBy(col("event_type"),
+      datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
+    .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+
+  /** Daily-series correlation matrix (q208) — q207's companion
+    * question: WHICH metrics co-move. Pearson correlation between
+    * every pair of event types' daily value-total series, computed in
+    * closed form over exact integer sums. Envelope: Σy² squares the
+    * DAILY totals, so |daily cents| must stay under ~3·10⁹ (≈ $30M/day
+    * per type) — past that, pre-scale the unit by one constant; ANSI
+    * fails fast rather than corrupting. The two variance factors are
+    * cast to double BEFORE their product (each fits a Long; the
+    * product need not); the sqrt and one division run in IEEE double
+    * on identical operands in both engines and die under the
+    * floor(·10⁶). Days missing from either series drop from that
+    * pair (inner join on the day) — the standard pairwise-complete
+    * convention. Output ≤ types² rows.
+    *
+    * Scale shape: the (type, day) aggregate, a day-keyed self-join of
+    * a ≤ types·days relation (metadata next to the raw events), one
+    * pair aggregate. */
+  def dailyCorrelations(spark: SparkSession, dir: String): DataFrame =
+    dailyCorrelationsFrom(Tables(spark, dir).events)
+
+  /** Same, over an arbitrary (event_type, ts, value) relation. */
+  private[graft] def dailyCorrelationsFrom(ev: DataFrame): DataFrame = {
+    val d = dailySeries(ev)
+    val joined = d.select(col("event_type").as("ta"), col("x"),
+        col("y").as("ya"))
+      .join(d.select(col("event_type").as("tb"), col("x"),
+        col("y").as("yb")), Seq("x"))
+      .filter(col("ta") < col("tb"))
+    joined.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ya")).as("sa"), sum(col("yb")).as("sb"),
+        sum(col("ya") * col("yb")).as("sab"),
+        sum(col("ya") * col("ya")).as("saa"),
+        sum(col("yb") * col("yb")).as("sbb"))
+      .filter(col("n_days") >= 2)
+      .select(col("ta"), col("tb"), col("n_days"),
+        floor((col("n_days") * col("sab") - col("sa") * col("sb"))
+          .cast("double") * lit(1e6)
+          / sqrt((col("n_days") * col("saa") - col("sa") * col("sa"))
+              .cast("double")
+            * (col("n_days") * col("sbb") - col("sb") * col("sb"))
+              .cast("double"))).as("corr_pm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Same, over an arbitrary (event_type, ts, value) relation. */
   private[graft] def trendSlopesFrom(ev: DataFrame): DataFrame = {
-    val daily = ev
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"))
-      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+    val daily = dailySeries(ev)
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -1813,6 +1813,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(fx == want, s"missing=${want -- fx} extra=${fx -- want}")
   }
 
+  test("daily correlations: perfect co/anti-movement pinned; symmetric bounds hold") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // b = 2a + 5 (r = +1, corr_pm 1e6); c = -a (r = -1, floor -> -1e6)
+    val planted = (0 until 8).flatMap(x => Seq(
+      ("a", ts(x), x.toDouble), ("b", ts(x), 2.0 * x + 5),
+      ("c", ts(x), -x.toDouble))).toDF("event_type", "ts", "value")
+    val got = operators.Behavioral.dailyCorrelationsFrom(planted).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(got(("a", "b")) == 1000000L, s"$got")
+    assert(got(("a", "c")) == -1000000L, s"$got")
+    assert(got(("b", "c")) == -1000000L, s"$got")
+    // fixture: every pair present once (ta < tb), |corr_pm| bounded
+    val fx = operators.Behavioral.dailyCorrelations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(fx.nonEmpty)
+    assert(fx.forall { case (ta, tb, c) =>
+      ta < tb && c >= -1000000L && c <= 1000000L }, s"${fx.toSeq}")
+    assert(fx.map(p => (p._1, p._2)).distinct.length == fx.length)
+  }
+
   test("SCD2 build: intervals tile each user's timeline; read at probes == q163") {
     val rows = operators.Windows.scd2Build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
