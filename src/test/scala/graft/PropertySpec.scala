@@ -516,6 +516,99 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval join matches brute-force overlap on random boundary-heavy intervals") {
+    import spark.implicits._
+    val base = java.time.LocalDate.parse("2024-01-01")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      base.plusDays(day.toLong).atStartOfDay())
+    // starts across 4 months, lengths 0-45 days (plenty cross a bin)
+    val gen = Gen.zip(
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 120), Gen.chooseNum(0, 45))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(0, 120), Gen.chooseNum(0, 45))))
+    forAllSampled(gen, n = 6) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, i, ts(s), ts(s + len)) }
+        .toDF("l_orderkey", "l_linenumber", "a_start", "a_end")
+      val b = bs.zipWithIndex.map { case ((s, len), j) =>
+        (j.toLong, ts(s), ts(s + len)) }
+        .toDF("o_orderkey", "b_start", "b_end")
+      val got = operators.Joins.intervalOverlapJoinFrom(a, b).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      val want = (for {
+        ((sa, la), i) <- as.zipWithIndex
+        ((sb, lb), j) <- bs.zipWithIndex
+        if sa <= sb + lb && sb <= sa + la
+      } yield (i.toLong, j.toLong,
+        (math.min(sa + la, sb + lb) - math.max(sa, sb) + 1).toLong)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("hierarchy rollup matches the JVM parent walk on random sparse key sets") {
+    import spark.implicits._
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1L, 9999L)))
+      .map(_.distinctBy(_._1))
+    forAllSampled(gen, n = 6) { parts =>
+      val got = operators.Relational
+        .hierarchyRollupFrom(parts.toDF("p_partkey", "cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val agg = scala.collection.mutable.Map[Long, (Long, Long)]()
+      parts.foreach { case (p, c) =>
+        var a = p
+        while (a >= 0) {
+          val (n, s) = agg.getOrElse(a, (0L, 0L))
+          agg(a) = (n + 1, s + c)
+          a = if (a >= 1) (a - 1) / 2 else -1L
+        }
+      }
+      val want = agg.toSeq.filter(_._1 < 50)
+        .map { case (x, (n, s)) => (x, n - 1, s) }.toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("containment join matches an in-memory model on random embed-heavy corpora") {
+    import spark.implicits._
+    // base docs of 8-14 words over a 6-word vocabulary (8-grams collide
+    // often), plus derived docs that EMBED a full base doc inside extra
+    // words — the quote-inclusion structure the operator exists for
+    val corpusGen = for {
+      bases <- Gen.listOfN(6, Gen.chooseNum(8, 14).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("wa", "wb", "wc", "wd", "we", "wf"))))
+      embeds <- Gen.listOfN(4, Gen.zip(Gen.chooseNum(0, 5),
+        Gen.chooseNum(0, 6)))
+    } yield {
+      val baseDocs = bases.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val embedDocs = embeds.zipWithIndex.map { case ((b, pad), j) =>
+        (100L + j, ((1 to pad).map(p => s"u${j}x$p") ++ bases(b)
+          ++ (1 to pad).map(p => s"v${j}y$p")).mkString(" ")) }
+      baseDocs ++ embedDocs
+    }
+    forAllSampled(corpusGen, n = 6) { docs =>
+      val got = operators.Dedup.containmentJoinFrom(docs.toDF("doc_id", "text"))
+        .collect().filter(!_.isNullAt(0))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      // in-memory model: distinct word-8-gram sets, directed containment
+      val grams = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(8).filter(_.length == 8)
+          .map(_.mkString(" ")).toSet }.toMap
+      val want = (for {
+        (ia, ga) <- grams.toSeq if ga.nonEmpty
+        (ib, gb) <- grams.toSeq if ia != ib
+        shared = (ga & gb).size.toLong
+        if shared * 2 >= ga.size
+      } yield (ia, ib, shared, shared * 1000000L / ga.size)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("jaccard join: prefix filter is exact vs an in-memory model at several taus") {
     import spark.implicits._
     // random corpora over a 25-token vocabulary, 30 docs of 5-20 distinct
