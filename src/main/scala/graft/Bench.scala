@@ -60,8 +60,23 @@ object Bench {
     // artifact's "errors" map (a bench failure must be self-diagnosing,
     // not a bare -1.0), and the process exits nonzero.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Contention telemetry: without load/GC numbers IN the artifact, a
+    // flat floor shift across untouched queries cannot be adjudicated as
+    // "slow machine" vs "slow code" after the fact (the round-14 drift
+    // question). getSystemLoadAverage is the host's 1-minute loadavg;
+    // gcMillis sums collection time across all collectors in this JVM.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val loadAtStart = loadAvg
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      val gc0 = gcMillis
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -73,6 +88,7 @@ object Bench {
             -1.0
         }
       }
+      gcPerQuery(name) = gcMillis - gc0
       val ok = times.filter(_ >= 0).sorted
       (name, if (ok.nonEmpty) ok(ok.length / 2) else -1.0, times,
         if (ok.nonEmpty) ok.head else -1.0)
@@ -120,8 +136,13 @@ object Bench {
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
       .map(_._2).sum
+    val gcJson = gcPerQuery.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val loadJson = String.format(java.util.Locale.ROOT,
+      """"load_avg_start":%.2f,"load_avg_end":%.2f,"gc_ms_total":%d""",
+      Double.box(loadAtStart), Double.box(loadAvg), Long.box(gcMillis))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"subtotal_r13_list":$subtotalR13,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"subtotal_r13_list":$subtotalR13,$loadJson,"gc_ms":$gcJson,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
     // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
     // driver's bench artifact) — also write it as a file the driver can read.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)

@@ -1425,7 +1425,7 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |cpairs AS (
         |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
-        |    CAST(p.shared * 1000000 // s.size_a AS BIGINT) AS containment_pm
+        |    CAST(p.shared * 1000000 // s.size_a AS BIGINT) AS containment_ppm
         |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
         |  WHERE p.shared * 2 >= s.size_a)
         |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows
@@ -1866,14 +1866,19 @@ object SparkEntry {
          |             FROM ku$i GROUP BY j) u USING (j))""".stripMargin
     }.mkString(",\n")
 
-  /** The IVFADC CTE chain shared by q159 (top-k) and q179 (recall):
-    * the TRAINED coarse quantizer (kc0..kcN — the q142 fixed-point
-    * Lloyd rule over the full 64 dims, integer-L2 corpus assignment +
-    * query nprobe=4 probes with (d, j) tie-breaks), the TRAINED PQ
-    * codebook (cb0..cbN, generated from the same `PqTrainIters`
-    * constant the Spark side trains with), and the probed-cell ADC
-    * aggregate. Ends at `adc`; callers append their own final
-    * ranking/overlap blocks (also exposes `eq` for the exact side). */
+  /** The IVFADC CTE chain shared by q159 (top-k), q179 (recall) and
+    * q198 (re-rank): the TRAINED coarse quantizer (kc0..kcN — the q142
+    * fixed-point Lloyd rule over the full 64 dims, integer-L2 corpus
+    * assignment + query nprobe=4 probes with (d, j) tie-breaks), the
+    * RESIDUAL relation (res: x − centroid(cell(x)) — the Jégou IVFADC
+    * rule the Spark side's `residualize` applies), the TRAINED PQ
+    * codebook over residual sub-vectors (cb0..cbN, generated from the
+    * same `PqTrainIters` constant the Spark side trains with),
+    * per-(query, probed cell) residual LUTs (qsv → lut — one LUT per
+    * probed cell, since the query's residual differs per cell), and
+    * the probed-cell ADC aggregate. Ends at `adc`; callers append
+    * their own final ranking/overlap blocks (also exposes `eq` for the
+    * exact side). */
   /** The trained-coarse-cell assignment prefix (eq → kc unroll → kd →
     * corpus) shared by the IVFADC chain and q200's cluster-balanced
     * sample — one replay of the coarse quantizer, so a drift in the
@@ -1905,13 +1910,18 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, j) AS pr FROM kd WHERE vec_id % 50 = 0)
       |  WHERE pr <= 4),
+      |res AS MATERIALIZED (
+      |  SELECT v.vec_id, co.cell,
+      |    list_transform(range(1, 65), i -> v.e[i] - kc.c[i]) AS re
+      |  FROM eq v JOIN corpus co ON co.nid = v.vec_id
+      |  JOIN kc${Similarity.IvfCoarseIters} kc ON kc.j = co.cell),
       |sv AS MATERIALIZED (
-      |  SELECT vec_id, m.m AS m, e[m.m*16+1 : m.m*16+16] AS sv
-      |  FROM eq CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+      |  SELECT vec_id, m.m AS m, re[m.m*16+1 : m.m*16+16] AS sv
+      |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
       |cb0 AS MATERIALIZED (
       |  SELECT s.m, q.j, s.sv AS c
       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM eq ORDER BY vec_id LIMIT 16) q
+      |        FROM res ORDER BY vec_id LIMIT 16) q
       |  JOIN sv s ON s.vec_id = q.vec_id),
       |$pqLloydUnrollCtes,
       |cd AS (
@@ -1924,13 +1934,27 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
       |      ORDER BY d, j) AS rk FROM cd)
       |  WHERE rk = 1),
+      |qsv AS (
+      |  SELECT qp.query_id, qp.cell, m.m AS m,
+      |    list_transform(range(1, 17),
+      |      i -> q.e[m.m*16 + i] - kc.c[m.m*16 + i]) AS sv
+      |  FROM qprobe qp
+      |  JOIN eq q ON q.vec_id = qp.query_id
+      |  JOIN kc${Similarity.IvfCoarseIters} kc ON kc.j = qp.cell
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
+      |lut AS (
+      |  SELECT r.query_id, r.cell, r.m, c.j,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (r.sv[i] - c.c[i]) * (r.sv[i] - c.c[i]))) AS BIGINT) AS d
+      |  FROM qsv r JOIN cb${Similarity.PqTrainIters} c ON c.m = r.m),
       |adc AS (
       |  SELECT qp.query_id, x.vec_id AS neighbor_id,
       |    CAST(sum(l.d) AS BIGINT) AS adc_dist
       |  FROM codes x
       |  JOIN corpus co ON co.nid = x.vec_id
       |  JOIN qprobe qp ON qp.cell = co.cell
-      |  JOIN cd l ON l.m = x.m AND l.j = x.code AND l.vec_id = qp.query_id
+      |  JOIN lut l ON l.query_id = qp.query_id AND l.cell = co.cell
+      |    AND l.m = x.m AND l.j = x.code
       |  WHERE x.vec_id <> qp.query_id
       |  GROUP BY 1, 2)""".stripMargin
 

@@ -218,9 +218,12 @@ object Behavioral {
   /** Daily-series correlation matrix (q208) — q207's companion
     * question: WHICH metrics co-move. Pearson correlation between
     * every pair of event types' daily value-total series, computed in
-    * closed form over exact integer sums. Envelope: Σy² squares the
-    * DAILY totals, so |daily cents| must stay under ~3·10⁹ (≈ $30M/day
-    * per type) — past that, pre-scale the unit by one constant; ANSI
+    * closed form over exact integer sums. Envelope: the binding term is
+    * (Σy)², which squares the n_days-day SUM of daily totals — so the
+    * safe operating point is |Σ daily cents over the window| &lt; ~3·10⁹,
+    * i.e. |daily cents| ≲ 3·10⁹ / n_days per type (≈ $80k/day at a
+    * 365-day window, not the per-day $30M a single squared daily total
+    * would allow) — past that, pre-scale the unit by one constant; ANSI
     * fails fast rather than corrupting. The two variance factors are
     * cast to double BEFORE their product (each fits a Long; the
     * product need not); the sqrt and one division run in IEEE double

@@ -556,11 +556,18 @@ object Dedup {
 
   /** Repeated-span CLEANING (q193) — the action tier over [[repeatedSpans]]'
     * detection, completing the Lee et al. rule: every duplicated n-token
-    * window keeps exactly ONE canonical occurrence (the lexicographically
-    * first (doc_id, pos) in the corpus) and every token covered only by
-    * non-canonical duplicated windows is dropped; survivors reassemble
-    * in original order. One copy of each repeated span survives — unlike
-    * q137, which drops a hot segment from EVERY document.
+    * window elects ONE canonical occurrence (the lexicographically first
+    * (doc_id, pos) in the corpus); all other occurrences are masked, and
+    * EVERY token covered by ANY masked window is dropped; survivors
+    * reassemble in original order. For repeats that don't overlap each
+    * other this keeps exactly one copy of each repeated span (unlike
+    * q137, which drops a hot segment from EVERY document). When a repeat
+    * overlaps its own canonical occurrence — a self-repeat with period
+    * &lt; n, e.g. 10 identical tokens at n = 8 — masked windows cover
+    * part of the canonical copy too, so the canonical occurrence is only
+    * guaranteed to survive intact for non-overlapping repeats. The
+    * oracle replays the same covered-token rule, so both engines agree
+    * on this semantics by construction.
     *
     * Output per document: (doc_id, n_tokens, n_dropped, cleaned_text),
     * the q137 shape — directly hash-comparable and the actual product a
@@ -801,7 +808,9 @@ object Dedup {
     * pipeline: drop or down-weight documents that are mostly contained
     * in another (syndicated excerpts, quoted posts, re-published
     * abstracts). Emits every ordered pair with c(ia→ib) ≥ 1/2 plus the
-    * exact per-mille coefficient.
+    * exact parts-per-million coefficient (`containment_ppm` =
+    * shared·10⁶ div |S(A)| — ppm, deliberately finer-grained than the
+    * repo's per-mille `_pm` columns, hence the distinct suffix).
     *
     * Cap contract (the q183/q188 doctrine): grams with document
     * frequency above [[ContainmentGramCap]] are EXCLUDED from the
@@ -841,14 +850,14 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sz.withColumnRenamed("doc_id", "ia"), Seq("ia"))
       .filter(col("shared") * tauDen >= col("size_a") * tauNum)
-      .withColumn("containment_pm",
+      .withColumn("containment_ppm",
         expr("shared * 1000000 div size_a"))
     val sentinel = skipped.join(pairs.limit(1), lit(true), "left_anti")
       .select(lit(null).cast("long").as("ia"),
         lit(null).cast("long").as("ib"),
         lit(null).cast("long").as("shared"),
         lit(null).cast("long").as("size_a"),
-        lit(null).cast("long").as("containment_pm"),
+        lit(null).cast("long").as("containment_ppm"),
         col("n_skipped_grams"), col("n_skipped_rows"))
     pairs.crossJoin(broadcast(skipped))
       .unionByName(sentinel)

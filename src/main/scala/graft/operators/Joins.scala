@@ -109,13 +109,23 @@ object Joins {
   }
 
   /** Same, over arbitrary (keysA, a_start, a_end) × (keysB, b_start,
-    * b_end) relations with closed date intervals. */
+    * b_end) relations with closed date intervals. The pass-through keys
+    * are derived generically: every non-interval column of `a` then of
+    * `b` (in their schema order) survives, followed by `overlap_days`;
+    * the output sorts on those keys in the same order. Key names must
+    * be disjoint across the two sides (the equi-join on `bin` plus this
+    * projection would otherwise be ambiguous). */
   private[graft] def intervalOverlapJoinFrom(a: DataFrame,
       b: DataFrame): DataFrame = {
+    val keysA = a.columns.filterNot(Set("a_start", "a_end")).toSeq
+    val keysB = b.columns.filterNot(Set("b_start", "b_end")).toSeq
+    require((keysA.toSet & keysB.toSet).isEmpty,
+      s"pass-through key names must be disjoint: ${keysA.toSet & keysB.toSet}")
     def binned(df: DataFrame, s: String, e: String): DataFrame =
       df.withColumn("bin", explode(sequence(
         date_trunc("month", col(s)), date_trunc("month", col(e)),
         expr("INTERVAL 1 MONTH"))))
+    val keyCols = (keysA ++ keysB).map(col)
     binned(a, "a_start", "a_end")
       .join(binned(b, "b_start", "b_end"), Seq("bin"))
       .filter(col("a_start") <= col("b_end") &&
@@ -123,11 +133,11 @@ object Joins {
       // ownership: exactly one of the shared bins emits the pair
       .filter(date_trunc("month",
         greatest(col("a_start"), col("b_start"))) === col("bin"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"),
+      .select(keyCols :+
         (datediff(least(col("a_end"), col("b_end")),
           greatest(col("a_start"), col("b_start"))) + 1).cast("long")
-          .as("overlap_days"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+          .as("overlap_days"): _*)
+      .orderBy(keyCols: _*)
   }
 
   /** Range join via binning: lineitems shipped within [o_orderdate,

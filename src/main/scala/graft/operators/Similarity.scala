@@ -800,6 +800,34 @@ object Similarity {
       .select(col("query_id"), col("cell").cast("long").as("cell"))
   }
 
+  /** Residualize a cell-assigned relation: (vec_id, e, cell, …) →
+    * (vec_id, cell, e := e − cents(cell)) — the Jégou et al. IVFADC
+    * posture: the PQ codebook quantizes the residual x − q₁(x), not x,
+    * so its capacity goes to WITHIN-cell detail instead of re-describing
+    * the coarse structure the cell id already carries. Pure integer
+    * subtraction in the shared floor(x·10⁶) fixed-point space —
+    * components stay within ±2.2·10⁶, squared sub-distances within
+    * ~3·10¹⁴ (Long-safe) — so the whole residual composition keeps the
+    * bit-stable cross-engine contract. Same literal/broadcast dispatch
+    * as the assignment family. */
+  private[graft] def residualize(assigned: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
+        <= MaxInlineCentroidDoubles) {
+      val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+      assigned.select(col("vec_id"), col("cell"),
+        zip_with(col("e"), element_at(cl, (col("cell") + 1).cast("int")),
+          (x, c) => x - c).as("e"))
+    } else {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val centDf = cents.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "rc")
+      assigned.join(broadcast(centDf), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("e"), col("rc"), (x, c) => x - c).as("e"))
+    }
+
   // --------------------------------------- product quantization + ADC
 
   /** Bounded cache slot for the PQ-quantized scan. */
@@ -807,9 +835,13 @@ object Similarity {
 
   /** Train-once-freeze slots for the IVF coarse cells and the PQ
     * codebook (see [[TrainedCache]]) — re-training per query batch
-    * would rerun 5 + 10 full-corpus Lloyd passes for every call. */
+    * would rerun 5 + 10 full-corpus Lloyd passes for every call.
+    * The RESIDUAL codebook gets its own slot: it depends on the coarse
+    * quantizer (k, coarseIters) as well as the Lloyd rounds, so its
+    * cache key carries all three. */
   private val coarseCache = new TrainedCache[Array[Array[Long]]]
   private val cbCache = new TrainedCache[Array[Array[Array[Long]]]]
+  private val cbResCache = new TrainedCache[Array[Array[Array[Long]]]]
 
   /** Product-quantization ANN with asymmetric distance (q148) — the
     * memory-scale path of embedding search: each 64-dim vector is split
@@ -939,6 +971,65 @@ object Similarity {
     (codes, queries)
   }
 
+  /** Per-(query, probed cell) ADC lookup tables over a RESIDUAL query
+    * relation (query_id, cell, e = query − centroid(cell)): LUT[m][j] =
+    * integer squared-L2 from the query's residual sub-vector m to
+    * codeword cb[m][j]. In residual IVFADC the LUT is per (query, cell)
+    * — the query's residual differs in every probed cell — where flat
+    * ADC has one LUT per query. nprobe·queries rows of M·K longs:
+    * metadata, broadcast by the caller. Same literal/broadcast codebook
+    * dispatch and (j-, m-)ordered reassembly as the encode family. */
+  private[graft] def pqQueryLuts(qres: DataFrame,
+      cb: Array[Array[Array[Long]]]): DataFrame =
+    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+      pqQueryLutsLit(qres, cb)
+    else pqQueryLutsBcast(qres, cb)
+
+  /** Literal-path per-(query, cell) LUTs: codebook inlined, one
+    * codegen'd map over the residual query relation. */
+  private[graft] def pqQueryLutsLit(qres: DataFrame,
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    val cbLit = array(cb.map(sub => array(sub.map(cw =>
+      array(cw.map(lit(_)): _*)): _*)): _*)
+    def subvec(m: Column) =
+      slice(col("e"), (m * PqSub + 1).cast("int"), lit(PqSub))
+    def subDists(m: Column): Column =
+      transform(element_at(cbLit, (m + 1).cast("int")), cw =>
+        aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b))
+    qres.select(col("query_id"), col("cell"),
+      transform(sequence(lit(0), lit(cb.length - 1)),
+        m => subDists(m)).as("lut"))
+  }
+
+  /** Broadcast-path per-(query, cell) LUTs — the scale branch past the
+    * inline budget, (j-, m-)ordered reassembly exactly like
+    * [[pqEncodeBcast]]'s query LUTs; bit-equal to the literal path by
+    * construction (asserted in PipelineSpec). */
+  private[graft] def pqQueryLutsBcast(qres: DataFrame,
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = qres.sparkSession
+    import spark.implicits._
+    val cbDf = (for { m <- cb.indices; j <- cb(m).indices }
+      yield (m, j.toLong, cb(m)(j).toSeq)).toDF("m", "j", "cw")
+    qres.select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(cb.length - 1)), m =>
+          slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+          .as(Seq("m", "sv")))
+      .join(broadcast(cbDf), Seq("m"))
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("cw"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+      .groupBy(col("query_id"), col("cell"), col("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("dist")))),
+        p => p.getField("dist")).as("larr"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("larr")))),
+        p => p.getField("larr")).as("lut"))
+  }
+
   /** ADC distance from the query's LUT over the neighbor's codes. */
   private def adcDist: Column =
     aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
@@ -1052,11 +1143,19 @@ object Similarity {
   /** IVFADC (q159) — the production 100 TB ANN layout, composed from
     * this library's own parts: the q68 coarse quantizer buckets the
     * corpus into IVF cells, each query probes only its nprobe best
-    * cells, and WITHIN those cells distance is the q148 asymmetric PQ
-    * lookup instead of a full-dimension scan. Per query the work is
-    * (probed-cell mass) × M table lookups — cell-bounded AND
-    * dimension-free, the Jégou et al. IVFADC layout as one declarative
-    * plan. Everything stays bit-stable (float cell scores replay via
+    * cells, and WITHIN those cells distance is the asymmetric PQ
+    * lookup instead of a full-dimension scan. The PQ codebook encodes
+    * RESIDUALS x − centroid(cell(x)) — Jégou et al.'s actual IVFADC
+    * formulation: the cell id already carries the coarse structure, so
+    * quantizing the residual spends the codebook's capacity on
+    * within-cell detail (the textbook recall lift over raw-vector
+    * encoding; measured by the q179 gate). Queries carry one LUT per
+    * PROBED cell (their residual differs per cell — nprobe·queries
+    * LUTs, still metadata). Per query the work is (probed-cell mass) ×
+    * M table lookups — cell-bounded AND dimension-free, the Jégou et
+    * al. IVFADC layout as one declarative plan. Residuals are integer
+    * subtractions in the shared fixed-point space, so everything
+    * stays bit-stable (float cell scores replay via
     * the strict-fold discipline of q68's oracle; PQ distances are
     * integers), so the full composition carries a DuckDB oracle.
     *
@@ -1092,20 +1191,35 @@ object Similarity {
     val eqd = pqCache.rotate(quantized(vecs).persist())
     val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
       trainQuantizedCents(eqd, k, coarseIters))
-    val corpusCells = assignQuantizedCells(eqd, coarse)
+    val assigned = assignQuantizedCells(eqd, coarse)
+    // RESIDUAL encoding (the Jégou IVFADC rule): the codebook trains on
+    // and encodes x − centroid(cell(x)); its cache key carries the
+    // coarse rung (k, coarseIters) the residuals depend on.
+    val res = residualize(assigned, coarse)
+    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters))(
+      pqTrainCodebook(res.select(col("vec_id"), col("e")), trainIters))
+    val codes = (if (cb.length.toLong * PqK * PqSub
+          <= MaxInlineCentroidDoubles)
+        pqEncodeLit(res.select(col("vec_id"), col("e")), cb, queryMod)
+      else pqEncodeBcast(res.select(col("vec_id"), col("e")), cb,
+        queryMod))._1
+    val corpusCells = assigned
       .select(col("vec_id").as("neighbor_id"), col("cell"))
     val qProbes = probeQuantizedCells(
       eqd.filter(col("vec_id") % queryMod === 0), coarse, nprobe)
-    // TRAINED codebook (q158's Lloyd rung): the production layout ships
-    // the recall the training measurably buys back, not the seed codes.
-    val (codes, queries) = pqEncodeTrained(vecs, queryMod, trainIters)
+    // per-(query, probed cell) residuals → per-cell LUTs
+    val qres = residualize(
+      qProbes.join(eqd.select(col("vec_id"), col("e")),
+        qProbes("query_id") === eqd("vec_id"))
+        .select(col("vec_id"), col("e"), col("cell")), coarse)
+      .select(col("vec_id").as("query_id"), col("cell"), col("e"))
+    val qLuts = pqQueryLuts(qres, cb)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
     codes
       .join(corpusCells, Seq("neighbor_id"))
-      .join(broadcast(qProbes), Seq("cell"))
+      .join(broadcast(qLuts), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(broadcast(queries), Seq("query_id"))
       .withColumn("adc_dist", adcDist)
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= topK)
@@ -1180,13 +1294,14 @@ object Similarity {
     * reorder true neighbors inside the shortlist; the refine step
     * repairs exactly that class of error at the cost of R full-vector
     * reads per query — the standard accuracy/IO knob a deployment
-    * tunes. Fixture readout (the q179 methodology, measured): mean
-    * recall@3 DOUBLES — 0.13 served-by-ADC → 0.27 re-ranked at
-    * nprobe=4 on the sf0.01 fixture (0.17 → 0.30 at sf0.001) — and the
-    * residual gap is IVF pruning loss, which only nprobe buys back
-    * (re-rank recall ≥ ADC recall at any shortlist, by construction:
-    * an exact-top-3 member inside the shortlist always re-ranks into
-    * the served top-3).
+    * tunes. Fixture readout (the q179 methodology, measured at HEAD
+    * with RESIDUAL-encoded codes, mean hits per query of 3): 0.40
+    * served-by-ADC → 0.90 re-ranked at nprobe=4 on the sf0.01 fixture
+    * (0.275 → 0.60 at sf0.1; 0.10 → 0.60 on the 10-query sf0.001
+    * slice) — and the residual gap is IVF pruning loss, which only
+    * nprobe buys back (re-rank recall ≥ ADC recall at any shortlist,
+    * by construction: an exact-top-3 member inside the shortlist
+    * always re-ranks into the served top-3).
     *
     * Determinism: both rankings are integer arithmetic with
     * (dist, neighbor_id) tie-breaks, so the composition — coarse

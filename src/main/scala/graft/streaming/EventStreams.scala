@@ -452,10 +452,7 @@ object EventStreams {
   def streamingTransitionsFrom(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_trans_store").toString
-    Snapshots.fs(spark, storeDir)
-      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_trans_store")
     val q = transitionsAdvance(
       FileFeed.orderedStream(spark, ev, nChunks = 8,
         unix_micros(col("ts")), purpose = "transitions").as[FEvent])
@@ -522,10 +519,7 @@ object EventStreams {
   def streamingFunnelFrom(ev: DataFrame): DataFrame = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_funnel_store").toString
-    Snapshots.fs(spark, storeDir)
-      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_funnel_store")
     val q = funnelAdvance(
       FileFeed.orderedStream(spark, ev, nChunks = 8,
         unix_micros(col("ts")), purpose = "funnel").as[FEvent])

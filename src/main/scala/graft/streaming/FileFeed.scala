@@ -37,8 +37,10 @@ private[graft] object FileFeed {
   private[graft] def prepare(spark: SparkSession, df: DataFrame,
       nChunks: Int, key: Column, ordered: Boolean, purpose: String,
       baseDir: Option[String] = None): (String, String) = {
-    val tmp = baseDir.getOrElse(java.nio.file.Files
-      .createTempDirectory(s"graft_feed_$purpose").toString)
+    // default resolves through spark.graft.storeRoot (Snapshots.storeDir)
+    // so the feed lands on the shared FS a cluster's executors can read;
+    // feeds are transient either way, hence the unconditional deleteOnExit
+    val tmp = baseDir.getOrElse(Snapshots.storeDir(spark, s"feed_$purpose"))
     val fsys = Snapshots.fs(spark, tmp)
     fsys.deleteOnExit(new org.apache.hadoop.fs.Path(tmp))
     val feedDir = s"$tmp/feed"

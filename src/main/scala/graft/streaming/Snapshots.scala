@@ -22,6 +22,37 @@ private[streaming] object Snapshots {
   def pathExists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** Resolve a fresh state-store directory for a streaming operator.
+    *
+    * With `spark.graft.storeRoot` set, the store lives at
+    * `<storeRoot>/<name>-<n>` (first unused n), resolved through Hadoop
+    * FileSystem — an HDFS/S3/GCS root works unchanged, which is what a
+    * cluster deployment MUST use: state written to a driver-local temp
+    * dir is invisible to executors on other hosts. Stores under a
+    * configured root are RETAINED at JVM exit (shared state outlives
+    * the driver).
+    *
+    * Unset (the default), falls back to a driver-local temp dir
+    * registered for deletion at JVM exit — the local[*] test posture,
+    * where driver-local is correct because every task shares the
+    * filesystem. */
+  def storeDir(spark: SparkSession, name: String): String =
+    spark.conf.getOption("spark.graft.storeRoot") match {
+      case Some(root) if root.nonEmpty =>
+        val base = root.stripSuffix("/")
+        val f = fs(spark, base)
+        val n = Iterator.from(0)
+          .find(i => !f.exists(new Path(s"$base/$name-$i"))).get
+        val dir = s"$base/$name-$n"
+        f.mkdirs(new Path(dir))
+        dir
+      case _ =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_$name").toString
+        fs(spark, dir).deleteOnExit(new Path(dir))
+        dir
+    }
+
   /** Batch N committed ⟺ its snapshot's _SUCCESS exists. */
   def committed(spark: SparkSession, snapDir: String, batchId: Long): Boolean =
     pathExists(spark, s"$snapDir/b=$batchId/_SUCCESS")

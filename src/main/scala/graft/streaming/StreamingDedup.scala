@@ -359,9 +359,7 @@ object StreamingDedup {
     * equivalence note on the object). Temp feed/store/checkpoint dirs are
     * registered for deletion at JVM exit. */
   def streamingKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_keep_store").toString
-    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_keep_store")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
     FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
@@ -403,14 +401,32 @@ object StreamingDedup {
   /** Current monitor contents: q192's exact output over everything
     * ingested so far — duplicated digests from the summed count deltas,
     * run-merged into maximal spans over the stored window index (the
-    * corpus text is never re-shingled). */
+    * corpus text is never re-shingled). Only `windows/b=N` partitions
+    * whose `wcounts/b=N` commit marker exists are read: [[spanBatch]]
+    * writes the index BEFORE the marker, so a batch that crashed
+    * between the two writes must stay invisible until its replay — the
+    * `b`-column isin filter prunes uncommitted partitions at the
+    * directory level (one driver-side listing of the wcounts dirs). */
   def spanTable(spark: SparkSession, storeDir: String): DataFrame = {
-    val w = readAll(spark, s"$storeDir/windows",
-      spark.range(0).select(col("id").as("doc_id"), col("id").as("pos"),
-        lit(null).cast("string").as("h")))
-    val rep = readAll(spark, s"$storeDir/wcounts",
-        spark.range(0).select(lit(null).cast("string").as("h"),
-          col("id").as("n")))
+    val committedIds: Seq[Long] =
+      if (pathExists(spark, s"$storeDir/wcounts")) {
+        val f = fs(spark, s"$storeDir/wcounts")
+        f.listStatus(new Path(s"$storeDir/wcounts")).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("b="))
+          .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+          .filter(id => Snapshots.committed(spark, s"$storeDir/wcounts", id))
+      } else Seq.empty
+    val w = (if (pathExists(spark, s"$storeDir/windows"))
+        spark.read.parquet(s"$storeDir/windows")
+          .filter(col("b").isin(committedIds: _*)).drop("b", "pb")
+      else spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("pos"), lit(null).cast("string").as("h")).limit(0))
+    val rep = (if (pathExists(spark, s"$storeDir/wcounts"))
+        spark.read.parquet(s"$storeDir/wcounts")
+          .filter(col("b").isin(committedIds: _*)).drop("b", "pb")
+      else spark.range(0).select(lit(null).cast("string").as("h"),
+        col("id").as("n")).limit(0))
       .groupBy(col("h")).agg(sum(col("n")).as("n"))
       .filter(col("n") >= 2).select(col("h"))
     val wd = org.apache.spark.sql.expressions.Window
@@ -429,9 +445,7 @@ object StreamingDedup {
     * stream (the q133 feed discipline) folded through [[spanBatch]];
     * returns the final monitor, whose oracle is exactly q192's SQL. */
   def streamingRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_span_store").toString
-    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_span_store")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
     FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
@@ -553,9 +567,7 @@ object StreamingDedup {
     val vecs = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     val cents = Similarity.centroidDirs(vecs, 16)
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_sem_store").toString
-    fs(spark, storeDir).deleteOnExit(new Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_sem_store")
     FileFeed.run(spark, vecs, nChunks = 4, col("vec_id"),
       ordered = false, purpose = "sem") { (batch, batchId) =>
       semanticBatch(batch, storeDir, cents, 0.35, batchId)

@@ -93,10 +93,7 @@ object StreamingMv {
     * stream folded through [[sampleBatch]]; returns the final monitor
     * table. */
   def streamingSampleMonitor(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_smon_store").toString
-    Snapshots.fs(spark, storeDir)
-      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_smon_store")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), col("text"))
     FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
@@ -158,10 +155,7 @@ object StreamingMv {
       .docGrams(docs.filter(col("doc_id") % 5 === 0))
       .select(col("g")).distinct().persist()
     try {
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_contam_store").toString
-      Snapshots.fs(spark, storeDir)
-        .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+      val storeDir = Snapshots.storeDir(spark, "stream_contam_store")
       FileFeed.run(spark, docs.filter(col("doc_id") % 5 =!= 0),
         nChunks = 4, col("doc_id"),
         ordered = false, purpose = "contam") { (batch, batchId) =>
@@ -176,10 +170,7 @@ object StreamingMv {
     * folded through [[mvBatch]]; returns the final MV, whose oracle is
     * the plain one-shot SQL aggregate over the whole table. */
   def streamingMv(spark: SparkSession, dir: String): DataFrame = {
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_mv_store").toString
-    Snapshots.fs(spark, storeDir)
-      .deleteOnExit(new org.apache.hadoop.fs.Path(storeDir))
+    val storeDir = Snapshots.storeDir(spark, "stream_mv_store")
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     FileFeed.run(spark, ev, nChunks = 4, col("event_id"),

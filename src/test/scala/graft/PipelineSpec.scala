@@ -1703,11 +1703,10 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("IVFADC == flat PQ-ADC on clustered data; fixture output well-formed") {
+  test("residual IVFADC: round-trip, clustered recall, LUT dispatch parity") {
     import spark.implicits._
     // clustered corpus (see the recall-gate spec): each query's true
-    // neighbors live in its own cluster, whose cell the probe always
-    // covers, so cell-bounding must not change the ADC answer
+    // neighbors live in its own cluster, whose cell the probe covers
     val rnd = new scala.util.Random(11)
     val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
     val rows = (0 until 16).map(c => (c.toLong, centers(c).toSeq)) ++
@@ -1717,17 +1716,47 @@ class PipelineSpec extends AnyFunSuite {
           centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq)
       }
     val vecs = rows.toDF("vec_id", "embedding")
-    // cell-bounding equivalence is a property of the IVF composition,
-    // not the codebook rung: compare at the SAME rung (trainIters = 0 ≡
-    // pqAdcTopKFrom's seed codebook; the registered q159 uses the
-    // trained rung, gated separately by q179)
-    val flat = Similarity.pqAdcTopKFrom(vecs, queryMod = 40L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val ivf = Similarity.ivfAdcTopKFrom(vecs, queryMod = 40L, trainIters = 0)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(ivf.nonEmpty && ivf.toSeq == flat.toSeq)
-    // fixture: well-formed ranks, no self-matches, candidates probed-only
+    val eq = vecs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+    // residual round-trip: residualize is the exact integer subtraction
+    // e − cents(cell), verified component-wise in the JVM
+    val cents = Similarity.trainQuantizedCents(eq, 16,
+      Similarity.IvfCoarseIters)
+    val assigned = Similarity.assignQuantizedCells(eq, cents)
+    val orig = assigned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](1)))).toMap
+    val res = Similarity.residualize(assigned, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(res.nonEmpty)
+    res.foreach { case (id, cell, re) =>
+      val (ocell, oe) = orig(id)
+      assert(cell == ocell)
+      assert(re.indices.forall(i => re(i) == oe(i) - cents(cell.toInt)(i)),
+        s"residual round-trip broke for vec $id")
+    }
+    // residual encoding spends the codebook on within-cell detail: on
+    // the clustered corpus the trained index at nprobe=1 must recover
+    // the full exact top-3 for every query (true neighbors share the
+    // query's own cell; the residual codes separate them)
+    val rec = Similarity.ivfAdcRecallEvalFrom(vecs, queryMod = 40L,
+        nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rec.nonEmpty && rec.forall(_._2 == 3L),
+      s"clustered residual recall@3 must be full: ${rec.toSeq}")
+    // per-(query, cell) LUT dispatch: broadcast branch ≡ literal branch
+    val seeds = eq.orderBy(col("vec_id")).limit(16)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val cb = Array.tabulate(4)(m => seeds.map(_.slice(m * 16, (m + 1) * 16)))
+    val qres = Similarity.residualize(assigned, cents)
+      .filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id").as("query_id"), col("cell"), col("e"))
+    def luts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Seq[Long]](2)).toMap
+    val ll = luts(Similarity.pqQueryLutsLit(qres, cb))
+    val lb = luts(Similarity.pqQueryLutsBcast(qres, cb))
+    assert(ll.nonEmpty && ll == lb)
+    // fixture: well-formed ranks, no self-matches
     val fx = Similarity.ivfAdcTopK(spark, sf).collect()
     assert(fx.nonEmpty)
     fx.groupBy(_.getLong(0)).foreach { case (q, rs) =>

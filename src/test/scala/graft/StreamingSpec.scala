@@ -958,6 +958,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replay of a committed batch mutated the MV")
   }
 
+  test("spark.graft.storeRoot: registered stream runs against a non-default root") {
+    import graft.streaming.StreamingDedup
+    // a cluster deployment points the streaming state stores at a shared
+    // FS root via spark.graft.storeRoot; here the "shared FS" is a fresh
+    // local dir NOT under java.io.tmpdir's graft_ prefix — the store and
+    // feed must land under it, results unchanged vs batch q192
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rootspec").toString + "/nested/stores"
+    spark.conf.set("spark.graft.storeRoot", root)
+    try {
+      val got = StreamingDedup.streamingRepeatedSpans(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = graft.operators.Dedup.repeatedSpansFrom(
+          Tables(spark, sf).documents.select(col("doc_id"), col("text")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.nonEmpty && got == want,
+        "stream against a configured root must equal batch q192")
+      val created = new java.io.File(root).list().toSeq
+      assert(created.exists(_.startsWith("stream_span_store-")),
+        s"span store must live under the configured root: $created")
+      assert(created.exists(_.startsWith("feed_spans-")),
+        s"feed must live under the configured root: $created")
+      // stores under a configured root are retained (shared state
+      // outlives the driver): the committed artifacts are really there
+      val storeDir = created.find(_.startsWith("stream_span_store-")).get
+      assert(new java.io.File(s"$root/$storeDir/wcounts").exists,
+        "committed store artifacts must persist under the root")
+      // a second invocation gets a FRESH store dir (the
+      // createTempDirectory uniqueness contract on the shared root)
+      val again = StreamingDedup.streamingRepeatedSpans(spark, sf).collect()
+      assert(again.nonEmpty)
+      assert(new java.io.File(root).list()
+        .count(_.startsWith("stream_span_store-")) == 2)
+    } finally spark.conf.unset("spark.graft.storeRoot")
+  }
+
   test("streaming spans: monitor == batch detector after EVERY batch; replays no-op") {
     import graft.streaming.StreamingDedup
     val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
