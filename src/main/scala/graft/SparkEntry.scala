@@ -255,6 +255,8 @@ object SparkEntry {
     "q199_containment_join" -> (Dedup.containmentJoin _),
     "q200_cluster_balanced_sample" ->
       (Similarity.clusterBalancedSample _),
+    "q209_bpe_merges"      -> (graft.operators.Bpe.bpeMerges _),
+    "q210_bpe_token_stats" -> (graft.operators.Bpe.bpeTokenStats _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1817,6 +1819,48 @@ object SparkEntry {
          |             FROM u$i GROUP BY m, j) u USING (m, j))""".stripMargin
     }.mkString(",\n")
 
+  /** The BPE training replay shared by q209/q210 — generated from the
+    * same [[operators.Bpe.BpeMerges]] constant the Spark side trains
+    * with. Per round r: adjacent-pair counts over the sentinel-wrapped
+    * symbol strings (p_r), the deterministic winner (b_r — count desc,
+    * then lexicographic (pa, pb)), and the merged strings (s_r) via the
+    * SAME left-to-right non-overlapping `replace` the Spark side runs.
+    * An empty round (every word fully merged) leaves b_r empty and s_r
+    * = s_{r-1} via the LEFT JOIN CASE — mirroring the trainer's early
+    * stop. The `strlen = length` gate is the q201 byte-transparency
+    * rule: only ASCII words train, so the U+0001/U+0002 sentinels
+    * cannot collide and per-code-point slicing agrees cross-engine. */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to operators.Bpe.BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT arr[i] AS pa, arr[i+1] AS pb,
+         |    CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, string_split(s[2:len(s)-1],
+         |          chr(2)||chr(1)) AS arr FROM s${r - 1}),
+         |       LATERAL (SELECT unnest(range(1, len(arr))) AS i) ix
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT $r AS merge_rank, pa, pb, n FROM p$r
+         |  ORDER BY n DESC, pa, pb LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    CASE WHEN b.pa IS NULL THEN s
+         |         ELSE replace(s, chr(1)||b.pa||chr(2)||chr(1)||b.pb||chr(2),
+         |                      chr(1)||b.pa||b.pb||chr(2)) END AS s
+         |  FROM s${r - 1} LEFT JOIN b$r b ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND strlen(w) = length(w)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    array_to_string(list_transform(range(1, len(w)+1),
+       |      i -> chr(1) || w[i:i] || chr(2)), '') AS s
+       |  FROM wc),
+       |$rounds""".stripMargin
+  }
+
   private def ivfCellCtes: String =
     s"""cent AS (
        |  SELECT list(cl ORDER BY vec_id) AS cents FROM (
@@ -3003,6 +3047,31 @@ object SparkEntry {
         |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
         |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_pm
         |FROM s WHERE n >= 2 ORDER BY 1""".stripMargin,
+    // q209: BPE merge table — the unrolled training replay (p/b/s CTE
+    // blocks generated from Bpe.BpeMerges), union of the per-round
+    // winners. Both engines run the identical sentinel-string
+    // replace-all greedy merge (see Bpe's docstring).
+    "q209_bpe_merges" ->
+      s"""WITH $bpeTrainCtes
+        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, pa, pb, n FROM (
+        |  ${(1 to operators.Bpe.BpeMerges)
+             .map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+        |ORDER BY merge_rank""".stripMargin,
+    // q210: whitespace-vs-BPE token accounting — the trained final
+    // symbol strings' token counts joined back onto the corpus word
+    // explosion; non-ASCII words (excluded from training) count 1.
+    "q210_bpe_token_stats" ->
+      s"""WITH $bpeTrainCtes,
+        |wt AS (SELECT w, CAST(len(string_split(s[2:len(s)-1],
+        |    chr(2)||chr(1))) AS BIGINT) AS n_tok
+        |  FROM s${operators.Bpe.BpeMerges})
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        |       CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_bpe_tokens
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |LEFT JOIN wt USING (w)
+        |WHERE w <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q208: pairwise Pearson over the shared daily series — integer
     // sums, variance factors cast to double before their product, one
     // sqrt + division on identical IEEE operands under the floor.

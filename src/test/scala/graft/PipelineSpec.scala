@@ -1807,6 +1807,40 @@ class PipelineSpec extends AnyFunSuite {
       s"re-rank must lift fixture recall: $plainHits -> $rerankHits")
   }
 
+  test("BPE: planted corpus trains the hand-computed merges; greedy direction pinned") {
+    import spark.implicits._
+    // aaa×5, ab×3 (héllo is non-ASCII → excluded from training, counts
+    // 1 token). Hand-derivation: r1 (a,a) n=10 [two overlapping
+    // positions per aaa]; greedy LEFT-to-right merge gives aaa→[aa,a],
+    // so r2 learns (aa,a) n=5 — a right-to-left rule would learn
+    // (a,aa) instead, which is what this pins; r3 (a,b) n=3; r4 no
+    // pairs → early stop at 3 of BpeMerges=8 rounds.
+    val docs = Seq(
+      (10L, "aaa aaa aaa aaa"),
+      (11L, "ab ab ab"),
+      (12L, "héllo aaa")).toDF("doc_id", "text")
+    val merges = operators.Bpe.bpeMergesFrom(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", 10L), (2L, "aa", "a", 5L), (3L, "a", "b", 3L)),
+      s"planted merges: ${merges.toSeq}")
+    val stats = operators.Bpe.bpeTokenStatsFrom(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((10L, 4L, 4L), (11L, 3L, 3L), (12L, 2L, 2L)),
+      s"planted token stats: ${stats.toSeq}")
+    // fixture sanity: per doc, ws tokens <= bpe tokens <= non-space chars
+    val fx = operators.Bpe.bpeTokenStats(spark, sf)
+      .join(graft.Tables(spark, sf).documents, Seq("doc_id"))
+      .select(col("n_ws_tokens"), col("n_bpe_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+      .collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1) && r.getLong(1) <= r.getLong(2),
+        s"token accounting out of range: $r")
+    }
+  }
+
   test("trend slopes: planted linear series recovered exactly; JVM OLS replay on fixture") {
     import spark.implicits._
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
