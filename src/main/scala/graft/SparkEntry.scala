@@ -257,6 +257,8 @@ object SparkEntry {
       (Similarity.clusterBalancedSample _),
     "q209_bpe_merges"      -> (graft.operators.Bpe.bpeMerges _),
     "q210_bpe_token_stats" -> (graft.operators.Bpe.bpeTokenStats _),
+    "q211_modularity_communities" ->
+      ((s, d) => GraphOps.modularityCommunities(s, d)),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1088,7 +1090,57 @@ object SparkEntry {
        |SELECT node, label AS community FROM l5 ORDER BY node""".stripMargin
   }
 
+  /** q211 oracle: the synchronous modularity-greedy local-move phase
+    * unrolled to [[operators.GraphOps.LouvainRounds]] rounds — per
+    * round the integer gain 2m·k_{i,c} − k_i·(Σtot_c − [c=own]·k_i)
+    * over neighbor communities plus the stay option, argmax with
+    * (gain DESC, stay-first, c ASC) ordering, applied only to the
+    * round's node-id parity class (the deterministic 2-coloring
+    * schedule that breaks synchronous swap cycles). Identical rule to
+    * GraphOps.modularityCommunitiesFrom. */
+  private val modularityOracle: String = {
+    val rounds = (1 to operators.GraphOps.LouvainRounds).map { r =>
+      s"""k$r AS (
+         |  SELECT e.src AS node, l.label AS c, CAST(count(*) AS BIGINT) AS kic
+         |  FROM ue e JOIN lv${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+         |t$r AS (
+         |  SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
+         |  FROM lv${r - 1} l JOIN deg d USING (node) GROUP BY 1),
+         |c$r AS (
+         |  SELECT node, c, max(kic) AS kic FROM (
+         |    SELECT node, c, kic FROM k$r
+         |    UNION ALL SELECT node, label AS c, 0 FROM lv${r - 1})
+         |  GROUP BY 1, 2),
+         |g$r AS (
+         |  SELECT x.node, x.c, li.label AS own,
+         |    m.m2 * x.kic - d.deg *
+         |      (t.tot - CASE WHEN x.c = li.label THEN d.deg ELSE 0 END)
+         |      AS gain
+         |  FROM c$r x JOIN t$r t USING (c)
+         |  JOIN lv${r - 1} li ON li.node = x.node
+         |  JOIN deg d ON d.node = x.node CROSS JOIN mm m),
+         |lv$r AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN node % 2 = ${r % 2} THEN c ELSE own END AS label
+         |  FROM (
+         |    SELECT node, c, own, row_number() OVER (PARTITION BY node
+         |      ORDER BY gain DESC, CASE WHEN c = own THEN 0 ELSE 1 END, c)
+         |      AS rk
+         |    FROM g$r) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM ue GROUP BY 1),
+       |mm AS (SELECT CAST(sum(deg) AS BIGINT) AS m2 FROM deg),
+       |lv0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+       |$rounds
+       |SELECT node, label AS community
+       |FROM lv${operators.GraphOps.LouvainRounds} ORDER BY node"""
+      .stripMargin
+  }
+
   private val graphOracles: Map[String, String] = Map(
+    "q211_modularity_communities" -> modularityOracle,
     "q91_sssp_paths" -> ssspPathsOracle,
     // q127: the batched form — 5 origins through the same unrolled DP,
     // argmin per (origin, node)

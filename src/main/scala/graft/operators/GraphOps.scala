@@ -1041,6 +1041,102 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Registered rounds for the modularity-greedy community detection —
+    * mirrored in the oracle's l0..lN unroll (SparkEntry generates it
+    * from this constant); keep the two in sync. Even so each node-id
+    * parity class is scheduled rounds/2 times; the two-triangle spec
+    * converges by round 4, the fixture by ~6. */
+  private[graft] val LouvainRounds = 6
+
+  /** Modularity-greedy community detection (q211) — the Louvain local-
+    * move phase as a synchronous, DETERMINISTIC fixed-point iteration:
+    * each scheduled node moves to the neighboring community with the
+    * best modularity gain. For node i with degree k_i and candidate
+    * community c, the gain of joining c is (up to the constant 1/2m²)
+    *   gain(c) = 2m·k_{i,c} − k_i·(Σtot_c − [c = own]·k_i)
+    * — all INTEGER (2m = total degree mass, k_{i,c} = i's edges into c,
+    * Σtot_c = degree mass of c, own community excludes i itself), so
+    * the argmax and therefore the whole trajectory replays bit-exactly
+    * in SQL. Ties prefer staying, then the smallest community label.
+    * The stay option (c = own, gain 0 for a singleton) is always a
+    * candidate, so a node never moves at a loss.
+    *
+    * Synchronous Louvain oscillates on symmetric structures (two nodes
+    * swapping into each other's community forever); the standard
+    * distributed fix is a coloring schedule (Halappanavar et al.) —
+    * here the deterministic 2-coloring by node-id parity: round r
+    * updates only nodes with node % 2 = r % 2, everyone else carries
+    * forward. That breaks every 2-cycle (one endpoint moves first) and
+    * keeps the unrolled-oracle discipline — the schedule is a pure
+    * function of (node, round).
+    *
+    * For the LLM pipeline this is the topic-grouping rung over the
+    * q129 near-dup graph (cluster dup components into themes for
+    * mixture decisions); registered here over the standard fixture
+    * graph, with the `From` variant taking any symmetrized edge list.
+    *
+    * Overflow envelope: |gain| ≤ 2m·max(k_i) — Long-safe through
+    * 10¹² edges × 10⁶ max degree; ANSI fails fast beyond.
+    *
+    * Scale shape per round (the q38 shape): one edges⋈labels join +
+    * a (node, c) count, a label-keyed degree-mass aggregate, and one
+    * node-keyed argmax window — all linear in edge mass; a 20k-degree
+    * hub contributes ≤ degree candidate rows, so no hub cap is needed
+    * (candidate mass is bounded by the edge list itself). Lineage cut
+    * per round. */
+  def modularityCommunities(spark: SparkSession, dir: String,
+      rounds: Int = LouvainRounds): DataFrame =
+    modularityCommunitiesFrom(undirectedEdges(Tables(spark, dir)), rounds)
+
+  /** Same, over an arbitrary symmetrized (src, dst) edge relation. */
+  private[graft] def modularityCommunitiesFrom(ue: DataFrame,
+      rounds: Int = LouvainRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = ue.persist()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).persist()
+    val m2 = deg.agg(sum(col("deg"))).head().getLong(0) // 2m
+    var labels = deg.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val kic = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("c")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("kic"))
+      val tot = labels.join(deg, Seq("node"))
+        .groupBy(col("label").as("c")).agg(sum(col("deg")).as("tot"))
+      // candidates = neighbor communities ∪ the stay option (kic 0 when
+      // no neighbor shares the node's community; max() keeps the real
+      // count when one does)
+      val cands = kic
+        .unionByName(labels.select(col("node"),
+          col("label").as("c"), lit(0L).as("kic")))
+        .groupBy(col("node"), col("c")).agg(max(col("kic")).as("kic"))
+      val scored = cands
+        .join(tot, Seq("c"))
+        .join(labels, Seq("node"))
+        .join(deg, Seq("node"))
+        .withColumn("gain", lit(m2) * col("kic") - col("deg") *
+          (col("tot") - when(col("c") === col("label"), col("deg"))
+            .otherwise(lit(0L))))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("gain").desc,
+          when(col("c") === col("label"), lit(0)).otherwise(lit(1)),
+          col("c").asc)
+      labels = scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(r % 2), col("c"))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); deg.unpersist()
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Synchronous label propagation, 5 rounds, DETERMINISTIC: every round
     * each node takes the most frequent label among its neighbors, ties
     * broken by smallest label (GraphX's LPA breaks ties by hash-map

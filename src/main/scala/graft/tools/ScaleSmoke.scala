@@ -115,6 +115,19 @@ object ScaleSmoke {
         graft.operators.Dedup.winnowFingerprintsFrom(docs)
           .agg(sum(col("n_fp"))).head().getLong(0)
       }
+      // BPE rung (q209/q210's shape): the ONLY corpus-scale terms are
+      // the word-count aggregate and the final encode join — every
+      // merge round runs on the distinct-word vocabulary, which the
+      // copyvariant tails grow only by ~mult words, so 10× corpus mass
+      // must cost well under 10× wall.
+      time(s"bpe_train_and_count") {
+        val stats = graft.operators.Bpe.bpeTokenStatsFrom(spark, docs)
+        val r = stats.agg(sum(col("n_ws_tokens")), sum(col("n_bpe_tokens")))
+          .head()
+        println(s"[scale]   bpe: ws_tokens=${r.getLong(0)} " +
+          s"bpe_tokens=${r.getLong(1)}")
+        r.getLong(1)
+      }
       val vecs = (0 until mult).map { i =>
         t.embeddings.select(
           (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding"))
@@ -581,6 +594,25 @@ object ScaleSmoke {
         println(s"[scale]   ktruss hub: survivors=$survivors " +
           s"rounds=$rounds (hub deg=$hubDeg)")
         survivors
+      }
+      // modularity communities (q211's shape) on the SAME planted-hub
+      // graph: per round the hub contributes deg candidate rows (its
+      // distinct neighbor labels), never deg² — candidate mass is
+      // bounded by the edge list, so no hub cap exists or is needed.
+      // Cost must track edge mass round-over-round.
+      time(s"modularity_planted_hub") {
+        val hubId = mult * 10000000L + 888888L
+        val hubDeg = 20000L * mult
+        val hub = spark.range(1, hubDeg + 1)
+          .select(lit(hubId).as("src"), col("id").as("dst"))
+        val ueHub = ue.union(hub)
+          .union(hub.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val cm = graft.operators.GraphOps.modularityCommunitiesFrom(ueHub)
+        val nComm = cm.select(col("community")).distinct().count()
+        println(s"[scale]   modularity: nodes=${cm.count()} " +
+          s"communities=$nComm (hub deg=$hubDeg)")
+        nComm
       }
       // IVFADC operating-point sweep (q159/q179's shape): recall@3 vs
       // the exact integer L2 top-3 at nprobe ∈ {1,2,4,8} on trained
