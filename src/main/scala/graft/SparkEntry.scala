@@ -259,6 +259,7 @@ object SparkEntry {
     "q210_bpe_token_stats" -> (graft.operators.Bpe.bpeTokenStats _),
     "q211_modularity_communities" ->
       ((s, d) => GraphOps.modularityCommunities(s, d)),
+    "q212_span_units"      -> (Dedup.spanUnits _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2652,6 +2653,37 @@ object SparkEntry {
     // windows run-merged per doc into maximal spans. Parallel unnests
     // zip in DuckDB, pairing each position with its gram.
     "q192_repeated_spans" -> repeatedSpansOracle,
+    // q212: the q192 runs plus the verbatim-unit check — span digest =
+    // md5 of member-window digests in position order, unit count over
+    // span rows; verbatim ⟺ the maximal run repeats as a unit.
+    "q212_span_units" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(ws) - 8 + 2)) AS pos,
+        |    unnest(list_transform(range(1, len(ws) - 8 + 2),
+        |      i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM w),
+        |rep AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos, g FROM sh SEMI JOIN rep USING (g)),
+        |runs AS (
+        |  SELECT doc_id, pos, g,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |    CAST(count(*) AS BIGINT) AS n_windows,
+        |    md5(string_agg(md5(g), '|' ORDER BY pos)) AS span_digest
+        |  FROM runs GROUP BY doc_id, grp),
+        |units AS (
+        |  SELECT span_digest, CAST(count(*) AS BIGINT) AS n_unit_copies
+        |  FROM spans GROUP BY 1)
+        |SELECT doc_id, span_start,
+        |  CAST(n_windows + 7 AS BIGINT) AS span_tokens, n_windows,
+        |  span_digest, n_unit_copies, n_unit_copies >= 2 AS verbatim
+        |FROM spans JOIN units USING (span_digest)
+        |ORDER BY doc_id, span_start""".stripMargin,
     // q202: the STREAMING span monitor must land on the identical
     // table — the oracle is literally q192's replay; any divergence
     // between the ingest-time window index + summed count deltas and

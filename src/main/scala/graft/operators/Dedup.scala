@@ -554,6 +554,56 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Verbatim-unit verification over the span tier (q212) — the rung
+    * that distinguishes "this passage is a VERBATIM repeated unit"
+    * from "this span is a MOSAIC of independently-common phrases".
+    * q192's coverage semantics flag every maximal run of duplicated
+    * n-token windows; two very different corpus phenomena produce such
+    * runs: a passage copied whole (every window AND the whole unit
+    * repeat), and a chain of boilerplate phrases whose windows each
+    * repeat SOMEWHERE but whose concatenation exists only here. A
+    * cleaning pipeline treats them differently (drop the copy; keep
+    * the mosaic, maybe down-weight), so each span gets a unit check:
+    * span_digest = md5 of the span's member-window digests in position
+    * order, and `verbatim` ⟺ ≥2 maximal runs in the corpus share that
+    * digest (equal digest sequence ⟺ equal token sequence, modulo
+    * md5). Note the unit is the MAXIMAL run: a verbatim passage
+    * embedded in a longer flagged run (e.g. extended by adjacent
+    * boilerplate) reports the longer run's digest — the honest
+    * coverage-tier semantics, spec-pinned on a planted
+    * mosaic-vs-verbatim corpus.
+    *
+    * Scale shape: q192's funnel plus ONE extra aggregate over flagged
+    * mass only (the ordered digest concat rides the existing per-span
+    * group-by; the unit count is a digest-keyed count over span rows —
+    * spans, not windows). Zero pair enumeration, no cap needed. */
+  def spanUnits(spark: SparkSession, dir: String): DataFrame =
+    spanUnitsFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def spanUnitsFrom(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = spanShingles(docs, n)
+    val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = sh.join(rep, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("n_windows"),
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("pos"), col("h")))),
+          p => p.getField("h")))).as("span_digest"))
+    val units = spans.groupBy(col("span_digest"))
+      .agg(count(lit(1)).as("n_unit_copies"))
+    spans.join(units, Seq("span_digest"))
+      .select(col("doc_id"), col("span_start"),
+        (col("n_windows") + (n - 1)).as("span_tokens"), col("n_windows"),
+        col("span_digest"), col("n_unit_copies"),
+        (col("n_unit_copies") >= 2).as("verbatim"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Repeated-span CLEANING (q193) — the action tier over [[repeatedSpans]]'
     * detection, completing the Lee et al. rule: every duplicated n-token
     * window elects ONE canonical occurrence (the lexicographically first

@@ -2163,6 +2163,42 @@ class PipelineSpec extends AnyFunSuite {
       assert(GraphOps.edgeWeightJvm(s, d) == naive(s, d)) }
   }
 
+  test("span units: planted verbatim passage flags true, mosaic of phrases false") {
+    import spark.implicits._
+    // Mosaic construction: C = A·B (16 tokens); D = A·B[1..7]·d1 covers
+    // every junction window of C; E = B covers C's tail window. So ALL
+    // 9 of C's windows are duplicated somewhere → one maximal 16-token
+    // run — but the 16-token UNIT exists only in C (mosaic, verbatim =
+    // false). Verbatim construction: F and G each embed the identical
+    // 12-token passage P behind unique padding — both maximal runs are
+    // exactly P's 5 windows, equal digests → verbatim = true.
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val b7 = (1 to 7).map(i => s"b$i").mkString(" ")
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $b7 d1"),
+      (3L, b),
+      (4L, s"f1 f2 $p f3"),
+      (5L, s"g1 $p g2 g3")).toDF("doc_id", "text")
+    val got = Dedup.spanUnitsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 16L, 9L, 1L, false),  // the mosaic: all windows covered,
+                                     // unit exists nowhere else
+      (2L, 1L, 15L, 8L, 1L, false),
+      (3L, 1L, 8L, 1L, 1L, false),
+      (4L, 3L, 12L, 5L, 2L, true),   // the verbatim passage, both copies
+      (5L, 2L, 12L, 5L, 2L, true)),
+      s"span units: ${got.toSeq}")
+    // the two verbatim rows must share their digest; the mosaics not
+    val dig = Dedup.spanUnitsFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(dig(4L) == dig(5L) && dig(1L) != dig(2L))
+  }
+
   test("repeated spans: planted k-token span found with exact boundaries") {
     import spark.implicits._
     // a 20-token span shared verbatim by docs 1 and 2 at different
