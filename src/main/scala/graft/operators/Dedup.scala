@@ -843,6 +843,49 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Candidate-mass diagnostic for the q140 filter rungs (ScaleSmoke's
+    * zipf-vocabulary row): distinct (ia, ib) pairs surviving each stage
+    * — (every token collision, prefix+length filter, prefix+length+
+    * positional filter, verified true pairs). Same construction as
+    * [[jaccardJoinFrom]], counts only; exists because the registered
+    * fixture's ~50-word vocabulary is the WORST case for df-ordered
+    * prefixes (lowest-df terms still hit most docs) — on a realistic
+    * skewed vocabulary this measures what the filters actually buy. */
+  private[graft] def jaccardCandidateDiag(docs: DataFrame,
+      tauNum: Int = 4, tauDen: Int = 5): (Long, Long, Long, Long) = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().persist()
+    val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byDoc = toks.join(dfreq, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("df"), col("term"))))
+          .as("ordered"))
+      .persist()
+    val lenP = (col("n") -
+      expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
+    val prefix = byDoc.select(col("doc_id"), col("n"),
+      posexplode(slice(col("ordered"), lit(1), lenP)).as(Seq("p0", "p")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
+        col("p.term").as("term"))
+    def pairs(df: DataFrame, extra: Column): Long = df.alias("x")
+      .join(df.alias("y"), col("x.term") === col("y.term") &&
+        col("x.doc_id") < col("y.doc_id") && extra)
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val lengthF = least(col("x.n"), col("y.n")) * tauDen >=
+      greatest(col("x.n"), col("y.n")) * tauNum
+    val posF = (lit(1) + least(col("x.n") - col("x.pos"),
+        col("y.n") - col("y.pos"))) * (tauNum + tauDen) >=
+      (col("x.n") + col("y.n")) * tauNum
+    val unfiltered = pairs(toks, lit(true))
+    val prefixLen = pairs(prefix, lengthF)
+    val full = pairs(prefix, lengthF && posF)
+    val verified = jaccardJoinFrom(docs, tauNum, tauDen).count()
+    toks.unpersist(); byDoc.unpersist()
+    (unfiltered, prefixLen, full, verified)
+  }
+
   /** Hot-gram cap for the containment join (q199) — a gram shared by
     * more documents than this is excluded from candidate generation
     * (its df² pair mass would dominate) and its mass reported; mirrored

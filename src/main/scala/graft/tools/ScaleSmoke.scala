@@ -595,6 +595,25 @@ object ScaleSmoke {
           s"rounds=$rounds (hub deg=$hubDeg)")
         survivors
       }
+      // q140 on a REALISTIC vocabulary (the round-14 verdict's ask): the
+      // registered fixture's ~50-word vocabulary defeats df-ordered
+      // prefixes (every term hits most docs), so this row generates a
+      // skewed (inverse-square rank, zipf-like) vocabulary — rank =
+      // V div (1 + u) over a uniform integer hash — and reports the
+      // candidate mass each PPJoin rung leaves: every-token-collision
+      // vs prefix+length vs prefix+length+positional vs verified.
+      if (mult == 1) time(s"jaccard_zipf_candidates") {
+        val nDocs = 2000; val vocab = 50000
+        val zdocs = spark.range(nDocs).select(col("id").as("doc_id"),
+          expr(s"""array_join(transform(sequence(1, 60), j ->
+            concat('z', CAST($vocab div (1 + pmod(hash(id * 100 + j),
+            $vocab)) AS STRING))), ' ')""").as("text"))
+        val (unf, pl, full, ver) =
+          graft.operators.Dedup.jaccardCandidateDiag(zdocs)
+        println(s"[scale]   zipf candidates: token_collisions=$unf " +
+          s"prefix_length=$pl +positional=$full verified=$ver")
+        full
+      }
       // modularity communities (q211's shape) on the SAME planted-hub
       // graph: per round the hub contributes deg candidate rows (its
       // distinct neighbor labels), never deg² — candidate mass is
