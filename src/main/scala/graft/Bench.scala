@@ -132,7 +132,10 @@ object Bench {
       "q175_ktruss", "q188_image_neardup",
       // the round-14-family representatives, also post-expansion
       "q193_span_dedup_clean", "q196_dsir_importance",
-      "q198_ivfadc_rerank", "q199_containment_join")
+      "q198_ivfadc_rerank", "q199_containment_join",
+      // round-15 additions — also excluded so the r13-anchored trend
+      // subtotal keeps comparing the same rows
+      "q210_bpe_token_stats", "q212_span_units")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
       .map(_._2).sum

@@ -260,6 +260,9 @@ object SparkEntry {
     "q211_modularity_communities" ->
       ((s, d) => GraphOps.modularityCommunities(s, d)),
     "q212_span_units"      -> (Dedup.spanUnits _),
+    "q213_novelty_scores"  -> (TextAnalysis.noveltyScores _),
+    "q214_bpe_sequence_pack" ->
+      (graft.operators.CorpusOps.bpeSequencePack _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2653,6 +2656,50 @@ object SparkEntry {
     // windows run-merged per doc into maximal spans. Parallel unnests
     // zip in DuckDB, pairing each position with its gram.
     "q192_repeated_spans" -> repeatedSpansOracle,
+    // q214: the q113 pack-index map over BPE token counts — the
+    // bpeTrainCtes replay feeds per-word token counts, the cumulative
+    // sum and div/% run in exact integers.
+    "q214_bpe_sequence_pack" ->
+      s"""WITH $bpeTrainCtes,
+        |wt AS (SELECT w, CAST(len(string_split(s[2:len(s)-1],
+        |    chr(2)||chr(1))) AS BIGINT) AS n_tok
+        |  FROM s${operators.Bpe.BpeMerges}),
+        |toks AS (
+        |  SELECT doc_id, CAST(sum(coalesce(n_tok, 1)) AS BIGINT)
+        |    AS n_tokens
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  LEFT JOIN wt USING (w)
+        |  WHERE w <> ''
+        |  GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 2048 AS pack_id,
+        |  start_tok % 2048 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q213: per-doc novelty — distinct 8-grams with corpus df = 1 as a
+    // fraction of the doc's distinct grams (the q117 gram fragment).
+    "q213_novelty_scores" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |dfq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_pm
+        |FROM grams JOIN dfq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q212: the q192 runs plus the verbatim-unit check — span digest =
     // md5 of member-window digests in position order, unit count over
     // span rows; verbatim ⟺ the maximal run repeats as a unit.
@@ -4118,5 +4165,14 @@ object SparkEntry {
     // IVFADC + exact re-rank (the served production ANN posture):
     "q198_ivfadc_rerank",
     // directed shingle-containment join (quote-inclusion dedup):
-    "q199_containment_join")
+    "q199_containment_join",
+    // round 15: one representative per round-15 family (q211 modularity
+    // is deliberately NOT here — 6 fixed supersteps at sf0.1 measure
+    // per-round scheduler overhead, the q124 argument; ScaleSmoke owns
+    // its scale row).
+    // BPE train + token accounting (vocabulary-scale merge loop; the
+    // TrainedCache makes iterations 2+ measure the encode pass):
+    "q210_bpe_token_stats",
+    // span-tier verbatim-unit check (q192 funnel + digest aggregate):
+    "q212_span_units")
 }

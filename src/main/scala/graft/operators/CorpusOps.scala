@@ -107,6 +107,12 @@ object CorpusOps {
     val toks = Tables(spark, dir).documents.select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    packByTokens(spark, toks)
+  }
+
+  /** The pack-index map over an arbitrary (doc_id, n_tokens) relation —
+    * shared by q113 (whitespace/regex tokens) and q214 (BPE tokens). */
+  private def packByTokens(spark: SparkSession, toks: DataFrame): DataFrame = {
     val bucketed = GlobalOrder.bucketizeByValue(toks, col("doc_id"), desc = false)
     val (bases, _) = GlobalOrder.exclusiveOffsets(bucketed,
       Seq(sum(col("n_tokens")).as("t")))
@@ -122,6 +128,21 @@ object CorpusOps {
         expr(s"start_tok div $Context").as("pack_id"),
         (col("start_tok") % lit(Context)).as("pack_offset"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BPE-budget sequence packing (q214) — q113's pack-index map
+    * computed over the TOKENIZER-aware counts (q210's trained BPE
+    * encoder): documents concatenate in doc_id order and split into
+    * fixed Context-token windows measured in BPE tokens, which is the
+    * budget a training-data writer actually packs against (model
+    * tokens, not whitespace words — the whitespace map misplaces every
+    * boundary by the expansion factor q210 measures). Cost = q210's
+    * two corpus passes (training cached per snapshot) + the
+    * [[GlobalOrder]] two-pass; nothing new scales with corpus mass. */
+  def bpeSequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Bpe.bpeTokenStats(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    packByTokens(spark, toks)
   }
 
   /** Bounded cache slot for the decile-bucketed scan. */

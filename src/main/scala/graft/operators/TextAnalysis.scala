@@ -90,6 +90,37 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
 
+  /** Per-document n-gram NOVELTY score (q213) — the inverse quality
+    * signal of the dup tier: the per-mille-of-million fraction of a
+    * document's distinct word-8-grams that occur in NO other document
+    * (corpus document frequency 1). Near-duplicate and boilerplate-
+    * heavy documents score near 0; genuinely original text scores near
+    * 10⁶. A curation pipeline uses this as a soft mixture weight where
+    * q40/q42 make hard drop decisions — the standard "repetition vs
+    * novelty" axis of corpus quality dashboards.
+    *
+    * Scale shape: the distinct (doc, gram) relation shuffles once on
+    * the gram for document frequencies (map-side combinable), probes
+    * back (same key — one shuffle pair, the q117 family shape), and
+    * aggregates per doc. Linear in distinct gram mass, no pair
+    * enumeration, no caps. Documents shorter than 8 words have no
+    * grams and no row (the gate family's convention). */
+  def noveltyScores(spark: SparkSession, dir: String): DataFrame =
+    noveltyScoresFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def noveltyScoresFrom(docs: DataFrame): DataFrame = {
+    val g = docGrams(docs)
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document contamination SCORE — the graded companion to the
     * binary [[decontaminate]] gate: for every corpus document, the
     * fraction (per-mille) of its distinct 8-grams that appear in the

@@ -2163,6 +2163,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(GraphOps.edgeWeightJvm(s, d) == naive(s, d)) }
   }
 
+  test("novelty scores: dup docs 0, unique doc 1e6, mixed doc exact per-mille") {
+    import spark.implicits._
+    // doc1 == doc2 (every gram df 2 → novelty 0); doc3 all-unique
+    // (novelty 10⁶); doc4 shares exactly its first window with doc1/2
+    // (5 windows, 4 novel → 800000)
+    val c = (1 to 12).map(i => s"c$i").mkString(" ")
+    val u = (1 to 12).map(i => s"u$i").mkString(" ")
+    val mixed = ((1 to 8).map(i => s"c$i") ++ (20 to 23).map(i => s"u$i"))
+      .mkString(" ")
+    val docs = Seq((1L, c), (2L, c), (3L, u), (4L, mixed))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.noveltyScoresFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 0L, 0L), (2L, 5L, 0L, 0L),
+      (3L, 5L, 5L, 1000000L), (4L, 5L, 4L, 800000L)),
+      s"novelty: ${got.toSeq}")
+  }
+
+  test("BPE sequence pack: fixture map replays the cumulative BPE counts exactly") {
+    // JVM replay: the pack map must be the exact integer cumulative sum
+    // of q210's BPE counts in doc_id order, div/% Context = 2048
+    val counts = operators.Bpe.bpeTokenStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    var cum = 0L
+    val want = counts.map { case (id, n) =>
+      val start = cum; cum += n
+      (id, n, start, start / 2048L, start % 2048L)
+    }.toSeq
+    val got = operators.CorpusOps.bpeSequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == want)
+    // the tokenizer-aware map genuinely differs from the whitespace map
+    // (the expansion factor is the point of the rung)
+    val ws = operators.CorpusOps.sequencePack(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.exists { case (id, _, _, pid, _) => ws(id) != pid })
+  }
+
   test("span units: planted verbatim passage flags true, mosaic of phrases false") {
     import spark.implicits._
     // Mosaic construction: C = A·B (16 tokens); D = A·B[1..7]·d1 covers
