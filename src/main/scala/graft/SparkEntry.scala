@@ -263,6 +263,7 @@ object SparkEntry {
     "q213_novelty_scores"  -> (TextAnalysis.noveltyScores _),
     "q214_bpe_sequence_pack" ->
       (graft.operators.CorpusOps.bpeSequencePack _),
+    "q215_louvain_two_level" -> (GraphOps.louvainTwoLevel _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1102,49 +1103,86 @@ object SparkEntry {
     * round's node-id parity class (the deterministic 2-coloring
     * schedule that breaks synchronous swap cycles). Identical rule to
     * GraphOps.modularityCommunitiesFrom. */
-  private val modularityOracle: String = {
-    val rounds = (1 to operators.GraphOps.LouvainRounds).map { r =>
-      s"""k$r AS (
-         |  SELECT e.src AS node, l.label AS c, CAST(count(*) AS BIGINT) AS kic
-         |  FROM ue e JOIN lv${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
-         |t$r AS (
+  /** One Louvain move-phase CTE block over `edgeRel` (src, dst, w),
+    * CTE names prefixed `pfx` so two phases compose in one query —
+    * generated from the same rule as GraphOps.louvainMovePhase:
+    * weighted kic EXCLUDING self-loops, degrees including them,
+    * integer gains, (gain DESC, stay-first, c ASC) argmax, node-parity
+    * schedule. */
+  private def louvainPhaseCtes(pfx: String, edgeRel: String,
+      rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""${pfx}k$r AS (
+         |  SELECT e.src AS node, l.label AS c,
+         |    CAST(sum(e.w) AS BIGINT) AS kic
+         |  FROM $edgeRel e JOIN ${pfx}lv${r - 1} l ON l.node = e.dst
+         |  WHERE e.src <> e.dst GROUP BY 1, 2),
+         |${pfx}t$r AS (
          |  SELECT l.label AS c, CAST(sum(d.deg) AS BIGINT) AS tot
-         |  FROM lv${r - 1} l JOIN deg d USING (node) GROUP BY 1),
-         |c$r AS (
+         |  FROM ${pfx}lv${r - 1} l JOIN ${pfx}deg d USING (node)
+         |  GROUP BY 1),
+         |${pfx}c$r AS (
          |  SELECT node, c, max(kic) AS kic FROM (
-         |    SELECT node, c, kic FROM k$r
-         |    UNION ALL SELECT node, label AS c, 0 FROM lv${r - 1})
+         |    SELECT node, c, kic FROM ${pfx}k$r
+         |    UNION ALL SELECT node, label AS c, 0 FROM ${pfx}lv${r - 1})
          |  GROUP BY 1, 2),
-         |g$r AS (
+         |${pfx}g$r AS (
          |  SELECT x.node, x.c, li.label AS own,
          |    m.m2 * x.kic - d.deg *
          |      (t.tot - CASE WHEN x.c = li.label THEN d.deg ELSE 0 END)
          |      AS gain
-         |  FROM c$r x JOIN t$r t USING (c)
-         |  JOIN lv${r - 1} li ON li.node = x.node
-         |  JOIN deg d ON d.node = x.node CROSS JOIN mm m),
-         |lv$r AS MATERIALIZED (
+         |  FROM ${pfx}c$r x JOIN ${pfx}t$r t USING (c)
+         |  JOIN ${pfx}lv${r - 1} li ON li.node = x.node
+         |  JOIN ${pfx}deg d ON d.node = x.node CROSS JOIN ${pfx}mm m),
+         |${pfx}lv$r AS MATERIALIZED (
          |  SELECT node,
          |    CASE WHEN node % 2 = ${r % 2} THEN c ELSE own END AS label
          |  FROM (
          |    SELECT node, c, own, row_number() OVER (PARTITION BY node
          |      ORDER BY gain DESC, CASE WHEN c = own THEN 0 ELSE 1 END, c)
          |      AS rk
-         |    FROM g$r) WHERE rk = 1)""".stripMargin
+         |    FROM ${pfx}g$r) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+    s"""${pfx}deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg
+       |  FROM $edgeRel GROUP BY 1),
+       |${pfx}mm AS (SELECT CAST(sum(deg) AS BIGINT) AS m2
+       |  FROM ${pfx}deg),
+       |${pfx}lv0 AS MATERIALIZED (
+       |  SELECT node, node AS label FROM ${pfx}deg),
+       |$rs""".stripMargin
+  }
+
+  private val modularityOracle: String =
     s"""WITH $edgeCte,
-       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-       |        FROM ue GROUP BY 1),
-       |mm AS (SELECT CAST(sum(deg) AS BIGINT) AS m2 FROM deg),
-       |lv0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
-       |$rounds
+       |uew AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ue),
+       |${louvainPhaseCtes("", "uew", operators.GraphOps.LouvainRounds)}
        |SELECT node, label AS community
        |FROM lv${operators.GraphOps.LouvainRounds} ORDER BY node"""
       .stripMargin
+
+  /** q215 oracle: the q211 phase, community contraction (intra mass on
+    * the (c, c) self-loop), and a second move phase over the weighted
+    * contracted relation — label maps composed. */
+  private val louvainTwoLevelOracle: String = {
+    val n = operators.GraphOps.LouvainRounds
+    s"""WITH $edgeCte,
+       |uew AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ue),
+       |${louvainPhaseCtes("", "uew", n)},
+       |ce AS MATERIALIZED (
+       |  SELECT a.label AS src, b.label AS dst,
+       |    CAST(sum(e.w) AS BIGINT) AS w
+       |  FROM uew e JOIN lv$n a ON a.node = e.src
+       |             JOIN lv$n b ON b.node = e.dst
+       |  GROUP BY 1, 2),
+       |${louvainPhaseCtes("x", "ce", n)}
+       |SELECT l.node, l.label AS community_l1, x.label AS community
+       |FROM lv$n l JOIN xlv$n x ON x.node = l.label
+       |ORDER BY l.node""".stripMargin
   }
 
   private val graphOracles: Map[String, String] = Map(
     "q211_modularity_communities" -> modularityOracle,
+    "q215_louvain_two_level" -> louvainTwoLevelOracle,
     "q91_sssp_paths" -> ssspPathsOracle,
     // q127: the batched form — 5 origins through the same unrolled DP,
     // argmin per (origin, node)

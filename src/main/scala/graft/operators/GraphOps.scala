@@ -1090,20 +1090,35 @@ object GraphOps {
 
   /** Same, over an arbitrary symmetrized (src, dst) edge relation. */
   private[graft] def modularityCommunitiesFrom(ue: DataFrame,
-      rounds: Int = LouvainRounds): DataFrame = {
+      rounds: Int = LouvainRounds): DataFrame =
+    louvainMovePhase(
+      ue.select(col("src"), col("dst"), lit(1L).as("w")), rounds)
+      .select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+
+  /** One Louvain local-move phase over a WEIGHTED symmetrized
+    * (src, dst, w) edge relation — shared by q211 (w = 1) and the q215
+    * contracted second level. Self-loops contribute to the degree mass
+    * (a contracted community's intra-edge weight lands on its (c, c)
+    * row, already double-counted by the symmetrized representation —
+    * exactly the 2·w_ii the modularity degree needs) but never to
+    * k_{i,c}: a self-loop is not a link to another member, so the
+    * link-weight relation filters src ≠ dst. Returns (node, label). */
+  private def louvainMovePhase(ew: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = ue.persist()
+    val edges = ew.persist()
     val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).persist()
+      .agg(sum(col("w")).as("deg")).persist()
     val m2 = deg.agg(sum(col("deg"))).head().getLong(0) // 2m
+    val links = edges.filter(col("src") =!= col("dst"))
     var labels = deg.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     for (r <- 1 to rounds) {
-      val kic = edges
+      val kic = links
         .join(labels.select(col("node").as("dst"), col("label").as("c")),
           Seq("dst"))
         .groupBy(col("src").as("node"), col("c"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("w")).as("kic"))
       val tot = labels.join(deg, Seq("node"))
         .groupBy(col("label").as("c")).agg(sum(col("deg")).as("tot"))
       // candidates = neighbor communities ∪ the stay option (kic 0 when
@@ -1133,8 +1148,51 @@ object GraphOps {
         .localCheckpoint(true)
     }
     edges.unpersist(); deg.unpersist()
-    labels.select(col("node"), col("label").as("community"))
+    labels
+  }
+
+  /** Two-level Louvain (q215) — the full Blondel et al. recipe over
+    * q211's local-move phase: run phase 1 on the unit-weight graph,
+    * CONTRACT each community to a super-node (edge weights = summed
+    * multiplicities; intra-community mass becomes the super-node's
+    * self-loop, which the symmetrized representation double-counts
+    * into exactly the 2·w_ii modularity degree), then run the SAME
+    * move phase on the weighted contracted graph and compose the two
+    * label maps. This is the step that merges adjacent communities
+    * phase 1's node-granular moves cannot (a whole community moving
+    * at once) — and because the contracted graph is community-sized,
+    * the second level costs a rounding error next to the first.
+    * Well-separated communities survive contraction unmerged (the
+    * barbell spec pins phase 2 as the identity there; the bridged
+    * fixture pins a real merge). Output: (node, community_l1,
+    * community) — both levels, so a pipeline can pick its
+    * granularity. All arithmetic stays the q211 integer gain; same
+    * overflow envelope (weights sum to the original edge mass). */
+  def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame =
+    louvainTwoLevelFrom(undirectedEdges(Tables(spark, dir)))
+
+  /** Same, over an arbitrary symmetrized (src, dst) edge relation. */
+  private[graft] def louvainTwoLevelFrom(ue: DataFrame,
+      rounds1: Int = LouvainRounds,
+      rounds2: Int = LouvainRounds): DataFrame = {
+    val e1 = ue.select(col("src"), col("dst"), lit(1L).as("w")).persist()
+    val l1 = louvainMovePhase(e1, rounds1).persist()
+    val contracted = e1
+      .join(l1.select(col("node").as("src"), col("label").as("s1")),
+        Seq("src"))
+      .join(l1.select(col("node").as("dst"), col("label").as("d1")),
+        Seq("dst"))
+      .groupBy(col("s1").as("src"), col("d1").as("dst"))
+      .agg(sum(col("w")).as("w"))
+    val l2 = louvainMovePhase(contracted, rounds2)
+    val out = l1
+      .join(l2.select(col("node").as("label"),
+        col("label").as("community")), Seq("label"))
+      .select(col("node"), col("label").as("community_l1"),
+        col("community"))
       .orderBy(col("node"))
+    e1.unpersist(); l1.unpersist()
+    out
   }
 
   /** Synchronous label propagation, 5 rounds, DETERMINISTIC: every round

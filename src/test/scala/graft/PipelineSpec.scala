@@ -1006,6 +1006,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(fx.map(_.getLong(1)).toSet.size < nodes.size)
   }
 
+  test("louvain two-level: barbell unmerged, triangle ring merges (resolution limit)") {
+    import spark.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .toDF("src", "dst")
+    // barbell: the two triangles are well-separated — the contracted
+    // super-graph's bridge gain is negative (2m·1 − 7·7 < 0), so the
+    // second level is the IDENTITY on phase 1's communities
+    val barbell = sym(Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L),
+      (4L, 6L), (5L, 6L), (3L, 4L)))
+    val b = GraphOps.louvainTwoLevelFrom(barbell).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.forall { case (_, l1, l2) => l1 == l2 },
+      s"barbell phase 2 must be the identity: ${b.toSeq}")
+    assert(b.map(_._3).toSet.size == 2)
+    // ring of 10 triangles bridged by single edges — the classic
+    // resolution-limit case (Fortunato & Barthélemy): merging two
+    // adjacent triangles gains e_AB/m − 2·(tot_A·tot_B)/(2m)² =
+    // 1/40 − 2·64/6400 > 0, which node-granular moves can never
+    // realize (no single node move helps) but the contracted phase
+    // does. Phase 1 must find the 10 triangles; phase 2 must merge
+    // some adjacent pairs (strictly fewer final communities).
+    val ring = sym((0 until 10).flatMap { t =>
+      val Seq(a, b2, c) = Seq(0, 1, 2).map(i => t * 3L + i)
+      Seq((a, b2), (a, c), (b2, c),
+        (c, ((t + 1) % 10) * 3L)) // bridge to next triangle's 'a'
+    })
+    val r = GraphOps.louvainTwoLevelFrom(ring).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val l1Comms = r.map(_._2).toSet
+    val l2Comms = r.map(_._3).toSet
+    assert(l1Comms.size == 10,
+      s"phase 1 must find the 10 triangles: ${l1Comms.size}")
+    // phase 1 communities == the triangles themselves
+    assert(r.groupBy(_._2).values.forall(g =>
+      g.map(_._1 / 3).toSet.size == 1 && g.size == 3))
+    assert(l2Comms.size < 10 && l2Comms.size >= 5,
+      s"phase 2 must merge adjacent triangles: ${l2Comms.size}")
+    // coarsening validity: each phase-1 community maps to exactly one
+    // final community
+    assert(r.groupBy(_._2).values.forall(_.map(_._3).toSet.size == 1))
+  }
+
   test("routing: sssp-with-paths costs match oracle-checked SSSP; paths are valid") {
     val costs = GraphOps.sssp(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
