@@ -264,6 +264,8 @@ object SparkEntry {
     "q214_bpe_sequence_pack" ->
       (graft.operators.CorpusOps.bpeSequencePack _),
     "q215_louvain_two_level" -> (GraphOps.louvainTwoLevel _),
+    "q216_streaming_token_drift" ->
+      (graft.streaming.StreamingMv.streamingTokenDrift _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1924,7 +1926,11 @@ object SparkEntry {
     * stop. The `strlen = length` gate is the q201 byte-transparency
     * rule: only ASCII words train, so the U+0001/U+0002 sentinels
     * cannot collide and per-code-point slicing agrees cross-engine. */
-  private def bpeTrainCtes: String = {
+  private def bpeTrainCtes: String = bpeTrainCtesFrom("documents")
+
+  /** Same, trained on an arbitrary (…, text) relation — q216 trains on
+    * the chunk-0 slice only (the frozen-tokenizer posture). */
+  private def bpeTrainCtesFrom(docRel: String): String = {
     val rounds = (1 to operators.Bpe.BpeMerges).map { r =>
       s"""p$r AS (
          |  SELECT arr[i] AS pa, arr[i+1] AS pb,
@@ -1944,7 +1950,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""wc AS MATERIALIZED (
        |  SELECT w, count(*) AS cnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM $docRel)
        |  WHERE w <> '' AND strlen(w) = length(w)
        |  GROUP BY w),
        |s0 AS MATERIALIZED (
@@ -2720,6 +2726,48 @@ object SparkEntry {
         |  start_tok // 2048 AS pack_id,
         |  start_tok % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q216: the streaming drift monitor — chunking replayed
+    // arithmetically (the ordered feed's doc_id-range bins), merges
+    // trained on chunk 0, the FULL vocabulary encoded under the frozen
+    // table (unrolled e0..eN), per-chunk token mass.
+    "q216_streaming_token_drift" -> {
+      val n = operators.Bpe.BpeMerges
+      val encRounds = (1 to n).map { r =>
+        s"""e$r AS MATERIALIZED (
+           |  SELECT w, CASE WHEN b.pa IS NULL THEN s
+           |    ELSE replace(s, chr(1)||b.pa||chr(2)||chr(1)||b.pb||chr(2),
+           |                 chr(1)||b.pa||b.pb||chr(2)) END AS s
+           |  FROM e${r - 1} LEFT JOIN b$r b ON true)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bounds AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    CAST((doc_id - lo) // ((hi - lo) // 4 + 1) AS BIGINT) AS b
+        |  FROM documents, bounds),
+        |train AS (SELECT doc_id, text FROM ch WHERE b = 0),
+        |${bpeTrainCtesFrom("train")},
+        |va AS MATERIALIZED (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM ch)
+        |  WHERE w <> '' AND strlen(w) = length(w)),
+        |e0 AS MATERIALIZED (
+        |  SELECT w, array_to_string(list_transform(range(1, len(w)+1),
+        |    i -> chr(1) || w[i:i] || chr(2)), '') AS s FROM va),
+        |$encRounds,
+        |wt AS (SELECT w, CAST(len(string_split(s[2:len(s)-1],
+        |    chr(2)||chr(1))) AS BIGINT) AS n_tok FROM e$n),
+        |nd AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM ch GROUP BY 1)
+        |SELECT b AS batch_id, nd.n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_bpe_tokens
+        |FROM (SELECT b, unnest(string_split(text, ' ')) AS w FROM ch) x
+        |JOIN nd USING (b)
+        |LEFT JOIN wt USING (w)
+        |WHERE w <> ''
+        |GROUP BY b, nd.n_docs ORDER BY b""".stripMargin
+    },
     // q213: per-doc novelty — distinct 8-grams with corpus df = 1 as a
     // fraction of the doc's distinct grams (the q117 gram fragment).
     "q213_novelty_scores" ->

@@ -145,18 +145,28 @@ object Bpe {
     val wc = wordCounts(docs)
     val merges = mergeCache.getOrTrain(wc, Seq(BpeMerges))(
       trainMerges(wc, BpeMerges))
-    val enc = merges.foldLeft(wrapped(col("w"))) {
-      case (s, (pa, pb, _)) =>
-        call_function("replace", s,
-          lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
-    }
-    val wordTok = wc.select(col("w"), size(symbols(enc)).cast("long").as("n_tok"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .join(broadcast(wordTok), Seq("w"), "left")
+      .join(broadcast(wordTokens(wc, merges.map(m => (m._1, m._2)))),
+        Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ws_tokens"),
         sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** ENCODE under a GIVEN (frozen) merge table: per vocabulary word,
+    * the BPE token count after applying the merges in order — the step
+    * the streaming drift monitor (q216) runs against a tokenizer
+    * trained on an earlier snapshot. Words outside the training vocab
+    * encode fine (merges are string rules, not a lookup). */
+  private[graft] def wordTokens(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(wrapped(col("w"))) {
+      case (s, (pa, pb)) =>
+        call_function("replace", s,
+          lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
+    }
+    vocab.select(col("w"), size(symbols(enc)).cast("long").as("n_tok"))
   }
 }

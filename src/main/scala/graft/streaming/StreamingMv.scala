@@ -165,6 +165,75 @@ object StreamingMv {
     } finally bench.unpersist()
   }
 
+  // ----- streaming tokenizer-drift monitor (q216): the production
+  // posture is train-once-freeze (a tokenizer is trained on a corpus
+  // snapshot and then SERVES — retraining mid-stream would silently
+  // change every downstream token budget), so the operational question
+  // becomes "is the live stream drifting away from the tokenizer's
+  // training distribution?". The whitespace-vs-BPE expansion ratio per
+  // micro-batch IS that detector: vocabulary the frozen merges never
+  // saw stays at ~1 token per symbol, so its expansion rises.
+
+  /** Fold one micro-batch into the drift store. Batch 0 trains the
+    * [[graft.operators.Bpe]] merge table on ITS OWN documents and
+    * freezes it (`merges/`, written before batch 0's commit marker);
+    * every batch (0 included) then counts its whitespace and
+    * frozen-tokenizer BPE token mass — unseen words encode fine, the
+    * merge table is string rules, not a vocabulary lookup — and writes
+    * one stats row under `stats/b=N` (the commit marker; replays
+    * no-op). Requires the ordered feed (batch 0 must be the lowest
+    * doc_id chunk — the q133 ordered-feed discipline). */
+  def driftBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (Snapshots.committed(spark, s"$storeDir/stats", batchId)) return
+    if (batchId == 0L)
+      graft.operators.Bpe
+        .trainMerges(graft.operators.Bpe.wordCounts(batch),
+          graft.operators.Bpe.BpeMerges)
+        .zipWithIndex
+        .map { case ((pa, pb, n), i) => (i + 1L, pa, pb, n) }
+        .toDF("merge_rank", "pa", "pb", "n")
+        .write.mode("overwrite").parquet(s"$storeDir/merges")
+    val merges = spark.read.parquet(s"$storeDir/merges")
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wt = graft.operators.Bpe.wordTokens(
+      graft.operators.Bpe.wordCounts(batch), merges)
+    val nDocs = batch.count()
+    batch.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wt), Seq("w"), "left")
+      .agg(lit(batchId).as("batch_id"), lit(nDocs).as("n_docs"),
+        count(lit(1)).as("n_ws_tokens"),
+        sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"))
+      .write.mode("overwrite").parquet(s"$storeDir/stats/b=$batchId")
+  }
+
+  /** Current monitor contents: one row per committed batch. */
+  def driftTable(spark: SparkSession, storeDir: String): DataFrame =
+    (if (Snapshots.pathExists(spark, s"$storeDir/stats"))
+       spark.read.parquet(s"$storeDir/stats").drop("b")
+     else spark.range(0).select(col("id").as("batch_id"),
+       col("id").as("n_docs"), col("id").as("n_ws_tokens"),
+       col("id").as("n_bpe_tokens")))
+      .orderBy(col("batch_id"))
+
+  /** Registered q216 entry: the fixture corpus as a 4-chunk ORDERED
+    * file-source stream (deterministic doc_id-range bins, so the
+    * oracle can replay the chunking arithmetically) folded through
+    * [[driftBatch]]. */
+  def streamingTokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_drift_store")
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = true, purpose = "drift") { (batch, batchId) =>
+      driftBatch(batch, storeDir, batchId)
+    }
+    driftTable(spark, storeDir)
+  }
+
   /** Registered q162 entry: the fixture events as a 4-chunk file-source
     * stream (the q133 feed discipline — no driver materialization),
     * folded through [[mvBatch]]; returns the final MV, whose oracle is

@@ -997,6 +997,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.storeRoot")
   }
 
+  test("streaming token drift: frozen tokenizer flags vocabulary shift; replays no-op") {
+    import graft.streaming.StreamingMv
+    import spark.implicits._
+    // chunk 0 trains on the {aaaa, bbbb} vocabulary — the hand-derived
+    // merge ladder (a,a)/(b,b)/(aa,aa)/(bb,bb) collapses both words to
+    // 1 token, then stops (no pairs left). Chunk 1 repeats the training
+    // vocabulary (expansion 1×); chunks 2-3 shift to unseen 4-char
+    // words, which the FROZEN rules leave at 4 tokens — the drift the
+    // monitor exists to flag.
+    val docs = ((0L until 20L).map(i =>
+        (i, "aaaa bbbb aaaa bbbb aaaa bbbb")) ++
+      (20L until 40L).map(i =>
+        (i, "zzzz yyyy xxxx wwww zzzz yyyy"))).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_drift_spec").toString
+    (0 until 4).foreach { b =>
+      StreamingMv.driftBatch(
+        docs.filter(col("doc_id") >= b * 10L &&
+          col("doc_id") < (b + 1) * 10L), store, b.toLong)
+    }
+    def rows() = StreamingMv.driftTable(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows() == Seq(
+      (0L, 10L, 60L, 60L), (1L, 10L, 60L, 60L),
+      (2L, 10L, 60L, 240L), (3L, 10L, 60L, 240L)),
+      s"drift monitor: ${rows()}")
+    // replay of a committed batch must not change the monitor
+    StreamingMv.driftBatch(
+      docs.filter(col("doc_id") >= 10L && col("doc_id") < 20L), store, 1L)
+    assert(rows() == Seq(
+      (0L, 10L, 60L, 60L), (1L, 10L, 60L, 60L),
+      (2L, 10L, 60L, 240L), (3L, 10L, 60L, 240L)))
+  }
+
   test("streaming spans: monitor == batch detector after EVERY batch; replays no-op") {
     import graft.streaming.StreamingDedup
     val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
