@@ -266,6 +266,7 @@ object SparkEntry {
     "q215_louvain_two_level" -> (GraphOps.louvainTwoLevel _),
     "q216_streaming_token_drift" ->
       (graft.streaming.StreamingMv.streamingTokenDrift _),
+    "q217_video_neardup"   -> (Multimodal.videoNearDup _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1524,6 +1525,53 @@ object SparkEntry {
         |cpairs AS (
         |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
         |    CAST(p.shared * 1000000 // s.size_a AS BIGINT) AS containment_ppm
+        |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
+        |  WHERE p.shared * 2 >= s.size_a)
+        |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows
+        |FROM cpairs c CROSS JOIN skipped s
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  s.n_skipped_grams, s.n_skipped_rows
+        |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
+        |ORDER BY 1, 2""".stripMargin,
+    // q217: video temporal near-dup — the q199 chain over frame-digest
+    // "words" (ordered 64-byte-frame md5s) with 3-gram temporal
+    // shingles; byte-transparency gate, same cap/sentinel contract.
+    "q217_video_neardup" ->
+      s"""WITH ft AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT)),
+        |      i -> md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))),
+        |      ' ') AS text
+        |  FROM documents
+        |  WHERE strlen(text) = length(text)),
+        |w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM ft),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 3 + 2),
+        |    i -> array_to_string(ws[i:i+2], ' ')))) AS h
+        |  FROM w),
+        |sz AS (SELECT doc_id, count(*) AS size_a FROM grams GROUP BY 1),
+        |hot AS (SELECT h, count(*) AS df FROM grams GROUP BY 1
+        |        HAVING count(*) > ${operators.Dedup.ContainmentGramCap}),
+        |skipped AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_grams,
+        |         CAST(coalesce(sum(df), 0) AS BIGINT) AS n_skipped_rows
+        |  FROM hot),
+        |inplay AS (SELECT g.* FROM grams g ANTI JOIN hot USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM inplay a JOIN inplay b
+        |    ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |cpairs AS (
+        |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
+        |    CAST(p.shared * 1000000 // s.size_a AS BIGINT)
+        |      AS containment_ppm
         |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
         |  WHERE p.shared * 2 >= s.size_a)
         |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows

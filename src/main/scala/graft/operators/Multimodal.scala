@@ -83,6 +83,38 @@ object Multimodal {
           .cast("long").as("frame_len"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Video temporal-signature near-dup (q217) — the sequence-level
+    * dedup rung of the multimodal tier: each payload becomes its
+    * ORDERED sequence of 64-byte-frame digests (the [[frameSample]]
+    * framing), and near-duplicate videos are found by the DIRECTED
+    * containment join over frame-3-gram temporal shingles — a clip cut
+    * from a longer video, or a video extended with an intro/outro, has
+    * containment ≈ 1 in the containing direction while whole-set
+    * Jaccard dilutes (exactly q199's argument, one level up: the
+    * "words" are frame digests, so matches require the same frames in
+    * the same ORDER — shuffled frames share no 3-gram). Composition:
+    * the frame-digest text feeds [[Dedup.containmentJoinFrom]] with
+    * n = 3 unchanged — cap, sentinel report, ppm semantics and scale
+    * shape all inherited. Payloads gated to byte-transparent (ASCII)
+    * rows on both engines (the q187/q201 rule); videos shorter than 3
+    * frames have no shingles and no row. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text-as-payload) relation. */
+  private[graft] def videoNearDupFrom(docs: DataFrame): DataFrame = {
+    val nf = ceil(octet_length(col("payload")) / lit(64.0)).cast("int")
+    val frames = withPayload(docs)
+      .filter(expr("octet_length(text) = length(text)"))
+      .select(col("doc_id"),
+        concat_ws(" ", when(nf > lit(0),
+          transform(sequence(lit(0), nf - lit(1)),
+            i => md5(substr(col("payload"), i * lit(64) + lit(1),
+              lit(64))))).otherwise(array().cast("array<string>")))
+          .as("text"))
+    graft.operators.Dedup.containmentJoinFrom(frames, n = 3)
+  }
+
   /** A real public codec: binary netpbm PPM, "P6" variant (the netpbm
     * format spec — magic `P6`, whitespace-and-`#`-comment separated ASCII
     * width/height/maxval, exactly one whitespace byte, then a

@@ -627,11 +627,17 @@ object ScaleSmoke {
         val ueHub = ue.union(hub)
           .union(hub.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
-        val cm = graft.operators.GraphOps.modularityCommunitiesFrom(ueHub)
-        val nComm = cm.select(col("community")).distinct().count()
-        println(s"[scale]   modularity: nodes=${cm.count()} " +
-          s"communities=$nComm (hub deg=$hubDeg)")
-        nComm
+        // BOTH levels (q215): level 2 runs on the community-sized
+        // contracted graph, so its cost must be a rounding error next
+        // to level 1's edge-linear rounds even with the hub present.
+        val cm = graft.operators.GraphOps.louvainTwoLevelFrom(ueHub)
+          .persist()
+        val n1 = cm.select(col("community_l1")).distinct().count()
+        val n2 = cm.select(col("community")).distinct().count()
+        println(s"[scale]   modularity 2-level: nodes=${cm.count()} " +
+          s"l1_communities=$n1 l2_communities=$n2 (hub deg=$hubDeg)")
+        cm.unpersist()
+        n2
       }
       // IVFADC operating-point sweep (q159/q179's shape): recall@3 vs
       // the exact integer L2 top-3 at nprobe ∈ {1,2,4,8} on trained

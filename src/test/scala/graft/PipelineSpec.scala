@@ -2091,6 +2091,28 @@ class PipelineSpec extends AnyFunSuite {
       "disjoint-by-one-day intervals must not join")
   }
 
+  test("video near-dup: aligned clip contained directionally; shuffled frames miss") {
+    import spark.implicits._
+    // frames = 64-byte runs of one letter. V = f0..f9; C = V's bytes
+    // [128, 448) = frames f2..f6 (the 64-aligned clip cut); S = V's
+    // frames REVERSED — same frame set, no shared temporal 3-gram.
+    def frame(i: Int): String = ("" + ('a' + i).toChar) * 64
+    val v = (0 until 10).map(frame).mkString
+    val clip = v.substring(128, 448)
+    val shuffled = (0 until 10).reverse.map(frame).mkString
+    val docs = Seq((1L, v), (2L, clip), (3L, shuffled))
+      .toDF("doc_id", "text")
+    val rows = operators.Multimodal.videoNearDupFrom(docs).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // only the DIRECTED clip-in-video row: C has 3 temporal 3-grams,
+    // all inside V (containment 10⁶); V→C is 3/8 < 1/2; the shuffled
+    // copy shares frames but zero ordered 3-grams
+    assert(rows.toSeq == Seq((2L, 1L, 3L, 3L, 1000000L)),
+      s"video containment: ${rows.toSeq}")
+  }
+
   test("audio energy: JVM PCM replay on a constructed payload; fixture well-formed") {
     import spark.implicits._
     // constructed payload: 3 frames of 64 samples — quiet, LOUD, quiet
