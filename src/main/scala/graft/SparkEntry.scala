@@ -267,6 +267,8 @@ object SparkEntry {
     "q216_streaming_token_drift" ->
       (graft.streaming.StreamingMv.streamingTokenDrift _),
     "q217_video_neardup"   -> (Multimodal.videoNearDup _),
+    "q218_quality_perceptron" ->
+      (graft.operators.Classifier.qualityPerceptron _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1582,6 +1584,59 @@ object SparkEntry {
         |  s.n_skipped_grams, s.n_skipped_rows
         |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
         |ORDER BY 1, 2""".stripMargin,
+    // q218: batch-perceptron training replay — FNV-hashed unigram
+    // buckets (+bias 64), integer weights, per-round (margins →
+    // misclassified → delta → weight merge) blocks generated from
+    // PerceptronRounds; y·margin ≤ 0 is the update rule, ties to −1 on
+    // prediction.
+    "q218_quality_perceptron" -> {
+      val b = operators.Classifier.PerceptronBuckets
+      val n = operators.Classifier.PerceptronRounds
+      val rounds = (1 to n).map { r =>
+        s"""m$r AS (
+           |  SELECT x.doc_id, y.y,
+           |    CAST(sum(x.n * w.wv) AS BIGINT) AS margin
+           |  FROM x JOIN w${r - 1} w USING (b)
+           |  JOIN y ON y.doc_id = x.doc_id
+           |  WHERE y.is_train GROUP BY 1, 2),
+           |d$r AS (
+           |  SELECT x.b, CAST(sum(y.y * x.n) AS BIGINT) AS d
+           |  FROM x JOIN y ON y.doc_id = x.doc_id
+           |  SEMI JOIN (SELECT doc_id FROM m$r WHERE y * margin <= 0) mm
+           |    ON mm.doc_id = x.doc_id
+           |  WHERE y.is_train GROUP BY 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT w.b, CAST(w.wv + coalesce(d.d, 0) AS BIGINT) AS wv
+           |  FROM w${r - 1} w LEFT JOIN d$r d USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (
+        |  SELECT doc_id, (${fnvSql("term", "14695981039346656037")}) % $b
+        |    AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> ''),
+        |x AS MATERIALIZED (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM tk GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, $b, CAST(1 AS BIGINT) FROM documents),
+        |y AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |         THEN 1 ELSE -1 END AS y,
+        |    doc_id % 3 <> 1 AS is_train
+        |  FROM documents),
+        |w0 AS MATERIALIZED (
+        |  SELECT unnest(range(0, ${b + 1})) AS b,
+        |    CAST(0 AS BIGINT) AS wv),
+        |$rounds
+        |SELECT x.doc_id, CAST(y.y AS BIGINT) AS label, y.is_train,
+        |  CAST(sum(x.n * w.wv) AS BIGINT) AS margin,
+        |  CAST(CASE WHEN sum(x.n * w.wv) > 0 THEN 1 ELSE -1 END
+        |    AS BIGINT) AS predicted
+        |FROM x JOIN w$n w USING (b) JOIN y ON y.doc_id = x.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
     // q205: sampled bounded-radius Brandes betweenness — unrolled
     // forward path-count levels (f1..f4) + unrolled fixed-point
     // dependency back-propagation (d3..d1), floor-divided per edge

@@ -2091,6 +2091,39 @@ class PipelineSpec extends AnyFunSuite {
       "disjoint-by-one-day intervals must not join")
   }
 
+  test("quality perceptron: separable corpus converges, held-out docs classified") {
+    import spark.implicits._
+    // two distinct feature vectors ("spark fast engine" vs "slow legacy
+    // engine", shared word + bias overlap = 2, |x|² = 4): round 1
+    // updates on everything (margins 0), giving w = 4·(x₊ − x₋) on the
+    // 8 training docs; margins are then ±4·(|x|² − overlap) = ±8 and
+    // round 2 finds nothing misclassified — converged. Held-out ids
+    // (1, 4, 7, 10) share the two vectors, so generalization is exact.
+    val docs = (0L until 12L).map(i =>
+        (i, if (i % 2 == 0) "spark fast engine" else "slow legacy engine"))
+      .toDF("doc_id", "text")
+    val got = operators.Classifier.qualityPerceptronFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == 12)
+    got.foreach { case (id, label, isTrain, margin, predicted) =>
+      assert(label == (if (id % 2 == 0) 1L else -1L))
+      assert(isTrain == (id % 3 != 1))
+      assert(math.abs(margin) == 8L, s"doc $id margin $margin")
+      assert(predicted == label,
+        s"doc $id (train=$isTrain) misclassified: $predicted vs $label")
+    }
+    // fixture: the hashed model must actually learn the contains-
+    // "spark" indicator — training accuracy well above the base rate
+    val fx = operators.Classifier.qualityPerceptron(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(4)))
+    val train = fx.filter(_._2)
+    val acc = train.count(t => t._1 == t._3).toDouble / train.length
+    val base = train.count(_._1 == -1L).toDouble / train.length
+    assert(acc > base + 0.05 && acc > 0.7,
+      s"fixture train accuracy $acc (base $base) — model did not learn")
+  }
+
   test("video near-dup: aligned clip contained directionally; shuffled frames miss") {
     import spark.implicits._
     // frames = 64-byte runs of one letter. V = f0..f9; C = V's bytes

@@ -94,7 +94,11 @@ class RelationalSpec extends AnyFunSuite {
         // contamTable: store-assembly step of the registered q197
         // wrapper (String param is the store dir); monitor == batch-gate
         // invariant asserted in StreamingSpec
-        Set("mvTable", "sampleMonitorTable", "contamTable")),
+        // driftTable: store-assembly step of the registered q216
+        // wrapper (String param is the store dir); planted drift +
+        // replay invariants asserted in StreamingSpec
+        Set("mvTable", "sampleMonitorTable", "contamTable",
+          "driftTable")),
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence
