@@ -269,6 +269,7 @@ object SparkEntry {
     "q217_video_neardup"   -> (Multimodal.videoNearDup _),
     "q218_quality_perceptron" ->
       (graft.operators.Classifier.qualityPerceptron _),
+    "q219_dup_graph_communities" -> (Dedup.dupGraphCommunities _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1584,6 +1585,21 @@ object SparkEntry {
         |  s.n_skipped_grams, s.n_skipped_rows
         |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
         |ORDER BY 1, 2""".stripMargin,
+    // q219: the q129 funnel's verified dup pairs (agree ≥ 32 ∪
+    // escalated exacts) symmetrized into the near-dup graph, then the
+    // q211 move-phase unroll over it — composition of two generated
+    // oracle chains.
+    "q219_dup_graph_communities" ->
+      s"""WITH $minhashAgreeCtes,
+        |dpairs AS (SELECT ia, ib FROM withagree WHERE agree >= 32
+        |           UNION SELECT ia, ib FROM escpairs),
+        |uew AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM (
+        |  SELECT ia AS src, ib AS dst FROM dpairs
+        |  UNION SELECT ib, ia FROM dpairs)),
+        |${louvainPhaseCtes("", "uew", operators.GraphOps.LouvainRounds)}
+        |SELECT node AS doc_id, label AS community
+        |FROM lv${operators.GraphOps.LouvainRounds}
+        |ORDER BY doc_id""".stripMargin,
     // q218: batch-perceptron training replay — FNV-hashed unigram
     // buckets (+bias 64), integer weights, per-round (margins →
     // misclassified → delta → weight merge) blocks generated from
@@ -1853,10 +1869,10 @@ object SparkEntry {
   // pinned to the same family by construction.
   private def ulist(xs: Array[Long]): String =
     xs.map(java.lang.Long.toUnsignedString).mkString("[", ", ", "]")
-  private val mhAhi = ulist(graft.functions.MinHashSig.familyA(64).map(_ >>> 32))
-  private val mhAlo = ulist(graft.functions.MinHashSig.familyA(64).map(_ & 0xFFFFFFFFL))
-  private val mhBhi = ulist(graft.functions.MinHashSig.familyB(64).map(_ >>> 32))
-  private val mhBlo = ulist(graft.functions.MinHashSig.familyB(64).map(_ & 0xFFFFFFFFL))
+  private lazy val mhAhi = ulist(graft.functions.MinHashSig.familyA(64).map(_ >>> 32))
+  private lazy val mhAlo = ulist(graft.functions.MinHashSig.familyA(64).map(_ & 0xFFFFFFFFL))
+  private lazy val mhBhi = ulist(graft.functions.MinHashSig.familyB(64).map(_ >>> 32))
+  private lazy val mhBlo = ulist(graft.functions.MinHashSig.familyB(64).map(_ & 0xFFFFFFFFL))
 
   // Shared 64-bit FNV-1a replay fragment: folds the char codes of `expr`
   // (empty chars filtered — DuckDB splits '' into ['']) into the seeded

@@ -249,15 +249,9 @@ object Dedup {
   private[graft] def keepListFrom(spark: SparkSession, docs: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
-    val (_, withEst, _, escPairs) = minhashCandidates(docs, maxBucket)
-    // the escalated exact-dup pairs join the graph: identical docs inside
-    // over-cap buckets collapse to the same canonical even though they
-    // never reached the band self-join
-    val dupPairs = withEst.filter(col("agree") >= NumHashes / 2)
-      .select(col("ia"), col("ib"))
-      .unionByName(escPairs)
     val comp = org.apache.spark.graphx.Graph
-      .fromEdgeTuples(dupPairs.as[(Long, Long)].rdd, defaultValue = 0)
+      .fromEdgeTuples(dupPairsFrom(docs, maxBucket).as[(Long, Long)].rdd,
+        defaultValue = 0)
       .connectedComponents().vertices
       .map { case (id, c) => (id, c) }
       .toDF("doc_id", "comp")
@@ -265,6 +259,47 @@ object Dedup {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** The verified near-dup PAIR relation (agree ≥ 32 funnel pairs ∪
+    * the escalated exact pairs inside over-cap buckets) — the graph the
+    * keep-list's CC and the topic-grouping rung (q219) both consume. */
+  private[graft] def dupPairsFrom(docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val (_, withEst, _, escPairs) = minhashCandidates(docs, maxBucket)
+    // the escalated exact-dup pairs join the graph: identical docs inside
+    // over-cap buckets collapse to the same canonical even though they
+    // never reached the band self-join
+    withEst.filter(col("agree") >= NumHashes / 2)
+      .select(col("ia"), col("ib"))
+      .unionByName(escPairs)
+  }
+
+  /** Near-dup-graph topic communities (q219) — the q211 modularity
+    * rung run over q129's verified dup-pair graph: where the keep-list
+    * collapses each CONNECTED component to one canonical (the drop
+    * decision), this groups the dup graph into modularity communities
+    * (the MIXTURE decision — which boilerplate/template families
+    * dominate, which clusters to down-weight together). A giant
+    * transitively-chained component that CC cannot split — template A
+    * near-dup of B, B of C, A unrelated to C — partitions into its
+    * dense cores here. Documents outside every dup pair are trivially
+    * their own community and are excluded (the output covers the dup
+    * graph, not the corpus). Inherits the funnel's bucket caps and the
+    * q211 move-phase's edge-linear rounds. */
+  def dupGraphCommunities(spark: SparkSession, dir: String): DataFrame =
+    dupGraphCommunitiesFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def dupGraphCommunitiesFrom(docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = dupPairsFrom(docs, maxBucket).distinct()
+    val ue = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .distinct()
+    GraphOps.modularityCommunitiesFrom(ue)
+      .select(col("node").as("doc_id"), col("community"))
+      .orderBy(col("doc_id"))
   }
 
   /** Leakage-safe train/validation/test split (q195): assign every

@@ -2091,6 +2091,38 @@ class PipelineSpec extends AnyFunSuite {
       "disjoint-by-one-day intervals must not join")
   }
 
+  test("dup-graph communities: planted families split; fixture refines q129 components") {
+    import spark.implicits._
+    // two exact-dup families (identical texts verify at agree = 64)
+    // plus singletons, which are OUTSIDE the dup graph by contract
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, b),
+      (7L, "solo one of a kind document seven"),
+      (8L, "another entirely unrelated singleton eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupGraphCommunitiesFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"dup graph must cover exactly the paired docs: ${got.keySet}")
+    assert(Set(1L, 2L, 3L).map(got).size == 1
+      && Set(4L, 5L, 6L).map(got).size == 1
+      && got(1L) != got(4L),
+      s"families must form two communities: $got")
+    // fixture: communities REFINE the q129 connected components (a
+    // community never straddles two components — it partitions the
+    // component's interior instead)
+    val comm = Dedup.dupGraphCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comm.nonEmpty)
+    val canon = Dedup.fuzzyDedupKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comm.groupBy(_._2).values.foreach { g =>
+      assert(g.map(x => canon(x._1)).toSet.size == 1,
+        s"community straddles q129 components: ${g.toSeq}")
+    }
+  }
+
   test("quality perceptron: separable corpus converges, held-out docs classified") {
     import spark.implicits._
     // two distinct feature vectors ("spark fast engine" vs "slow legacy
