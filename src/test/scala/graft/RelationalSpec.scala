@@ -78,6 +78,8 @@ class RelationalSpec extends AnyFunSuite {
       ("Dedup", operators.Dedup, Set.empty),
       ("Similarity", operators.Similarity, Set.empty),
       ("Behavioral", operators.Behavioral, Set.empty),
+      ("Bpe", operators.Bpe, Set.empty),
+      ("Classifier", operators.Classifier, Set.empty),
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),
