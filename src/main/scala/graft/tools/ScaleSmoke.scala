@@ -115,6 +115,32 @@ object ScaleSmoke {
         graft.operators.Dedup.winnowFingerprintsFrom(docs)
           .agg(sum(col("n_fp"))).head().getLong(0)
       }
+      // quality perceptron (q218's shape): per round one margin
+      // aggregate + one misclassified semi-join + a 65-row collect —
+      // cost must track token mass linearly across all 5 rounds.
+      time(s"quality_perceptron") {
+        val out = graft.operators.Classifier
+          .qualityPerceptronFrom(docs).persist()
+        val train = out.filter(col("is_train"))
+        val acc = train.filter(col("predicted") === col("label")).count()
+        val n = train.count()
+        println(s"[scale]   perceptron: train_correct=$acc/$n")
+        out.unpersist()
+        n
+      }
+      // dup-graph communities (q219's shape): funnel candidates +
+      // 6 edge-linear move rounds over the pairs-only graph; amplified
+      // copyvariant families are near-dup cliques, so community count
+      // must track the BASE corpus, not the amplified mass.
+      time(s"dup_graph_communities") {
+        val cm = graft.operators.Dedup.dupGraphCommunitiesFrom(docs)
+          .persist()
+        val nc = cm.select(col("community")).distinct().count()
+        println(s"[scale]   dup communities: members=${cm.count()} " +
+          s"communities=$nc")
+        cm.unpersist()
+        nc
+      }
       // BPE rung (q209/q210's shape): the ONLY corpus-scale terms are
       // the word-count aggregate and the final encode join — every
       // merge round runs on the distinct-word vocabulary, which the
