@@ -270,6 +270,8 @@ object SparkEntry {
     "q218_quality_perceptron" ->
       (graft.operators.Classifier.qualityPerceptron _),
     "q219_dup_graph_communities" -> (Dedup.dupGraphCommunities _),
+    "q220_streaming_classifier" ->
+      (graft.streaming.StreamingClassifier.streamingClassifier _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1600,6 +1602,60 @@ object SparkEntry {
         |SELECT node AS doc_id, label AS community
         |FROM lv${operators.GraphOps.LouvainRounds}
         |ORDER BY doc_id""".stripMargin,
+    // q220: the ONLINE perceptron — one q218-style update block per
+    // ordered-feed chunk (chunk assignment replayed arithmetically,
+    // the q216 rule), final weights score the whole corpus.
+    "q220_streaming_classifier" -> {
+      val b = operators.Classifier.PerceptronBuckets
+      val rounds = (1 to 4).map { r =>
+        val c = r - 1
+        s"""m$r AS (
+           |  SELECT x.doc_id, y.y,
+           |    CAST(sum(x.n * w.wv) AS BIGINT) AS margin
+           |  FROM x JOIN w${r - 1} w USING (b)
+           |  JOIN y ON y.doc_id = x.doc_id
+           |  WHERE y.is_train AND y.bt = $c GROUP BY 1, 2),
+           |d$r AS (
+           |  SELECT x.b, CAST(sum(y.y * x.n) AS BIGINT) AS d
+           |  FROM x JOIN y ON y.doc_id = x.doc_id
+           |  SEMI JOIN (SELECT doc_id FROM m$r WHERE y * margin <= 0) mm
+           |    ON mm.doc_id = x.doc_id
+           |  WHERE y.is_train AND y.bt = $c GROUP BY 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT w.b, CAST(w.wv + coalesce(d.d, 0) AS BIGINT) AS wv
+           |  FROM w${r - 1} w LEFT JOIN d$r d USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bounds AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |tk AS (
+        |  SELECT doc_id, (${fnvSql("term", "14695981039346656037")}) % $b
+        |    AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> ''),
+        |x AS MATERIALIZED (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM tk GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, $b, CAST(1 AS BIGINT) FROM documents),
+        |y AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |         THEN 1 ELSE -1 END AS y,
+        |    doc_id % 3 <> 1 AS is_train,
+        |    CAST((doc_id - lo) // ((hi - lo) // 4 + 1) AS BIGINT) AS bt
+        |  FROM documents, bounds),
+        |w0 AS MATERIALIZED (
+        |  SELECT unnest(range(0, ${b + 1})) AS b,
+        |    CAST(0 AS BIGINT) AS wv),
+        |$rounds
+        |SELECT x.doc_id, CAST(y.y AS BIGINT) AS label, y.is_train,
+        |  CAST(sum(x.n * w.wv) AS BIGINT) AS margin,
+        |  CAST(CASE WHEN sum(x.n * w.wv) > 0 THEN 1 ELSE -1 END
+        |    AS BIGINT) AS predicted
+        |FROM x JOIN w4 w USING (b) JOIN y ON y.doc_id = x.doc_id
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
     // q218: batch-perceptron training replay — FNV-hashed unigram
     // buckets (+bias 64), integer weights, per-round (margins →
     // misclassified → delta → weight merge) blocks generated from

@@ -66,38 +66,50 @@ object Classifier {
         lit(buckets.toLong).as("b"), lit(1L).as("n")))
   }
 
-  def qualityPerceptron(spark: SparkSession, dir: String): DataFrame =
-    qualityPerceptronFrom(Tables(spark, dir).documents)
-
-  /** Same, over an arbitrary (doc_id, text) corpus. */
-  private[graft] def qualityPerceptronFrom(docs: DataFrame,
-      buckets: Int = PerceptronBuckets,
-      rounds: Int = PerceptronRounds): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val x = featCache.rotate(features(docs, buckets).persist())
+  /** Features joined with labels and the held-out flag:
+    * (doc_id, b, n, y, is_train) — the relation every training round
+    * and the scorer consume. Shared with the streaming sibling
+    * (StreamingClassifier), which builds it per micro-batch. */
+  private[graft] def labeled(docs: DataFrame,
+      buckets: Int = PerceptronBuckets): DataFrame = {
     val y = docs.select(col("doc_id"),
       when(array_contains(split(col("text"), " "), "spark"), lit(1L))
         .otherwise(lit(-1L)).as("y"),
       (col("doc_id") % 3 =!= 1).as("is_train"))
-    val xy = x.join(y, Seq("doc_id"))
-    var w = Array.fill(buckets + 1)(0L)
-    def wDf = broadcast(w.toIndexedSeq.zipWithIndex
+    features(docs, buckets).join(y, Seq("doc_id"))
+  }
+
+  private def wDfOf(spark: SparkSession, w: Array[Long]): DataFrame = {
+    import spark.implicits._
+    broadcast(w.toIndexedSeq.zipWithIndex
       .map { case (v, b) => (b.toLong, v) }.toDF("b", "wv"))
-    for (_ <- 1 to rounds) {
-      val miss = xy.filter(col("is_train"))
-        .join(wDf, Seq("b"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("n") * col("wv")).as("margin"))
-        .filter(col("y") * col("margin") <= 0)
-        .select(col("doc_id"))
-      val delta = xy.filter(col("is_train"))
-        .join(miss, Seq("doc_id"), "left_semi")
-        .groupBy(col("b")).agg(sum(col("y") * col("n")).as("d"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      w = Array.tabulate(buckets + 1)(b => w(b) + delta.getOrElse(b, 0L))
-    }
-    xy.join(wDf, Seq("b"))
+  }
+
+  /** One batch-perceptron round: the per-bucket weight delta
+    * Σ y·x over the training documents of `xy` misclassified under
+    * `w`. One margin aggregate + one semi-join + a ≤(B+1)-row
+    * collect. */
+  private[graft] def roundDelta(xy: DataFrame,
+      w: Array[Long]): Map[Int, Long] = {
+    val spark = xy.sparkSession
+    val wDf = wDfOf(spark, w)
+    val miss = xy.filter(col("is_train"))
+      .join(wDf, Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("n") * col("wv")).as("margin"))
+      .filter(col("y") * col("margin") <= 0)
+      .select(col("doc_id"))
+    xy.filter(col("is_train"))
+      .join(miss, Seq("doc_id"), "left_semi")
+      .groupBy(col("b")).agg(sum(col("y") * col("n")).as("d"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+  }
+
+  /** Score `xy` under frozen weights: (doc_id, label, is_train,
+    * margin, predicted). */
+  private[graft] def scoreWith(xy: DataFrame,
+      w: Array[Long]): DataFrame =
+    xy.join(wDfOf(xy.sparkSession, w), Seq("b"))
       .groupBy(col("doc_id"), col("y"), col("is_train"))
       .agg(sum(col("n") * col("wv")).as("margin"))
       .select(col("doc_id"), col("y").as("label"), col("is_train"),
@@ -105,5 +117,20 @@ object Classifier {
         when(col("margin") > 0, lit(1L)).otherwise(lit(-1L))
           .as("predicted"))
       .orderBy(col("doc_id"))
+
+  def qualityPerceptron(spark: SparkSession, dir: String): DataFrame =
+    qualityPerceptronFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def qualityPerceptronFrom(docs: DataFrame,
+      buckets: Int = PerceptronBuckets,
+      rounds: Int = PerceptronRounds): DataFrame = {
+    val xy = featCache.rotate(labeled(docs, buckets).persist())
+    var w = Array.fill(buckets + 1)(0L)
+    for (_ <- 1 to rounds) {
+      val delta = roundDelta(xy, w)
+      w = Array.tabulate(buckets + 1)(b => w(b) + delta.getOrElse(b, 0L))
+    }
+    scoreWith(xy, w)
   }
 }

@@ -80,6 +80,10 @@ class RelationalSpec extends AnyFunSuite {
       ("Behavioral", operators.Behavioral, Set.empty),
       ("Bpe", operators.Bpe, Set.empty),
       ("Classifier", operators.Classifier, Set.empty),
+      ("StreamingClassifier", streaming.StreamingClassifier,
+        // store-scoring step of the registered q220 wrapper (String
+        // param is the store dir); trajectory replay in StreamingSpec
+        Set("classifierTable")),
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),

@@ -1032,6 +1032,55 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 10L, 60L, 240L), (3L, 10L, 60L, 240L)))
   }
 
+  test("streaming online classifier: trajectory replays in the JVM; replays no-op") {
+    import graft.streaming.StreamingClassifier
+    import spark.implicits._
+    val docs = (0L until 12L).map(i =>
+        (i, if (i % 2 == 0) "spark fast engine" else "slow legacy engine"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_clf_spec").toString
+    (0 until 4).foreach { b =>
+      StreamingClassifier.classifierBatch(
+        docs.filter(col("doc_id") >= b * 3L &&
+          col("doc_id") < (b + 1) * 3L), store, b.toLong)
+    }
+    def table() = StreamingClassifier.classifierTable(spark, store, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val got = table()
+    // independent JVM replay of the ONLINE update rule over the same
+    // batch sequence (features collected once — they are q218-gated)
+    val feats = operators.Classifier.labeled(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    var w = Array.fill(65)(0L)
+    for (c <- 0 until 4) {
+      val ids = (c * 3L until (c + 1) * 3L).toSet
+      val train = feats.filter(f => ids(f._1) && f._5)
+      val miss = train.groupBy(_._1).filter { case (_, rs) =>
+        val m = rs.map(r => r._3 * w(r._2)).sum
+        rs.head._4 * m <= 0
+      }.keySet
+      val delta = train.filter(f => miss(f._1))
+        .groupBy(_._2).view.mapValues(rs => rs.map(r => r._4 * r._3).sum)
+      w = Array.tabulate(65)(b => w(b) + delta.getOrElse(b, 0L))
+    }
+    val want = feats.groupBy(_._1).toSeq.map { case (id, rs) =>
+      val m = rs.map(r => r._3 * w(r._2)).sum
+      (id, m, if (m > 0) 1L else -1L)
+    }.sortBy(_._1)
+    assert(got == want, s"online trajectory diverged:\n$got\n$want")
+    // the online model still separates the planted corpus
+    val byId = got.map(g => g._1 -> g._3).toMap
+    (0L until 12L).foreach(i =>
+      assert(byId(i) == (if (i % 2 == 0) 1L else -1L)))
+    // replay of a committed batch must not move the weights
+    StreamingClassifier.classifierBatch(
+      docs.filter(col("doc_id") >= 6L && col("doc_id") < 9L), store, 2L)
+    assert(table() == got, "replay of a committed batch mutated weights")
+  }
+
   test("streaming spans: monitor == batch detector after EVERY batch; replays no-op") {
     import graft.streaming.StreamingDedup
     val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
