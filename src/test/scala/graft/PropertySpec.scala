@@ -571,6 +571,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training matches an in-memory reference on random tie-heavy corpora") {
+    import spark.implicits._
+    // tiny alphabet → constant pair-count ties, exercising the
+    // (n DESC, pa, pb) tie-break and the greedy left-to-right merge
+    // on every round; the reference implements textbook BPE
+    // independently of the engine's sentinel-string replace trick
+    def refBpe(words: Seq[String],
+        rounds: Int): (Seq[(String, String, Long)], Map[String, Int]) = {
+      val wc = words.filter(_.nonEmpty).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      var syms: Map[String, Vector[String]] =
+        wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to rounds if !done) {
+        val pc = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        for ((w, s) <- syms; i <- 0 until s.length - 1)
+          pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + wc(w)
+        if (pc.isEmpty) done = true
+        else {
+          val ((pa, pb), n) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((pa, pb, n))
+          def merge(s: Vector[String]): Vector[String] = {
+            val r = Vector.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) {
+                r += pa + pb; i += 2
+              } else { r += s(i); i += 1 }
+            }
+            r.result()
+          }
+          syms = syms.view.mapValues(merge).toMap
+        }
+      }
+      (out.toSeq, syms.view.mapValues(_.length).toMap)
+    }
+    val corpusGen = Gen.listOfN(8, Gen.chooseNum(3, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))))
+    forAllSampled(corpusGen, n = 6) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = operators.Bpe.bpeMergesFrom(spark, docs).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val (want, wordTok) = refBpe(docsWords.flatten,
+        operators.Bpe.BpeMerges)
+      assert(got == want, s"merge tables diverged:\n$got\n$want")
+      // token accounting under the same merges
+      val stats = operators.Bpe.bpeTokenStatsFrom(spark, docs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      docsWords.zipWithIndex.foreach { case (ws, i) =>
+        val nz = ws.filter(_.nonEmpty)
+        if (nz.nonEmpty) {
+          val (nWs, nBpe) = stats(i.toLong)
+          assert(nWs == nz.length)
+          assert(nBpe == nz.map(w => wordTok(w).toLong).sum,
+            s"doc $i token count")
+        }
+      }
+    }
+  }
+
   test("containment join matches an in-memory model on random embed-heavy corpora") {
     import spark.implicits._
     // base docs of 8-14 words over a 6-word vocabulary (8-grams collide
