@@ -272,6 +272,8 @@ object SparkEntry {
     "q219_dup_graph_communities" -> (Dedup.dupGraphCommunities _),
     "q220_streaming_classifier" ->
       (graft.streaming.StreamingClassifier.streamingClassifier _),
+    "q221_streaming_novelty" ->
+      (graft.streaming.StreamingMv.streamingNovelty _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2945,7 +2947,25 @@ object SparkEntry {
     },
     // q213: per-doc novelty — distinct 8-grams with corpus df = 1 as a
     // fraction of the doc's distinct grams (the q117 gram fragment).
-    "q213_novelty_scores" ->
+        // q221: the streaming novelty monitor lands on the identical table
+    // — the oracle is literally q213's SQL (the q202/q192 doctrine).
+    "q221_streaming_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |dfq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_pm
+        |FROM grams JOIN dfq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+"q213_novelty_scores" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
         |grams AS (

@@ -234,6 +234,79 @@ object StreamingMv {
     driftTable(spark, storeDir)
   }
 
+  // ----- streaming novelty monitor (q221): the ingest-time formulation
+  // of q213 under the q202 store discipline. Each document's distinct
+  // word-8-grams are computed exactly ONCE, at ingest; the store
+  // accumulates the (doc_id, gram) index plus per-batch gram-count
+  // deltas. A document's novelty is corpus-global and NON-monotone (a
+  // later copy makes an earlier doc's grams non-novel), so the readout
+  // recomputes df by summing the per-batch deltas — the same aggregate
+  // the one-shot q213 pays — and joins it back over the stored index
+  // without ever re-shingling text. Streaming ≡ batch exactly for any
+  // batching, so the oracle is literally q213's SQL.
+
+  /** Fold one micro-batch of (doc_id, text) into the novelty store:
+    * distinct-gram index rows under `grams/b=N`, the batch's own gram
+    * counts under `gcounts/b=N` (written LAST — the commit marker). */
+  def noveltyBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (Snapshots.committed(spark, s"$storeDir/gcounts", batchId)) return
+    val g = graft.operators.TextAnalysis.docGrams(batch)
+    g.write.mode("overwrite").parquet(s"$storeDir/grams/b=$batchId")
+    g.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$storeDir/gcounts/b=$batchId")
+  }
+
+  /** Current monitor contents: q213's exact output over everything
+    * ingested so far — committed partitions only (the q202 read
+    * barrier: the index is written before the commit marker). */
+  def noveltyTable(spark: SparkSession, storeDir: String): DataFrame = {
+    val committedIds: Seq[Long] =
+      if (Snapshots.pathExists(spark, s"$storeDir/gcounts")) {
+        val f = Snapshots.fs(spark, s"$storeDir/gcounts")
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$storeDir/gcounts"))
+          .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("b="))
+          .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+          .filter(id =>
+            Snapshots.committed(spark, s"$storeDir/gcounts", id))
+      } else Seq.empty
+    def readCommitted(root: String, emptyLike: => DataFrame): DataFrame =
+      if (Snapshots.pathExists(spark, root))
+        spark.read.parquet(root)
+          .filter(col("b").isin(committedIds: _*)).drop("b")
+      else emptyLike.limit(0)
+    val g = readCommitted(s"$storeDir/grams",
+      spark.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("string").as("g")))
+    val dfreq = readCommitted(s"$storeDir/gcounts",
+        spark.range(0).select(lit(null).cast("string").as("g"),
+          col("id").as("n")))
+      .groupBy(col("g")).agg(sum(col("n")).as("df"))
+    g.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registered q221 entry: the fixture corpus as a 4-chunk
+    * file-source stream folded through [[noveltyBatch]]; the final
+    * monitor's oracle is exactly q213's SQL. */
+  def streamingNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_novelty_store")
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "novelty") { (batch, batchId) =>
+      noveltyBatch(batch, storeDir, batchId)
+    }
+    noveltyTable(spark, storeDir)
+  }
+
   /** Registered q162 entry: the fixture events as a 4-chunk file-source
     * stream (the q133 feed discipline — no driver materialization),
     * folded through [[mvBatch]]; returns the final MV, whose oracle is

@@ -100,11 +100,11 @@ class RelationalSpec extends AnyFunSuite {
         // contamTable: store-assembly step of the registered q197
         // wrapper (String param is the store dir); monitor == batch-gate
         // invariant asserted in StreamingSpec
-        // driftTable: store-assembly step of the registered q216
-        // wrapper (String param is the store dir); planted drift +
-        // replay invariants asserted in StreamingSpec
+        // driftTable/noveltyTable: store-assembly steps of the
+        // registered q216/q221 wrappers (String param is the store
+        // dir); invariants asserted in StreamingSpec
         Set("mvTable", "sampleMonitorTable", "contamTable",
-          "driftTable")),
+          "driftTable", "noveltyTable")),
       ("StreamingDedup", streaming.StreamingDedup,
         // store-assembly steps of the registered q133/q135 wrappers (the
         // String param is the store dir, not a fixture dir); equivalence

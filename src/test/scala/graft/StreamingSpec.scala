@@ -1081,6 +1081,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(table() == got, "replay of a committed batch mutated weights")
   }
 
+  test("streaming novelty: monitor == batch q213 after EVERY batch; replays no-op") {
+    import graft.streaming.StreamingMv
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_novelty_spec").toString
+    def oneShot(maxChunk: Int) = operators.TextAnalysis.noveltyScoresFrom(
+        docs.filter(pmod(col("doc_id"), lit(4)) <= maxChunk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    (0 until 4).foreach { b =>
+      StreamingMv.noveltyBatch(
+        docs.filter(pmod(col("doc_id"), lit(4)) === b), store, b.toLong)
+      val got = StreamingMv.noveltyTable(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == oneShot(b), s"novelty monitor diverged after batch $b")
+    }
+    // a later copy must be able to LOWER an earlier doc's novelty (the
+    // non-monotone case the recomputing readout exists for): docs with
+    // novelty < 1e6 must exist once dups have streamed in
+    assert(StreamingMv.noveltyTable(spark, store).collect()
+      .exists(_.getLong(3) < 1000000L))
+    val before = StreamingMv.noveltyTable(spark, store).collect().toSeq
+    StreamingMv.noveltyBatch(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1), store, 1L)
+    assert(StreamingMv.noveltyTable(spark, store).collect().toSeq == before,
+      "replay of a committed batch mutated the novelty monitor")
+  }
+
   test("streaming spans: monitor == batch detector after EVERY batch; replays no-op") {
     import graft.streaming.StreamingDedup
     val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
