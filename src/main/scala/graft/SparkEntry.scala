@@ -274,6 +274,8 @@ object SparkEntry {
       (graft.streaming.StreamingClassifier.streamingClassifier _),
     "q221_streaming_novelty" ->
       (graft.streaming.StreamingMv.streamingNovelty _),
+    "q222_classifier_heldout" ->
+      (graft.streaming.StreamingClassifier.streamingClassifierHeldout _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -1138,7 +1140,7 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |${pfx}g$r AS (
          |  SELECT x.node, x.c, li.label AS own,
-         |    m.m2 * x.kic - d.deg *
+         |    CAST(m.m2 AS HUGEINT) * x.kic - CAST(d.deg AS HUGEINT) *
          |      (t.tot - CASE WHEN x.c = li.label THEN d.deg ELSE 0 END)
          |      AS gain
          |  FROM ${pfx}c$r x JOIN ${pfx}t$r t USING (c)
@@ -1188,6 +1190,59 @@ object SparkEntry {
        |SELECT l.node, l.label AS community_l1, x.label AS community
        |FROM lv$n l JOIN xlv$n x ON x.node = l.label
        |ORDER BY l.node""".stripMargin
+  }
+
+  /** Shared CTE chain for the online-classifier oracles (q220/q222):
+    * hashed features x, labels y with the ordered-feed chunk
+    * assignment bt (generated from FileFeed.StreamChunks), and the
+    * inherited-weight relations w0..wN — one q218-style update block
+    * per chunk. Both the chunk arithmetic and the unroll derive from
+    * the same constants the Spark entries use. */
+  private lazy val onlineClfCtes: String = {
+    val b = operators.Classifier.PerceptronBuckets
+    val nc = streaming.FileFeed.StreamChunks
+    val rounds = (1 to nc).map { r =>
+      val c = r - 1
+      s"""m$r AS (
+         |  SELECT x.doc_id, y.y,
+         |    CAST(sum(x.n * w.wv) AS BIGINT) AS margin
+         |  FROM x JOIN w${r - 1} w USING (b)
+         |  JOIN y ON y.doc_id = x.doc_id
+         |  WHERE y.is_train AND y.bt = $c GROUP BY 1, 2),
+         |d$r AS (
+         |  SELECT x.b, CAST(sum(y.y * x.n) AS BIGINT) AS d
+         |  FROM x JOIN y ON y.doc_id = x.doc_id
+         |  SEMI JOIN (SELECT doc_id FROM m$r WHERE y * margin <= 0) mm
+         |    ON mm.doc_id = x.doc_id
+         |  WHERE y.is_train AND y.bt = $c GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.b, CAST(w.wv + coalesce(d.d, 0) AS BIGINT) AS wv
+         |  FROM w${r - 1} w LEFT JOIN d$r d USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""bounds AS (
+      |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |tk AS (
+      |  SELECT doc_id, (${fnvSql("term", "14695981039346656037")}) % $b
+      |    AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term <> ''),
+      |x AS MATERIALIZED (
+      |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+      |  FROM tk GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT doc_id, $b, CAST(1 AS BIGINT) FROM documents),
+      |y AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN list_contains(string_split(text, ' '), 'spark')
+      |         THEN 1 ELSE -1 END AS y,
+      |    doc_id % 3 <> 1 AS is_train,
+      |    CAST((doc_id - lo) // ((hi - lo) // $nc + 1) AS BIGINT) AS bt
+      |  FROM documents, bounds),
+      |w0 AS MATERIALIZED (
+      |  SELECT unnest(range(0, ${b + 1})) AS b,
+      |    CAST(0 AS BIGINT) AS wv),
+      |$rounds""".stripMargin
   }
 
   private val graphOracles: Map[String, String] = Map(
@@ -1609,54 +1664,40 @@ object SparkEntry {
     // the q216 rule), final weights score the whole corpus.
     "q220_streaming_classifier" -> {
       val b = operators.Classifier.PerceptronBuckets
-      val rounds = (1 to 4).map { r =>
-        val c = r - 1
-        s"""m$r AS (
-           |  SELECT x.doc_id, y.y,
-           |    CAST(sum(x.n * w.wv) AS BIGINT) AS margin
-           |  FROM x JOIN w${r - 1} w USING (b)
-           |  JOIN y ON y.doc_id = x.doc_id
-           |  WHERE y.is_train AND y.bt = $c GROUP BY 1, 2),
-           |d$r AS (
-           |  SELECT x.b, CAST(sum(y.y * x.n) AS BIGINT) AS d
-           |  FROM x JOIN y ON y.doc_id = x.doc_id
-           |  SEMI JOIN (SELECT doc_id FROM m$r WHERE y * margin <= 0) mm
-           |    ON mm.doc_id = x.doc_id
-           |  WHERE y.is_train AND y.bt = $c GROUP BY 1),
-           |w$r AS MATERIALIZED (
-           |  SELECT w.b, CAST(w.wv + coalesce(d.d, 0) AS BIGINT) AS wv
-           |  FROM w${r - 1} w LEFT JOIN d$r d USING (b))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH bounds AS (
-        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
-        |tk AS (
-        |  SELECT doc_id, (${fnvSql("term", "14695981039346656037")}) % $b
-        |    AS b
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents)
-        |  WHERE term <> ''),
-        |x AS MATERIALIZED (
-        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
-        |  FROM tk GROUP BY 1, 2
-        |  UNION ALL
-        |  SELECT doc_id, $b, CAST(1 AS BIGINT) FROM documents),
-        |y AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN list_contains(string_split(text, ' '), 'spark')
-        |         THEN 1 ELSE -1 END AS y,
-        |    doc_id % 3 <> 1 AS is_train,
-        |    CAST((doc_id - lo) // ((hi - lo) // 4 + 1) AS BIGINT) AS bt
-        |  FROM documents, bounds),
-        |w0 AS MATERIALIZED (
-        |  SELECT unnest(range(0, ${b + 1})) AS b,
-        |    CAST(0 AS BIGINT) AS wv),
-        |$rounds
+      val nc = streaming.FileFeed.StreamChunks
+      s"""WITH $onlineClfCtes
         |SELECT x.doc_id, CAST(y.y AS BIGINT) AS label, y.is_train,
         |  CAST(sum(x.n * w.wv) AS BIGINT) AS margin,
         |  CAST(CASE WHEN sum(x.n * w.wv) > 0 THEN 1 ELSE -1 END
         |    AS BIGINT) AS predicted
-        |FROM x JOIN w4 w USING (b) JOIN y ON y.doc_id = x.doc_id
+        |FROM x JOIN w$nc w USING (b) JOIN y ON y.doc_id = x.doc_id
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
+    // q222: the held-out trajectory — each chunk's held-out docs scored
+    // under the INHERITED weight relation w{c} (the weights that had
+    // not yet seen the chunk), correct ⟺ sign-prediction equals label.
+    "q222_classifier_heldout" -> {
+      val nc = streaming.FileFeed.StreamChunks
+      val blocks = (0 until nc).map { c =>
+        s"""h$c AS (
+           |  SELECT CAST($c AS BIGINT) AS batch_id,
+           |    CAST(coalesce(sum(CASE WHEN
+           |      (CASE WHEN margin > 0 THEN 1 ELSE -1 END) = y
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS held_correct,
+           |    CAST(count(*) AS BIGINT) AS held_total
+           |  FROM (
+           |    SELECT x.doc_id, y.y, sum(x.n * w.wv) AS margin
+           |    FROM x JOIN w$c w USING (b)
+           |    JOIN y ON y.doc_id = x.doc_id
+           |    WHERE NOT y.is_train AND y.bt = $c GROUP BY 1, 2))"""
+          .stripMargin
+      }.mkString(",\n")
+      val sel = (0 until nc).map(c => s"SELECT * FROM h$c")
+        .mkString("\n| UNION ALL ")
+      s"""WITH $onlineClfCtes,
+        |$blocks
+        |$sel
+        |ORDER BY batch_id""".stripMargin
     },
     // q218: batch-perceptron training replay — FNV-hashed unigram
     // buckets (+bias 64), integer weights, per-round (margins →
@@ -2204,11 +2245,15 @@ object SparkEntry {
     * corpus) shared by the IVFADC chain and q200's cluster-balanced
     * sample — one replay of the coarse quantizer, so a drift in the
     * Lloyd rule hash-mismatches every consumer together. */
-  private def coarseAssignCtes: String =
+  private def coarseAssignCtes: String = coarseAssignCtesOver("embeddings")
+
+  /** Same chain over an arbitrary (vec_id, embedding) relation/CTE —
+    * the q223 RAG rung feeds it the chunk-vector fixture. */
+  private def coarseAssignCtesOver(src: String): String =
     s"""eq AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
-      |  FROM embeddings),
+      |  FROM $src),
       |kc0 AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
       |  FROM eq ORDER BY vec_id LIMIT 16),
@@ -2224,8 +2269,10 @@ object SparkEntry {
       |      ORDER BY d, j) AS rk FROM kd)
       |  WHERE rk = 1)""".stripMargin
 
-  private def ivfAdcOracleChain: String =
-    s"""$coarseAssignCtes,
+  private def ivfAdcOracleChain: String = ivfAdcOracleChainOver("embeddings")
+
+  private def ivfAdcOracleChainOver(src: String): String =
+    s"""${coarseAssignCtesOver(src)},
       |qprobe AS (
       |  SELECT vec_id AS query_id, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -2909,6 +2956,7 @@ object SparkEntry {
     // table (unrolled e0..eN), per-chunk token mass.
     "q216_streaming_token_drift" -> {
       val n = operators.Bpe.BpeMerges
+      val nc = streaming.FileFeed.StreamChunks
       val encRounds = (1 to n).map { r =>
         s"""e$r AS MATERIALIZED (
            |  SELECT w, CASE WHEN b.pa IS NULL THEN s
@@ -2920,7 +2968,7 @@ object SparkEntry {
         |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
         |ch AS MATERIALIZED (
         |  SELECT doc_id, text,
-        |    CAST((doc_id - lo) // ((hi - lo) // 4 + 1) AS BIGINT) AS b
+        |    CAST((doc_id - lo) // ((hi - lo) // $nc + 1) AS BIGINT) AS b
         |  FROM documents, bounds),
         |train AS (SELECT doc_id, text FROM ch WHERE b = 0),
         |${bpeTrainCtesFrom("train")},

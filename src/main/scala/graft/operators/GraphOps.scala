@@ -1075,8 +1075,15 @@ object GraphOps {
     * mixture decisions); registered here over the standard fixture
     * graph, with the `From` variant taking any symmetrized edge list.
     *
-    * Overflow envelope: |gain| ≤ 2m·max(k_i) — Long-safe through
-    * 10¹² edges × 10⁶ max degree; ANSI fails fast beyond.
+    * Overflow envelope: both gain products are bounded only by the
+    * total edge mass (2m·k_{i,c} and k_i·Σtot_c are each ≤ 4m²), so a
+    * Long gain would pass Long.MaxValue near 3×10⁹ edge mass against a
+    * giant community — guaranteed on web-scale graphs. The gain is
+    * therefore computed in Decimal(38,0): exact (scale 0, |gain| ≤
+    * 4m² < 10³⁸ whenever 2m fits in a Long), and mirrored bit-for-bit
+    * by the oracle's HUGEINT. PipelineSpec drives edge weights past
+    * Long.MaxValue products to pin this. Only the argmax ordering
+    * consumes the gain, so the output schema stays all-BIGINT.
     *
     * Scale shape per round (the q38 shape): one edges⋈labels join +
     * a (node, c) count, a label-keyed degree-mass aggregate, and one
@@ -1104,7 +1111,7 @@ object GraphOps {
     * exactly the 2·w_ii the modularity degree needs) but never to
     * k_{i,c}: a self-loop is not a link to another member, so the
     * link-weight relation filters src ≠ dst. Returns (node, label). */
-  private def louvainMovePhase(ew: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def louvainMovePhase(ew: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = ew.persist()
     val deg = edges.groupBy(col("src").as("node"))
@@ -1132,9 +1139,15 @@ object GraphOps {
         .join(tot, Seq("c"))
         .join(labels, Seq("node"))
         .join(deg, Seq("node"))
-        .withColumn("gain", lit(m2) * col("kic") - col("deg") *
-          (col("tot") - when(col("c") === col("label"), col("deg"))
-            .otherwise(lit(0L))))
+        // Decimal(20,0) factors → exact Decimal(38,0) products: both
+        // terms are ≤ 4m², inside 38 digits for any Long-valued 2m
+        // (a Long gain overflows near 3e9 edge mass — see scaladoc)
+        .withColumn("gain",
+          lit(m2).cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+            col("kic") -
+          col("deg").cast(org.apache.spark.sql.types.DecimalType(20, 0)) *
+            (col("tot") - when(col("c") === col("label"), col("deg"))
+              .otherwise(lit(0L))))
       val w = Window.partitionBy(col("node"))
         .orderBy(col("gain").desc,
           when(col("c") === col("label"), lit(0)).otherwise(lit(1)),
@@ -1166,8 +1179,11 @@ object GraphOps {
     * barbell spec pins phase 2 as the identity there; the bridged
     * fixture pins a real merge). Output: (node, community_l1,
     * community) — both levels, so a pipeline can pick its
-    * granularity. All arithmetic stays the q211 integer gain; same
-    * overflow envelope (weights sum to the original edge mass). */
+    * granularity. All arithmetic stays the q211 integer gain in its
+    * Decimal(38,0) form — the contracted level is where a community's
+    * tot approaches 2m, exactly the regime a Long gain would overflow
+    * in (weights sum to the original edge mass, so the 4m² bound
+    * carries over unchanged). */
   def louvainTwoLevel(spark: SparkSession, dir: String): DataFrame =
     louvainTwoLevelFrom(undirectedEdges(Tables(spark, dir)))
 

@@ -1382,6 +1382,66 @@ object Similarity {
       .orderBy(col("cell"), col("rk"))
   }
 
+  /** RAG retrieval rung (q223) — the serving-side read every RAG
+    * pipeline runs, composed end-to-end from this library's own parts:
+    * q144's overlapping chunk windows are the retrieval units, each
+    * chunk carries an embedding from the EMBED FIXTURE (below), the
+    * q159 trained residual-IVFADC index is built over the CHUNK
+    * vectors, and a query batch (every 50th chunk id) retrieves its
+    * top-3 chunks through the index — returned with (doc_id,
+    * chunk_idx) provenance, the columns a generation stage feeds its
+    * context assembly from.
+    *
+    * Embed fixture: no embedding model runs in-engine (the multimodal
+    * stub policy — make the Spark-side plumbing real, stub the model),
+    * so each chunk deterministically borrows a vector from the
+    * `embeddings` fixture table: vec(chunk) = embeddings[(cid·37 + 11)
+    * mod (max vec_id + 1)] with cid = doc_id·2²⁰ + chunk_idx. The
+    * mapping is injective on chunk ids (documents would need 2²⁰
+    * chunks ≈ 20M words to collide; cid·37 stays Long-exact through
+    * doc_id < 2.4×10¹¹) and trivially SQL-replayable, so the WHOLE
+    * composition — chunking, fixture, coarse+PQ training, probing,
+    * ranking — carries a DuckDB oracle.
+    *
+    * Scale shape: chunking is q144's per-row explode; the fixture
+    * assignment is one equi-join against the (small) vector table;
+    * everything after is q159's cell-bounded plan over the chunk-
+    * granular corpus — the layout that serves chunk retrieval at
+    * 100 TB (the index is over CHUNKS, not documents, so the candidate
+    * mass per probe stays proportional to probed-cell chunk counts).
+    * The recall gate vs exact chunk-level brute force runs through
+    * [[ivfAdcRecallEvalFrom]] on the same relation (spec + SCALING
+    * row). */
+  def ragRetrieval(spark: SparkSession, dir: String): DataFrame =
+    ragRetrievalFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def ragRetrievalFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val cv = chunkVectors(docs, emb)
+    ivfAdcTopKFrom(cv, topK = 3, queryMod = 50L)
+      .select(col("query_id"), col("rk"),
+        expr("neighbor_id div 1048576").as("doc_id"),
+        expr("neighbor_id % 1048576").as("chunk_idx"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The chunk-vector relation the q223 index is built over:
+    * (vec_id = doc_id·2²⁰ + chunk_idx, embedding from the fixture). */
+  private[graft] def chunkVectors(docs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val nv = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx")
+    CorpusOps.chunkWindowsFrom(docs)
+      .select(cid.as("cid"),
+        pmod(cid * lit(37L) + lit(11L), lit(nv)).as("v"))
+      .join(emb.select(col("vec_id").as("v"), col("embedding")), Seq("v"))
+      .select(col("cid").as("vec_id"), col("embedding"))
+  }
+
   /** IVFADC recall gate (q179) — q158's deployment readout for the
     * PRODUCTION layout: per query, how many of q159's IVFADC top-3
     * (trained codes, nprobe-bounded candidates) appear in the exact

@@ -31,6 +31,13 @@ import org.apache.spark.sql.streaming.Trigger
   * calendar fields. */
 private[graft] object FileFeed {
 
+  /** Chunk count for the registered ORDERED feeds whose oracles replay
+    * the chunk assignment arithmetically (q216 drift, q220 online
+    * classifier): SparkEntry generates both the `(hi−lo)//N+1` bin
+    * arithmetic and the per-chunk CTE unroll from this constant —
+    * change it here and both sides move together. */
+  private[graft] val StreamChunks = 4
+
   /** Write the feed chunks; returns (tmpDir, feedDir). `baseDir`
     * overrides the temp location (the no-op-setTimes guard spec points
     * it at a filesystem that ignores mtime stamps). */

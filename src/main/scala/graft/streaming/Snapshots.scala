@@ -30,7 +30,11 @@ private[streaming] object Snapshots {
     * cluster deployment MUST use: state written to a driver-local temp
     * dir is invisible to executors on other hosts. Stores under a
     * configured root are RETAINED at JVM exit (shared state outlives
-    * the driver).
+    * the driver) — which means they ACCUMULATE across driver runs:
+    * snapshot pruning ([[prune]]) bounds each store's interior, but
+    * reclaiming retired `<name>-<n>` stores (and their `.claim-*`
+    * markers) is a deployment-level retention job, same as any
+    * checkpoint location.
     *
     * Unset (the default), falls back to a driver-local temp dir
     * registered for deletion at JVM exit — the local[*] test posture,
@@ -41,8 +45,17 @@ private[streaming] object Snapshots {
       case Some(root) if root.nonEmpty =>
         val base = root.stripSuffix("/")
         val f = fs(spark, base)
-        val n = Iterator.from(0)
-          .find(i => !f.exists(new Path(s"$base/$name-$i"))).get
+        f.mkdirs(new Path(base))
+        // claim the slot ATOMICALLY: createNewFile is exclusive-create
+        // on HDFS/S3A/local, so two drivers racing on the same root
+        // cannot both claim slot n — the loser sees false (or a
+        // same-path IOException) and probes the next slot. mkdirs
+        // alone can't arbitrate: it succeeds when the dir exists.
+        val n = Iterator.from(0).find { i =>
+          !f.exists(new Path(s"$base/$name-$i")) &&
+            (try f.createNewFile(new Path(s"$base/.claim-$name-$i"))
+             catch { case _: java.io.IOException => false })
+        }.get
         val dir = s"$base/$name-$n"
         f.mkdirs(new Path(dir))
         dir
@@ -56,6 +69,19 @@ private[streaming] object Snapshots {
   /** Batch N committed ⟺ its snapshot's _SUCCESS exists. */
   def committed(spark: SparkSession, snapDir: String, batchId: Long): Boolean =
     pathExists(spark, s"$snapDir/b=$batchId/_SUCCESS")
+
+  /** All committed batch ids under an append-per-batch store root —
+    * the read barrier every monitor readout must apply: a `b=N` dir
+    * left by a crash mid-write (part files present, _SUCCESS missing)
+    * must stay invisible until its replay overwrites it. Directory
+    * listing only, never a data scan. */
+  def committedIds(spark: SparkSession, root: String): Seq[Long] =
+    if (!pathExists(spark, root)) Seq.empty
+    else fs(spark, root).listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("b="))
+      .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
+      .filter(id => committed(spark, root, id))
 
   /** Latest COMMITTED snapshot strictly before `before`. */
   def latest(spark: SparkSession, snapDir: String,

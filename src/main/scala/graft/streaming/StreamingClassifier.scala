@@ -35,7 +35,15 @@ import org.apache.spark.sql.functions._
 object StreamingClassifier {
 
   /** Fold one micro-batch: one perceptron round on the batch's
-    * training docs against the inherited weights. */
+    * training docs against the inherited weights — but FIRST, the
+    * generalization readout a production ingest gates on: the batch's
+    * HELD-OUT documents scored under the INHERITED weights (the model
+    * as it stood when this data arrived — progressive validation, so
+    * no batch is ever scored by weights that saw it). The two additive
+    * integers (correct, total) land under `stats/b=N`, an append-only
+    * trajectory store the weight pruning never touches; the weights
+    * write stays LAST (the batch's commit marker), so a crash between
+    * the two replays both — deterministically, to identical bytes. */
   def classifierBatch(batch: DataFrame, storeDir: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -50,7 +58,17 @@ object StreamingClassifier {
           Array.tabulate(buckets + 1)(b => m.getOrElse(b, 0L))
         case None => Array.fill(buckets + 1)(0L)
       }
-    val delta = Classifier.roundDelta(Classifier.labeled(batch), prev)
+    val xy = Classifier.labeled(batch)
+    val held = Classifier.scoreWith(xy.filter(!col("is_train")), prev)
+      .agg(coalesce(sum(when(col("predicted") === col("label"), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("held_correct"),
+        count(lit(1)).as("held_total"))
+      .head()
+    Seq((batchId, held.getLong(0), held.getLong(1)))
+      .toDF("batch_id", "held_correct", "held_total")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/stats/b=$batchId")
+    val delta = Classifier.roundDelta(xy, prev)
     val w = Array.tabulate(buckets + 1)(b =>
       prev(b) + delta.getOrElse(b, 0L))
     w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) }
@@ -58,6 +76,22 @@ object StreamingClassifier {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/weights/b=$batchId")
     Snapshots.prune(spark, s"$storeDir/weights", batchId)
+  }
+
+  /** Held-out accuracy trajectory: one row per committed batch —
+    * (batch_id, held_correct, held_total) under the weights inherited
+    * at that batch's arrival. The committed-partition read barrier is
+    * the stats dir's own _SUCCESS (a half-replayed batch's row is
+    * rewritten to identical bytes, so early visibility is benign). */
+  def classifierHeldoutTable(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    val ids = Snapshots.committedIds(spark, s"$storeDir/stats")
+    (if (ids.nonEmpty)
+       spark.read.parquet(s"$storeDir/stats")
+         .filter(col("b").isin(ids: _*)).drop("b")
+     else spark.range(0).select(col("id").as("batch_id"),
+       col("id").as("held_correct"), col("id").as("held_total")))
+      .orderBy(col("batch_id"))
   }
 
   /** Score a corpus under the latest committed weights. */
@@ -81,10 +115,27 @@ object StreamingClassifier {
     val storeDir = Snapshots.storeDir(spark, "stream_clf_store")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
-      ordered = true, purpose = "clf") { (batch, batchId) =>
+    FileFeed.run(spark, docs, nChunks = FileFeed.StreamChunks,
+      col("doc_id"), ordered = true, purpose = "clf") { (batch, batchId) =>
       classifierBatch(batch, storeDir, batchId)
     }
     classifierTable(spark, storeDir, docs)
+  }
+
+  /** Registered q222 entry: the same ordered feed, read out as the
+    * per-batch held-out accuracy trajectory — the generalization-drift
+    * monitor (each batch scored by the weights that had NOT yet seen
+    * it). Oracle: the q220 unroll's inherited-weight relations w0..w3
+    * scoring each chunk's held-out docs. */
+  def streamingClassifierHeldout(spark: SparkSession,
+      dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_clf_ho_store")
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = FileFeed.StreamChunks,
+      col("doc_id"), ordered = true, purpose = "clfho") { (batch, batchId) =>
+      classifierBatch(batch, storeDir, batchId)
+    }
+    classifierHeldoutTable(spark, storeDir)
   }
 }

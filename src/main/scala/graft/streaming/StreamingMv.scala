@@ -210,14 +210,19 @@ object StreamingMv {
       .write.mode("overwrite").parquet(s"$storeDir/stats/b=$batchId")
   }
 
-  /** Current monitor contents: one row per committed batch. */
-  def driftTable(spark: SparkSession, storeDir: String): DataFrame =
-    (if (Snapshots.pathExists(spark, s"$storeDir/stats"))
-       spark.read.parquet(s"$storeDir/stats").drop("b")
+  /** Current monitor contents: one row per COMMITTED batch (the q202
+    * read barrier — a `stats/b=N` dir left by a crash mid-write stays
+    * invisible until its replay overwrites it). */
+  def driftTable(spark: SparkSession, storeDir: String): DataFrame = {
+    val ids = Snapshots.committedIds(spark, s"$storeDir/stats")
+    (if (ids.nonEmpty)
+       spark.read.parquet(s"$storeDir/stats")
+         .filter(col("b").isin(ids: _*)).drop("b")
      else spark.range(0).select(col("id").as("batch_id"),
        col("id").as("n_docs"), col("id").as("n_ws_tokens"),
        col("id").as("n_bpe_tokens")))
       .orderBy(col("batch_id"))
+  }
 
   /** Registered q216 entry: the fixture corpus as a 4-chunk ORDERED
     * file-source stream (deterministic doc_id-range bins, so the
@@ -227,8 +232,8 @@ object StreamingMv {
     val storeDir = Snapshots.storeDir(spark, "stream_drift_store")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
-    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
-      ordered = true, purpose = "drift") { (batch, batchId) =>
+    FileFeed.run(spark, docs, nChunks = FileFeed.StreamChunks,
+      col("doc_id"), ordered = true, purpose = "drift") { (batch, batchId) =>
       driftBatch(batch, storeDir, batchId)
     }
     driftTable(spark, storeDir)
@@ -262,16 +267,7 @@ object StreamingMv {
     * ingested so far — committed partitions only (the q202 read
     * barrier: the index is written before the commit marker). */
   def noveltyTable(spark: SparkSession, storeDir: String): DataFrame = {
-    val committedIds: Seq[Long] =
-      if (Snapshots.pathExists(spark, s"$storeDir/gcounts")) {
-        val f = Snapshots.fs(spark, s"$storeDir/gcounts")
-        f.listStatus(new org.apache.hadoop.fs.Path(s"$storeDir/gcounts"))
-          .toSeq.filter(_.isDirectory).map(_.getPath.getName)
-          .filter(_.startsWith("b="))
-          .flatMap(n => scala.util.Try(n.drop(2).toLong).toOption)
-          .filter(id =>
-            Snapshots.committed(spark, s"$storeDir/gcounts", id))
-      } else Seq.empty
+    val committedIds = Snapshots.committedIds(spark, s"$storeDir/gcounts")
     def readCommitted(root: String, emptyLike: => DataFrame): DataFrame =
       if (Snapshots.pathExists(spark, root))
         spark.read.parquet(root)

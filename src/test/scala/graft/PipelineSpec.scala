@@ -1049,6 +1049,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.groupBy(_._2).values.forall(_.map(_._3).toSet.size == 1))
   }
 
+  test("louvain gain survives past-Long-overflow edge mass (Decimal(38,0) envelope)") {
+    import spark.implicits._
+    // the barbell again, but every edge carries w = 10^15: the gain's
+    // first product m2·kic = 1.4e16 · 1e15 ≈ 1.4e31 is ~1.5e12× past
+    // Long.MaxValue on round 1 — a Long gain would overflow-fail under
+    // ANSI (and silently corrupt the argmax without it). The
+    // Decimal(38,0) gain is exact there, and scaling every weight by a
+    // constant scales every gain by w² without reordering any argmax,
+    // so the communities must equal the unit-weight fixpoint.
+    val w = 1000000000000000L // 1e15
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val ew = tri.flatMap { case (a, b) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val got = GraphOps.louvainMovePhase(ew, GraphOps.LouvainRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L), s"heavy-weight barbell: $got")
+  }
+
   test("routing: sssp-with-paths costs match oracle-checked SSSP; paths are valid") {
     val costs = GraphOps.sssp(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

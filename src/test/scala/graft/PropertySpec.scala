@@ -636,6 +636,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE delta training is bit-identical to the full recount") {
+    import spark.implicits._
+    // the delta trainer only re-counts words containing the merged
+    // pair; equality with the full per-round recount must hold
+    // including selected-pair COUNTS (not just the pairs) and the
+    // early-stop round. Tie-heavy tiny alphabet again so a single
+    // off-by-one count would flip a tie-break and diverge.
+    val corpusGen = Gen.listOfN(30, Gen.chooseNum(1, 7).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b")).map(_.mkString)))
+    forAllSampled(corpusGen, n = 4) { words =>
+      val wc = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val rel = operators.Bpe.wordCounts(wc)
+      val full = operators.Bpe.trainMerges(rel, operators.Bpe.BpeMerges)
+      val delta = operators.Bpe.trainMergesDelta(rel,
+        operators.Bpe.BpeMerges)
+      assert(delta == full, s"delta diverged:\n$delta\n$full")
+    }
+  }
+
   test("containment join matches an in-memory model on random embed-heavy corpora") {
     import spark.implicits._
     // base docs of 8-14 words over a 6-word vocabulary (8-grams collide

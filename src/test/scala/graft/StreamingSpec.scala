@@ -1081,6 +1081,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(table() == got, "replay of a committed batch mutated weights")
   }
 
+  test("classifier held-out trajectory: matches in-JVM replay; planted drift batch drops it") {
+    import graft.streaming.StreamingClassifier
+    import spark.implicits._
+    // batches 0-2 carry the separable pattern; batch 3 is the planted
+    // DRIFT batch — its held-out docs read like the learned positives
+    // ("fast engine") but lack the label token, so the inherited
+    // weights misclassify every one of them
+    val base = (0L until 36L).map(i =>
+      (i, if (i % 2 == 0) "spark fast engine" else "slow legacy engine"))
+    val drift = (36L until 48L).map(i => (i, "fast engine fast"))
+    val docs = (base ++ drift).toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_clfho_spec").toString
+    (0 until 4).foreach { b =>
+      StreamingClassifier.classifierBatch(
+        docs.filter(col("doc_id") >= b * 12L &&
+          col("doc_id") < (b + 1) * 12L), store, b.toLong)
+    }
+    def table() = StreamingClassifier.classifierHeldoutTable(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val got = table()
+    // independent in-JVM replay: held-out stats under the INHERITED
+    // weights, then the online update — same feature collection as the
+    // q220 spec
+    val feats = operators.Classifier.labeled(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    var w = Array.fill(65)(0L)
+    val want = (0 until 4).map { c =>
+      val ids = (c * 12L until (c + 1) * 12L).toSet
+      val held = feats.filter(f => ids(f._1) && !f._5).groupBy(_._1)
+      val correct = held.count { case (_, rs) =>
+        val m = rs.map(r => r._3 * w(r._2)).sum
+        (if (m > 0) 1L else -1L) == rs.head._4
+      }
+      val train = feats.filter(f => ids(f._1) && f._5)
+      val miss = train.groupBy(_._1).filter { case (_, rs) =>
+        val m = rs.map(r => r._3 * w(r._2)).sum
+        rs.head._4 * m <= 0
+      }.keySet
+      val delta = train.filter(f => miss(f._1))
+        .groupBy(_._2).view.mapValues(rs => rs.map(r => r._4 * r._3).sum)
+      w = Array.tabulate(65)(b => w(b) + delta.getOrElse(b, 0L))
+      (c.toLong, correct.toLong, held.size.toLong)
+    }
+    assert(got == want, s"held-out trajectory diverged:\n$got\n$want")
+    // the converged pre-drift batch is perfect; the drift batch craters
+    def acc(r: (Long, Long, Long)) = r._2.toDouble / r._3
+    assert(acc(got(2)) > acc(got(3)),
+      s"drift batch must drop held-out accuracy: $got")
+    assert(got(3)._2 == 0L, s"planted drift: every held-out doc wrong: $got")
+    // replay of a committed batch must not touch the trajectory
+    StreamingClassifier.classifierBatch(
+      docs.filter(col("doc_id") >= 24L && col("doc_id") < 36L), store, 2L)
+    assert(table() == got, "replay of a committed batch mutated the trajectory")
+  }
+
   test("streaming novelty: monitor == batch q213 after EVERY batch; replays no-op") {
     import graft.streaming.StreamingMv
     val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
