@@ -276,6 +276,7 @@ object SparkEntry {
       (graft.streaming.StreamingMv.streamingNovelty _),
     "q222_classifier_heldout" ->
       (graft.streaming.StreamingClassifier.streamingClassifierHeldout _),
+    "q223_rag_retrieval" -> (Similarity.ragRetrieval _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -3808,6 +3809,31 @@ object SparkEntry {
         |           JOIN ex USING (query_id, neighbor_id) GROUP BY 1) h
         |  USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
+    // q223: RAG retrieval — q144's chunk windows as retrieval units,
+    // the deterministic embed fixture (vec(chunk) = embeddings[(cid·37
+    // + 11) mod nv]), and the FULL q159 IVFADC chain re-rooted on the
+    // chunk-vector relation (coarseAssignCtesOver/ivfAdcOracleChainOver
+    // — same trained unrolls, so a Lloyd-rule drift hash-mismatches
+    // q159 and q223 together); served with (doc_id, chunk_idx)
+    // provenance decoded from the composite chunk id.
+    "q223_rag_retrieval" ->
+      s"""WITH cw AS (
+        |  SELECT doc_id, unnest(range(0,
+        |      1 + greatest(0, (len(w) - 40 + 19) // 20))) AS chunk_idx
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |cv AS MATERIALIZED (
+        |  SELECT c.doc_id * 1048576 + c.chunk_idx AS vec_id, e.embedding
+        |  FROM cw c JOIN embeddings e
+        |    ON e.vec_id = ((c.doc_id * 1048576 + c.chunk_idx) * 37 + 11)
+        |               % (SELECT max(vec_id) + 1 FROM embeddings)),
+        |${ivfAdcOracleChainOver("cv")}
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+        |  neighbor_id // 1048576 AS doc_id,
+        |  neighbor_id % 1048576 AS chunk_idx, adc_dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).
@@ -4503,5 +4529,8 @@ object SparkEntry {
     // TrainedCache makes iterations 2+ measure the encode pass):
     "q210_bpe_token_stats",
     // span-tier verbatim-unit check (q192 funnel + digest aggregate):
-    "q212_span_units")
+    "q212_span_units",
+    // round 16: the end-to-end RAG serving composition (chunk → embed
+    // fixture → trained IVFADC probe → provenance-decoded top-k):
+    "q223_rag_retrieval")
 }

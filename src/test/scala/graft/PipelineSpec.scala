@@ -2688,4 +2688,47 @@ class PipelineSpec extends AnyFunSuite {
     val ord = ws.map(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id")))
     assert(ord.toSeq == ord.toSeq.sorted)
   }
+
+  test("RAG retrieval (q223): provenance decodes to real chunks; recall gate vs exact chunk brute force") {
+    val t = graft.Tables(spark, sf)
+    val out = Similarity.ragRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    // well-formed serving rows: dense ranks 1..k per query, no chunk
+    // retrieving itself
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length), s"query $q")
+      assert(rs.forall(r => r._3 * 1048576L + r._4 != q), s"self-match $q")
+    }
+    // provenance: every (doc_id, chunk_idx) the serving rows cite — and
+    // every query id — decodes to a chunk that q144's chunker actually
+    // produced for that document
+    val chunks = graft.operators.CorpusOps.chunkWindowsFrom(t.documents)
+      .select(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (q, _, d, c, _) =>
+      assert(chunks.contains((d, c)), s"retrieved non-chunk ($d, $c)")
+      assert(chunks.contains((q / 1048576L, q % 1048576L)),
+        s"query $q is not a chunk")
+    }
+    // the embed fixture really is the documented borrow: spot-check one
+    // retrieved chunk's vector against embeddings[(cid*37+11) mod nv]
+    val cv = Similarity.chunkVectors(t.documents, t.embeddings)
+    val nv = t.embeddings.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val someCid = out.head._3 * 1048576L + out.head._4
+    val got = cv.filter(col("vec_id") === someCid).head().getSeq[Float](1)
+    val want = t.embeddings
+      .filter(col("vec_id") === ((someCid * 37L + 11L) % nv + nv) % nv)
+      .head().getSeq[Float](1)
+    assert(got == want, "embed fixture drifted from the documented rule")
+    // recall gate: the trained index must recover most of the EXACT
+    // chunk-level top-3 (the brute-force serving truth) — the gate an
+    // ANN deployment reads before switching retrieval traffic
+    val rec = Similarity.ivfAdcRecallEvalFrom(cv).collect()
+      .map(_.getLong(1))
+    assert(rec.nonEmpty)
+    val mean = rec.sum.toDouble / (3.0 * rec.length)
+    assert(mean >= 0.30, f"chunk-level IVFADC recall@3 too low: $mean%.3f")
+  }
 }
