@@ -277,6 +277,7 @@ object SparkEntry {
     "q222_classifier_heldout" ->
       (graft.streaming.StreamingClassifier.streamingClassifierHeldout _),
     "q223_rag_retrieval" -> (Similarity.ragRetrieval _),
+    "q225_rag_context_pack" -> (Similarity.ragContextPack _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2248,6 +2249,21 @@ object SparkEntry {
     * Lloyd rule hash-mismatches every consumer together. */
   private def coarseAssignCtes: String = coarseAssignCtesOver("embeddings")
 
+  /** The q223/q225 chunk-vector relation: q144's chunk windows (cw
+    * keeps the word array — q225 reads token counts off it) and the
+    * deterministic embed-fixture borrow, the chain's index source. */
+  private def ragCvCtes: String =
+    s"""cw AS (
+      |  SELECT doc_id, w, unnest(range(0,
+      |      1 + greatest(0, (len(w) - 40 + 19) // 20))) AS chunk_idx
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |cv AS MATERIALIZED (
+      |  SELECT c.doc_id * 1048576 + c.chunk_idx AS vec_id, e.embedding
+      |  FROM cw c JOIN embeddings e
+      |    ON e.vec_id = ((c.doc_id * 1048576 + c.chunk_idx) * 37 + 11)
+      |               % (SELECT max(vec_id) + 1 FROM embeddings))""".stripMargin
+
   /** Same chain over an arbitrary (vec_id, embedding) relation/CTE —
     * the q223 RAG rung feeds it the chunk-vector fixture. */
   private def coarseAssignCtesOver(src: String): String =
@@ -3817,16 +3833,7 @@ object SparkEntry {
     // q159 and q223 together); served with (doc_id, chunk_idx)
     // provenance decoded from the composite chunk id.
     "q223_rag_retrieval" ->
-      s"""WITH cw AS (
-        |  SELECT doc_id, unnest(range(0,
-        |      1 + greatest(0, (len(w) - 40 + 19) // 20))) AS chunk_idx
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |        FROM documents)),
-        |cv AS MATERIALIZED (
-        |  SELECT c.doc_id * 1048576 + c.chunk_idx AS vec_id, e.embedding
-        |  FROM cw c JOIN embeddings e
-        |    ON e.vec_id = ((c.doc_id * 1048576 + c.chunk_idx) * 37 + 11)
-        |               % (SELECT max(vec_id) + 1 FROM embeddings)),
+      s"""WITH $ragCvCtes,
         |${ivfAdcOracleChainOver("cv")}
         |SELECT query_id, CAST(rk AS BIGINT) AS rk,
         |  neighbor_id // 1048576 AS doc_id,
@@ -3834,6 +3841,35 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q225: context assembly — q223's retrieval at depth ContextTopK,
+    // the q144 chunk token counts joined back on, and the greedy
+    // rank-order packing rule as one per-query cumulative-sum window
+    // against the ContextBudgetTokens budget (both constants shared
+    // with the Spark side).
+    "q225_rag_context_pack" ->
+      s"""WITH $ragCvCtes,
+        |${ivfAdcOracleChainOver("cv")},
+        |ranked AS (
+        |  SELECT query_id, rk, neighbor_id // 1048576 AS doc_id,
+        |    neighbor_id % 1048576 AS chunk_idx
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.ContextTopK}),
+        |tok AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CAST(len(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40])
+        |      AS BIGINT) AS n_chunk_tokens
+        |  FROM cw),
+        |packed AS (
+        |  SELECT r.query_id, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
+        |    r.chunk_idx, t.n_chunk_tokens,
+        |    CAST(sum(t.n_chunk_tokens) OVER (PARTITION BY r.query_id
+        |      ORDER BY r.rk) AS BIGINT) AS cum_tokens
+        |  FROM ranked r JOIN tok t USING (doc_id, chunk_idx))
+        |SELECT query_id, rk, doc_id, chunk_idx, n_chunk_tokens,
+        |  cum_tokens,
+        |  cum_tokens <= ${Similarity.ContextBudgetTokens} AS in_context
+        |FROM packed ORDER BY query_id, rk""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

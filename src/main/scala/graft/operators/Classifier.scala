@@ -41,7 +41,19 @@ import org.apache.spark.sql.functions._
   * relation, a semi-join of the misclassified ids back onto the same
   * relation, and a ≤(B+1)-row delta collect (the Lloyd/GlobalOrder
   * metadata-collect scale). Scoring is one more broadcast-join pass.
-  * Nothing quadratic, nothing driver-side beyond the weight vector. */
+  * Nothing quadratic, nothing driver-side beyond the weight vector.
+  *
+  * Bucket-count envelope: [[PerceptronBuckets]] = 64 is demo-scale; a
+  * fasttext-scale model hashes to 10⁵-10⁶ buckets. No term in the plan
+  * grows with B except the broadcast weight vector and the per-round
+  * delta collect — the (doc, bucket) relation's row count is bounded
+  * by token mass regardless of B (more buckets only DE-densify it) —
+  * so wall must track token mass, not B (measured flat at B = 4096,
+  * ScaleSmoke perceptron_B4096). The B ceiling is the broadcast /
+  * driver-collect pair: 8 B·16 per weight row keeps B ≈ 10⁶ ≈ 16 MB —
+  * inside the default 10 MB autoBroadcastJoinThreshold's same order;
+  * raise the threshold or switch the weight join to a shuffle join
+  * past ~5×10⁵ buckets. */
 object Classifier {
 
   /** Feature buckets (the q196 DSIR setting); bucket index B is the

@@ -1419,13 +1419,51 @@ object Similarity {
   /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
     * relations. */
   private[graft] def ragRetrievalFrom(spark: SparkSession,
-      docs: DataFrame, emb: DataFrame): DataFrame = {
+      docs: DataFrame, emb: DataFrame, topK: Int = 3): DataFrame = {
     val cv = chunkVectors(docs, emb)
-    ivfAdcTopKFrom(cv, topK = 3, queryMod = 50L)
+    ivfAdcTopKFrom(cv, topK = topK, queryMod = 50L)
       .select(col("query_id"), col("rk"),
         expr("neighbor_id div 1048576").as("doc_id"),
         expr("neighbor_id % 1048576").as("chunk_idx"),
         col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Retrieval depth and token budget for the context-assembly rung
+    * (q225) — mirrored literally in the oracle. The production knobs:
+    * retrieve deeper than the context holds, pack greedily by rank. */
+  private[graft] val ContextTopK = 5
+  private[graft] val ContextBudgetTokens = 100L
+
+  /** RAG context assembly (q225) — the step between retrieval and
+    * generation: the top-[[ContextTopK]] retrieved chunks per query are
+    * packed IN RANK ORDER into a [[ContextBudgetTokens]]-token context
+    * window (a running token sum per query; a chunk is in-context iff
+    * its cumulative mass still fits — the greedy rule every RAG runtime
+    * applies, and the q111/q214 budget discipline at serving time).
+    * Emits one row per retrieved chunk with its packing verdict, so
+    * both the served context AND what the budget evicted are readable.
+    *
+    * Scale shape: q223's retrieval plan plus one (doc_id, chunk_idx)
+    * equi-join against the chunk token counts and a per-query window
+    * over ≤ [[ContextTopK]] rows — metadata on top of the index read. */
+  def ragContextPack(spark: SparkSession, dir: String): DataFrame =
+    ragContextPackFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def ragContextPackFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val retrieved = ragRetrievalFrom(spark, docs, emb, topK = ContextTopK)
+    val chunks = CorpusOps.chunkWindowsFrom(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rk"))
+    retrieved.join(chunks, Seq("doc_id", "chunk_idx"))
+      .withColumn("cum_tokens", sum(col("n_chunk_tokens")).over(w))
+      .select(col("query_id"), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("n_chunk_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= lit(ContextBudgetTokens)).as("in_context"))
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -154,6 +154,46 @@ object ScaleSmoke {
           s"bpe_tokens=${r.getLong(1)}")
         r.getLong(1)
       }
+      // BPE R-cliff (the Bpe.scala envelope claim, measured): training
+      // rounds are delta-cheap, but the ENCODE folds R merges into an
+      // R-deep replace expression chain that Catalyst walks per
+      // analysis/codegen pass — time train and encode separately at
+      // R = 8/64/256 to pin where the chain cliffs (corpus fixed).
+      if (mult == 1) time(s"bpe_encode_cliff") {
+        val wcR = graft.operators.Bpe
+          .wordCounts(t.documents.select(col("doc_id"), col("text")))
+          .persist()
+        wcR.count()
+        Seq(8, 64, 256).foreach { r =>
+          val t0 = System.nanoTime()
+          val merges = graft.operators.Bpe.trainMergesDelta(wcR, r)
+          val t1 = System.nanoTime()
+          val ntok = graft.operators.Bpe
+            .wordTokens(wcR, merges.map(m => (m._1, m._2)))
+            .agg(sum(col("n_tok"))).head().getLong(0)
+          println(f"[scale]   bpe cliff R=$r%-3d (ran ${merges.length}): " +
+            f"train=${(t1 - t0) / 1e9}%.1f s " +
+            f"encode=${(System.nanoTime() - t1) / 1e9}%.1f s tokens=$ntok")
+        }
+        wcR.unpersist()
+        1L
+      }
+      // perceptron at fasttext-ish bucket count (q218's B envelope):
+      // B = 4096 vs the registered 64 — per-round cost is one margin
+      // aggregate over the SAME (doc, bucket) count relation (row count
+      // tracks distinct-bucket-per-doc mass, bounded by token mass) and
+      // a ≤(B+1)-row delta collect, so wall must track token mass, not
+      // B; the weight relation stays broadcast metadata.
+      time(s"perceptron_B4096") {
+        val out = graft.operators.Classifier
+          .qualityPerceptronFrom(docs, buckets = 4096).persist()
+        val train = out.filter(col("is_train"))
+        val acc = train.filter(col("predicted") === col("label")).count()
+        val n = train.count()
+        println(s"[scale]   perceptron B=4096: train_correct=$acc/$n")
+        out.unpersist()
+        n
+      }
       val vecs = (0 until mult).map { i =>
         t.embeddings.select(
           (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding"))
@@ -439,6 +479,52 @@ object ScaleSmoke {
         println(s"[scale]   streaming semantic: vectors=${d.count()} dropped=$dropped")
         dropped
       }
+      // streaming tokenizer-drift monitor (q216's shape): batch 0 pays
+      // BPE training once (vocabulary-scale delta rounds); batches 1-7
+      // are encode-only — one token explode + a broadcast vocab join +
+      // a 1-row stats write — so their per-batch times must stay FLAT
+      // (and well under batch 0's) regardless of how many stats rows
+      // the store has accumulated.
+      time(s"streaming_token_drift") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_drift").toString
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          graft.streaming.StreamingMv.driftBatch(
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), storeDir, i)
+          println(f"[scale]   drift batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+        }
+        val d = graft.streaming.StreamingMv.driftTable(spark, storeDir)
+          .agg(sum(col("n_ws_tokens")), sum(col("n_bpe_tokens"))).head()
+        println(s"[scale]   drift monitor: ws=${d.getLong(0)} " +
+          s"bpe=${d.getLong(1)}")
+        d.getLong(1)
+      }
+      // streaming novelty monitor (q221's shape): per-batch ingest is a
+      // PURE O(batch) append (the doc's distinct grams, shingled once,
+      // plus the batch's own gram-count delta) — per-batch times must
+      // stay flat as the gram store grows. The READOUT is non-monotone
+      // (a later copy un-novels an earlier doc), so it re-sums the
+      // per-batch df deltas — timed at half and full store to show it
+      // tracks INGESTED mass (the one-shot q213 cost), not batches².
+      time(s"streaming_novelty") {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_scale_novelty").toString
+        (0 until 8).foreach { i =>
+          val b0 = System.nanoTime()
+          graft.streaming.StreamingMv.noveltyBatch(
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), storeDir, i)
+          println(f"[scale]   novelty batch $i: ${(System.nanoTime() - b0) / 1e9}%.2f s")
+          if (i == 3 || i == 7) {
+            val r0 = System.nanoTime()
+            val nd = graft.streaming.StreamingMv
+              .noveltyTable(spark, storeDir).count()
+            println(f"[scale]   novelty readout after ${i + 1} batches: " +
+              f"${(System.nanoTime() - r0) / 1e9}%.2f s ($nd docs)")
+          }
+        }
+        1L
+      }
       // incremental MV (q162's shape): 8 micro-batches folded into the
       // snapshot store — per-batch cost is O(batch + MV rows) and the MV
       // (windows × types) does NOT grow with the amplified event count,
@@ -703,6 +789,67 @@ object ScaleSmoke {
         }
         1L
       }
+      // residual-IVFADC on a CLUSTERED corpus at bench scale (the
+      // production claim, measured where it applies): members = one of
+      // 16 well-separated fixture centers + a 5% per-vector offset, at
+      // the full sf0.1 vector count. True neighbors share the query's
+      // cell, so the trained coarse quantizer should recover the
+      // planted structure and residual codes should separate within-
+      // cell detail — recall must saturate at LOW nprobe (the isotropic
+      // fixture's flat sweep is the no-structure control). Re-rank at
+      // the saturating nprobe is the served operating point.
+      if (mult == 1) time(s"ivfadc_clustered_sweep") {
+        val cents16 = t.embeddings.filter(col("vec_id") < 16)
+          .select(pmod(col("vec_id"), lit(16L)).as("cid"),
+            col("embedding").as("ce"))
+        val clustered = t.embeddings
+          .select(col("vec_id"), pmod(col("vec_id"), lit(16L)).as("cid"),
+            col("embedding"))
+          .join(broadcast(cents16), Seq("cid"))
+          .select(col("vec_id"),
+            zip_with(col("ce"), col("embedding"),
+              (c, e) => c + e * lit(0.05f)).as("embedding"))
+          .persist()
+        clustered.count()
+        Seq(1, 2, 4, 8).foreach { np =>
+          val t0 = System.nanoTime()
+          val m = graft.operators.Similarity
+            .ivfAdcRecallEvalFrom(clustered, nprobe = np)
+            .agg(avg(col("recall3"))).head().getDouble(0) / 3.0
+          println(f"[scale]   clustered nprobe=$np mean_recall3=$m%.2f " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        }
+        // re-rank recall at nprobe=1 (the saturating point): exact-L2
+        // re-score of the ADC shortlist vs the exact top-3 truth
+        val t0 = System.nanoTime()
+        val appx = graft.operators.Similarity
+          .ivfAdcRerankTopKFrom(clustered, nprobe = 1)
+          .select(col("query_id"), col("neighbor_id"))
+        val eqc = clustered.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))")
+            .as("e"))
+        val qs = eqc.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("e").as("qe"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("d"), col("neighbor_id"))
+        val exact = eqc.select(col("vec_id").as("neighbor_id"), col("e"))
+          .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+          .withColumn("d", aggregate(
+            zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, b) => a + b))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = appx.join(exact, Seq("query_id", "neighbor_id"),
+          "left_semi").count()
+        val nq = qs.count()
+        println(f"[scale]   clustered rerank nprobe=1 " +
+          f"mean_recall3=${hits.toDouble / (3.0 * nq)}%.2f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        clustered.unpersist()
+        1L
+      }
       // IVFADC + exact re-rank (q198's shape): the refine adds one
       // broadcast of R×queries shortlist rows over the corpus scan —
       // its cost must track the underlying q159 index pass, and the
@@ -721,6 +868,30 @@ object ScaleSmoke {
         val c = graft.operators.Dedup.containmentJoinFrom(docs)
         val n = c.filter(col("ia").isNotNull).count()
         println(s"[scale]   containment pairs=$n")
+        n
+      }
+      // video temporal near-dup (q217's shape), corpus axis: amplified
+      // copies are frame-level near-dups of their base (the copyvariant
+      // tail shifts the frame grid), so true pairs grow with the copy
+      // families while candidate work stays df-bounded per frame-3-gram
+      // — the q199 cap, one level up.
+      time(s"video_neardup") {
+        val v = graft.operators.Multimodal.videoNearDupFrom(docs)
+        val n = v.filter(col("ia").isNotNull).count()
+        println(s"[scale]   video pairs=$n")
+        n
+      }
+      // video near-dup, SEQUENCE-LENGTH axis: fixed corpus, payloads
+      // repeated mult× (the text repeat shifts the 64-byte frame grid
+      // each period, so frames stay distinct) — per-video frame count
+      // grows mult×, and cost must track total frame-shingle mass
+      // linearly, never frames-per-video².
+      time(s"video_neardup_longseq") {
+        val longDocs = t.documents.select(col("doc_id"),
+          concat_ws(" ", array_repeat(col("text"), mult)).as("text"))
+        val v = graft.operators.Multimodal.videoNearDupFrom(longDocs)
+        val n = v.filter(col("ia").isNotNull).count()
+        println(s"[scale]   video longseq pairs=$n (len x$mult)")
         n
       }
       // cross-source duplicate matrix (q174's shape) on a MANY-sources

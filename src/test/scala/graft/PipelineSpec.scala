@@ -2731,4 +2731,37 @@ class PipelineSpec extends AnyFunSuite {
     val mean = rec.sum.toDouble / (3.0 * rec.length)
     assert(mean >= 0.30, f"chunk-level IVFADC recall@3 too low: $mean%.3f")
   }
+
+  test("RAG context pack (q225): greedy prefix packing, exact chunk token mass") {
+    val t = graft.Tables(spark, sf)
+    val out = Similarity
+      .ragContextPackFrom(spark, t.documents, t.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    val tok = graft.operators.CorpusOps.chunkWindowsFrom(t.documents)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val rs = rows.sortBy(_._2)
+      assert(rs.map(_._2).sameElements(1L to rs.length), s"ranks of $q")
+      // token counts are q144's, the running sum is exact, and the
+      // packing rule is the greedy cumulative budget
+      var cum = 0L
+      rs.foreach { case (_, _, d, c, n, cumGot, in) =>
+        assert(n == tok((d, c)), s"chunk tokens of ($d,$c)")
+        cum += n
+        assert(cumGot == cum)
+        assert(in == (cum <= Similarity.ContextBudgetTokens))
+      }
+      // in_context is a PREFIX of the rank order (greedy never back-fills)
+      val flags = rs.map(_._7)
+      assert(!flags.sliding(2).exists(p => p.length == 2 && !p(0) && p(1)),
+        s"non-prefix packing for $q: ${flags.toSeq}")
+    }
+    // the budget really bites on this fixture: some query evicts a
+    // retrieved chunk, and every query keeps at least its top chunk
+    assert(out.exists(!_._7), "budget never evicted — gate is vacuous")
+    assert(out.filter(_._2 == 1L).forall(_._7), "rank-1 chunk must fit")
+  }
 }
