@@ -277,6 +277,7 @@ object SparkEntry {
     "q222_classifier_heldout" ->
       (graft.streaming.StreamingClassifier.streamingClassifierHeldout _),
     "q223_rag_retrieval" -> (Similarity.ragRetrieval _),
+    "q224_rag_mmr" -> (Similarity.ragRetrievalMmr _),
     "q225_rag_context_pack" -> (Similarity.ragContextPack _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
@@ -2264,6 +2265,43 @@ object SparkEntry {
       |    ON e.vec_id = ((c.doc_id * 1048576 + c.chunk_idx) * 37 + 11)
       |               % (SELECT max(vec_id) + 1 FROM embeddings))""".stripMargin
 
+  /** The q224 greedy MMR rounds, unrolled from the same MmrSelect the
+    * Spark loop runs: sel_t = s1 ∪ … ∪ s(t−1); r_t scores unselected
+    * candidates exact_dist − min pairwise-d to sel_t; s_t is the
+    * (score, neighbor) minimum per query. */
+  private def mmrGreedyCtes: String =
+    (2 to Similarity.MmrSelect).map { t =>
+      val selPrev = (1 until t)
+        .map(i => s"SELECT query_id, neighbor_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$t AS ($selPrev),
+        |r$t AS (
+        |  SELECT query_id, neighbor_id, exact_dist - mind AS score FROM (
+        |    SELECT c.query_id, c.neighbor_id, c.exact_dist,
+        |      min(p.d) AS mind
+        |    FROM cand c
+        |    JOIN pw p ON p.query_id = c.query_id
+        |      AND p.ca = c.neighbor_id
+        |    JOIN sel$t s ON s.query_id = p.query_id
+        |      AND s.neighbor_id = p.cb
+        |    LEFT JOIN sel$t x ON x.query_id = c.query_id
+        |      AND x.neighbor_id = c.neighbor_id
+        |    WHERE x.neighbor_id IS NULL
+        |    GROUP BY c.query_id, c.neighbor_id, c.exact_dist)),
+        |s$t AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score, neighbor_id) AS rn FROM r$t)
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** The s1..sN union with selection ranks, the q224 final relation. */
+  private def mmrSelUnion: String =
+    (1 to Similarity.MmrSelect)
+      .map(t => s"SELECT query_id, neighbor_id, CAST($t AS BIGINT) " +
+        s"AS sel_rk FROM s$t")
+      .mkString(" UNION ALL ")
+
   /** Same chain over an arbitrary (vec_id, embedding) relation/CTE —
     * the q223 RAG rung feeds it the chunk-vector fixture. */
   private def coarseAssignCtesOver(src: String): String =
@@ -3870,6 +3908,53 @@ object SparkEntry {
         |  cum_tokens,
         |  cum_tokens <= ${Similarity.ContextBudgetTokens} AS in_context
         |FROM packed ORDER BY query_id, rk""".stripMargin,
+    // q224: MMR-diversified retrieval — q198's exact-re-ranked pool on
+    // the chunk corpus, then the greedy MMR rounds unrolled (generated
+    // from MmrSelect, so the Spark loop and the oracle share the
+    // constant): round t scores every unselected candidate
+    // exact_dist − min pairwise distance to the selected set and takes
+    // the (score, neighbor) minimum.
+    "q224_rag_mmr" ->
+      s"""WITH $ragCvCtes,
+        |${ivfAdcOracleChainOver("cv")},
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RerankShortlist}),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS exact_dist
+        |  FROM short s JOIN eq q ON q.vec_id = s.query_id
+        |               JOIN eq x ON x.vec_id = s.neighbor_id),
+        |cand AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, exact_dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY exact_dist, neighbor_id) AS rk FROM re)
+        |  WHERE rk <= ${Similarity.MmrShortlist}),
+        |pw AS MATERIALIZED (
+        |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (xa.e[i] - xb.e[i]) * (xa.e[i] - xb.e[i]))) AS BIGINT)
+        |      AS d
+        |  FROM cand a JOIN cand b ON b.query_id = a.query_id
+        |    AND b.neighbor_id <> a.neighbor_id
+        |  JOIN eq xa ON xa.vec_id = a.neighbor_id
+        |  JOIN eq xb ON xb.vec_id = b.neighbor_id),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY exact_dist, neighbor_id) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |$mmrGreedyCtes
+        |SELECT u.query_id, u.sel_rk,
+        |  c.neighbor_id // 1048576 AS doc_id,
+        |  c.neighbor_id % 1048576 AS chunk_idx, c.exact_dist
+        |FROM ($mmrSelUnion) u
+        |JOIN cand c USING (query_id, neighbor_id)
+        |ORDER BY u.query_id, u.sel_rk""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -1435,6 +1435,91 @@ object Similarity {
   private[graft] val ContextTopK = 5
   private[graft] val ContextBudgetTokens = 100L
 
+  /** MMR candidate pool and selection depth (q224) — mirrored in the
+    * oracle's greedy unroll. */
+  private[graft] val MmrShortlist = 8
+  private[graft] val MmrSelect = 3
+
+  /** MMR-diversified RAG retrieval (q224) — the redundancy fix every
+    * RAG serving stack applies on top of raw top-k: with 50%-overlap
+    * chunk windows (q144), a query's nearest chunks are routinely
+    * ADJACENT chunks of the same document carrying near-identical
+    * text, so a top-3 context wastes its budget on one passage.
+    * Maximal Marginal Relevance (Carbonell & Goldstein '98) re-picks
+    * greedily: the [[MmrShortlist]]-candidate pool comes from the
+    * trained IVFADC index exact-re-ranked (q198's posture), then each
+    * of the [[MmrSelect]] selection rounds takes the candidate
+    * minimizing `d(q,c) − min_{s∈selected} d(c,s)` (relevance minus
+    * redundancy, the λ=½ MMR rule cleared of its common scale factor;
+    * smaller is better on both terms) with (score, neighbor) ties.
+    * All distances are the chain's exact fixed-point integer L2, so
+    * the whole greedy trajectory replays in SQL.
+    *
+    * Scale shape: the candidate pool is q198's plan; pairwise
+    * distances and every greedy round live on (query × ≤shortlist²)
+    * rows — METADATA joins keyed by query_id, no corpus term past the
+    * index read. Selection rounds are a fixed [[MmrSelect]]-deep loop
+    * of broadcast-size joins (the Lloyd/perceptron loop shape). */
+  def ragRetrievalMmr(spark: SparkSession, dir: String): DataFrame =
+    ragRetrievalMmrFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def ragRetrievalMmrFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val cv = chunkVectors(docs, emb)
+    val cand = ivfAdcRerankTopKFrom(cv, topK = MmrShortlist)
+      .select(col("query_id"), col("neighbor_id"), col("exact_dist"))
+      .localCheckpoint(true)
+    val eqv = pqCache.rotate(quantized(cv).persist())
+      .select(col("vec_id"), col("e"))
+    // pairwise exact L2 inside each query's candidate pool — ≤ s²
+    // rows per query, metadata (lineage cut so the greedy rounds
+    // never replay the index pass)
+    val d2 = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, b) => a + b)
+    val pw = cand.select(col("query_id"), col("neighbor_id").as("ca"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("cb")),
+        Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .join(eqv.select(col("vec_id").as("ca"), col("e").as("ea")), Seq("ca"))
+      .join(eqv.select(col("vec_id").as("cb"), col("e").as("eb")), Seq("cb"))
+      .select(col("query_id"), col("ca"), col("cb"), d2.as("d"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    var sel = cand
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("sel_rk"))
+    for (t <- 2 to MmrSelect) {
+      val divers = pw
+        .join(sel.select(col("query_id"), col("neighbor_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca")).agg(min(col("d")).as("mind"))
+        .withColumnRenamed("ca", "neighbor_id")
+      val ws = Window.partitionBy(col("query_id"))
+        .orderBy(col("score"), col("neighbor_id"))
+      val pick = cand
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(divers, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (col("exact_dist") - col("mind")).as("score"))
+        .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(t.toLong).as("sel_rk"))
+      sel = sel.unionByName(pick)
+    }
+    val out = sel.join(cand, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("sel_rk"),
+        expr("neighbor_id div 1048576").as("doc_id"),
+        expr("neighbor_id % 1048576").as("chunk_idx"),
+        col("exact_dist"))
+      .orderBy(col("query_id"), col("sel_rk"))
+    out
+  }
+
   /** RAG context assembly (q225) — the step between retrieval and
     * generation: the top-[[ContextTopK]] retrieved chunks per query are
     * packed IN RANK ORDER into a [[ContextBudgetTokens]]-token context

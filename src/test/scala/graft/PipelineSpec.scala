@@ -2764,4 +2764,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exists(!_._7), "budget never evicted — gate is vacuous")
     assert(out.filter(_._2 == 1L).forall(_._7), "rank-1 chunk must fit")
   }
+
+  test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
+    val t = graft.Tables(spark, sf)
+    val cv = Similarity.chunkVectors(t.documents, t.embeddings)
+      .persist()
+    val got = Similarity
+      .ragRetrievalMmrFrom(spark, t.documents, t.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 1048576L + r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // independent replay: same candidate pool, greedy MMR in plain Scala
+    val cand = Similarity
+      .ivfAdcRerankTopKFrom(cv, topK = Similarity.MmrShortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val eq = cv.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val pool = cs.map(c => (c._2, c._3)).sortBy(identity)
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      for (rk <- 1 to Similarity.MmrSelect
+           if sel.length < pool.length) {
+        val pick = pool.filterNot(c => sel.exists(_._3 == c._1))
+          .map { case (n, dq) =>
+            val score = if (rk == 1) dq
+              else dq - sel.map(s => d(eq(n), eq(s._3))).min
+            (score, n, dq)
+          }.minBy(x => (x._1, x._2))
+        sel += ((q, rk.toLong, pick._2, pick._3))
+      }
+      sel
+    }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq.sortBy(x => (x._1, x._2)) == want,
+      "served MMR selection must replay the greedy rule exactly")
+    // diversification: summed min-intra-set distance of the MMR top-3
+    // strictly dominates the plain exact top-3's on this fixture (the
+    // 50%-overlap chunks make redundant neighbors common)
+    def intraDiv(sets: Map[Long, Seq[Long]]): Long =
+      sets.values.map { ns =>
+        if (ns.length < 2) 0L
+        else ns.map(n => ns.filter(_ != n)
+          .map(m => d(eq(n), eq(m))).min).sum
+      }.sum
+    val mmrSets = got.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._3).toSeq }
+    val plainSets = Similarity.ivfAdcRerankTopKFrom(cv, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    val (dm, dp) = (intraDiv(mmrSets), intraDiv(plainSets))
+    assert(dm > dp, s"MMR must diversify the served set: mmr=$dm plain=$dp")
+    cv.unpersist()
+  }
 }
