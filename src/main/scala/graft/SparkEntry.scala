@@ -279,6 +279,8 @@ object SparkEntry {
     "q223_rag_retrieval" -> (Similarity.ragRetrieval _),
     "q224_rag_mmr" -> (Similarity.ragRetrievalMmr _),
     "q225_rag_context_pack" -> (Similarity.ragContextPack _),
+    "q226_streaming_index" ->
+      (graft.streaming.StreamingIndex.streamingIndexServe _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2326,6 +2328,17 @@ object SparkEntry {
 
   private def ivfAdcOracleChain: String = ivfAdcOracleChainOver("embeddings")
 
+  /** q159's full top-k SQL — shared verbatim by q226 (streaming index
+    * ingest), whose serving parity with the one-shot index is the
+    * point of the rung. */
+  private def ivfAdcTopkOracle: String =
+    s"""WITH $ivfAdcOracleChain
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   private def ivfAdcOracleChainOver(src: String): String =
     s"""${coarseAssignCtesOver(src)},
       |qprobe AS (
@@ -3797,13 +3810,13 @@ object SparkEntry {
     // (the Lloyd unroll is generated from the same PqTrainIters constant
     // the Spark side trains with); ADC candidates restricted to probed
     // cells.
-    "q159_ivfadc_topk" ->
-      s"""WITH $ivfAdcOracleChain
-        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
-        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q159_ivfadc_topk" -> ivfAdcTopkOracle,
+    // q226: streaming index ingest — batch-wise encoding under the
+    // frozen snapshot-trained quantizer is the one-shot encode exactly
+    // (same integer assign/residualize/argmin), so the top-k served
+    // from the accumulated store is q159's output for ANY batching and
+    // the oracle is LITERALLY q159's SQL.
+    "q226_streaming_index" -> ivfAdcTopkOracle,
     // q198: IVFADC + exact re-rank — the q159 chain's top-12 ADC
     // shortlist re-scored with exact full-dimension integer L2 (the
     // same distance as q179's truth side) and served by the exact rank.

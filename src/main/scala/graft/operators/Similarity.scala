@@ -1227,6 +1227,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Frozen-quantizer training for the streaming ingest rung (q226):
+    * the coarse cells + residual-PQ codebook q159 trains, returned as
+    * driver-side metadata so a stream can encode micro-batches under a
+    * FROZEN index (the q133/q135 train-on-snapshot posture). Both
+    * rungs share the caches, so training replays are free within a
+    * session. */
+  private[graft] def ivfAdcTrain(vecs: DataFrame, k: Int = 16,
+      coarseIters: Int = IvfCoarseIters,
+      trainIters: Int = PqTrainIters)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val eqd = pqCache.rotate(quantized(vecs).persist())
+    val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
+      trainQuantizedCents(eqd, k, coarseIters))
+    val cbEqd = assignQuantizedCells(eqd, coarse)
+    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters))(
+      pqTrainCodebook(residualize(cbEqd, coarse)
+        .select(col("vec_id"), col("e")), trainIters))
+    (coarse, cb)
+  }
+
+  /** Encode a (vec_id, embedding) batch under a frozen quantizer:
+    * (vec_id, cell, codes) — the index rows a streaming ingest appends.
+    * Identical arithmetic to the one-shot q159 encode (same assign /
+    * residualize / PQ-argmin components, same inline-vs-broadcast
+    * dispatch), so batch-wise encoding is exactly the one-shot index
+    * for ANY batching. */
+  private[graft] def ivfAdcEncode(batch: DataFrame,
+      coarse: Array[Array[Long]],
+      cb: Array[Array[Array[Long]]]): DataFrame = {
+    val eqb = quantized(batch)
+    val assigned = assignQuantizedCells(eqb, coarse)
+    val res = residualize(assigned, coarse).select(col("vec_id"), col("e"))
+    val codes = (if (cb.length.toLong * PqK * PqSub
+          <= MaxInlineCentroidDoubles) pqEncodeLit(res, cb, Long.MaxValue)
+      else pqEncodeBcast(res, cb, Long.MaxValue))._1
+    assigned.select(col("vec_id"), col("cell"))
+      .join(codes.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"))
+  }
+
+  /** Serve per-query ADC top-k from a STORED (vec_id, cell, codes)
+    * relation under the same frozen quantizer — q159's probe/LUT/rank
+    * tail re-rooted on the accumulated store. */
+  private[graft] def ivfAdcServe(stored: DataFrame, queryVecs: DataFrame,
+      coarse: Array[Array[Long]], cb: Array[Array[Array[Long]]],
+      topK: Int = 3, nprobe: Int = 4): DataFrame = {
+    val eqq = quantized(queryVecs)
+    val qProbes = probeQuantizedCells(eqq, coarse, nprobe)
+    val qres = residualize(
+      qProbes.join(eqq.select(col("vec_id"), col("e")),
+        qProbes("query_id") === eqq("vec_id"))
+        .select(col("vec_id"), col("e"), col("cell")), coarse)
+      .select(col("vec_id").as("query_id"), col("cell"), col("e"))
+    val qLuts = pqQueryLuts(qres, cb)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    stored.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      .join(broadcast(qLuts), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDist)
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** PQ recall evaluation (q158) — the index-quality gate an ANN
     * deployment runs before switching traffic: per query, how many of
     * the PQ-ADC top-3 (q148) appear in the EXACT fixed-point L2 top-3

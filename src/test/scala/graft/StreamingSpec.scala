@@ -1329,4 +1329,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(c2 == -1L,
       "click before the locked view must NOT advance — the documented loss")
   }
+
+  test("streaming index ingest (q226): store == one-shot encode; serve == q159; replays no-op") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, cb) = Similarity.ivfAdcTrain(emb)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString
+    // arbitrary (hash-mod) batching, deliberately different from the
+    // registered range feed — parity must hold for ANY batching
+    (0 until 3).foreach { i =>
+      StreamingIndex.indexBatch(
+        emb.filter(pmod(col("vec_id") * 7919, lit(3)) === i),
+        storeDir, coarse, cb, i)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val stored = rows(StreamingIndex.indexTable(spark, storeDir))
+    val oneShot = rows(Similarity.ivfAdcEncode(emb, coarse, cb))
+    assert(stored.nonEmpty && stored == oneShot,
+      "accumulated store must equal the one-shot encode row-for-row")
+    // replaying a committed batch is a no-op (the commit-marker guard)
+    StreamingIndex.indexBatch(emb.limit(0), storeDir, coarse, cb, 1L)
+    assert(rows(StreamingIndex.indexTable(spark, storeDir)) == oneShot)
+    // served top-k from the store == q159's one-shot output
+    val served = Similarity.ivfAdcServe(
+      StreamingIndex.indexTable(spark, storeDir),
+      emb.filter(col("vec_id") % 50 === 0), coarse, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oneShotTopk = Similarity.ivfAdcTopKFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(served.nonEmpty && served.toSeq == oneShotTopk.toSeq,
+      "served top-k must equal the one-shot index for any batching")
+  }
 }
