@@ -281,6 +281,8 @@ object SparkEntry {
     "q225_rag_context_pack" -> (Similarity.ragContextPack _),
     "q226_streaming_index" ->
       (graft.streaming.StreamingIndex.streamingIndexServe _),
+    "q227_streaming_index_drift" ->
+      (graft.streaming.StreamingIndex.streamingIndexDrift _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -3968,6 +3970,44 @@ object SparkEntry {
         |FROM ($mmrSelUnion) u
         |JOIN cand c USING (query_id, neighbor_id)
         |ORDER BY u.query_id, u.sel_rk""".stripMargin,
+    // q227: index-staleness monitor — the trained-coarse-cell unroll
+    // over the UNDRIFTED snapshot (shared coarseAssignCtes, so the
+    // quantizer replay is q159/q200's), the calibration threshold
+    // (snapshot max assignment distance from the chain's own kd), the
+    // planted 2× drift on the top id quarter (exact in float, replayed
+    // as a double multiply), and per-chunk stats with the chunk id from
+    // the FileFeed bin arithmetic (generated from StreamChunks).
+    "q227_streaming_index_drift" ->
+      s"""WITH $coarseAssignCtes,
+        |bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
+        |           FROM embeddings),
+        |params AS (
+        |  SELECT lo, (hi - lo) // ${graft.streaming.FileFeed.StreamChunks}
+        |      + 1 AS w,
+        |    (hi + 1) * 3 // 4 AS dl
+        |  FROM bounds),
+        |thr AS (
+        |  SELECT max(md) AS t FROM (
+        |    SELECT vec_id, min(d) AS md FROM kd GROUP BY 1)),
+        |deq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * f * 1e6) AS BIGINT)) AS e
+        |  FROM (SELECT vec_id, embedding,
+        |          CASE WHEN vec_id >= p.dl THEN 2 ELSE 1 END AS f
+        |        FROM embeddings CROSS JOIN params p)),
+        |dd AS (
+        |  SELECT v.vec_id, min(CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT)) AS d
+        |  FROM deq v CROSS JOIN kc${Similarity.IvfCoarseIters} c
+        |  GROUP BY 1)
+        |SELECT CAST((d.vec_id - p.lo) // p.w AS BIGINT) AS batch_id,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(d.d) AS BIGINT) AS sum_dist,
+        |  max(d.d) AS max_dist,
+        |  CAST(sum(CASE WHEN d.d > (SELECT t FROM thr)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+        |FROM dd d CROSS JOIN params p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q121: the full cleaning pipeline — exact dedup, decontamination,
     // quality + repetition gates, mixture rollup — composed from the
     // same SQL fragments as q115/q117/q118 (each independently green).

@@ -1266,6 +1266,15 @@ object Similarity {
       .join(codes.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"))
   }
 
+  /** (vec_id, cell, dist_q) of a batch under FROZEN coarse cells — the
+    * unit of work of the q227 staleness probe (and the q226 encode's
+    * first stage): one codegen'd integer-L2 argmin map, the distance
+    * kept. */
+  private[graft] def assignWithDist(batch: DataFrame,
+      coarse: Array[Array[Long]]): DataFrame =
+    assignQuantizedCells(quantized(batch), coarse)
+      .select(col("vec_id"), col("cell"), col("dist_q"))
+
   /** Serve per-query ADC top-k from a STORED (vec_id, cell, codes)
     * relation under the same frozen quantizer — q159's probe/LUT/rank
     * tail re-rooted on the accumulated store. */

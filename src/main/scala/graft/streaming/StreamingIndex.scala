@@ -53,6 +53,86 @@ object StreamingIndex {
       col("id").as("cell"), array().cast("array<long>").as("codes"))
   }
 
+  // ----- index-staleness monitor (q227): the "when to retrain"
+  // signal an ANN deployment watches. The quantizer was trained on a
+  // snapshot and FROZEN (q226's posture); as ingested data drifts away
+  // from that snapshot, new vectors land ever farther from their
+  // nearest frozen cell — candidate lists stop matching true
+  // neighborhoods and recall decays silently. The monitor prices each
+  // micro-batch's fit: per batch, the count / sum / max of the
+  // integer distance-to-nearest-frozen-cell, plus how many vectors
+  // exceed the calibration threshold (the TRAINING SNAPSHOT's max
+  // assignment distance — beyond it a vector is farther from every
+  // cell than any training point was, unambiguous out-of-distribution
+  // evidence). All additive integers in an append-only stats store
+  // (the q202 discipline), so streaming ≡ batch exactly.
+  //
+  // Overflow envelope: dist_q ≤ Dim·(2·10⁶·maxcomp)² per vector —
+  // ≈ 6·10¹⁴ for unit-range 64-dim embeddings at the 2× planted
+  // drift — so a batch's sum_dist is Long-safe through ~10⁴ such
+  // vectors per batch; ANSI fails fast beyond (the betweenness
+  // envelope discipline).
+
+  /** Fold one micro-batch's staleness stats into the store: one
+    * argmin map over the batch, a 1-row aggregate under `stats/b=N`
+    * (the commit marker; replays no-op). */
+  def indexDriftBatch(batch: DataFrame, storeDir: String,
+      coarse: Array[Array[Long]], farThreshold: Long,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (Snapshots.committed(spark, s"$storeDir/stats", batchId)) return
+    Similarity.assignWithDist(batch, coarse)
+      .agg(lit(batchId).as("batch_id"),
+        count(lit(1)).as("n_vecs"),
+        sum(col("dist_q")).as("sum_dist"),
+        max(col("dist_q")).as("max_dist"),
+        sum(when(col("dist_q") > farThreshold, lit(1L)).otherwise(lit(0L)))
+          .as("n_far"))
+      .write.mode("overwrite").parquet(s"$storeDir/stats/b=$batchId")
+  }
+
+  /** Current monitor contents: one stats row per committed batch. */
+  def indexDriftTable(spark: SparkSession, storeDir: String): DataFrame = {
+    val ids = Snapshots.committedIds(spark, s"$storeDir/stats")
+    (if (ids.nonEmpty)
+       spark.read.parquet(s"$storeDir/stats")
+         .filter(col("b").isin(ids: _*)).drop("b")
+     else spark.range(0).select(col("id").as("batch_id"),
+       col("id").as("n_vecs"), col("id").as("sum_dist"),
+       col("id").as("max_dist"), col("id").as("n_far")))
+      .orderBy(col("batch_id"))
+  }
+
+  /** Registered q227 entry: the coarse quantizer trains on the
+    * UNDRIFTED snapshot and calibrates the threshold (snapshot max
+    * assignment distance); the stream then carries a PLANTED
+    * distribution shift — vectors in the top quarter of the id range
+    * (exactly the last of the [[FileFeed.StreamChunks]] ordered
+    * vec_id-range chunks) are scaled 2× (exact in float, so the
+    * drifted quantization replays in SQL) — and the monitor must price
+    * the drifted batch as out-of-distribution while the in-snapshot
+    * batches read n_far = 0. */
+  def streamingIndexDrift(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_index_drift_store")
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, _) = Similarity.ivfAdcTrain(emb)
+    val farThreshold = Similarity.assignWithDist(emb, coarse)
+      .agg(max(col("dist_q"))).head().getLong(0)
+    val nv = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val driftLo = nv * 3L / 4L
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x * when(col("vec_id") >= driftLo, lit(2.0f)).otherwise(lit(1.0f)))
+        .as("embedding"))
+    FileFeed.run(spark, drifted, nChunks = FileFeed.StreamChunks,
+      col("vec_id"), ordered = true, purpose = "index_drift") {
+      (batch, batchId) =>
+        indexDriftBatch(batch, storeDir, coarse, farThreshold, batchId)
+    }
+    indexDriftTable(spark, storeDir)
+  }
+
   /** Registered q226 entry: the fixture vectors as a 4-chunk
     * file-source stream folded through [[indexBatch]] under the frozen
     * snapshot-trained quantizer, then the q159 query batch served from

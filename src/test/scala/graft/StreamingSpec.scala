@@ -1364,4 +1364,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.nonEmpty && served.toSeq == oneShotTopk.toSeq,
       "served top-k must equal the one-shot index for any batching")
   }
+
+  test("streaming index drift (q227): planted shift flagged; matches an in-JVM replay") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val got = StreamingIndex.streamingIndexDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.length == graft.streaming.FileFeed.StreamChunks)
+    // the in-snapshot chunks read CLEAN and the planted 2×-drift chunk
+    // reads fully out-of-distribution — the monitor's whole point
+    got.init.foreach { r => assert(r._5 == 0L, s"clean batch flagged: $r") }
+    assert(got.last._5 == got.last._2,
+      s"drift batch must be fully flagged: ${got.last}")
+    // independent replay: frozen cells + threshold + per-chunk stats in
+    // plain Scala over the collected fixture
+    val (coarse, _) = Similarity.ivfAdcTrain(emb)
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def minD(e: Array[Long]): Long = coarse.map(c =>
+      e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    def q(x: Float, f: Float): Long =
+      math.floor((x * f).toDouble * 1e6).toLong
+    val thr = raw.map { case (_, v) => minD(v.map(q(_, 1.0f))) }.max
+    val (lo, hi) = (raw.head._1, raw.last._1)
+    val w = (hi - lo) / graft.streaming.FileFeed.StreamChunks + 1
+    val dl = (hi + 1) * 3 / 4
+    val want = raw.groupBy { case (id, _) => (id - lo) / w }.toSeq
+      .map { case (b, vs) =>
+        val ds = vs.map { case (id, v) =>
+          minD(v.map(q(_, if (id >= dl) 2.0f else 1.0f))) }
+        (b, vs.length.toLong, ds.sum, ds.max,
+          ds.count(_ > thr).toLong)
+      }.sortBy(_._1)
+    assert(got == want, s"monitor diverged from the replay:\n$got\n$want")
+  }
 }
