@@ -194,6 +194,7 @@ object SparkEntry {
         graft.operators.CorpusOps.shardAssignment(s, d)),
     "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
     "q143_unigram_surprisal"   -> (TextAnalysis.unigramSurprisal _),
+    "q228_bigram_surprisal"    -> (TextAnalysis.bigramSurprisal _),
     "q144_chunk_windows"       ->
       ((s: SparkSession, d: String) =>
         graft.operators.CorpusOps.chunkWindows(s, d)),
@@ -3385,6 +3386,32 @@ object SparkEntry {
         |    CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1e4) AS BIGINT) AS q
         |  FROM tfd f JOIN cnt USING (term) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
+        |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |    AS BIGINT) AS mean_surprisal_q
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q228: bigram-LM conditional surprisal — q143's rule one model
+    // rung up: quantize floor(ln(c(w1·)/c(w1w2))·1e4) per adjacent
+    // pair, integer-sum per document; cb ≤ cp keeps every quantum ≥ 0
+    // so div == //. range(1, len) is [1, len) — empty for 1-token docs,
+    // matching the Spark guard.
+    "q228_bigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pp AS (
+        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+        |    FROM w)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM pp GROUP BY 1, 2),
+        |cp AS (SELECT w1, count(*) AS cp FROM pp GROUP BY 1),
+        |tfd AS (SELECT doc_id, w1, w2, count(*) AS tf
+        |        FROM pp GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT f.doc_id, f.tf,
+        |    CAST(floor(ln(CAST(cp AS DOUBLE) / cb) * 1e4) AS BIGINT) AS q
+        |  FROM tfd f JOIN cb USING (w1, w2) JOIN cp USING (w1))
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
         |  CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
         |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |    AS BIGINT) AS mean_surprisal_q

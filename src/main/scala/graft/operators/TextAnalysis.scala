@@ -383,6 +383,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  private val bgCache = new RotatingCache
+
+  /** Bigram-LM conditional surprisal scoring (q228) — the next model
+    * rung above q143's unigram: the corpus's own bigram MLE is the
+    * language model (the in-engine stand-in for the KenLM n-gram model
+    * the CCNet recipe scores with), and each document pays
+    * Σ −ln P(w₂|w₁) = Σ ln(c(w₁·)/c(w₁w₂)) over its ADJACENT token
+    * pairs — repetitive and formulaic text (high-probability
+    * continuations) scores LOW, incoherent token soup scores HIGH,
+    * which is exactly the perplexity split curation uses. Every bigram
+    * scored occurs in the corpus, so the MLE is never zero and no
+    * smoothing is needed. Fixed-point: each pair's surprisal quantizes
+    * to floor(ln(·)·10⁴) BEFORE the integer sum (the q143/q139 rule —
+    * ln is the only cross-engine ulp hazard and it never survives the
+    * floor), and c(w₁w₂) ≤ c(w₁·) keeps every quantum ≥ 0, so the
+    * integer mean matches `//` on both engines.
+    *
+    * Scale shape: one adjacent-pair explode (≈ token mass) feeding
+    * three aggregates off a persisted barrier — bigram counts, prefix
+    * counts, per-doc pair tf — then a pair-keyed scoring join and a
+    * doc-keyed rollup. Nothing rescans the corpus; the model relations
+    * live at bigram-vocabulary scale. Documents under 2 tokens have no
+    * bigrams and no row (mirrored by the oracle's empty range). */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  def bigramSurprisalFrom(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
+    // single-token documents out of the pair explosion (the Bpe rule)
+    val idx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = bgCache.rotate(docs.select(col("doc_id"),
+        explode(transform(idx, i =>
+          struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist())
+    val cb = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val cp = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .join(cb, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .withColumn("q",
+        floor(log(col("cp").cast("double") / col("cb")) * lit(1e4)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("q")).as("surprisal_q"))
+      .withColumn("mean_surprisal_q", expr("surprisal_q div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def tfidfTopKFrom(docs: DataFrame, k: Int = 3): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))

@@ -2765,6 +2765,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(_._2 == 1L).forall(_._7), "rank-1 chunk must fit")
   }
 
+  test("bigram surprisal (q228): hand-computed quanta; repetition scores low; 1-token docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),   // predictable continuations — low surprisal
+      (2L, "a b c d"),   // one rare continuation + two unique bigrams
+      (3L, "x")          // no bigrams — no row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bigramSurprisalFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // corpus model: c(a,·) = 4 (a→a ×3, a→b), c(a,a) = 3, all other
+    // bigrams and prefixes count 1
+    def q(cp: Long, cb: Long) = math.floor(math.log(cp.toDouble / cb) * 1e4).toLong
+    val wantD1 = 3L * q(4, 3)                 // three a→a pairs
+    val wantD2 = q(4, 1) + q(1, 1) + q(1, 1)  // a→b rare; b→c, c→d certain
+    assert(out(1L) == ((3L, wantD1, wantD1 / 3L)))
+    assert(out(2L) == ((3L, wantD2, wantD2 / 3L)))
+    assert(!out.contains(3L), "a 1-token doc has no bigrams and no row")
+    assert(out(1L)._3 < out(2L)._3,
+      "repetitive text must score below diverse text")
+  }
+
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
     val t = graft.Tables(spark, sf)
     val cv = Similarity.chunkVectors(t.documents, t.embeddings)
