@@ -195,6 +195,8 @@ object SparkEntry {
     "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
     "q143_unigram_surprisal"   -> (TextAnalysis.unigramSurprisal _),
     "q228_bigram_surprisal"    -> (TextAnalysis.bigramSurprisal _),
+    "q229_bm25_topk"           -> (TextAnalysis.bm25TopK _),
+    "q230_hybrid_rrf"          -> (Similarity.hybridRrf _),
     "q144_chunk_windows"       ->
       ((s: SparkSession, d: String) =>
         graft.operators.CorpusOps.chunkWindows(s, d)),
@@ -2255,20 +2257,58 @@ object SparkEntry {
     * Lloyd rule hash-mismatches every consumer together. */
   private def coarseAssignCtes: String = coarseAssignCtesOver("embeddings")
 
-  /** The q223/q225 chunk-vector relation: q144's chunk windows (cw
-    * keeps the word array — q225 reads token counts off it) and the
-    * deterministic embed-fixture borrow, the chain's index source. */
-  private def ragCvCtes: String =
+  /** q144's chunk windows as a CTE (cw keeps the word array — q225
+    * reads token counts and q229 reads chunk terms off it). */
+  private def chunkCwCte: String =
     s"""cw AS (
       |  SELECT doc_id, w, unnest(range(0,
       |      1 + greatest(0, (len(w) - 40 + 19) // 20))) AS chunk_idx
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-      |        FROM documents)),
+      |        FROM documents))""".stripMargin
+
+  /** The q223/q225 chunk-vector relation: the chunk windows and the
+    * deterministic embed-fixture borrow, the chain's index source. */
+  private def ragCvCtes: String =
+    s"""$chunkCwCte,
       |cv AS MATERIALIZED (
       |  SELECT c.doc_id * 1048576 + c.chunk_idx AS vec_id, e.embedding
       |  FROM cw c JOIN embeddings e
       |    ON e.vec_id = ((c.doc_id * 1048576 + c.chunk_idx) * 37 + 11)
       |               % (SELECT max(vec_id) + 1 FROM embeddings))""".stripMargin
+
+  /** The q229 BM25 scoring chain over `cw` — idf quantized per term,
+    * per-(term, candidate) contributions floored before the integer
+    * per-pair sum; shared by q229 (final rank) and q230 (fusion
+    * input). Ends at `bpair(query_id, cand, score_q)`. */
+  private def bm25Ctes: String =
+    s"""ct AS (
+      |  SELECT doc_id * 1048576 + chunk_idx AS cid,
+      |    len(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]) AS len,
+      |    unnest(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]) AS t
+      |  FROM cw),
+      |ccb AS (SELECT cid, len, t, count(*) AS tf
+      |        FROM ct GROUP BY 1, 2, 3),
+      |bstats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(len(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]))
+      |      AS DOUBLE) / count(*) AS avgdl
+      |  FROM cw),
+      |idf AS (
+      |  SELECT t, CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |    * 1e4) AS BIGINT) AS idf_q
+      |  FROM (SELECT t, count(*) AS df FROM ccb GROUP BY 1)
+      |  CROSS JOIN bstats),
+      |bpair AS (
+      |  SELECT q.cid AS query_id, c.cid AS cand,
+      |    CAST(sum(CAST(floor(i.idf_q * ((c.tf * 2.2)
+      |      / (c.tf + 1.2 * (0.25 + 0.75 * c.len / s.avgdl))))
+      |      AS BIGINT)) AS BIGINT) AS score_q
+      |  FROM (SELECT DISTINCT cid, t FROM ccb WHERE cid % 50 = 0) q
+      |  JOIN idf i USING (t)
+      |  JOIN ccb c USING (t)
+      |  CROSS JOIN bstats s
+      |  WHERE c.cid <> q.cid
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** The q224 greedy MMR rounds, unrolled from the same MmrSelect the
     * Spark loop runs: sel_t = s1 ∪ … ∪ s(t−1); r_t scores unselected
@@ -3416,6 +3456,51 @@ object SparkEntry {
         |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |    AS BIGINT) AS mean_surprisal_q
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q229: BM25 lexical retrieval over the q223 chunk corpus — idf
+    // quantized per term, each (term, candidate) contribution floored
+    // before the integer per-pair sum (the q143 rule); every double op
+    // in between shares the Spark expression shape, so the ranking is
+    // bit-stable.
+    "q229_bm25_topk" ->
+      s"""WITH $chunkCwCte,
+        |$bm25Ctes
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+        |  cand // 1048576 AS doc_id, cand % 1048576 AS chunk_idx, score_q
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_q DESC, cand) AS rk FROM bpair)
+        |WHERE rk <= ${graft.operators.TextAnalysis.Bm25TopK}
+        |ORDER BY query_id, rk""".stripMargin,
+    // q230: hybrid RRF fusion — the q223 dense chain and the q229 BM25
+    // chain (both over the shared cw), each cut to RrfDepth ranks, the
+    // pure-integer reciprocal-rank sum, fused rank by (score desc,
+    // candidate). All knobs generated from the shared Similarity
+    // constants.
+    "q230_hybrid_rrf" ->
+      s"""WITH $ragCvCtes,
+        |${ivfAdcOracleChainOver("cv")},
+        |$bm25Ctes,
+        |dr AS (
+        |  SELECT query_id, neighbor_id AS cand,
+        |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RrfDepth}),
+        |lr AS (
+        |  SELECT query_id, cand,
+        |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_q DESC, cand) AS rk FROM bpair)
+        |  WHERE rk <= ${Similarity.RrfDepth}),
+        |fused AS (
+        |  SELECT query_id, cand, CAST(sum(c) AS BIGINT) AS rrf_q
+        |  FROM (SELECT * FROM dr UNION ALL SELECT * FROM lr)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+        |  cand // 1048576 AS doc_id, cand % 1048576 AS chunk_idx, rrf_q
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_q DESC, cand) AS rk FROM fused)
+        |WHERE rk <= ${Similarity.RrfTopK}
+        |ORDER BY query_id, rk""".stripMargin,
     // q144: overlapping-window chunking (size 40, stride 20). DuckDB
     // list slicing w[a:b] is 1-based inclusive and end-clamped, exactly
     // Spark's slice(w, a, 40); // after greatest(0, ·) matches div on

@@ -1515,6 +1515,57 @@ object Similarity {
   private[graft] val MmrShortlist = 8
   private[graft] val MmrSelect = 3
 
+  /** RRF fusion knobs (q230) — the standard k = 60 (Cormack et al.),
+    * a 10⁶ integer scale so the reciprocal stays exact, per-ranker
+    * depth 10, served depth 5. All mirrored in the oracle. */
+  private[graft] val RrfK = 60L
+  private[graft] val RrfScale = 1000000L
+  private[graft] val RrfDepth = 10
+  private[graft] val RrfTopK = 5
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (q230) — how every
+    * production RAG stack actually serves: the dense ranker (q223's
+    * trained IVFADC over chunk vectors) catches paraphrase and the
+    * lexical ranker (q229's BM25 over the SAME chunks and query batch)
+    * catches exact-term evidence; RRF fuses them on RANKS alone —
+    * score(c) = Σ_rankers ⌊10⁶/(60 + rank_r(c))⌋ over the rankers that
+    * returned c in their top-[[RrfDepth]] — so no score calibration
+    * between cosine space and BM25 space is ever needed (the reason
+    * RRF won out operationally; Cormack/Clarke/Büttcher '09). Pure
+    * integer arithmetic end-to-end: the fused ranking replays exactly
+    * in SQL over the two rankers' own oracle chains.
+    *
+    * Scale shape: both input rankers run their own documented plans;
+    * fusion itself touches only (queries × ≤2·depth) rank rows — one
+    * union, one sum aggregate keyed by (query, candidate), one
+    * per-query window over ≤ 2·depth rows. Metadata. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def hybridRrfFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx")
+    val contrib = expr(s"$RrfScale div ($RrfK + rk)")
+    val dense = ragRetrievalFrom(spark, docs, emb, topK = RrfDepth)
+      .select(col("query_id"), cid.as("cand"), contrib.as("c"))
+    val lex = TextAnalysis.bm25TopKFrom(docs, topK = RrfDepth)
+      .select(col("query_id"), cid.as("cand"), contrib.as("c"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("cand"))
+    dense.unionByName(lex)
+      .groupBy(col("query_id"), col("cand"))
+      .agg(sum(col("c")).as("rrf_q"))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= RrfTopK)
+      .select(col("query_id"), col("rk"),
+        expr("cand div 1048576").as("doc_id"),
+        expr("cand % 1048576").as("chunk_idx"), col("rrf_q"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** MMR-diversified RAG retrieval (q224) — the redundancy fix every
     * RAG serving stack applies on top of raw top-k: with 50%-overlap
     * chunk windows (q144), a query's nearest chunks are routinely

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table (SURVEY §2.l):
@@ -384,6 +385,79 @@ object TextAnalysis {
   }
 
   private val bgCache = new RotatingCache
+  private val bmCache = new RotatingCache
+
+  /** BM25 top-k and the stopword df cut — mirrored in the oracle. */
+  private[graft] val Bm25TopK = 5
+
+  /** BM25 lexical retrieval over chunks (q229) — the SPARSE side of
+    * hybrid retrieval: every RAG stack runs a lexical ranker next to
+    * the dense index (q223) because exact-term evidence catches what
+    * embeddings blur (identifiers, numbers, rare names). Corpus and
+    * query batch are EXACTLY q223's (the chunk relation, queries =
+    * chunk ids ≡ 0 mod 50 — more-like-this retrieval), so the two
+    * rankers fuse rank-for-rank in q230. Scoring is Robertson/Lucene
+    * BM25 (k₁ = 1.2, b = 0.75, idf = ln((N−df+½)/(df+½)+1)): the idf
+    * quantizes to floor(·10⁴) per TERM and each (term, candidate)
+    * contribution floors again before the integer per-pair sum — the
+    * q143 rule, so ranking is bit-stable cross-engine (every double op
+    * in between is IEEE-determined given the shared expression shape).
+    *
+    * Scale shape: the scoring join is query terms × posting lists —
+    * Σ_q Σ_t df(t) pair rows, shuffled on the term key. The classic
+    * unbounded term is a stopword's corpus-wide posting list; the
+    * DEFINITION keeps every term (Lucene's BM25 does too — its idf is
+    * always positive and near-zero for stopwords), and the serving-
+    * time bound is rank-safe pruning on the same relation: drop query
+    * terms whose max possible contribution (idf_q · (k₁+1)·10⁴)
+    * cannot alter the current top-k (the WAND upper-bound rule), or
+    * simply score only each query's top-m idf terms. Neither changes
+    * the definition; the fixture's 31-term vocabulary makes every
+    * term frequent, which is exactly the regime where the length
+    * normalization and tf saturation carry the ranking. Model
+    * relations (df, idf) live at vocabulary scale. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus; `topK` deepens the
+    * served list (q230's fusion reads both rankers at RrfDepth). */
+  def bm25TopKFrom(docs: DataFrame, topK: Int = Bm25TopK): DataFrame = {
+    val chunks = CorpusOps.chunkWindowsFrom(docs)
+      .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
+        col("n_chunk_tokens").as("len"),
+        explode(split(col("chunk_text"), " ")).as("t"))
+    val cc = bmCache.rotate(chunks
+      .groupBy(col("cid"), col("len"), col("t"))
+      .agg(count(lit(1)).as("tf")).persist())
+    val st = cc.groupBy(col("cid")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)), sum(col("len"))).head()
+    val (nChunks, totLen) = (st.getLong(0), st.getLong(1))
+    val avgdl = totLen.toDouble / nChunks
+    val idf = cc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q", floor(
+        log((lit(nChunks) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * lit(1e4)))
+      .select(col("t"), col("idf_q"))
+    val qTerms = cc.filter(col("cid") % 50 === 0)
+      .select(col("cid").as("query_id"), col("t")).distinct()
+    val contrib = floor(col("idf_q") *
+      ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("len") / lit(avgdl)))))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("cand"))
+    qTerms.join(idf, Seq("t"))
+      .join(cc.select(col("cid").as("cand"), col("len"), col("t"),
+        col("tf")), Seq("t"))
+      .filter(col("cand") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand"))
+      .agg(sum(contrib.cast("long")).as("score_q"))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"),
+        expr("cand div 1048576").as("doc_id"),
+        expr("cand % 1048576").as("chunk_idx"), col("score_q"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   /** Bigram-LM conditional surprisal scoring (q228) — the next model
     * rung above q143's unigram: the corpus's own bigram MLE is the

@@ -2787,6 +2787,93 @@ class PipelineSpec extends AnyFunSuite {
       "repetitive text must score below diverse text")
   }
 
+  test("BM25 (q229): matches an in-JVM replay; rare shared terms dominate common ones") {
+    import spark.implicits._
+    val t = graft.Tables(spark, sf)
+    val got = TextAnalysis.bm25TopKFrom(t.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 1048576L + r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    // independent replay in plain Scala (same IEEE op order)
+    val chunks = graft.operators.CorpusOps.chunkWindowsFrom(t.documents)
+      .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
+        col("n_chunk_tokens"), col("chunk_text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(" ")))
+    val n = chunks.length.toLong
+    val avgdl = chunks.map(_._2).sum.toDouble / n
+    val tf = chunks.map { case (cid, len, ws) =>
+      (cid, len, ws.groupBy(identity).map { case (w, g) => w -> g.length.toLong })
+    }
+    val df = tf.flatMap(_._3.keys).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val idfQ = df.map { case (w, d) =>
+      w -> math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e4).toLong }
+    val want = tf.filter(_._1 % 50 == 0).flatMap { case (qid, _, qtf) =>
+      val scored = tf.filter(_._1 != qid).map { case (cid, len, ctf) =>
+        val s = qtf.keys.toSeq.flatMap { w =>
+          ctf.get(w).map { f =>
+            math.floor(idfQ(w) * ((f * 2.2) /
+              (f + 1.2 * (0.25 + 0.75 * len / avgdl)))).toLong
+          }
+        }
+        (cid, s.sum, s.nonEmpty)
+      }.collect { case (cid, s, true) => (cid, s) }
+      scored.sortBy { case (cid, s) => (-s, cid) }
+        .take(graft.operators.TextAnalysis.Bm25TopK).zipWithIndex
+        .map { case ((cid, s), i) => (qid, i + 1L, cid, s) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.sortBy(x => (x._1, x._2)) == want.toSeq,
+      "served BM25 ranking must replay the scoring rule exactly")
+    // rare-term dominance: a candidate sharing only a RARE query term
+    // outranks one sharing only the corpus's most common term
+    val docs = Seq(
+      (1000L, "zebra " + Seq.fill(39)("the").mkString(" ")),  // query-ish
+      (1050L, "zebra " + Seq.fill(39)("filler").mkString(" ")),
+      (1051L, "the "   + Seq.fill(39)("filler").mkString(" "))
+    ) ++ (1L to 30L).map(i => (i, Seq.fill(40)("the").mkString(" ")))
+    val out = TextAnalysis.bm25TopKFrom(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q1000 = out.filter(_._1 == 1000L * 1048576L).sortBy(_._2)
+    assert(q1000.nonEmpty && q1000.head._3 == 1050L,
+      s"rare shared term must rank first: ${q1000.toSeq}")
+  }
+
+  test("hybrid RRF (q230): matches the integer fusion replay; both rankers contribute") {
+    val t = graft.Tables(spark, sf)
+    val got = Similarity.hybridRrfFrom(spark, t.documents, t.embeddings)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 1048576L + r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0),
+        r.getLong(2) * 1048576L + r.getLong(3), r.getLong(1))).toSeq
+    val dense = ranks(Similarity.ragRetrievalFrom(spark, t.documents,
+      t.embeddings, topK = Similarity.RrfDepth))
+    val lex = ranks(TextAnalysis.bm25TopKFrom(t.documents,
+      topK = Similarity.RrfDepth))
+    val want = (dense ++ lex)
+      .map { case (q, c, rk) =>
+        ((q, c), Similarity.RrfScale / (Similarity.RrfK + rk)) }
+      .groupBy(_._1).map { case ((q, c), xs) => (q, c, xs.map(_._2).sum) }
+      .toSeq.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        cs.sortBy { case (_, c, s) => (-s, c) }
+          .take(Similarity.RrfTopK).zipWithIndex
+          .map { case ((_, c, s), i) => (q, i + 1L, c, s) }
+      }.sortBy(x => (x._1, x._2))
+    assert(got.sortBy(x => (x._1, x._2)) == want,
+      "fused ranking must replay the integer RRF rule exactly")
+    // the fusion is not a pass-through of either ranker on this fixture
+    val denseTop = dense.filter(_._3 <= Similarity.RrfTopK)
+      .map(x => (x._1, x._3, x._2)).sortBy(x => (x._1, x._2))
+    val lexTop = lex.filter(_._3 <= Similarity.RrfTopK)
+      .map(x => (x._1, x._3, x._2)).sortBy(x => (x._1, x._2))
+    val fusedTop = got.map(x => (x._1, x._2, x._3))
+    assert(fusedTop != denseTop && fusedTop != lexTop,
+      "fusion must blend evidence, not echo one ranker")
+  }
+
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
     val t = graft.Tables(spark, sf)
     val cv = Similarity.chunkVectors(t.documents, t.embeddings)

@@ -81,9 +81,15 @@ class RelationalSpec extends AnyFunSuite {
       ("Bpe", operators.Bpe, Set.empty),
       ("Classifier", operators.Classifier, Set.empty),
       ("StreamingClassifier", streaming.StreamingClassifier,
-        // store-scoring step of the registered q220 wrapper (String
-        // param is the store dir); trajectory replay in StreamingSpec
-        Set("classifierTable")),
+        // store-scoring steps of the registered q220/q222 wrappers
+        // (String param is the store dir); trajectory replays in
+        // StreamingSpec
+        Set("classifierTable", "classifierHeldoutTable")),
+      ("StreamingIndex", streaming.StreamingIndex,
+        // store-assembly steps of the registered q226/q227 wrappers
+        // (String param is the store dir); store == one-shot-encode and
+        // drift-replay invariants asserted in StreamingSpec
+        Set("indexTable", "indexDriftTable")),
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),
