@@ -420,8 +420,11 @@ object TextAnalysis {
     bm25TopKFrom(Tables(spark, dir).documents)
 
   /** Same, over an arbitrary (doc_id, text) corpus; `topK` deepens the
-    * served list (q230's fusion reads both rankers at RrfDepth). */
-  def bm25TopKFrom(docs: DataFrame, topK: Int = Bm25TopK): DataFrame = {
+    * served list (q230's fusion reads both rankers at RrfDepth) and
+    * `queryMod` thins the query batch (ScaleSmoke holds it fixed while
+    * the corpus scales). */
+  def bm25TopKFrom(docs: DataFrame, topK: Int = Bm25TopK,
+      queryMod: Long = 50L): DataFrame = {
     val chunks = CorpusOps.chunkWindowsFrom(docs)
       .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
         col("n_chunk_tokens").as("len"),
@@ -438,7 +441,7 @@ object TextAnalysis {
         log((lit(nChunks) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
           + lit(1.0)) * lit(1e4)))
       .select(col("t"), col("idf_q"))
-    val qTerms = cc.filter(col("cid") % 50 === 0)
+    val qTerms = cc.filter(col("cid") % queryMod === 0)
       .select(col("cid").as("query_id"), col("t")).distinct()
     val contrib = floor(col("idf_q") *
       ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *

@@ -863,6 +863,32 @@ object ScaleSmoke {
         clustered.unpersist()
         1L
       }
+      // RAG chunk retrieval (q223's shape): the trained IVFADC built
+      // over CHUNK vectors at mult× corpus size, query batch held
+      // ~fixed via queryMod — per-query candidate mass tracks probed-
+      // cell CHUNK counts (N·nprobe/K), so wall must track corpus mass
+      // linearly once training (vocabulary-free, sample-bounded)
+      // amortizes.
+      time(s"rag_chunk_index") {
+        val cv = graft.operators.Similarity
+          .chunkVectors(docs, t.embeddings)
+        val r = graft.operators.Similarity
+          .ivfAdcTopKFrom(cv, queryMod = 50L * mult)
+        val n = r.count()
+        println(s"[scale]   rag chunks=${cv.count()} served_rows=$n")
+        n
+      }
+      // BM25 (q229's shape): posting-list scoring join at mult× chunk
+      // mass, query batch held ~fixed — pair rows = Σ_q Σ_t df(t), and
+      // df grows linearly with the corpus, so wall must track posting
+      // mass linearly (the term-keyed shuffle is the only data-sized
+      // term; df/idf relations stay vocabulary-scale).
+      time(s"bm25_topk") {
+        val n = graft.operators.TextAnalysis
+          .bm25TopKFrom(docs, queryMod = 50L * mult).count()
+        println(s"[scale]   bm25 served_rows=$n")
+        n
+      }
       // IVFADC + exact re-rank (q198's shape): the refine adds one
       // broadcast of R×queries shortlist rows over the corpus scan —
       // its cost must track the underlying q159 index pass, and the
