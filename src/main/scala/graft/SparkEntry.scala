@@ -286,6 +286,12 @@ object SparkEntry {
       (graft.streaming.StreamingIndex.streamingIndexServe _),
     "q227_streaming_index_drift" ->
       (graft.streaming.StreamingIndex.streamingIndexDrift _),
+    "q231_rag_serve" -> (Similarity.ragServe _),
+    "q232_retrieval_eval" -> (Similarity.retrievalEval _),
+    "q233_streaming_lex_index" ->
+      (graft.streaming.StreamingIndex.streamingLexServe _),
+    "q234_index_compaction" ->
+      (graft.streaming.StreamingIndex.streamingIndexCompact _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -2298,17 +2304,76 @@ object SparkEntry {
       |    * 1e4) AS BIGINT) AS idf_q
       |  FROM (SELECT t, count(*) AS df FROM ccb GROUP BY 1)
       |  CROSS JOIN bstats),
+      |qsel AS (
+      |  SELECT query_id, t, idf_q FROM (
+      |    SELECT q.cid AS query_id, i.t, i.idf_q,
+      |      row_number() OVER (PARTITION BY q.cid
+      |        ORDER BY i.idf_q DESC, i.t) AS trk
+      |    FROM (SELECT DISTINCT cid, t FROM ccb WHERE cid % 50 = 0) q
+      |    JOIN idf i USING (t))
+      |  WHERE trk <= ${operators.TextAnalysis.Bm25QueryTermBound}),
       |bpair AS (
-      |  SELECT q.cid AS query_id, c.cid AS cand,
-      |    CAST(sum(CAST(floor(i.idf_q * ((c.tf * 2.2)
+      |  SELECT q.query_id, c.cid AS cand,
+      |    CAST(sum(CAST(floor(q.idf_q * ((c.tf * 2.2)
       |      / (c.tf + 1.2 * (0.25 + 0.75 * c.len / s.avgdl))))
       |      AS BIGINT)) AS BIGINT) AS score_q
-      |  FROM (SELECT DISTINCT cid, t FROM ccb WHERE cid % 50 = 0) q
-      |  JOIN idf i USING (t)
+      |  FROM qsel q
       |  JOIN ccb c USING (t)
       |  CROSS JOIN bstats s
-      |  WHERE c.cid <> q.cid
+      |  WHERE c.cid <> q.query_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q229/q233's shared oracle: the BM25 chain over the chunk
+    * windows, final rank by (score desc, candidate). Shared verbatim
+    * because per-batch posting appends reconstruct the one-shot
+    * posting relation exactly (q233's whole point). */
+  private def bm25TopkOracle: String =
+    s"""WITH $chunkCwCte,
+      |$bm25Ctes
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |  cand // 1048576 AS doc_id, cand % 1048576 AS chunk_idx, score_q
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_q DESC, cand) AS rk FROM bpair)
+      |WHERE rk <= ${operators.TextAnalysis.Bm25TopK}
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** The q230 RRF fusion CTEs over `adc` (dense) and `bpair` (BM25):
+    * each ranker cut to RrfDepth ranks, the pure-integer reciprocal-
+    * rank sum — shared by q230 (final fused rank) and q232 (quality
+    * gate). Ends at `fused(query_id, cand, rrf_q)`. */
+  private def rrfFusedCtes: String =
+    s"""dr AS (
+      |  SELECT query_id, neighbor_id AS cand,
+      |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+      |  WHERE rk <= ${Similarity.RrfDepth}),
+      |lr AS (
+      |  SELECT query_id, cand,
+      |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_q DESC, cand) AS rk FROM bpair)
+      |  WHERE rk <= ${Similarity.RrfDepth}),
+      |fused AS (
+      |  SELECT query_id, cand, CAST(sum(c) AS BIGINT) AS rrf_q
+      |  FROM (SELECT * FROM dr UNION ALL SELECT * FROM lr)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q223/q231's shared oracle: the FULL q159 IVFADC chain re-rooted
+    * on the chunk-vector relation, served with (doc_id, chunk_idx)
+    * provenance decoded from the composite chunk id. Shared verbatim
+    * because the store-backed serve (q231) equals the one-shot
+    * build+serve (q223) row-for-row — the q226 frozen-quantizer
+    * parity. */
+  private def ragRetrievalOracle: String =
+    s"""WITH $ragCvCtes,
+      |${ivfAdcOracleChainOver("cv")}
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |  neighbor_id // 1048576 AS doc_id,
+      |  neighbor_id % 1048576 AS chunk_idx, adc_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+      |WHERE rk <= ${Similarity.AnnTopK} ORDER BY query_id, rk""".stripMargin
 
   /** The q224 greedy MMR rounds, unrolled from the same MmrSelect the
     * Spark loop runs: sel_t = s1 ∪ … ∪ s(t−1); r_t scores unselected
@@ -2380,7 +2445,7 @@ object SparkEntry {
       |FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
-      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+      |WHERE rk <= ${Similarity.AnnTopK} ORDER BY query_id, rk""".stripMargin
 
   private def ivfAdcOracleChainOver(src: String): String =
     s"""${coarseAssignCtesOver(src)},
@@ -2388,7 +2453,7 @@ object SparkEntry {
       |  SELECT vec_id AS query_id, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, j) AS pr FROM kd WHERE vec_id % 50 = 0)
-      |  WHERE pr <= 4),
+      |  WHERE pr <= ${Similarity.AnnNprobe}),
       |res AS MATERIALIZED (
       |  SELECT v.vec_id, co.cell,
       |    list_transform(range(1, 65), i -> v.e[i] - kc.c[i]) AS re
@@ -3461,15 +3526,13 @@ object SparkEntry {
     // before the integer per-pair sum (the q143 rule); every double op
     // in between shares the Spark expression shape, so the ranking is
     // bit-stable.
-    "q229_bm25_topk" ->
-      s"""WITH $chunkCwCte,
-        |$bm25Ctes
-        |SELECT query_id, CAST(rk AS BIGINT) AS rk,
-        |  cand // 1048576 AS doc_id, cand % 1048576 AS chunk_idx, score_q
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score_q DESC, cand) AS rk FROM bpair)
-        |WHERE rk <= ${graft.operators.TextAnalysis.Bm25TopK}
-        |ORDER BY query_id, rk""".stripMargin,
+    "q229_bm25_topk" -> bm25TopkOracle,
+    // q233: streaming lexical-index ingest — per-batch posting
+    // appends reconstruct the one-shot posting relation exactly (tf
+    // and len are within-chunk facts; df/N/avgdl are sums over the
+    // union), so the served ranking IS q229's and the oracle is
+    // shared verbatim.
+    "q233_streaming_lex_index" -> bm25TopkOracle,
     // q230: hybrid RRF fusion — the q223 dense chain and the q229 BM25
     // chain (both over the shared cw), each cut to RrfDepth ranks, the
     // pure-integer reciprocal-rank sum, fused rank by (score desc,
@@ -3479,28 +3542,66 @@ object SparkEntry {
       s"""WITH $ragCvCtes,
         |${ivfAdcOracleChainOver("cv")},
         |$bm25Ctes,
-        |dr AS (
-        |  SELECT query_id, neighbor_id AS cand,
-        |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |          ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
-        |  WHERE rk <= ${Similarity.RrfDepth}),
-        |lr AS (
-        |  SELECT query_id, cand,
-        |    ${Similarity.RrfScale} // (${Similarity.RrfK} + rk) AS c
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |          ORDER BY score_q DESC, cand) AS rk FROM bpair)
-        |  WHERE rk <= ${Similarity.RrfDepth}),
-        |fused AS (
-        |  SELECT query_id, cand, CAST(sum(c) AS BIGINT) AS rrf_q
-        |  FROM (SELECT * FROM dr UNION ALL SELECT * FROM lr)
-        |  GROUP BY 1, 2)
+        |$rrfFusedCtes
         |SELECT query_id, CAST(rk AS BIGINT) AS rk,
         |  cand // 1048576 AS doc_id, cand % 1048576 AS chunk_idx, rrf_q
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY rrf_q DESC, cand) AS rk FROM fused)
         |WHERE rk <= ${Similarity.RrfTopK}
         |ORDER BY query_id, rk""".stripMargin,
+    // q232: retrieval-quality gate — exact full-dimension integer-L2
+    // top-5 over the chunk vectors as ground truth (the q179 truth
+    // side re-rooted on cv's eq), each ranker (dense adc / lexical
+    // bpair / fused) cut to the same depth, per-query overlap counts.
+    // All three ranker chains and the truth side are the oracle
+    // fragments already green under q223/q229/q230.
+    "q232_retrieval_eval" ->
+      s"""WITH $ragCvCtes,
+        |${ivfAdcOracleChainOver("cv")},
+        |$bm25Ctes,
+        |$rrfFusedCtes,
+        |dtop AS (
+        |  SELECT query_id, neighbor_id AS cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |ltop AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, cand) AS rk FROM bpair)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |ftop AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_q DESC, cand) AS rk FROM fused)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |ed AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS dd
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |truth AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dd, cand) AS rk FROM ed)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth})
+        |SELECT q.query_id,
+        |  CAST(coalesce(dh.c, 0) AS BIGINT) AS dense_r5,
+        |  CAST(coalesce(lh.c, 0) AS BIGINT) AS lex_r5,
+        |  CAST(coalesce(fh.c, 0) AS BIGINT) AS fused_r5
+        |FROM (SELECT vec_id AS query_id FROM eq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM dtop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) dh
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM ltop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) lh
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM ftop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) fh
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
     // q144: overlapping-window chunking (size 40, stride 20). DuckDB
     // list slicing w[a:b] is 1-based inclusive and end-clamped, exactly
     // Spark's slice(w, a, 40); // after greatest(0, ·) matches div on
@@ -3931,6 +4032,11 @@ object SparkEntry {
     // from the accumulated store is q159's output for ANY batching and
     // the oracle is LITERALLY q159's SQL.
     "q226_streaming_index" -> ivfAdcTopkOracle,
+    // q234: store compaction — q226's ingest + an overlapping replay,
+    // one dedup rewrite, then the same serve; deterministic encoding
+    // makes the compacted store equal the one-shot index, so the
+    // oracle is again q159's SQL.
+    "q234_index_compaction" -> ivfAdcTopkOracle,
     // q198: IVFADC + exact re-rank — the q159 chain's top-12 ADC
     // shortlist re-scored with exact full-dimension integer L2 (the
     // same distance as q179's truth side) and served by the exact rank.
@@ -3997,15 +4103,13 @@ object SparkEntry {
     // — same trained unrolls, so a Lloyd-rule drift hash-mismatches
     // q159 and q223 together); served with (doc_id, chunk_idx)
     // provenance decoded from the composite chunk id.
-    "q223_rag_retrieval" ->
-      s"""WITH $ragCvCtes,
-        |${ivfAdcOracleChainOver("cv")}
-        |SELECT query_id, CAST(rk AS BIGINT) AS rk,
-        |  neighbor_id // 1048576 AS doc_id,
-        |  neighbor_id % 1048576 AS chunk_idx, adc_dist
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
-        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q223_rag_retrieval" -> ragRetrievalOracle,
+    // q231: store-backed RAG serving — q223's build/serve split. Batch
+    // encoding under the frozen quantizer equals the one-shot encode
+    // row-for-row (the q226 parity), so the served top-k IS q223's and
+    // the oracle is shared verbatim: a serving-path drift
+    // hash-mismatches both rungs together.
+    "q231_rag_serve" -> ragRetrievalOracle,
     // q225: context assembly — q223's retrieval at depth ContextTopK,
     // the q144 chunk token counts joined back on, and the greedy
     // rank-order packing rule as one per-query cumulative-sum window
@@ -4096,7 +4200,9 @@ object SparkEntry {
         |params AS (
         |  SELECT lo, (hi - lo) // ${graft.streaming.FileFeed.StreamChunks}
         |      + 1 AS w,
-        |    (hi + 1) * 3 // 4 AS dl
+        |    lo + (${graft.streaming.FileFeed.StreamChunks} - 1)
+        |      * ((hi - lo) // ${graft.streaming.FileFeed.StreamChunks} + 1)
+        |      AS dl
         |  FROM bounds),
         |thr AS (
         |  SELECT max(md) AS t FROM (
@@ -4818,5 +4924,9 @@ object SparkEntry {
     "q212_span_units",
     // round 16: the end-to-end RAG serving composition (chunk → embed
     // fixture → trained IVFADC probe → provenance-decoded top-k):
-    "q223_rag_retrieval")
+    "q223_rag_retrieval",
+    // round 17: the build/serve split — what REPEATED serving costs
+    // once the encoded store is persisted (q223 minus the per-call
+    // corpus re-encode; the steady-state row is the serving number):
+    "q231_rag_serve")
 }

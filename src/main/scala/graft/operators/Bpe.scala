@@ -246,18 +246,59 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Merge-count ceiling for the expression-CHAIN encode: up to here
+    * the R-deep replace chain stays cheap to analyze and fully
+    * codegen'd (ScaleSmoke: flat to R=64, ~2× analyzer/codegen cost at
+    * R=256, prohibitive toward a production R≈30k because Catalyst
+    * walks the R-deep tree per analysis round-trip). Past it
+    * [[wordTokens]] dispatches to [[wordTokensFold]] — same replaces,
+    * same order, O(1) expression-tree size in R. */
+  private[graft] val BpeEncodeChainMax = 64
+
   /** ENCODE under a GIVEN (frozen) merge table: per vocabulary word,
     * the BPE token count after applying the merges in order — the step
     * the streaming drift monitor (q216) runs against a tokenizer
     * trained on an earlier snapshot. Words outside the training vocab
-    * encode fine (merges are string rules, not a lookup). */
+    * encode fine (merges are string rules, not a lookup). Dispatches
+    * on R: the replace-CHAIN expression for R ≤ [[BpeEncodeChainMax]]
+    * (the registered R=8 path — also what the oracle unrolls), the
+    * fold-over-literal-array form beyond (bit-identical; pinned by
+    * BpeSpec at R=8 and property-tested on random corpora). */
   private[graft] def wordTokens(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.lengthCompare(BpeEncodeChainMax) <= 0)
+      wordTokensChain(vocab, merges)
+    else wordTokensFold(vocab, merges)
+
+  /** The R-deep replace-chain encode — one `replace` expression per
+    * merge. Analyzer/codegen cost grows with R (each Catalyst pass
+    * walks the whole chain), so this form is for small merge tables. */
+  private[graft] def wordTokensChain(vocab: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val enc = merges.foldLeft(wrapped(col("w"))) {
       case (s, (pa, pb)) =>
         call_function("replace", s,
           lit(S1 + pa + S2 + S1 + pb + S2), lit(S1 + pa + pb + S2))
     }
+    vocab.select(col("w"), size(symbols(enc)).cast("long").as("n_tok"))
+  }
+
+  /** The production-R encode: the merge table as ONE array<struct>
+    * Literal (a single Catalyst node holding R (pattern, replacement)
+    * rows — not R expression nodes) folded over the symbol string with
+    * `aggregate` (a single HigherOrderFunction). Expression-tree size
+    * is O(1) in R, so analysis and codegen never see the merge count;
+    * per-row work is the same R replaces the chain runs, in the same
+    * order — BPE's greedy rule, bit-identical output. This is the
+    * form a real R≈30k tokenizer ships with (ScaleSmoke measures the
+    * chain cliff gone at R=1024). */
+  private[graft] def wordTokensFold(vocab: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val mlit = typedlit(merges.map { case (pa, pb) =>
+      (S1 + pa + S2 + S1 + pb + S2, S1 + pa + pb + S2)
+    })
+    val enc = aggregate(mlit, wrapped(col("w")), (acc, m) =>
+      call_function("replace", acc, m.getField("_1"), m.getField("_2")))
     vocab.select(col("w"), size(symbols(enc)).cast("long").as("n_tok"))
   }
 }

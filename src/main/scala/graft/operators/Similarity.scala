@@ -1175,12 +1175,21 @@ object Similarity {
     * and lifts the recall the q179 gate measures. */
   private[graft] val IvfCoarseIters = 5
 
+  /** Served ANN depth and probe width — q159's serving knobs, shared
+    * by the one-shot rank ([[ivfAdcTopKFrom]]), the store-backed serve
+    * ([[ivfAdcServe]] — q226/q231) and the generated oracle SQL
+    * (ivfAdcTopkOracle / the qprobe CTE), so a knob change moves every
+    * consumer and its oracle together instead of silently diverging. */
+  private[graft] val AnnTopK = 3
+  private[graft] val AnnNprobe = 4
+
   /** Same, over an arbitrary (vec_id, embedding) relation. `trainIters`
     * selects the PQ codebook rung and `coarseIters` the coarse-cell
     * rung (0 = the untrained seeds — the prior-round baselines the
     * recall gate measures training against). */
-  def ivfAdcTopKFrom(vecs: DataFrame, topK: Int = 3, queryMod: Long = 50L,
-      k: Int = 16, nprobe: Int = 4,
+  def ivfAdcTopKFrom(vecs: DataFrame, topK: Int = AnnTopK,
+      queryMod: Long = 50L,
+      k: Int = 16, nprobe: Int = AnnNprobe,
       trainIters: Int = PqTrainIters,
       coarseIters: Int = IvfCoarseIters): DataFrame = {
     // TRAINED coarse quantizer (the q142 fixed-point Lloyd rule): cells
@@ -1280,7 +1289,7 @@ object Similarity {
     * tail re-rooted on the accumulated store. */
   private[graft] def ivfAdcServe(stored: DataFrame, queryVecs: DataFrame,
       coarse: Array[Array[Long]], cb: Array[Array[Array[Long]]],
-      topK: Int = 3, nprobe: Int = 4): DataFrame = {
+      topK: Int = AnnTopK, nprobe: Int = AnnNprobe): DataFrame = {
     val eqq = quantized(queryVecs)
     val qProbes = probeQuantizedCells(eqq, coarse, nprobe)
     val qres = residualize(
@@ -1504,6 +1513,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  private val storedIndexCache = new RotatingCache
+
+  /** Store-backed RAG serving (q231) — q223's build/serve SPLIT, the
+    * deployment posture: BUILD trains the quantizer and encodes the
+    * chunk corpus into a persisted (vec_id, cell, codes) index ONCE
+    * (the q226 store contents, here an in-session persisted relation);
+    * SERVE answers a query batch from that store via [[ivfAdcServe]] —
+    * probe cells, broadcast per-query LUTs, rank — paying probed-cell
+    * work only, with NO per-call corpus re-encode (q223 re-runs the
+    * full encode pass per call because it IS the one-shot build+serve
+    * composition; this rung is what repeated serving actually costs).
+    * Output and oracle are EXACTLY q223's: batch encoding under a
+    * frozen quantizer equals the one-shot encode row-for-row (the q226
+    * parity), so the served top-k is identical for the same queries.
+    *
+    * Scale shape: build is q159's two corpus map passes (assign +
+    * PQ-argmin), amortized over every subsequent serve; a serve reads
+    * the store's probed cells only (equi-join on cell against
+    * broadcast query LUTs — no corpus term beyond the store read) plus
+    * one lightweight chunk pass to materialize the query vectors. At
+    * 100 TB the store is the q226 parquet relation, cell-partitioned,
+    * and a serve's scan prunes to probed cells. */
+  def ragServe(spark: SparkSession, dir: String): DataFrame =
+    ragServeFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def ragServeFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame, topK: Int = AnnTopK): DataFrame = {
+    val cv = chunkVectors(docs, emb)
+    val (coarse, cb) = ivfAdcTrain(cv)
+    val stored = storedIndexCache.rotate(
+      ivfAdcEncode(cv, coarse, cb).persist())
+    val queries = cv.filter(col("vec_id") % 50 === 0)
+    ivfAdcServe(stored, queries, coarse, cb, topK = topK)
+      .select(col("query_id"), col("rk"),
+        expr("neighbor_id div 1048576").as("doc_id"),
+        expr("neighbor_id % 1048576").as("chunk_idx"),
+        col("adc_dist"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Retrieval depth and token budget for the context-assembly rung
     * (q225) — mirrored literally in the oracle. The production knobs:
     * retrieve deeper than the context holds, pack greedily by rank. */
@@ -1564,6 +1616,74 @@ object Similarity {
         expr("cand div 1048576").as("doc_id"),
         expr("cand % 1048576").as("chunk_idx"), col("rrf_q"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Eval depth for the retrieval-quality gate (q232) — recall@5,
+    * matching [[RrfTopK]] so the fused ranker's full served list is
+    * what gets judged. Mirrored in the oracle. */
+  private[graft] val RetrievalEvalDepth = 5
+
+  /** Retrieval-quality gate for the hybrid tier (q232) — the
+    * deployment question q230's fusion leaves open: does fusing BEAT
+    * the rankers it fuses? Ground truth is the exact fixed-point
+    * integer-L2 top-[[RetrievalEvalDepth]] over the full-dimension
+    * chunk vectors (the q158/q179 truth side, re-rooted on the chunk
+    * relation — embedding similarity as planted relevance); each
+    * ranker — dense (q223's trained IVFADC), lexical (q229's BM25),
+    * fused (q230's RRF) — is cut to the same depth and scored by
+    * overlap per query. Everything is integer arithmetic with
+    * deterministic tie-breaks, so the whole three-way readout carries
+    * a full DuckDB oracle: approximation quality measured exactly.
+    *
+    * Scale shape: the three rankers run their own documented plans;
+    * the truth side is the q46 brute-force shape (broadcast query
+    * batch × corpus scan, per-query top-k window) — the offline-eval
+    * posture: the gate runs on a query SAMPLE before traffic switches,
+    * never inline at serving time. The overlap joins live on
+    * (queries × depth) rank rows — metadata. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def retrievalEvalFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = RetrievalEvalDepth
+    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx")
+    val dense = ragRetrievalFrom(spark, docs, emb, topK = d)
+      .select(col("query_id"), cid.as("cand"))
+    val lex = TextAnalysis.bm25TopKFrom(docs, topK = d)
+      .select(col("query_id"), cid.as("cand"))
+    val fused = hybridRrfFrom(spark, docs, emb)
+      .filter(col("rk") <= d)
+      .select(col("query_id"), cid.as("cand"))
+    val cv = chunkVectors(docs, emb)
+    val eq = pqCache.rotate(quantized(cv).persist())
+    val queries = eq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dd"), col("cand"))
+    val truth = eq.select(col("vec_id").as("cand"), col("e"))
+      .join(broadcast(queries), col("cand") =!= col("query_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= d)
+      .select(col("query_id"), col("cand"))
+    def hits(r: DataFrame, name: String): DataFrame =
+      r.join(truth, Seq("query_id", "cand"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    queries.select(col("query_id"))
+      .join(hits(dense, "dense_r5"), Seq("query_id"), "left")
+      .join(hits(lex, "lex_r5"), Seq("query_id"), "left")
+      .join(hits(fused, "fused_r5"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dense_r5"), lit(0L)).as("dense_r5"),
+        coalesce(col("lex_r5"), lit(0L)).as("lex_r5"),
+        coalesce(col("fused_r5"), lit(0L)).as("fused_r5"))
+      .orderBy(col("query_id"))
   }
 
   /** MMR-diversified RAG retrieval (q224) — the redundancy fix every

@@ -390,6 +390,21 @@ object TextAnalysis {
   /** BM25 top-k and the stopword df cut — mirrored in the oracle. */
   private[graft] val Bm25TopK = 5
 
+  /** Serving-time query-term bound (mirrored in the oracle): a query
+    * scores only its [[Bm25QueryTermBound]] HIGHEST-idf terms
+    * (deterministic (idf desc, term) rank). This is the BucketGuard
+    * discipline for the BM25 funnel — the scoring join's mass is
+    * Σ_q Σ_t df(t), and the unbounded worst case is a stopword's
+    * corpus-wide posting list; ranking by idf caps the terms per query
+    * AND biases the kept ones toward the SHORTEST posting lists (high
+    * idf = low df), so the candidate mass per query is bounded by
+    * m · max-kept-df instead of the query's full stopword mass. The
+    * standard serving trade (query-term pruning): dropped terms are
+    * the lowest-idf ones, whose per-candidate contribution is smallest
+    * and flattest across candidates — the fixture divergence is
+    * measured in TextAnalysisSpec and the 1×/10× cost in SCALING.md. */
+  private[graft] val Bm25QueryTermBound = 16
+
   /** BM25 lexical retrieval over chunks (q229) — the SPARSE side of
     * hybrid retrieval: every RAG stack runs a lexical ranker next to
     * the dense index (q223) because exact-term evidence catches what
@@ -406,16 +421,18 @@ object TextAnalysis {
     * Scale shape: the scoring join is query terms × posting lists —
     * Σ_q Σ_t df(t) pair rows, shuffled on the term key. The classic
     * unbounded term is a stopword's corpus-wide posting list; the
-    * DEFINITION keeps every term (Lucene's BM25 does too — its idf is
-    * always positive and near-zero for stopwords), and the serving-
-    * time bound is rank-safe pruning on the same relation: drop query
-    * terms whose max possible contribution (idf_q · (k₁+1)·10⁴)
-    * cannot alter the current top-k (the WAND upper-bound rule), or
-    * simply score only each query's top-m idf terms. Neither changes
-    * the definition; the fixture's 31-term vocabulary makes every
-    * term frequent, which is exactly the regime where the length
-    * normalization and tf saturation carry the ranking. Model
-    * relations (df, idf) live at vocabulary scale. */
+    * serving bound is ENFORCED: each query scores only its
+    * [[Bm25QueryTermBound]] highest-idf terms (one per-query window
+    * on the query-term × idf relation — vocabulary-scale — BEFORE the
+    * posting-list join), the standard query-term-pruning trade whose
+    * dropped terms are exactly the long-posting-list low-idf ones.
+    * The oracle replays the same (idf desc, term) rank, so bounded
+    * ranking is bit-stable cross-engine; TextAnalysisSpec measures
+    * the fixture divergence vs the unbounded definition. The
+    * fixture's 31-term vocabulary makes every term frequent, which is
+    * exactly the regime where length normalization and tf saturation
+    * carry the ranking. Model relations (df, idf) live at vocabulary
+    * scale. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25TopKFrom(Tables(spark, dir).documents)
 
@@ -424,14 +441,33 @@ object TextAnalysis {
     * `queryMod` thins the query batch (ScaleSmoke holds it fixed while
     * the corpus scales). */
   def bm25TopKFrom(docs: DataFrame, topK: Int = Bm25TopK,
-      queryMod: Long = 50L): DataFrame = {
-    val chunks = CorpusOps.chunkWindowsFrom(docs)
+      queryMod: Long = 50L,
+      termBound: Int = Bm25QueryTermBound): DataFrame =
+    bm25TopKFromPostings(bm25Postings(docs), topK, queryMod, termBound)
+
+  /** The (cid, len, t, tf) chunk-term POSTING relation BM25 scores
+    * over — one chunk explode + a (cid, term)-keyed count. Split out
+    * so the streaming lexical-index rung (q233) can build it
+    * per-batch: a batch's postings are self-contained (tf and len are
+    * within-chunk facts), and df/N/avgdl are sums over the union, so
+    * appending per-batch postings reconstructs this relation exactly. */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    CorpusOps.chunkWindowsFrom(docs)
       .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
         col("n_chunk_tokens").as("len"),
         explode(split(col("chunk_text"), " ")).as("t"))
-    val cc = bmCache.rotate(chunks
       .groupBy(col("cid"), col("len"), col("t"))
-      .agg(count(lit(1)).as("tf")).persist())
+      .agg(count(lit(1)).as("tf"))
+
+  /** The BM25 scoring tail over a given posting relation — corpus
+    * stats, idf, the bounded query-term selection, the posting join,
+    * the per-query rank. Shared by the one-shot path (postings built
+    * inline) and the store-backed serve (postings read from the
+    * accumulated lexical index, q233). */
+  private[graft] def bm25TopKFromPostings(postings: DataFrame,
+      topK: Int = Bm25TopK, queryMod: Long = 50L,
+      termBound: Int = Bm25QueryTermBound): DataFrame = {
+    val cc = bmCache.rotate(postings.persist())
     val st = cc.groupBy(col("cid")).agg(first(col("len")).as("len"))
       .agg(count(lit(1)), sum(col("len"))).head()
     val (nChunks, totLen) = (st.getLong(0), st.getLong(1))
@@ -443,12 +479,21 @@ object TextAnalysis {
       .select(col("t"), col("idf_q"))
     val qTerms = cc.filter(col("cid") % queryMod === 0)
       .select(col("cid").as("query_id"), col("t")).distinct()
+    // the query-term bound: keep each query's top-`termBound` idf
+    // terms (deterministic (idf desc, term) rank) BEFORE the posting-
+    // list join — the funnel's one unbounded edge, guarded
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("idf_q").desc, col("t"))
+    val qSel = qTerms.join(idf, Seq("t"))
+      .withColumn("trk", row_number().over(wt))
+      .filter(col("trk") <= termBound)
+      .select(col("query_id"), col("t"), col("idf_q"))
     val contrib = floor(col("idf_q") *
       ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
         (lit(0.25) + lit(0.75) * col("len") / lit(avgdl)))))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("cand"))
-    qTerms.join(idf, Seq("t"))
+    qSel
       .join(cc.select(col("cid").as("cand"), col("len"), col("t"),
         col("tf")), Seq("t"))
       .filter(col("cand") =!= col("query_id"))

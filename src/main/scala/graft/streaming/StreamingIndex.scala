@@ -43,14 +43,145 @@ object StreamingIndex {
   }
 
   /** The accumulated (vec_id, cell, codes) index — committed batches
-    * only (the q202 read barrier). */
+    * only (the q202 read barrier), deduplicated on vec_id keeping the
+    * LATEST committed batch's row: a vec_id re-ingested in two batches
+    * (an overlapping replay, or an upstream re-embed) must serve ONCE,
+    * at its newest encoding — without the dedup ivfAdcServe would rank
+    * the stale duplicate at a second rank and silently corrupt the
+    * served top-k. Encoding is deterministic under the frozen
+    * quantizer, so for exact replays the kept row is byte-identical to
+    * the dropped one and the q226 oracle (q159's one-shot SQL) holds
+    * for ANY batching, overlapping or not. Cost: one vec_id-keyed
+    * window over the store per read — at 100 TB this is what
+    * cell-partitioned compaction materializes away (rewrite keeping
+    * max b per vec_id, then reads skip the window); the logical
+    * contract is the same either way. */
   def indexTable(spark: SparkSession, storeDir: String): DataFrame = {
     val ids = Snapshots.committedIds(spark, s"$storeDir/codes")
-    if (ids.nonEmpty)
+    if (ids.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("b").desc)
       spark.read.parquet(s"$storeDir/codes")
-        .filter(col("b").isin(ids: _*)).drop("b")
-    else spark.range(0).select(col("id").as("vec_id"),
+        .filter(col("b").isin(ids: _*))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("b", "__rn")
+    } else spark.range(0).select(col("id").as("vec_id"),
       col("id").as("cell"), array().cast("array<long>").as("codes"))
+  }
+
+  /** Compact the dense index store: ONE rewrite that materializes the
+    * per-read vec_id dedup ([[indexTable]]'s window) into a flat
+    * `compact/` snapshot — the maintenance job an accumulating store
+    * needs so SERVE reads stop paying the dedup shuffle (at 100 TB
+    * this is the cell-partitioned metadata rewrite the module doc
+    * promises: it touches codes rows once and never re-encodes). The
+    * write's own _SUCCESS is the marker; rerunning overwrites
+    * idempotently. */
+  def compactIndex(spark: SparkSession, storeDir: String): Unit =
+    indexTable(spark, storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/compact")
+
+  /** The compacted (vec_id, cell, codes) relation — already deduped,
+    * no window on the read path. */
+  def compactTable(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/compact")
+
+  /** Registered q234 entry: q226's ingest PLUS an overlapping replay
+    * (a third of the corpus re-ingested under a later batch id — the
+    * duplicate-bearing store compaction exists for), then one
+    * compaction rewrite, then the q159 query batch served from the
+    * COMPACTED store. Frozen-quantizer encoding is deterministic, so
+    * the replayed rows are byte-identical to the originals, the
+    * compacted store equals the one-shot encode, and the oracle is
+    * exactly q159's SQL — the spec additionally pins that compaction
+    * strictly shrank the raw store. */
+  def streamingIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_index_compact_store")
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, cb) = Similarity.ivfAdcTrain(emb)
+    FileFeed.run(spark, emb, nChunks = 4, col("vec_id"),
+      ordered = false, purpose = "index_compact") { (batch, batchId) =>
+      indexBatch(batch, storeDir, coarse, cb, batchId)
+    }
+    indexBatch(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      storeDir, coarse, cb, 100L)
+    compactIndex(spark, storeDir)
+    Similarity.ivfAdcServe(compactTable(spark, storeDir),
+      emb.filter(col("vec_id") % 50 === 0), coarse, cb)
+  }
+
+  // ----- streaming LEXICAL index ingest (q233): the BM25 sibling of
+  // the dense ingest above — the other half of the hybrid serving
+  // tier (q230) has the same maintenance problem. New documents
+  // arrive as micro-batches; each batch pays one chunk-explode +
+  // (chunk, term) count over ITS OWN rows and appends posting rows
+  // under `postings/b=N` (the commit-marker discipline). The corpus
+  // statistics BM25 needs are all reconstructible from the union —
+  // tf and chunk length are within-chunk facts carried on the rows;
+  // df, N, and avgdl are sums over the accumulated relation — so
+  // serving from the store equals the one-shot q229 ranking
+  // row-for-row for ANY batching: the registered oracle IS q229's
+  // SQL. No quantizer, so unlike the dense side there is nothing to
+  // freeze and nothing goes stale (q227 has no lexical analogue —
+  // idf drifts with the corpus BY DEFINITION and the serve recomputes
+  // it from the accumulated stats at read time).
+  //
+  // Scale shape: per batch O(batch token mass) map work + an
+  // O(batch postings) append — no term in store size; the serve read
+  // is q229's bounded scoring join re-rooted on the store (df/idf
+  // stay vocabulary-scale, the query-term bound caps the posting
+  // join). At 100 TB the store is a term-bucketed parquet relation;
+  // the per-read dedup window is what posting compaction
+  // materializes away (same contract as the dense store's).
+
+  /** Fold one micro-batch of (doc_id, text) documents into the
+    * lexical index store: chunk, explode, count — the batch's own
+    * posting rows only — appended under `postings/b=N` (replays
+    * no-op). */
+  def lexIndexBatch(batch: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (Snapshots.committed(spark, s"$storeDir/postings", batchId)) return
+    graft.operators.TextAnalysis.bm25Postings(batch)
+      .write.mode("overwrite").parquet(s"$storeDir/postings/b=$batchId")
+  }
+
+  /** The accumulated (cid, len, t, tf) posting relation — committed
+    * batches only, deduplicated per CHUNK on the latest committed
+    * batch (a re-ingested document must not double-count its tf or
+    * df — the indexTable rule, keyed on cid because a chunk's posting
+    * rows move together). */
+  def lexIndexTable(spark: SparkSession, storeDir: String): DataFrame = {
+    val ids = Snapshots.committedIds(spark, s"$storeDir/postings")
+    if (ids.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid"))
+      spark.read.parquet(s"$storeDir/postings")
+        .filter(col("b").isin(ids: _*))
+        .withColumn("__maxb", max(col("b")).over(w))
+        .filter(col("b") === col("__maxb"))
+        .drop("b", "__maxb")
+    } else spark.range(0).select(col("id").as("cid"),
+      col("id").as("len"), col("id").cast("string").as("t"),
+      col("id").as("tf"))
+  }
+
+  /** Registered q233 entry: the documents table as a 4-chunk
+    * file-source stream folded through [[lexIndexBatch]], then the
+    * q229 query batch served from the ACCUMULATED posting store —
+    * whose oracle is exactly q229's SQL. */
+  def streamingLexServe(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_lex_store")
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "lex_index") { (batch, batchId) =>
+      lexIndexBatch(batch, storeDir, batchId)
+    }
+    graft.operators.TextAnalysis
+      .bm25TopKFromPostings(lexIndexTable(spark, storeDir))
   }
 
   // ----- index-staleness monitor (q227): the "when to retrain"
@@ -106,12 +237,17 @@ object StreamingIndex {
   /** Registered q227 entry: the coarse quantizer trains on the
     * UNDRIFTED snapshot and calibrates the threshold (snapshot max
     * assignment distance); the stream then carries a PLANTED
-    * distribution shift — vectors in the top quarter of the id range
-    * (exactly the last of the [[FileFeed.StreamChunks]] ordered
-    * vec_id-range chunks) are scaled 2× (exact in float, so the
-    * drifted quantization replays in SQL) — and the monitor must price
-    * the drifted batch as out-of-distribution while the in-snapshot
-    * batches read n_far = 0. */
+    * distribution shift — vectors in EXACTLY the last of the
+    * [[FileFeed.StreamChunks]] ordered vec_id-range chunks are scaled
+    * 2× (exact in float, so the drifted quantization replays in SQL) —
+    * and the monitor must price the drifted batch as
+    * out-of-distribution while the in-snapshot batches read n_far = 0.
+    * The drift boundary is DERIVED FROM THE FEED'S OWN BIN ARITHMETIC
+    * (lo + (N−1)·w with w = (hi−lo)//N + 1 — [[FileFeed]]'s ordered
+    * value-range bins), not an independent "top quarter" formula, so
+    * the planted shift aligns with the last chunk for ANY vec_id
+    * range, not just the 0-based count-divisible fixture; the oracle
+    * replays the same arithmetic. */
   def streamingIndexDrift(spark: SparkSession, dir: String): DataFrame = {
     val storeDir = Snapshots.storeDir(spark, "stream_index_drift_store")
     val emb = Tables(spark, dir).embeddings
@@ -119,8 +255,10 @@ object StreamingIndex {
     val (coarse, _) = Similarity.ivfAdcTrain(emb)
     val farThreshold = Similarity.assignWithDist(emb, coarse)
       .agg(max(col("dist_q"))).head().getLong(0)
-    val nv = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val driftLo = nv * 3L / 4L
+    val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val binW = (hi - lo) / FileFeed.StreamChunks + 1L
+    val driftLo = lo + (FileFeed.StreamChunks - 1L) * binW
     val drifted = emb.select(col("vec_id"),
       transform(col("embedding"), x =>
         x * when(col("vec_id") >= driftLo, lit(2.0f)).otherwise(lit(1.0f)))

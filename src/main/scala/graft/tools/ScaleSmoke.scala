@@ -183,9 +183,23 @@ object ScaleSmoke {
           val rules = (base ++ (base.length until r)
             .map(i => (s"#$i", "#"))).take(r)
           val t1 = System.nanoTime()
-          val ntok = graft.operators.Bpe.wordTokens(wcR, rules)
+          val ntok = graft.operators.Bpe.wordTokensChain(wcR, rules)
             .agg(sum(col("n_tok"))).head().getLong(0)
-          println(f"[scale]   bpe encode R=$r%-3d: " +
+          println(f"[scale]   bpe encode chain R=$r%-4d: " +
+            f"${(System.nanoTime() - t1) / 1e9}%.1f s tokens=$ntok")
+        }
+        // the production-R form: ONE array<struct> literal folded with
+        // `aggregate` — expression-tree size O(1) in R, so the chain's
+        // analyzer/codegen cliff is gone; same per-row replaces. The
+        // R=1024 chain row above is deliberately not run (it is the
+        // cliff); fold rows bracket it and continue past it.
+        Seq(8, 256, 1024).foreach { r =>
+          val rules = (base ++ (base.length until r)
+            .map(i => (s"#$i", "#"))).take(r)
+          val t1 = System.nanoTime()
+          val ntok = graft.operators.Bpe.wordTokensFold(wcR, rules)
+            .agg(sum(col("n_tok"))).head().getLong(0)
+          println(f"[scale]   bpe encode fold  R=$r%-4d: " +
             f"${(System.nanoTime() - t1) / 1e9}%.1f s tokens=$ntok")
         }
         wcR.unpersist()
@@ -887,6 +901,39 @@ object ScaleSmoke {
         val n = graft.operators.TextAnalysis
           .bm25TopKFrom(docs, queryMod = 50L * mult).count()
         println(s"[scale]   bm25 served_rows=$n")
+        n
+      }
+      // bigram surprisal (q228's shape): one adjacent-pair explode
+      // (≈ token mass) off a persisted barrier feeding three aggregates
+      // + a pair-keyed scoring join — wall must track token mass
+      // linearly; the bigram/prefix model relations stay at
+      // bigram-vocabulary scale.
+      time(s"bigram_surprisal") {
+        graft.operators.TextAnalysis.bigramSurprisalFrom(docs).count()
+      }
+      // RAG build-vs-serve split (q231's point): the one-shot chain
+      // (q223) pays the full corpus encode per call; the store-backed
+      // serve pays query-encode + probed-cell rank only. Steady-state
+      // serve wall must sit well under the one-shot wall and stay flat
+      // in corpus mass per probed cell.
+      time(s"rag_serve_split") {
+        val t0 = System.nanoTime()
+        graft.operators.Similarity
+          .ragRetrievalFrom(spark, docs, t.embeddings).count()
+        val oneShot2 = System.nanoTime()
+        graft.operators.Similarity
+          .ragRetrievalFrom(spark, docs, t.embeddings).count()
+        val t1 = System.nanoTime()
+        graft.operators.Similarity
+          .ragServeFrom(spark, docs, t.embeddings).count()  // build+serve
+        val t2 = System.nanoTime()
+        val n = graft.operators.Similarity
+          .ragServeFrom(spark, docs, t.embeddings).count()  // steady serve
+        val t3 = System.nanoTime()
+        println(f"[scale]   rag split: one-shot cold=${(oneShot2 - t0) / 1e9}%.1f s " +
+          f"steady=${(t1 - oneShot2) / 1e9}%.1f s; " +
+          f"store build+serve=${(t2 - t1) / 1e9}%.1f s " +
+          f"steady serve=${(t3 - t2) / 1e9}%.1f s")
         n
       }
       // IVFADC + exact re-rank (q198's shape): the refine adds one

@@ -1929,6 +1929,20 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(0) <= r.getLong(1) && r.getLong(1) <= r.getLong(2),
         s"token accounting out of range: $r")
     }
+    // production-R encode: the fold-over-literal-array variant is
+    // bit-identical to the replace chain on the fixture vocabulary at
+    // the trained R=8 table (the dispatch threshold keeps the chain
+    // registered; the fold is what R≈30k ships with)
+    val fxDocs = graft.Tables(spark, sf).documents
+    val wc = operators.Bpe.wordCounts(fxDocs)
+    val trained = operators.Bpe.bpeMergesFrom(spark, fxDocs).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val chain = operators.Bpe.wordTokensChain(wc, trained).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fold = operators.Bpe.wordTokensFold(wc, trained).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fold == chain,
+      "fold encode must be bit-identical to the replace chain")
   }
 
   test("trend slopes: planted linear series recovered exactly; JVM OLS replay on fixture") {
@@ -2809,8 +2823,14 @@ class PipelineSpec extends AnyFunSuite {
     val idfQ = df.map { case (w, d) =>
       w -> math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e4).toLong }
     val want = tf.filter(_._1 % 50 == 0).flatMap { case (qid, _, qtf) =>
+      // the serving-time query-term bound: top-m idf terms, (idf desc,
+      // term) rank — the same rule the engine and oracle apply
+      val kept = qtf.keys.toSeq.map(w => (w, idfQ(w)))
+        .sortBy { case (w, iq) => (-iq, w) }
+        .take(graft.operators.TextAnalysis.Bm25QueryTermBound)
+        .map(_._1)
       val scored = tf.filter(_._1 != qid).map { case (cid, len, ctf) =>
-        val s = qtf.keys.toSeq.flatMap { w =>
+        val s = kept.flatMap { w =>
           ctf.get(w).map { f =>
             math.floor(idfQ(w) * ((f * 2.2) /
               (f + 1.2 * (0.25 + 0.75 * len / avgdl)))).toLong
@@ -2837,6 +2857,59 @@ class PipelineSpec extends AnyFunSuite {
     val q1000 = out.filter(_._1 == 1000L * 1048576L).sortBy(_._2)
     assert(q1000.nonEmpty && q1000.head._3 == 1050L,
       s"rare shared term must rank first: ${q1000.toSeq}")
+  }
+
+  test("BM25 query-term bound (q229): inert when queries fit; fixture divergence measured") {
+    import spark.implicits._
+    val t = graft.Tables(spark, sf)
+    def served(docs: org.apache.spark.sql.DataFrame, tb: Int) =
+      TextAnalysis.bm25TopKFrom(docs, termBound = tb).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2) * 1048576L + r.getLong(3), r.getLong(4))).toSeq
+        .sortBy(x => (x._1, x._2))
+    // (a) INERT below the bound: a corpus whose queries carry ≤ m
+    // distinct terms serves bit-identically with and without the bound
+    // (the bound drops nothing — pure guard, zero semantic cost)
+    val narrow = (1L to 60L)
+      .map(i => (i, Seq.fill(40)("w" + (i % 12)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(served(narrow, TextAnalysis.Bm25QueryTermBound)
+        == served(narrow, Int.MaxValue),
+      "bound must be a no-op when every query fits inside it")
+    // (b) REALISTIC (Zipf) vocabulary: a deterministic corpus with a
+    // few stopwords, a mid tier, and a long rare tail — the regime the
+    // bound is built for. The kept top-m idf terms are the rare,
+    // short-posting-list ones that carry nearly all the score mass, so
+    // the served set stays close to the unbounded definition.
+    def zh(i: Long, j: Int): Long =
+      ((i * 1000003L + j * 7919L) * 2654435761L) & 0x7fffffffL
+    def zword(hv: Long): String = {
+      val b = hv % 100
+      if (b < 45) "c" + (hv % 5)
+      else if (b < 75) "m" + (hv % 30)
+      else "r" + (hv % 400)
+    }
+    val zipf = (1L to 300L).map(i =>
+        (i, (0 until 40).map(j => zword(zh(i, j))).mkString(" ")))
+      .toDF("doc_id", "text")
+    def overlapOf(docs: org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val bs = served(docs, TextAnalysis.Bm25QueryTermBound)
+        .map(x => (x._1, x._3)).toSet
+      val us = served(docs, Int.MaxValue).map(x => (x._1, x._3)).toSet
+      ((bs & us).size.toDouble / us.size, us.size)
+    }
+    val (zOv, zN) = overlapOf(zipf)
+    info(f"Zipf-vocab served-set overlap = $zOv%.3f (n=$zN)")
+    assert(zOv >= 0.8,
+      f"bounded serving must track the definition on a Zipf vocabulary: $zOv%.3f")
+    // (c) the registered fixture's 31-term vocabulary is the DOCUMENTED
+    // worst case — every term is frequent, idf is near-flat, scores are
+    // near-ties, so membership past the bound is fragile; measured and
+    // recorded (SCALING.md), floor-asserted only
+    val (fOv, fN) = overlapOf(t.documents)
+    info(f"fixture (31-term worst case) served-set overlap = $fOv%.3f (n=$fN)")
+    assert(fOv >= 0.3,
+      f"even the degenerate-vocabulary overlap has a floor: $fOv%.3f")
   }
 
   test("hybrid RRF (q230): matches the integer fusion replay; both rankers contribute") {
@@ -2872,6 +2945,42 @@ class PipelineSpec extends AnyFunSuite {
     val fusedTop = got.map(x => (x._1, x._2, x._3))
     assert(fusedTop != denseTop && fusedTop != lexTop,
       "fusion must blend evidence, not echo one ranker")
+  }
+
+  test("RAG serve split (q231): store-backed serve == one-shot q223 retrieval") {
+    val t = graft.Tables(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val served = rows(Similarity.ragServeFrom(spark, t.documents,
+      t.embeddings))
+    val oneShot = rows(Similarity.ragRetrievalFrom(spark, t.documents,
+      t.embeddings))
+    assert(served.nonEmpty && served == oneShot,
+      "serving from the persisted store must equal the one-shot chain")
+  }
+
+  test("retrieval-quality gate (q232): recall@5 readout for dense/lexical/fused") {
+    val t = graft.Tables(spark, sf)
+    val got = Similarity.retrievalEvalFrom(spark, t.documents, t.embeddings)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val d = Similarity.RetrievalEvalDepth.toLong
+    got.foreach { r =>
+      assert(r._2 >= 0 && r._2 <= d && r._3 >= 0 && r._3 <= d
+        && r._4 >= 0 && r._4 <= d, s"recall out of range: $r")
+    }
+    val n = got.length.toDouble * d
+    val (dm, lm, fm) =
+      (got.map(_._2).sum / n, got.map(_._3).sum / n, got.map(_._4).sum / n)
+    info(f"recall@5 — dense $dm%.3f, lexical $lm%.3f, fused $fm%.3f " +
+      s"(${got.length} queries)")
+    // the truth set is embedding-similarity by construction, so the
+    // dense ranker (an approximation of exactly that metric) must not
+    // lose to the text-only ranker on aggregate
+    assert(got.map(_._2).sum >= got.map(_._3).sum,
+      "dense recall must be >= lexical recall on embedding truth")
   }
 
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {

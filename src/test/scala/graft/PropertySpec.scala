@@ -656,6 +656,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE fold encode is bit-identical to the replace chain on random corpora") {
+    import spark.implicits._
+    // same tie-heavy tiny alphabet: any ordering or sentinel slip in
+    // the fold diverges the token counts immediately
+    val corpusGen = Gen.listOfN(30, Gen.chooseNum(1, 7).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    forAllSampled(corpusGen, n = 4) { words =>
+      val wc = words.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val rel = operators.Bpe.wordCounts(wc)
+      val merges = operators.Bpe
+        .trainMergesDelta(rel, operators.Bpe.BpeMerges)
+        .map(m => (m._1, m._2))
+      val chain = operators.Bpe.wordTokensChain(rel, merges).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val fold = operators.Bpe.wordTokensFold(rel, merges).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(fold == chain, s"fold diverged from chain on $words")
+    }
+  }
+
   test("containment join matches an in-memory model on random embed-heavy corpora") {
     import spark.implicits._
     // base docs of 8-14 words over a 6-word vocabulary (8-grams collide

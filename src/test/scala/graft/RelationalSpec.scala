@@ -86,10 +86,12 @@ class RelationalSpec extends AnyFunSuite {
         // StreamingSpec
         Set("classifierTable", "classifierHeldoutTable")),
       ("StreamingIndex", streaming.StreamingIndex,
-        // store-assembly steps of the registered q226/q227 wrappers
-        // (String param is the store dir); store == one-shot-encode and
-        // drift-replay invariants asserted in StreamingSpec
-        Set("indexTable", "indexDriftTable")),
+        // store-assembly steps of the registered q226/q227/q233/q234
+        // wrappers (String param is the store dir); store ==
+        // one-shot-encode / one-shot-postings, drift-replay, and
+        // compaction invariants asserted in StreamingSpec
+        Set("indexTable", "indexDriftTable", "lexIndexTable",
+          "compactTable")),
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),

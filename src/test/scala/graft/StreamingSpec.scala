@@ -1363,6 +1363,95 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(served.nonEmpty && served.toSeq == oneShotTopk.toSeq,
       "served top-k must equal the one-shot index for any batching")
+    // OVERLAPPING ingest: a later batch re-ingests a third of the
+    // corpus under a NEW batch id — the store dedups on vec_id (latest
+    // committed batch wins), so the read relation and the served top-k
+    // stay exactly the one-shot index instead of ranking duplicates
+    StreamingIndex.indexBatch(
+      emb.filter(pmod(col("vec_id") * 7919, lit(3)) === 0),
+      storeDir, coarse, cb, 7L)
+    assert(rows(StreamingIndex.indexTable(spark, storeDir)) == oneShot,
+      "overlapping replay must dedup to the one-shot store")
+    val servedDup = Similarity.ivfAdcServe(
+      StreamingIndex.indexTable(spark, storeDir),
+      emb.filter(col("vec_id") % 50 === 0), coarse, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(servedDup.toSeq == oneShotTopk.toSeq,
+      "served top-k must survive an overlapping replay unchanged")
+  }
+
+  test("streaming lexical index (q233): store == one-shot postings; serve == q229; overlap dedups") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamingIndex
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_lex_spec").toString
+    // arbitrary hash-mod batching — posting reconstruction must hold
+    // for ANY batching, not just the registered range feed
+    (0 until 3).foreach { i =>
+      StreamingIndex.lexIndexBatch(
+        docs.filter(pmod(col("doc_id") * 7919, lit(3)) === i), storeDir, i)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val stored = rows(StreamingIndex.lexIndexTable(spark, storeDir))
+    val oneShot = rows(TextAnalysis.bm25Postings(docs))
+    assert(stored.nonEmpty && stored == oneShot,
+      "accumulated postings must equal the one-shot posting relation")
+    // replaying a committed batch is a no-op
+    StreamingIndex.lexIndexBatch(docs.limit(0), storeDir, 1L)
+    assert(rows(StreamingIndex.lexIndexTable(spark, storeDir)) == oneShot)
+    // a document re-ingested under a later batch id dedups per chunk —
+    // df and tf must not double-count
+    StreamingIndex.lexIndexBatch(
+      docs.filter(pmod(col("doc_id") * 7919, lit(3)) === 0), storeDir, 9L)
+    assert(rows(StreamingIndex.lexIndexTable(spark, storeDir)) == oneShot,
+      "overlapping replay must dedup to the one-shot postings")
+    // served ranking from the store == the one-shot q229 ranking
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val served = topk(TextAnalysis.bm25TopKFromPostings(
+      StreamingIndex.lexIndexTable(spark, storeDir)))
+    val direct = topk(TextAnalysis.bm25TopKFrom(docs))
+    assert(served.nonEmpty && served == direct,
+      "served BM25 top-k must equal the one-shot ranking for any batching")
+  }
+
+  test("index compaction (q234): rewrite shrinks the duplicated store; serve unchanged") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, cb) = Similarity.ivfAdcTrain(emb)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec").toString
+    (0 until 3).foreach { i =>
+      StreamingIndex.indexBatch(
+        emb.filter(pmod(col("vec_id") * 7919, lit(3)) === i),
+        storeDir, coarse, cb, i)
+    }
+    // overlapping replay: a third of the corpus lands twice in the raw
+    // store — the workload compaction exists for
+    StreamingIndex.indexBatch(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+      storeDir, coarse, cb, 100L)
+    StreamingIndex.compactIndex(spark, storeDir)
+    val raw = spark.read.parquet(s"$storeDir/codes").count()
+    val compacted = StreamingIndex.compactTable(spark, storeDir).count()
+    val nv = emb.count()
+    assert(raw > compacted && compacted == nv,
+      s"compaction must dedup ($raw raw vs $compacted compact vs $nv vectors)")
+    // serve from the compacted store == the one-shot index
+    val served = Similarity.ivfAdcServe(
+      StreamingIndex.compactTable(spark, storeDir),
+      emb.filter(col("vec_id") % 50 === 0), coarse, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oneShot = Similarity.ivfAdcTopKFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(served.nonEmpty && served.toSeq == oneShot.toSeq,
+      "compacted-store serve must equal the one-shot index")
   }
 
   test("streaming index drift (q227): planted shift flagged; matches an in-JVM replay") {
@@ -1391,7 +1480,9 @@ class StreamingSpec extends AnyFunSuite {
     val thr = raw.map { case (_, v) => minD(v.map(q(_, 1.0f))) }.max
     val (lo, hi) = (raw.head._1, raw.last._1)
     val w = (hi - lo) / graft.streaming.FileFeed.StreamChunks + 1
-    val dl = (hi + 1) * 3 / 4
+    // drift boundary = start of the LAST feed bin — the same bin
+    // arithmetic the feed itself uses, valid for any vec_id range
+    val dl = lo + (graft.streaming.FileFeed.StreamChunks - 1) * w
     val want = raw.groupBy { case (id, _) => (id - lo) / w }.toSeq
       .map { case (b, vs) =>
         val ds = vs.map { case (id, v) =>
