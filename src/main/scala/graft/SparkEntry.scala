@@ -195,6 +195,7 @@ object SparkEntry {
     "q142_kmeans_cells"        -> (Similarity.kmeansCells _),
     "q143_unigram_surprisal"   -> (TextAnalysis.unigramSurprisal _),
     "q228_bigram_surprisal"    -> (TextAnalysis.bigramSurprisal _),
+    "q235_lm_quality_buckets"  -> (TextAnalysis.lmQualityBuckets _),
     "q229_bm25_topk"           -> (TextAnalysis.bm25TopK _),
     "q230_hybrid_rrf"          -> (Similarity.hybridRrf _),
     "q144_chunk_windows"       ->
@@ -255,6 +256,7 @@ object SparkEntry {
     "q197_streaming_contamination" ->
       (graft.streaming.StreamingMv.streamingContamination _),
     "q198_ivfadc_rerank"   -> (Similarity.ivfAdcRerankTopK _),
+    "q236_hard_negatives"  -> (Similarity.hardNegatives _),
     "q199_containment_join" -> (Dedup.containmentJoin _),
     "q200_cluster_balanced_sample" ->
       (Similarity.clusterBalancedSample _),
@@ -292,6 +294,8 @@ object SparkEntry {
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
       (graft.streaming.StreamingIndex.streamingIndexCompact _),
+    "q237_index_refresh" ->
+      (graft.streaming.StreamingIndex.streamingIndexRefresh _),
     "q164_error_sessions" ->
       (graft.streaming.EventStreams.errorSessions _),
     "q167_session_paths" ->
@@ -3521,6 +3525,45 @@ object SparkEntry {
         |  CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
         |    AS BIGINT) AS mean_surprisal_q
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q235: reference-LM perplexity buckets — the bigram model trains
+    // on the doc_id % LmRefMod slice only (add-one smoothed over the
+    // reference continuation alphabet V), every document scores under
+    // it (LEFT joins: unseen pairs/prefixes hit the smoothing floor),
+    // and the tercile is SQL-spec ntile(3) of the global
+    // (mean, doc_id) order — the GlobalOrder.ntileFromRank formula.
+    "q235_lm_quality_buckets" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pp AS (
+        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+        |    FROM w)),
+        |rp AS (SELECT * FROM pp
+        |       WHERE doc_id % ${TextAnalysis.LmRefMod} = 0),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rp GROUP BY 1, 2),
+        |cp AS (SELECT w1, count(*) AS cp FROM rp GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM rp),
+        |tfd AS (SELECT doc_id, w1, w2, count(*) AS tf
+        |        FROM pp GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT f.doc_id, f.tf,
+        |    CAST(floor(ln(CAST(COALESCE(cp.cp, 0) + vv.v AS DOUBLE)
+        |      / (COALESCE(cb.cb, 0) + 1)) * 1e4) AS BIGINT) AS q
+        |  FROM tfd f
+        |  LEFT JOIN cb ON cb.w1 = f.w1 AND cb.w2 = f.w2
+        |  LEFT JOIN cp ON cp.w1 = f.w1
+        |  CROSS JOIN vv),
+        |ds AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
+        |    CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |      AS BIGINT) AS mean_surprisal_q
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, surprisal_q, mean_surprisal_q,
+        |  CAST(ntile(${TextAnalysis.LmQualityTiles}) OVER (
+        |    ORDER BY mean_surprisal_q, doc_id) AS BIGINT) AS bucket
+        |FROM ds ORDER BY doc_id""".stripMargin,
     // q229: BM25 lexical retrieval over the q223 chunk corpus — idf
     // quantized per term, each (term, candidate) contribution floored
     // before the integer per-pair sum (the q143 rule); every double op
@@ -4037,9 +4080,72 @@ object SparkEntry {
     // makes the compacted store equal the one-shot index, so the
     // oracle is again q159's SQL.
     "q234_index_compaction" -> ivfAdcTopkOracle,
+    // q237: drift-triggered refresh — the planted q227 shift makes the
+    // monitor fire, so the policy retrains on the accumulated
+    // (drifted) corpus and rebuilds; deterministic training + encoding
+    // make the refreshed serve equal the one-shot index built on the
+    // drifted relation, so the oracle is q159's chain re-rooted on a
+    // drifted CTE replaying the feed's own bin arithmetic.
+    "q237_index_refresh" ->
+      s"""WITH bounds AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi
+        |           FROM embeddings),
+        |params AS (
+        |  SELECT lo + (${graft.streaming.FileFeed.StreamChunks} - 1)
+        |    * ((hi - lo) // ${graft.streaming.FileFeed.StreamChunks} + 1)
+        |    AS dl
+        |  FROM bounds),
+        |drifted AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)
+        |      * (CASE WHEN vec_id >= p.dl THEN 2 ELSE 1 END))
+        |    AS embedding
+        |  FROM embeddings CROSS JOIN params p),
+        |${ivfAdcOracleChainOver("drifted")}
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, adc_dist
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |WHERE rk <= ${Similarity.AnnTopK} ORDER BY query_id, rk""".stripMargin,
     // q198: IVFADC + exact re-rank — the q159 chain's top-12 ADC
     // shortlist re-scored with exact full-dimension integer L2 (the
     // same distance as q179's truth side) and served by the exact rank.
+    // q236: hard-negative mining — q198's re-ranked shortlist minus
+    // the exact top-HardNegPositives (the q232 planted-relevance
+    // convention), served in exact-distance order at depth HardNegK.
+    "q236_hard_negatives" ->
+      s"""WITH $ivfAdcOracleChain,
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RerankShortlist}),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS exact_dist
+        |  FROM short s JOIN eq q ON q.vec_id = s.query_id
+        |               JOIN eq x ON x.vec_id = s.neighbor_id),
+        |ed AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT) AS d
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |pos AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d, neighbor_id) AS rk FROM ed)
+        |  WHERE rk <= ${Similarity.HardNegPositives})
+        |SELECT query_id, CAST(neg_rk AS BIGINT) AS neg_rk, neighbor_id,
+        |  exact_dist
+        |FROM (SELECT r.*, row_number() OVER (PARTITION BY r.query_id
+        |        ORDER BY r.exact_dist, r.neighbor_id) AS neg_rk
+        |      FROM re r
+        |      WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |        WHERE p.query_id = r.query_id
+        |          AND p.neighbor_id = r.neighbor_id))
+        |WHERE neg_rk <= ${Similarity.HardNegK}
+        |ORDER BY query_id, neg_rk""".stripMargin,
     "q198_ivfadc_rerank" ->
       s"""WITH $ivfAdcOracleChain,
         |short AS (

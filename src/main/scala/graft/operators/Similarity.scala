@@ -1425,6 +1425,64 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Positive depth / served negative depth for hard-negative mining
+    * (q236) — mirrored in the oracle. Positives are the exact top-3
+    * (the planted-relevance convention shared with q232's truth side);
+    * each query serves its 5 hardest non-positive candidates. */
+  private[graft] val HardNegPositives = 3
+  private[graft] val HardNegK = 5
+
+  /** Hard-negative mining (q236) — the retrieval-model TRAINING-data
+    * op (the DPR/ANCE recipe): a contrastive embedding model needs,
+    * per query, negatives that the CURRENT retrieval path already
+    * ranks close — random negatives are too easy and the model stops
+    * learning. The mined pool is therefore exactly what the serving
+    * path answers (the q198 posture: IVFADC top-[[RerankShortlist]]
+    * shortlist, exact-re-ranked); positives — here the exact
+    * full-dimension top-[[HardNegPositives]], the q232 planted-
+    * relevance convention standing in for labels — are removed, and
+    * the [[HardNegK]] nearest survivors are emitted in exact-distance
+    * order. Everything is integer arithmetic with deterministic
+    * tie-breaks, so the whole mining pass carries a DuckDB oracle.
+    *
+    * Scale shape: the pool is q198's documented plan (cell-bounded
+    * probe + a broadcast shortlist re-rank); the positive side is the
+    * brute-force truth shape (broadcast query batch × corpus scan) —
+    * the OFFLINE posture: mining runs per training epoch over a query
+    * sample, never inline at serving time, and with real labels the
+    * truth scan disappears entirely (positives arrive as a relation).
+    * The anti-join and final rank live on (queries × shortlist) rank
+    * rows — metadata. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  private[graft] def hardNegativesFrom(vecs: DataFrame): DataFrame = {
+    val pool = ivfAdcRerankTopKFrom(vecs, topK = RerankShortlist)
+    val eq = pqCache.rotate(quantized(vecs).persist())
+    val queries = eq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dd"), col("neighbor_id"))
+    val pos = eq.select(col("vec_id").as("neighbor_id"), col("e"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= HardNegPositives)
+      .select(col("query_id"), col("neighbor_id"))
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_dist"), col("neighbor_id"))
+    pool.join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rk", row_number().over(wn).cast("long"))
+      .filter(col("neg_rk") <= HardNegK)
+      .select(col("query_id"), col("neg_rk"), col("neighbor_id"),
+        col("exact_dist"))
+      .orderBy(col("query_id"), col("neg_rk"))
+  }
+
   /** Per-cell quota for the cluster-balanced sample (q200) — mirrored
     * literally in the oracle; the production knob is corpus_budget / K. */
   private[graft] val ClusterSampleQuota = 8

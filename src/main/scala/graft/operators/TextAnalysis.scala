@@ -599,6 +599,102 @@ object TextAnalysis {
     * counts (term-keyed, map-side combinable), then counts-of-counts
     * over the TERM relation (vocabulary scale, far below token scale) —
     * the classic frequency-of-frequencies shape; result is ≤ 11 rows. */
+  private val lmqCache = new RotatingCache
+  private val lmqBucketCache = new RotatingCache
+
+  /** Reference slice selector for the LM quality filter (q235) —
+    * mirrored in the oracle: documents with doc_id % LmRefMod == 0
+    * play the "trusted corpus" the language model trains on (the
+    * CCNet recipe trains its KenLM on Wikipedia; any curated slice
+    * works — the selector is the fixture's stand-in). */
+  private[graft] val LmRefMod = 5L
+
+  /** Number of quality buckets (head / middle / tail) — the CCNet
+    * split; mirrored in the oracle's ntile. */
+  private[graft] val LmQualityTiles = 3L
+
+  /** Reference-LM perplexity quality buckets (q235) — the CCNet
+    * quality split, the missing half of q228: there the corpus scores
+    * itself (an in-distribution fluency readout); here a bigram LM
+    * trains on a TRUSTED REFERENCE SLICE only and every document is
+    * scored under that FROZEN model, so text unlike the reference —
+    * boilerplate, token soup, wrong-language — pays high conditional
+    * surprisal regardless of how self-consistent it is. Documents are
+    * then split into head/middle/tail terciles of the score (the
+    * CCNet buckets: keep head, maybe-keep middle, drop tail).
+    *
+    * Model: add-one smoothing over the reference continuation
+    * alphabet — P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) with V = distinct
+    * continuations in the reference bigrams — so unseen pairs and
+    * unseen prefixes (impossible in q228, routine under a held-out
+    * model) score finitely and every surprisal is ≥ 0 (c(w₁w₂) ≤
+    * c(w₁·) and 1 ≤ V keep the ratio ≥ 1). Fixed-point: each pair
+    * quantizes to floor(ln((c₁+V)/(c₁₂+1))·10⁴) BEFORE the integer
+    * sum (the q143/q228 rule — ln never survives the floor), and the
+    * tercile derives from the GLOBAL (mean, doc_id) rank via the
+    * SQL-spec ntile formula, so the whole readout carries a DuckDB
+    * oracle.
+    *
+    * Scale shape: ONE persisted adjacent-pair explode (≈ token mass)
+    * feeds the reference counts (a filter on the same relation —
+    * model relations stay at bigram-vocabulary scale) and the per-doc
+    * scoring; the smoothing constant V is a 1-row broadcast. The
+    * global tercile is the [[GlobalOrder]] two-pass (per-bucket ranks
+    * in parallel + metadata-scale offsets), never an unpartitioned
+    * ntile window — the q157 deciles shape at corpus scale. */
+  def lmQualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    lmQualityBucketsFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def lmQualityBucketsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = split(col("text"), " ")
+    val idx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = lmqCache.rotate(docs.select(col("doc_id"),
+        explode(transform(idx, i =>
+          struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist())
+    val ref = pairs.filter(col("doc_id") % LmRefMod === 0)
+    val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = ref.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    val vv = ref.agg(count_distinct(col("w2")).as("v"))
+    val ds = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cp, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .withColumn("q", floor(log(
+        (coalesce(col("cp"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("cb"), lit(0L)) + lit(1L))) * lit(1e4)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("q")).as("surprisal_q"))
+      .withColumn("mean_surprisal_q", expr("surprisal_q div n_bigrams"))
+    val bucketed = lmqBucketCache.rotate(GlobalOrder
+      .bucketizeForUniqueOrder(ds, col("mean_surprisal_q"),
+        desc = false, col("doc_id"))
+      .persist())
+    val (bases, totals) = GlobalOrder.exclusiveOffsets(bucketed,
+      Seq(count(lit(1)).as("cnt")))
+    val total = totals.head
+    val offsets = bases.map { case (b, Seq(c)) => (b, c) }
+      .toDF("bucket", "rn_base")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("mean_surprisal_q"), col("doc_id"))
+    val rn = col("rn_base") + row_number().over(wLocal)
+    bucketed
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_q"),
+        col("mean_surprisal_q"),
+        GlobalOrder.ntileFromRank(rn, lit(total), LmQualityTiles)
+          .cast("long").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabularySpectrum(spark: SparkSession, dir: String): DataFrame =
     vocabularySpectrumFrom(Tables(spark, dir).documents)
 

@@ -271,6 +271,86 @@ object StreamingIndex {
     indexDriftTable(spark, storeDir)
   }
 
+  /** Refresh trigger denominator (q237) — refresh when the NEWEST
+    * batch's out-of-threshold fraction exceeds half:
+    * n_far · RefreshFarDen > n_vecs. Majority-OOD is unambiguous
+    * retrain evidence (the q227 planted drift flags 100%); a
+    * production deployment tunes this against its recall SLO. */
+  private[graft] val RefreshFarDen = 2L
+
+  /** Drift-triggered index refresh (q237) — closing the loop the
+    * q226/q227 pair leaves open: q226 ingests under a FROZEN
+    * quantizer, q227 prices how stale that snapshot has become, and
+    * this rung acts on the signal. The stream folds BOTH stores per
+    * batch (codes under the frozen quantizer + the drift stats — one
+    * extra argmin map per batch); after ingest, the newest committed
+    * stats row (1 metadata row) decides: if its far fraction clears
+    * [[RefreshFarDen]], the quantizer RETRAINS on the accumulated
+    * corpus and the index is REBUILT in one encode rewrite under
+    * `refresh/` (never an incremental patch — retraining moves every
+    * stored code, so the rebuild is the only correct shape); otherwise
+    * the frozen-quantizer store serves as in q226. Deterministic
+    * training + encoding make the refreshed serve equal the ONE-SHOT
+    * index built on the drifted corpus row-for-row, so the oracle is
+    * q159's SQL re-rooted on the drifted relation — the whole
+    * monitor→trigger→retrain→rebuild→serve policy carries a DuckDB
+    * oracle.
+    *
+    * Scale shape: ingest stays O(batch) per batch (two map passes +
+    * two appends, no store-size term); the decision reads ONE stats
+    * row; the refresh pays what the initial build paid — training
+    * (sample-bounded) + one corpus encode pass + one rewrite — which
+    * is the floor for a correct retrain, amortized over every serve
+    * until the next trigger. In production the retrain reads the raw
+    * vector relation (the lake table the stream also feeds); here that
+    * relation is the stream's own source. */
+  def streamingIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_index_refresh_store")
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // the q227 planted shift, aligned to the feed's own bin arithmetic
+    val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val binW = (hi - lo) / FileFeed.StreamChunks + 1L
+    val driftLo = lo + (FileFeed.StreamChunks - 1L) * binW
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x * when(col("vec_id") >= driftLo, lit(2.0f)).otherwise(lit(1.0f)))
+        .as("embedding"))
+    indexRefreshServe(spark, emb, drifted, storeDir)
+  }
+
+  /** The policy over arbitrary relations: `snapshot` trains the frozen
+    * quantizer and calibrates the threshold; `stream` is what actually
+    * arrives (drifted or not). Returns the served q159 query batch
+    * from whichever index the policy picked. */
+  private[graft] def indexRefreshServe(spark: SparkSession,
+      snapshot: DataFrame, stream: DataFrame,
+      storeDir: String): DataFrame = {
+    val (coarse, cb) = Similarity.ivfAdcTrain(snapshot)
+    val farThreshold = Similarity.assignWithDist(snapshot, coarse)
+      .agg(max(col("dist_q"))).head().getLong(0)
+    FileFeed.run(spark, stream, nChunks = FileFeed.StreamChunks,
+      col("vec_id"), ordered = true, purpose = "index_refresh") {
+      (batch, batchId) =>
+        indexBatch(batch, storeDir, coarse, cb, batchId)
+        indexDriftBatch(batch, storeDir, coarse, farThreshold, batchId)
+    }
+    val last = indexDriftTable(spark, storeDir)
+      .orderBy(col("batch_id").desc).limit(1).head()
+    val queries = stream.filter(col("vec_id") % 50 === 0)
+    if (last.getAs[Long]("n_far") * RefreshFarDen >
+        last.getAs[Long]("n_vecs")) {
+      val (c2, cb2) = Similarity.ivfAdcTrain(stream)
+      Similarity.ivfAdcEncode(stream, c2, cb2)
+        .write.mode("overwrite").parquet(s"$storeDir/refresh")
+      Similarity.ivfAdcServe(
+        spark.read.parquet(s"$storeDir/refresh"), queries, c2, cb2)
+    } else
+      Similarity.ivfAdcServe(indexTable(spark, storeDir), queries,
+        coarse, cb)
+  }
+
   /** Registered q226 entry: the fixture vectors as a 4-chunk
     * file-source stream folded through [[indexBatch]] under the frozen
     * snapshot-trained quantizer, then the q159 query batch served from

@@ -3037,4 +3037,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(dm > dp, s"MMR must diversify the served set: mmr=$dm plain=$dp")
     cv.unpersist()
   }
+
+  test("LM quality buckets (q235): hand-computed smoothed quanta; junk lands in the tail") {
+    import spark.implicits._
+    // reference slice = doc_id % 5 == 0: doc 0 "r s r s r" only.
+    // Model: cb(r,s)=2, cb(s,r)=2, cp(r)=2, cp(s)=2, V=|{r,s}|=2.
+    val docs = Seq(
+      (0L, "r s r s r"),  // the reference doc scores itself: seen pairs
+      (1L, "r s"),        // seen pair — ties doc 0's mean
+      (2L, "r r"),        // seen prefix, UNSEEN pair — smoothing floor
+      (3L, "x y"),        // unseen prefix — pure V/1 fallback
+      (4L, "z")           // no bigrams — no row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmQualityBucketsFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def q(cp: Long, cb: Long) =
+      math.floor(math.log((cp + 2.0) / (cb + 1)) * 1e4).toLong
+    val seen = q(2, 2)   // ln(4/3): both (r,s) and (s,r)
+    assert(out(0L) == ((4L, 4 * seen, seen, 1L)))
+    assert(out(1L) == ((1L, seen, seen, 1L)))
+    assert(out(3L) == ((1L, q(0, 0), q(0, 0), 2L)))  // ln(2)
+    assert(out(2L) == ((1L, q(2, 0), q(2, 0), 3L)))  // ln(4) — worst
+    assert(!out.contains(4L), "a 1-token doc has no bigrams and no row")
+    // ntile(3) of 4 rows = sizes 2/1/1 in (mean, doc_id) order —
+    // asserted above via the bucket components; and the bucket means
+    // must be monotone
+    assert(out(0L)._3 <= out(3L)._3 && out(3L)._3 <= out(2L)._3)
+    // the real corpus: buckets partition per the SQL ntile formula and
+    // scores never decrease across bucket boundaries
+    val real = graft.operators.TextAnalysis
+      .lmQualityBucketsFrom(graft.Tables(spark, sf).documents)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    val n = real.length.toLong
+    val sizes = real.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    (1L to 3L).foreach { b =>
+      val want = n / 3 + (if (b <= n % 3) 1L else 0L)
+      assert(sizes.getOrElse(b, 0L) == want,
+        s"bucket $b size ${sizes.getOrElse(b, 0L)} != ntile's $want")
+    }
+    assert(real.filter(_._2 == 1L).map(_._1).max
+        <= real.filter(_._2 == 3L).map(_._1).min,
+      "head scores must not exceed tail scores")
+  }
+
+  test("hard negatives (q236): shortlist minus exact positives, exact-distance order") {
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val mined = Similarity.hardNegativesFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(mined.nonEmpty)
+    // in-JVM exact model over the quantized vectors
+    val eq = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d(a: Long, b: Long): Long =
+      eq(a).zip(eq(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = eq.keys.filter(_ % 50 == 0).toSeq
+    val positives = queries.map { qid =>
+      qid -> eq.keys.filter(_ != qid).toSeq
+        .sortBy(n => (d(qid, n), n)).take(Similarity.HardNegPositives).toSet
+    }.toMap
+    val pool = Similarity
+      .ivfAdcRerankTopKFrom(emb, topK = Similarity.RerankShortlist)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // mined == (pool minus positives), re-ranked by exact distance,
+    // cut at HardNegK — replayed in plain Scala
+    val want = pool.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      cs.filterNot(c => positives(qid)(c._2))
+        .sortBy(c => (c._3, c._2)).take(Similarity.HardNegK)
+        .zipWithIndex.map { case (c, i) => (qid, i + 1L, c._2, c._3) }
+    }.sortBy(x => (x._1, x._2))
+    assert(mined.toSeq.sortBy(x => (x._1, x._2)) == want,
+      "mining must serve the nearest non-positive shortlist members")
+    mined.foreach { m =>
+      assert(!positives(m._1)(m._3),
+        s"query ${m._1}: mined negative ${m._3} is an exact positive")
+      assert(m._4 == d(m._1, m._3), "exact_dist must be the integer L2")
+    }
+  }
 }

@@ -1492,4 +1492,45 @@ class StreamingSpec extends AnyFunSuite {
       }.sortBy(_._1)
     assert(got == want, s"monitor diverged from the replay:\n$got\n$want")
   }
+
+  test("index refresh (q237): drift triggers retrain+rebuild; clean stream stays frozen") {
+    import graft.operators.Similarity
+    import graft.streaming.{FileFeed, StreamingIndex}
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // clean stream: the monitor stays quiet, the policy must NOT
+    // rebuild, and the frozen-quantizer store serves the one-shot index
+    val cleanDir = java.nio.file.Files
+      .createTempDirectory("graft_refresh_clean").toString
+    val servedClean = topk(
+      StreamingIndex.indexRefreshServe(spark, emb, emb, cleanDir))
+    assert(!new java.io.File(s"$cleanDir/refresh").exists,
+      "a clean stream must not trigger a rebuild")
+    assert(servedClean.nonEmpty
+        && servedClean == topk(Similarity.ivfAdcTopKFrom(emb)),
+      "the untriggered branch serves the frozen store (q226 parity)")
+    // planted drift (the registered q237 feed): the newest batch flags
+    // majority-OOD, the policy retrains + rebuilds, and the refreshed
+    // serve equals the ONE-SHOT index built on the drifted corpus
+    val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val binW = (hi - lo) / FileFeed.StreamChunks + 1L
+    val driftLo = lo + (FileFeed.StreamChunks - 1L) * binW
+    val drifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x * when(col("vec_id") >= driftLo, lit(2.0f)).otherwise(lit(1.0f)))
+        .as("embedding"))
+    val driftDir = java.nio.file.Files
+      .createTempDirectory("graft_refresh_drift").toString
+    val servedDrift = topk(
+      StreamingIndex.indexRefreshServe(spark, emb, drifted, driftDir))
+    assert(new java.io.File(s"$driftDir/refresh").exists,
+      "the planted drift must trigger the rebuild")
+    assert(servedDrift.nonEmpty
+        && servedDrift == topk(Similarity.ivfAdcTopKFrom(drifted)),
+      "the refreshed serve must equal the one-shot drifted index")
+  }
 }
