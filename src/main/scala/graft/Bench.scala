@@ -135,7 +135,12 @@ object Bench {
       "q198_ivfadc_rerank", "q199_containment_join",
       // round-15 additions — also excluded so the r13-anchored trend
       // subtotal keeps comparing the same rows
-      "q210_bpe_token_stats", "q212_span_units")
+      "q210_bpe_token_stats", "q212_span_units",
+      // round-16/17 additions: q223 slipped into the subtotal in the
+      // r16 artifact (read 27.0 where the r13-comparable rows summed
+      // to 16.34); exclude the whole RAG pair so the field is again
+      // the number the anchor comparison wants
+      "q223_rag_retrieval", "q231_rag_serve")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
       .map(_._2).sum

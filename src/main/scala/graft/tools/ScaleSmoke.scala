@@ -911,6 +911,14 @@ object ScaleSmoke {
       time(s"bigram_surprisal") {
         graft.operators.TextAnalysis.bigramSurprisalFrom(docs).count()
       }
+      // reference-LM quality buckets (q235's shape): the q228 pair
+      // explode + a vocabulary-scale smoothed model (trained on the
+      // doc_id % 5 slice) + the GlobalOrder two-pass tercile — wall
+      // must track token mass linearly, and the global bucket must
+      // never concentrate the corpus in one window task.
+      time(s"lm_buckets") {
+        graft.operators.TextAnalysis.lmQualityBucketsFrom(docs).count()
+      }
       // RAG build-vs-serve split (q231's point): the one-shot chain
       // (q223) pays the full corpus encode per call; the store-backed
       // serve pays query-encode + probed-cell rank only. Steady-state
