@@ -169,6 +169,7 @@ object SparkEntry {
     "q111_token_budget_select" -> (graft.operators.CorpusOps.tokenBudgetSelect _),
     "q112_stratified_sample"   -> (graft.operators.CorpusOps.stratifiedSample _),
     "q113_sequence_pack"       -> (graft.operators.CorpusOps.sequencePack _),
+    "q239_length_batching"     -> (graft.operators.CorpusOps.lengthBatching _),
     "q114_quality_deciles"     -> (graft.operators.CorpusOps.qualityDeciles _),
     "q115_corpus_pipeline"     -> (graft.operators.CorpusOps.corpusPipeline _),
     "q116_group_topk"          -> (graft.operators.CorpusOps.groupTopK _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q187_image_phash"         -> (Multimodal.imagePhashGroups _),
     "q188_image_neardup"       -> (Multimodal.imageNearDup _),
     "q201_audio_energy"        -> (Multimodal.audioEnergy _),
+    "q238_audio_segments"      -> (Multimodal.audioSegments _),
     "q202_streaming_spans"     ->
       (graft.streaming.StreamingDedup.streamingRepeatedSpans _),
     "q118_repetition_stats"    -> (TextAnalysis.repetitionStats _),
@@ -4611,6 +4613,31 @@ object SparkEntry {
         |  start_tok // 2048 AS pack_id,
         |  start_tok % 2048 AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q239: length-bucketed dynamic batching — the Spark side ranks
+    // within each length class via the grouped two-pass; the oracle
+    // states the semantics as one per-class rank window (unique
+    // (len, doc_id) order ⇒ identical batch layout); whitespace token
+    // rule, all integers.
+    "q239_length_batching" ->
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, l,
+        |    (l - 1) // ${graft.operators.CorpusOps.LenBucketWidth} AS lb,
+        |    row_number() OVER (
+        |      PARTITION BY (l - 1) // ${graft.operators.CorpusOps.LenBucketWidth}
+        |      ORDER BY l, doc_id) AS rn
+        |  FROM s)
+        |SELECT lb AS len_bucket,
+        |  CAST((rn - 1) // ${graft.operators.CorpusOps.BatchSeqs} AS BIGINT)
+        |    AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(max(l) AS BIGINT) AS max_len,
+        |  CAST(sum(l) AS BIGINT) AS token_mass,
+        |  CAST(count(*) * max(l) - sum(l) AS BIGINT) AS padding
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q114: Spark side is the distributed two-pass ntile; the oracle
     // states the semantics as one global ntile(10) (unique tiebreaker ⇒
     // identical assignment).
@@ -4758,6 +4785,62 @@ object SparkEntry {
         |    AS peak_frame,
         |  CAST(list_aggregate(fe, 'max') AS BIGINT) AS peak_energy
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q238: energy-threshold activity segmentation — q201's framing
+    // chain, a per-doc integer mean-energy threshold, and the
+    // gaps-and-islands run grouping (frame − per-doc rank), all exact.
+    "q238_audio_segments" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, strlen(text) // 2 AS ns FROM documents
+        |  WHERE strlen(text) = length(text)
+        |    AND strlen(text) // 2 >= ${operators.Multimodal.AudioFrameSamples}),
+        |s AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(range(1, CAST(ns + 1 AS INTEGER)),
+        |      i -> CAST(ascii(substr(text, CAST(2 * i - 1 AS INTEGER), 1))
+        |        + 256 * ascii(substr(text, CAST(2 * i AS INTEGER), 1))
+        |        AS BIGINT)) AS smp
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, ns, smp,
+        |    CAST(list_sum(smp) // ns AS BIGINT) AS dc FROM s),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      range(0, CAST(ns // ${operators.Multimodal.AudioFrameSamples}
+        |        AS INTEGER)),
+        |      f -> CAST(list_sum(list_transform(
+        |        smp[f * ${operators.Multimodal.AudioFrameSamples} + 1
+        |          : f * ${operators.Multimodal.AudioFrameSamples}
+        |            + ${operators.Multimodal.AudioFrameSamples}],
+        |        x -> (x - dc) * (x - dc))) AS BIGINT)) AS fe
+        |  FROM c),
+        |m AS (
+        |  SELECT doc_id, fe,
+        |    CAST(list_sum(fe) // len(fe) AS BIGINT) AS mean_e FROM f),
+        |fr AS (
+        |  SELECT doc_id, mean_e,
+        |    CAST(p['f'] AS BIGINT) AS frame, CAST(p['e'] AS BIGINT) AS e
+        |  FROM (
+        |    SELECT doc_id, mean_e,
+        |      unnest(list_transform(range(1, CAST(len(fe) + 1 AS INTEGER)),
+        |        i -> struct_pack(f := i - 1, e := fe[i]))) AS p
+        |    FROM m)),
+        |isl AS (
+        |  SELECT doc_id, frame, e,
+        |    frame - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame) AS g
+        |  FROM fr WHERE e > mean_e),
+        |seg AS (
+        |  SELECT doc_id, g, CAST(min(frame) AS BIGINT) AS start_frame,
+        |    CAST(max(frame) AS BIGINT) AS end_frame,
+        |    CAST(count(*) AS BIGINT) AS n_active_frames,
+        |    CAST(sum(e) AS BIGINT) AS seg_energy
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY start_frame) AS BIGINT) AS seg_idx,
+        |  start_frame, end_frame, n_active_frames, seg_energy
+        |FROM seg ORDER BY doc_id, seg_idx""".stripMargin,
     "q51_binary_metadata" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5,

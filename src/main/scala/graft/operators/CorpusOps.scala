@@ -818,6 +818,67 @@ object CorpusOps {
       .select(col("doc_id"), col("n_tokens"), col("dsir_q"))
   }
 
+  private val lenBatchCache = new RotatingCache
+
+  /** Length-class width and sequences-per-batch for dynamic batching
+    * (q239) — mirrored literally in the oracle. Production knobs:
+    * the class width trades padding inside a batch against class
+    * count; B is the training micro-batch size. */
+  private[graft] val LenBucketWidth = 32L
+  private[graft] val BatchSeqs = 8L
+
+  /** Length-bucketed dynamic batching (q239) — the group-by-length
+    * batch scheduler every variable-length trainer runs (the
+    * fairseq/HF `group_by_length` recipe): batching random sequences
+    * pads every one to the batch max, so ingest first classes
+    * sequences by token length ([[LenBucketWidth]]-wide classes), then
+    * fills fixed-[[BatchSeqs]] batches inside each class in
+    * deterministic (len, doc_id) order, and prices each batch's
+    * padding waste — n_seqs·max_len − token_mass, the number the
+    * scheduler exists to minimize. All integers with a total order, so
+    * the batch layout and its cost carry a DuckDB oracle.
+    *
+    * Scale shape: the within-class rank is the GROUPED [[GlobalOrder]]
+    * two-pass (the q145/q157 discipline) — length classes are FEW and
+    * HUGE at corpus scale (one class is most of a web corpus), so a
+    * per-class rank window would funnel the corpus through a handful
+    * of tasks; instead rows value-bucket globally by length, per-
+    * (class, bucket) counts cumulate into exclusive rank bases on the
+    * driver (metadata scale), and every (class, bucket) ranks in
+    * parallel. The batch index derives arithmetically from the rank;
+    * the final relation is batch-count scale. */
+  def lengthBatching(spark: SparkSession, dir: String): DataFrame =
+    lengthBatchingFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def lengthBatchingFrom(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("lb", expr(s"(len - 1) div $LenBucketWidth"))
+      .withColumn("g", col("lb").cast("string"))
+    val bucketed = lenBatchCache.rotate(GlobalOrder
+      .bucketizeForUniqueOrder(scored, col("len"), desc = false,
+        col("doc_id"))
+      .persist())
+    val (bases, _) = GlobalOrder.exclusiveOffsetsBy(bucketed, "g",
+      count(lit(1)).as("c"))
+    import docs.sparkSession.implicits._
+    val offsetsDf = bases.toDF("g", "bucket", "rn_base")
+    val wLocal = Window.partitionBy(col("g"), col("bucket"))
+      .orderBy(col("len"), col("doc_id"))
+    val rn = col("rn_base") + row_number().over(wLocal)
+    bucketed
+      .join(broadcast(offsetsDf), Seq("g", "bucket"))
+      .withColumn("rn", rn)
+      .withColumn("batch_idx", expr(s"(rn - 1) div $BatchSeqs"))
+      .groupBy(col("lb").as("len_bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("len")).as("max_len"),
+        sum(col("len")).as("token_mass"))
+      .withColumn("padding",
+        col("n_seqs") * col("max_len") - col("token_mass"))
+      .orderBy(col("len_bucket"), col("batch_idx"))
+  }
+
   /** Same, over an arbitrary (source) corpus. */
   private[graft] def temperatureMixtureFrom(docs: DataFrame,
       budget: Long = MixtureEpochBudget): DataFrame = {

@@ -400,8 +400,11 @@ object Multimodal {
   def audioEnergy(spark: SparkSession, dir: String): DataFrame =
     audioEnergyFrom(Tables(spark, dir).documents)
 
-  /** Same, over an arbitrary (doc_id, text-as-payload) corpus. */
-  private[graft] def audioEnergyFrom(docs: DataFrame): DataFrame = {
+  /** Shared PCM framing for the audio tier (q201/q238): 16-bit LE
+    * samples, the DC offset, and per-[[AudioFrameSamples]]-frame
+    * centered energies — all higher-order functions that never leave
+    * the row. */
+  private def audioFrames(docs: DataFrame): DataFrame = {
     val F = AudioFrameSamples
     docs
       .filter(octet_length(col("text")) === length(col("text")))
@@ -414,15 +417,21 @@ object Multimodal {
           .stripMargin))
       .withColumn("dc", expr(
         "aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x) div ns"))
+      .withColumn("fe", expr(
+        s"""transform(sequence(0, ns div $F - 1), f ->
+           |  aggregate(slice(smp, f * $F + 1, $F), CAST(0 AS BIGINT),
+           |    (a, x) -> a + (x - dc) * (x - dc)))""".stripMargin))
+  }
+
+  /** Same, over an arbitrary (doc_id, text-as-payload) corpus. */
+  private[graft] def audioEnergyFrom(docs: DataFrame): DataFrame = {
+    val F = AudioFrameSamples
+    audioFrames(docs)
       .withColumn("zero_crossings", expr(
         """CAST(size(filter(
           |  zip_with(slice(smp, 1, ns - 1), slice(smp, 2, ns - 1),
           |    (a, b) -> (a - dc) * (b - dc)),
           |  p -> p < 0)) AS BIGINT)""".stripMargin))
-      .withColumn("fe", expr(
-        s"""transform(sequence(0, ns div $F - 1), f ->
-           |  aggregate(slice(smp, f * $F + 1, $F), CAST(0 AS BIGINT),
-           |    (a, x) -> a + (x - dc) * (x - dc)))""".stripMargin))
       .select(col("doc_id"),
         col("ns").cast("long").as("n_samples"),
         expr(s"CAST(ns div $F AS BIGINT)").as("n_frames"),
@@ -432,5 +441,53 @@ object Multimodal {
           .as("peak_frame"),
         expr("array_max(fe)").as("peak_energy"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Energy-threshold activity segmentation (q238) — the VAD/clip-cut
+    * rung an audio-data pipeline runs after q201's framing: silence
+    * and noise-floor spans carry no training value, so ingest cuts
+    * each recording to its ACTIVE segments before transcription or
+    * feature extraction. A frame is active when its centered energy
+    * exceeds the document's own mean frame energy (a per-document
+    * integer — no tuned constant, deterministic on any corpus);
+    * segments are maximal runs of consecutive active frames, emitted
+    * with (start, end, length, energy mass) and a per-document segment
+    * index. A document whose frames are all equal-energy has no frame
+    * above its mean and emits NO rows (a constant tone is all silence
+    * or all signal — either way there is nothing to cut).
+    *
+    * All arithmetic is integer (the q201 envelope), and the
+    * gaps-and-islands grouping key (frame − per-doc rank) is exact, so
+    * the whole segmentation carries a DuckDB oracle.
+    *
+    * Scale shape: the framing is q201's single projection pass; the
+    * explode is bounded by payload_len/128 frames per row; the islands
+    * windows partition by doc_id (never global), and the final
+    * relation is segment-count-scale. At 100 TB every stage is one
+    * doc-keyed shuffle of frame rows — linear in audio mass. */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame =
+    audioSegmentsFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text-as-payload) corpus. */
+  private[graft] def audioSegmentsFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = audioFrames(docs)
+      .withColumn("mean_e", expr(
+        "aggregate(fe, CAST(0 AS BIGINT), (a, x) -> a + x) div size(fe)"))
+      .select(col("doc_id"), col("mean_e"),
+        posexplode(col("fe")).as(Seq("frame", "e")))
+      .filter(col("e") > col("mean_e"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    fr.withColumn("isl", col("frame") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame")).cast("long").as("start_frame"),
+        max(col("frame")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_active_frames"),
+        sum(col("e")).as("seg_energy"))
+      .withColumn("seg_idx", row_number().over(ws).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_active_frames"), col("seg_energy"))
+      .orderBy(col("doc_id"), col("seg_idx"))
   }
 }

@@ -3116,4 +3116,66 @@ class PipelineSpec extends AnyFunSuite {
       assert(m._4 == d(m._1, m._3), "exact_dist must be the integer L2")
     }
   }
+
+  test("audio segments (q238): hand-built energy profile cuts exact active runs") {
+    import spark.implicits._
+    // 7 frames of 64 samples (128 chars) each: Q L L Q Q L Q.
+    // quiet sample = 'a'+256·'a' = 24929, loud = 'z'+256·'z' = 31354;
+    // dc = (4·24929 + 3·31354) // 7 = 27682; quiet frame energy =
+    // 64·(24929−27682)² = 485056576, loud = 64·(31354−27682)² =
+    // 862949376; mean_e = (4·485056576 + 3·862949376) // 7 = 647010633
+    // → loud frames 1,2,5 active → segments [1,2] and [5,5].
+    val q = "a" * 128; val l = "z" * 128
+    val docs = Seq(
+      (1L, q + l + l + q + q + l + q),
+      (2L, q * 4),          // constant tone: no frame above its mean
+      (3L, "a" * 100)       // under one frame — filtered out
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Multimodal.audioSegmentsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val le = 862949376L
+    assert(got == Seq(
+      (1L, 1L, 1L, 2L, 2L, 2 * le),
+      (1L, 2L, 5L, 5L, 1L, le)),
+      s"segments diverged: $got")
+  }
+
+  test("length batching (q239): exact layout on a constructed corpus; invariants on the real one") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // lengths 1..10 share class 0: batch 0 = the 8 shortest (max 8,
+    // mass 36, padding 28), batch 1 = lens 9,10 (padding 1); len 33
+    // opens class 1 alone (padding 0)
+    val docs = ((1 to 10).map(n =>
+        (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      :+ (11L, Seq.fill(33)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = CorpusOps.lengthBatchingFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((0L, 0L, 8L, 8L, 36L, 28L),
+      (0L, 1L, 2L, 10L, 19L, 1L), (1L, 0L, 1L, 33L, 33L, 0L)),
+      s"layout diverged: $got")
+    // real corpus: every batch is full except each class's last; token
+    // mass is conserved; padding per batch stays under n·classWidth
+    // (batch members share a 32-wide length class)
+    val t = graft.Tables(spark, sf).documents
+    val real = CorpusOps.lengthBatchingFrom(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(real.nonEmpty)
+    val totalToks = t.select(size(split(col("text"), " "))
+        .cast("long").as("l"))
+      .agg(sum(col("l"))).head().getLong(0)
+    assert(real.map(_._5).sum == totalToks, "token mass must be conserved")
+    real.groupBy(_._1).foreach { case (lb, bs) =>
+      val lastIdx = bs.map(_._2).max
+      bs.foreach { b =>
+        assert(b._2 == lastIdx || b._3 == CorpusOps.BatchSeqs,
+          s"non-final batch not full: $b")
+        assert(b._6 >= 0 && b._6 < b._3 * CorpusOps.LenBucketWidth,
+          s"padding out of the class-width envelope: $b")
+      }
+    }
+  }
 }
