@@ -403,20 +403,36 @@ object Multimodal {
   /** Shared PCM framing for the audio tier (q201/q238): 16-bit LE
     * samples, the DC offset, and per-[[AudioFrameSamples]]-frame
     * centered energies — all higher-order functions that never leave
-    * the row. */
+    * the row.
+    *
+    * The sample array and its sum are materialized ONCE per row
+    * through a Generate (explode-of-one-struct) barrier. Without it,
+    * projection collapse inlines the substring-built array into every
+    * lambda that mentions it and the DC aggregate into every
+    * per-sample step — interpreted re-evaluation QUADRATIC in samples
+    * (measured: one task grinding 8+ minutes over 5k docs; seconds
+    * with the barrier). Downstream lambdas then reference `smp`/`dc`
+    * as plain attributes, so every later re-reference costs O(ns)
+    * array reads, never a substring re-scan. */
   private def audioFrames(docs: DataFrame): DataFrame = {
     val F = AudioFrameSamples
     docs
       .filter(octet_length(col("text")) === length(col("text")))
       .withColumn("ns", (octet_length(col("text")) / lit(2)).cast("int"))
       .filter(col("ns") >= F)
-      .withColumn("smp", expr(
-        """transform(sequence(1, ns), i ->
-          |  CAST(ascii(substring(text, 2 * i - 1, 1))
-          |    + 256 * ascii(substring(text, 2 * i, 1)) AS BIGINT))"""
-          .stripMargin))
-      .withColumn("dc", expr(
-        "aggregate(smp, CAST(0 AS BIGINT), (a, x) -> a + x) div ns"))
+      .select(col("doc_id"), col("ns"), explode(expr(
+        """array(named_struct(
+          |  'smp', transform(sequence(1, ns), i ->
+          |    CAST(ascii(substring(text, 2 * i - 1, 1))
+          |      + 256 * ascii(substring(text, 2 * i, 1)) AS BIGINT)),
+          |  'ssum', aggregate(transform(sequence(1, ns), i ->
+          |    CAST(ascii(substring(text, 2 * i - 1, 1))
+          |      + 256 * ascii(substring(text, 2 * i, 1)) AS BIGINT)),
+          |    CAST(0 AS BIGINT), (a, x) -> a + x)))""".stripMargin))
+        .as("av"))
+      .withColumn("smp", col("av.smp"))
+      .withColumn("dc", expr("av.ssum div ns"))
+      .drop("av")
       .withColumn("fe", expr(
         s"""transform(sequence(0, ns div $F - 1), f ->
            |  aggregate(slice(smp, f * $F + 1, $F), CAST(0 AS BIGINT),

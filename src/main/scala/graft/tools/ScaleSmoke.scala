@@ -919,6 +919,20 @@ object ScaleSmoke {
       time(s"lm_buckets") {
         graft.operators.TextAnalysis.lmQualityBucketsFrom(docs).count()
       }
+      // audio activity segmentation (q238's shape): q201's single-
+      // projection framing + a payload-bounded frame explode +
+      // doc-partitioned islands windows — wall must track payload
+      // mass linearly (frames ≈ bytes/128 per row, never global).
+      time(s"audio_segments") {
+        graft.operators.Multimodal.audioSegmentsFrom(docs).count()
+      }
+      // length batching (q239's shape): the grouped GlobalOrder
+      // two-pass — wall must track corpus size linearly with NO
+      // per-length-class funnel task (one class dominates any real
+      // corpus; the amplified copies all land in their base's class).
+      time(s"length_batching") {
+        graft.operators.CorpusOps.lengthBatchingFrom(docs).count()
+      }
       // RAG build-vs-serve split (q231's point): the one-shot chain
       // (q223) pays the full corpus encode per call; the store-backed
       // serve pays query-encode + probed-cell rank only. Steady-state
