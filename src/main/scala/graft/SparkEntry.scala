@@ -292,6 +292,7 @@ object SparkEntry {
       (graft.streaming.StreamingIndex.streamingIndexDrift _),
     "q231_rag_serve" -> (Similarity.ragServe _),
     "q232_retrieval_eval" -> (Similarity.retrievalEval _),
+    "q240_retrieval_eval_lex" -> (Similarity.retrievalEvalLex _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -3637,6 +3638,63 @@ object SparkEntry {
         |  CAST(coalesce(lh.c, 0) AS BIGINT) AS lex_r5,
         |  CAST(coalesce(fh.c, 0) AS BIGINT) AS fused_r5
         |FROM (SELECT vec_id AS query_id FROM eq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM dtop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) dh
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM ltop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) lh
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM ftop
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) fh
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
+    // q240: the lexical-truth complement of q232 — same three rankers
+    // cut at the same depth, truth replaced by exact token-set Jaccard
+    // over the chunk texts ((∩·10⁶) // ∪, (score desc, cand) ties).
+    "q240_retrieval_eval_lex" ->
+      s"""WITH $ragCvCtes,
+        |${ivfAdcOracleChainOver("cv")},
+        |$bm25Ctes,
+        |$rrfFusedCtes,
+        |dtop AS (
+        |  SELECT query_id, neighbor_id AS cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |ltop AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, cand) AS rk FROM bpair)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |ftop AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_q DESC, cand) AS rk FROM fused)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth}),
+        |dtok AS (SELECT DISTINCT cid, t FROM ct),
+        |tsz AS (SELECT cid, count(*) AS sz FROM dtok GROUP BY 1),
+        |jint AS (
+        |  SELECT q.cid AS query_id, x.cid AS cand, count(*) AS i
+        |  FROM dtok q JOIN dtok x USING (t)
+        |  WHERE q.cid % 50 = 0 AND x.cid <> q.cid
+        |  GROUP BY 1, 2),
+        |jsc AS (
+        |  SELECT j.query_id, j.cand,
+        |    (j.i * 1000000) // (qs.sz + cs.sz - j.i) AS jac_q
+        |  FROM jint j
+        |  JOIN tsz qs ON qs.cid = j.query_id
+        |  JOIN tsz cs ON cs.cid = j.cand),
+        |truth AS (
+        |  SELECT query_id, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY jac_q DESC, cand) AS rk FROM jsc)
+        |  WHERE rk <= ${Similarity.RetrievalEvalDepth})
+        |SELECT q.query_id,
+        |  CAST(coalesce(dh.c, 0) AS BIGINT) AS dense_r5,
+        |  CAST(coalesce(lh.c, 0) AS BIGINT) AS lex_r5,
+        |  CAST(coalesce(fh.c, 0) AS BIGINT) AS fused_r5
+        |FROM (SELECT DISTINCT cid AS query_id FROM dtok
+        |      WHERE cid % 50 = 0) q
         |LEFT JOIN (SELECT query_id, count(*) AS c FROM dtop
         |           JOIN truth USING (query_id, cand) GROUP BY 1) dh
         |  USING (query_id)

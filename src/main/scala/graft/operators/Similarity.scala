@@ -1744,6 +1744,82 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  private val lexTruthCache = new RotatingCache
+
+  /** Lexical-truth retrieval-quality gate (q240) — q232's complement,
+    * completing the two-regime eval: q232's planted relevance IS
+    * embedding similarity, and its measured reading (SCALING.md) shows
+    * the dense ranker dominating while RRF fusion dilutes it. This
+    * rung plants the OPPOSITE regime — relevance = exact token-set
+    * Jaccard over the chunk TEXTS, a signal the fixture embeddings
+    * (borrowed by chunk-id hash, carrying no text information) cannot
+    * see — so dense reads ~random here, the lexical ranker carries the
+    * signal (it shares the modality with this truth BY DESIGN — that
+    * is the regime being measured, not a leak), and the two gates
+    * together answer the hybrid tier's deployment question from both
+    * sides: run the gate matching YOUR labels, serve what wins.
+    * Jaccard quantizes to (∩·10⁶) div ∪ per pair — pure integers with
+    * (score desc, candidate) ties, so the gate carries a full DuckDB
+    * oracle.
+    *
+    * Scale shape: the three rankers run their own documented plans;
+    * the truth side joins query token sets against the distinct
+    * (chunk, token) relation — the posting-join shape, UNBOUNDED here
+    * by design because truth must be exact: the offline-eval posture
+    * (a query sample, never inline at serving time), same rule as
+    * q232's brute-force scan. Overlap joins on (queries × depth) rank
+    * rows — metadata. */
+  def retrievalEvalLex(spark: SparkSession, dir: String): DataFrame =
+    retrievalEvalLexFrom(spark, graft.Tables(spark, dir).documents,
+      graft.Tables(spark, dir).embeddings)
+
+  /** Same, over arbitrary (doc_id, text) + (vec_id, embedding)
+    * relations. */
+  private[graft] def retrievalEvalLexFrom(spark: SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = RetrievalEvalDepth
+    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx")
+    val dense = ragRetrievalFrom(spark, docs, emb, topK = d)
+      .select(col("query_id"), cid.as("cand"))
+    val lex = TextAnalysis.bm25TopKFrom(docs, topK = d)
+      .select(col("query_id"), cid.as("cand"))
+    val fused = hybridRrfFrom(spark, docs, emb)
+      .filter(col("rk") <= d)
+      .select(col("query_id"), cid.as("cand"))
+    val dtok = lexTruthCache.rotate(TextAnalysis.bm25Postings(docs)
+      .select(col("cid"), col("t")).distinct().persist())
+    val sizes = dtok.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    val qt = dtok.filter(col("cid") % 50 === 0)
+      .select(col("cid").as("query_id"), col("t"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac_q").desc, col("cand"))
+    val truth = qt
+      .join(dtok.select(col("cid").as("cand"), col("t")), Seq("t"))
+      .filter(col("cand") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("cid").as("query_id"),
+        col("sz").as("qsz")), Seq("query_id"))
+      .join(sizes.select(col("cid").as("cand"),
+        col("sz").as("csz")), Seq("cand"))
+      .withColumn("jac_q", expr("(i * 1000000) div (qsz + csz - i)"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= d)
+      .select(col("query_id"), col("cand"))
+    def hits(r: DataFrame, name: String): DataFrame =
+      r.join(truth, Seq("query_id", "cand"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    dtok.filter(col("cid") % 50 === 0)
+      .select(col("cid").as("query_id")).distinct()
+      .join(hits(dense, "dense_r5"), Seq("query_id"), "left")
+      .join(hits(lex, "lex_r5"), Seq("query_id"), "left")
+      .join(hits(fused, "fused_r5"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dense_r5"), lit(0L)).as("dense_r5"),
+        coalesce(col("lex_r5"), lit(0L)).as("lex_r5"),
+        coalesce(col("fused_r5"), lit(0L)).as("fused_r5"))
+      .orderBy(col("query_id"))
+  }
+
   /** MMR-diversified RAG retrieval (q224) — the redundancy fix every
     * RAG serving stack applies on top of raw top-k: with 50%-overlap
     * chunk windows (q144), a query's nearest chunks are routinely

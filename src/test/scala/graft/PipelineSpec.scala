@@ -2983,6 +2983,27 @@ class PipelineSpec extends AnyFunSuite {
       "dense recall must be >= lexical recall on embedding truth")
   }
 
+  test("lexical-truth gate (q240): the regime flips — lexical beats dense on text-overlap truth") {
+    val t = graft.Tables(spark, sf)
+    val got = Similarity
+      .retrievalEvalLexFrom(spark, t.documents, t.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val d = Similarity.RetrievalEvalDepth.toLong
+    got.foreach { r =>
+      assert(r._2 >= 0 && r._2 <= d && r._3 >= 0 && r._3 <= d
+        && r._4 >= 0 && r._4 <= d, s"recall out of range: $r")
+    }
+    val n = got.length.toDouble * d
+    info(f"lexical-truth recall@5 — dense ${got.map(_._2).sum / n}%.3f, " +
+      f"lexical ${got.map(_._3).sum / n}%.3f, " +
+      f"fused ${got.map(_._4).sum / n}%.3f (${got.length} queries)")
+    // the truth is text overlap, which the hash-borrowed fixture
+    // embeddings cannot see — the q232 regime must FLIP
+    assert(got.map(_._3).sum > got.map(_._2).sum,
+      "lexical recall must beat dense recall on lexical truth")
+  }
+
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
     val t = graft.Tables(spark, sf)
     val cv = Similarity.chunkVectors(t.documents, t.embeddings)
