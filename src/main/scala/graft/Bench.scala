@@ -140,7 +140,8 @@ object Bench {
       // r16 artifact (read 27.0 where the r13-comparable rows summed
       // to 16.34); exclude the whole RAG pair so the field is again
       // the number the anchor comparison wants
-      "q223_rag_retrieval", "q231_rag_serve")
+      "q223_rag_retrieval", "q231_rag_serve",
+      "q235_lm_quality_buckets")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
       .map(_._2).sum

@@ -293,6 +293,7 @@ object SparkEntry {
     "q231_rag_serve" -> (Similarity.ragServe _),
     "q232_retrieval_eval" -> (Similarity.retrievalEval _),
     "q240_retrieval_eval_lex" -> (Similarity.retrievalEvalLex _),
+    "q241_mrl_prefix_recall" -> (Similarity.mrlPrefixRecall _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -3648,6 +3649,50 @@ object SparkEntry {
         |           JOIN truth USING (query_id, cand) GROUP BY 1) fh
         |  USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
+    // q241: the Matryoshka prefix-dimension gate — exact top-3 on the
+    // first 16/32 dims overlapped with the full-dim integer-L2 truth.
+    "q241_mrl_prefix_recall" ->
+      s"""WITH eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS d64,
+        |    CAST(list_sum(list_transform(range(1,
+        |      ${Similarity.MrlPrefixA + 1}),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS da,
+        |    CAST(list_sum(list_transform(range(1,
+        |      ${Similarity.MrlPrefixB + 1}),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS db
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |truth AS (SELECT query_id, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d64, cand) AS rk FROM p) WHERE rk <= 3),
+        |ta AS (SELECT query_id, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY da, cand) AS rk FROM p) WHERE rk <= 3),
+        |tb AS (SELECT query_id, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY db, cand) AS rk FROM p) WHERE rk <= 3)
+        |SELECT q.query_id,
+        |  CAST(coalesce(ha.c, 0) AS BIGINT)
+        |    AS r3_p${Similarity.MrlPrefixA},
+        |  CAST(coalesce(hb.c, 0) AS BIGINT)
+        |    AS r3_p${Similarity.MrlPrefixB}
+        |FROM (SELECT vec_id AS query_id FROM eq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM ta
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) ha
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM tb
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) hb
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
     // q240: the lexical-truth complement of q232 — same three rankers
     // cut at the same depth, truth replaced by exact token-set Jaccard
     // over the chunk texts ((∩·10⁶) // ∪, (score desc, cand) ties).
@@ -5175,5 +5220,9 @@ object SparkEntry {
     // round 17: the build/serve split — what REPEATED serving costs
     // once the encoded store is persisted (q223 minus the per-call
     // corpus re-encode; the steady-state row is the serving number):
-    "q231_rag_serve")
+    "q231_rag_serve",
+    // round 17: the reference-LM quality split — the round's corpus-
+    // scale text representative (pair explode + held-out model join +
+    // the GlobalOrder tercile), tracked round-over-round:
+    "q235_lm_quality_buckets")
 }

@@ -1744,6 +1744,70 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Prefix dimensions measured by the Matryoshka serving gate (q241)
+    * — mirrored in the oracle. The MRL serving trade: embeddings
+    * trained with matryoshka losses rank almost as well on a PREFIX of
+    * their dimensions, and serving on 16 of 64 dims reads 4× less
+    * vector data per candidate. */
+  private[graft] val MrlPrefixA = 16
+  private[graft] val MrlPrefixB = 32
+
+  /** Matryoshka prefix-dimension serving gate (q241) — the third
+    * member of the eval family (q232 embedding truth, q240 lexical
+    * truth): before a deployment serves truncated vectors it measures
+    * what ranking the prefix retains. Per query: overlap of the exact
+    * top-3 computed on the FIRST [[MrlPrefixA]] and [[MrlPrefixB]] of
+    * the 64 dimensions against the full-dimension integer-L2 truth —
+    * the recall-vs-read-mass curve's two interior points (the fixture
+    * embeddings are not MRL-trained, so the honest expectation is a
+    * LOW reading at 16 — the gate exists to measure, not to flatter;
+    * an MRL-trained corpus reads near 1.0 and unlocks the 4× read
+    * saving). Both rankings are fixed-point integer with
+    * (distance, neighbor) ties — full DuckDB oracle.
+    *
+    * Scale shape: the q46 brute-force truth shape three times over the
+    * same broadcast query batch and corpus scan (prefix distances are
+    * slices of the same quantized array — one pass computes all
+    * three); offline-eval posture, query-sample bounded. At serving
+    * scale the prefix ranker composes with the IVFADC chain (truncate
+    * before training) — this gate decides whether that's safe. */
+  def mrlPrefixRecall(spark: SparkSession, dir: String): DataFrame =
+    mrlPrefixRecallFrom(graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  private[graft] def mrlPrefixRecallFrom(vecs: DataFrame): DataFrame = {
+    val eq = pqCache.rotate(quantized(vecs).persist())
+    val queries = eq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    def dist(d: Int): Column = aggregate(
+      zip_with(slice(col("e"), 1, d), slice(col("qe"), 1, d),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, b) => a + b)
+    val pairs = eq.select(col("vec_id").as("cand"), col("e"))
+      .join(broadcast(queries), col("cand") =!= col("query_id"))
+      .withColumn("d64", dist(64))
+      .withColumn("dA", dist(MrlPrefixA))
+      .withColumn("dB", dist(MrlPrefixB))
+    def top(dc: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(dc), col("cand"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select(col("query_id"), col("cand"))
+    }
+    val truth = top("d64")
+    def hits(r: DataFrame, name: String): DataFrame =
+      r.join(truth, Seq("query_id", "cand"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    queries.select(col("query_id"))
+      .join(hits(top("dA"), s"r3_p$MrlPrefixA"), Seq("query_id"), "left")
+      .join(hits(top("dB"), s"r3_p$MrlPrefixB"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col(s"r3_p$MrlPrefixA"), lit(0L)).as(s"r3_p$MrlPrefixA"),
+        coalesce(col(s"r3_p$MrlPrefixB"), lit(0L)).as(s"r3_p$MrlPrefixB"))
+      .orderBy(col("query_id"))
+  }
+
   private val lexTruthCache = new RotatingCache
 
   /** Lexical-truth retrieval-quality gate (q240) — q232's complement,

@@ -3004,6 +3004,37 @@ class PipelineSpec extends AnyFunSuite {
       "lexical recall must beat dense recall on lexical truth")
   }
 
+  test("MRL prefix gate (q241): matches an in-JVM replay; longer prefix never ranks worse in aggregate") {
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.mrlPrefixRecallFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val eq = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d(a: Long, b: Long, dims: Int): Long =
+      (0 until dims).map { i =>
+        val x = eq(a)(i) - eq(b)(i); x * x
+      }.sum
+    def top3(q: Long, dims: Int): Seq[Long] =
+      eq.keys.filter(_ != q).toSeq
+        .sortBy(n => (d(q, n, dims), n)).take(3)
+    val want = eq.keys.filter(_ % 50 == 0).toSeq.sorted.map { q =>
+      val truth = top3(q, 64).toSet
+      (q, top3(q, Similarity.MrlPrefixA).count(truth),
+        top3(q, Similarity.MrlPrefixB).count(truth))
+    }
+    assert(got.map(x => (x._1, x._2.toInt, x._3.toInt)) ==
+      want.map(x => (x._1, x._2, x._3)),
+      "gate must replay the exact prefix/full rankings")
+    assert(got.map(_._3).sum >= got.map(_._2).sum,
+      "a longer prefix must not rank worse in aggregate")
+    val n = got.length * 3.0
+    info(f"prefix recall@3 — p16 ${got.map(_._2).sum / n}%.3f, " +
+      f"p32 ${got.map(_._3).sum / n}%.3f (${got.length} queries)")
+  }
+
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
     val t = graft.Tables(spark, sf)
     val cv = Similarity.chunkVectors(t.documents, t.embeddings)
