@@ -170,6 +170,7 @@ object SparkEntry {
     "q112_stratified_sample"   -> (graft.operators.CorpusOps.stratifiedSample _),
     "q113_sequence_pack"       -> (graft.operators.CorpusOps.sequencePack _),
     "q239_length_batching"     -> (graft.operators.CorpusOps.lengthBatching _),
+    "q242_full_pipeline_lm"    -> (graft.operators.CorpusOps.fullPipelineLm _),
     "q114_quality_deciles"     -> (graft.operators.CorpusOps.qualityDeciles _),
     "q115_corpus_pipeline"     -> (graft.operators.CorpusOps.corpusPipeline _),
     "q116_group_topk"          -> (graft.operators.CorpusOps.groupTopK _),
@@ -2273,6 +2274,44 @@ object SparkEntry {
 
   /** q144's chunk windows as a CTE (cw keeps the word array — q225
     * reads token counts and q229 reads chunk terms off it). */
+  /** The q235 reference-LM bucket chain (CTE names lm-prefixed so the
+    * chain composes with q121's inside q242) — ends at
+    * `lmb(doc_id, n_bigrams, surprisal_q, mean_surprisal_q, bucket)`. */
+  private def lmBucketCtes: String =
+    s"""lmw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lmpp AS (
+      |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+      |    FROM lmw)),
+      |lmrp AS (SELECT * FROM lmpp
+      |         WHERE doc_id % ${operators.TextAnalysis.LmRefMod} = 0),
+      |lmcb AS (SELECT w1, w2, count(*) AS cb FROM lmrp GROUP BY 1, 2),
+      |lmcp AS (SELECT w1, count(*) AS cp FROM lmrp GROUP BY 1),
+      |lmvv AS (SELECT count(DISTINCT w2) AS v FROM lmrp),
+      |lmtfd AS (SELECT doc_id, w1, w2, count(*) AS tf
+      |          FROM lmpp GROUP BY 1, 2, 3),
+      |lmsc AS (
+      |  SELECT f.doc_id, f.tf,
+      |    CAST(floor(ln(CAST(COALESCE(lmcp.cp, 0) + lmvv.v AS DOUBLE)
+      |      / (COALESCE(lmcb.cb, 0) + 1)) * 1e4) AS BIGINT) AS q
+      |  FROM lmtfd f
+      |  LEFT JOIN lmcb ON lmcb.w1 = f.w1 AND lmcb.w2 = f.w2
+      |  LEFT JOIN lmcp ON lmcp.w1 = f.w1
+      |  CROSS JOIN lmvv),
+      |lmds AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
+      |    CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+      |      AS BIGINT) AS mean_surprisal_q
+      |  FROM lmsc GROUP BY doc_id),
+      |lmb AS (
+      |  SELECT doc_id, n_bigrams, surprisal_q, mean_surprisal_q,
+      |    CAST(ntile(${operators.TextAnalysis.LmQualityTiles}) OVER (
+      |      ORDER BY mean_surprisal_q, doc_id) AS BIGINT) AS bucket
+      |  FROM lmds)""".stripMargin
+
   private def chunkCwCte: String =
     s"""cw AS (
       |  SELECT doc_id, w, unnest(range(0,
@@ -3536,38 +3575,9 @@ object SparkEntry {
     // and the tercile is SQL-spec ntile(3) of the global
     // (mean, doc_id) order — the GlobalOrder.ntileFromRank formula.
     "q235_lm_quality_buckets" ->
-      s"""WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |pp AS (
-        |  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
-        |    FROM w)),
-        |rp AS (SELECT * FROM pp
-        |       WHERE doc_id % ${TextAnalysis.LmRefMod} = 0),
-        |cb AS (SELECT w1, w2, count(*) AS cb FROM rp GROUP BY 1, 2),
-        |cp AS (SELECT w1, count(*) AS cp FROM rp GROUP BY 1),
-        |vv AS (SELECT count(DISTINCT w2) AS v FROM rp),
-        |tfd AS (SELECT doc_id, w1, w2, count(*) AS tf
-        |        FROM pp GROUP BY 1, 2, 3),
-        |sc AS (
-        |  SELECT f.doc_id, f.tf,
-        |    CAST(floor(ln(CAST(COALESCE(cp.cp, 0) + vv.v AS DOUBLE)
-        |      / (COALESCE(cb.cb, 0) + 1)) * 1e4) AS BIGINT) AS q
-        |  FROM tfd f
-        |  LEFT JOIN cb ON cb.w1 = f.w1 AND cb.w2 = f.w2
-        |  LEFT JOIN cp ON cp.w1 = f.w1
-        |  CROSS JOIN vv),
-        |ds AS (
-        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(tf * q) AS BIGINT) AS surprisal_q,
-        |    CAST(CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
-        |      AS BIGINT) AS mean_surprisal_q
-        |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, surprisal_q, mean_surprisal_q,
-        |  CAST(ntile(${TextAnalysis.LmQualityTiles}) OVER (
-        |    ORDER BY mean_surprisal_q, doc_id) AS BIGINT) AS bucket
-        |FROM ds ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmBucketCtes
+        |SELECT doc_id, n_bigrams, surprisal_q, mean_surprisal_q, bucket
+        |FROM lmb ORDER BY doc_id""".stripMargin,
     // q229: BM25 lexical retrieval over the q223 chunk corpus — idf
     // quantized per term, each (term, candidate) contribution floored
     // before the integer per-pair sum (the q143 rule); every double op
@@ -4476,6 +4486,56 @@ object SparkEntry {
         |    rep.tw, rep.db
         |  FROM corpus c
         |  JOIN rep ON c.doc_id = rep.doc_id
+        |  LEFT JOIN contam ct ON c.doc_id = ct.doc_id
+        |  WHERE ct.doc_id IS NULL)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(q) AS BIGINT) AS sum_quality
+        |FROM sig WHERE q >= 300 AND t >= 50 AND tw <= 200 AND db <= 100
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // q242: q121's chain with the q235 LM tail-drop composed in — the
+    // lm-prefixed bucket CTEs plus one doc-keyed semi-join on the
+    // survivor relation (JOIN lmkeep).
+    "q242_full_pipeline_lm" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |$lmBucketCtes,
+        |lmkeep AS (SELECT doc_id FROM lmb
+        |           WHERE bucket < ${operators.TextAnalysis.LmQualityTiles}),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws) - 8 + 2),
+        |    i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 = 0),
+        |contam AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g)
+        |           WHERE c.doc_id % 5 <> 0),
+        |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |wc AS (SELECT doc_id, max(c) AS maxc FROM
+        |       (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |rep AS (SELECT w.doc_id,
+        |          1000 * wc.maxc // greatest(len(ws), 1) AS tw,
+        |          1000 * (len(bi) - len(list_distinct(bi)))
+        |            // greatest(len(bi), 1) AS db
+        |        FROM (SELECT doc_id, ws, list_transform(range(1, len(ws) - 2 + 2),
+        |                i -> array_to_string(ws[i:i+1], ' ')) AS bi FROM w) w
+        |        JOIN wc USING (doc_id)),
+        |corpus AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |           WHERE d.doc_id % 5 <> 0),
+        |sig AS (
+        |  SELECT c.lang, c.source,
+        |    greatest(0, least(1000,
+        |      200 + CAST(len(string_split(c.text, ' ')) AS BIGINT)
+        |          + 10 * CAST(floor((length(c.text) - len(string_split(c.text, ' ')) + 1.0)
+        |                            / len(string_split(c.text, ' '))) AS BIGINT)
+        |          - 2 * CAST(length(c.text) - length(regexp_replace(c.text, '[^a-z ]', '', 'g')) AS BIGINT)
+        |    )) AS q,
+        |    CAST(len(regexp_extract_all(c.text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS t,
+        |    rep.tw, rep.db
+        |  FROM corpus c
+        |  JOIN rep ON c.doc_id = rep.doc_id
+        |  JOIN lmkeep lk ON c.doc_id = lk.doc_id
         |  LEFT JOIN contam ct ON c.doc_id = ct.doc_id
         |  WHERE ct.doc_id IS NULL)
         |SELECT lang, source, count(*) AS n_docs,

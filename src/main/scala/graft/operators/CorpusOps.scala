@@ -246,6 +246,50 @@ object CorpusOps {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Flagship cleaning pipeline WITH the reference-LM gate (q242) —
+    * q121 upgraded to the full CCNet posture: exact dedup →
+    * decontamination → heuristic quality/repetition gates → and now
+    * the MODEL-based gate (q235's head/middle terciles kept, the tail
+    * dropped — the perplexity split CCNet runs after its heuristics) →
+    * per-(lang, source) mixture report. The trusted doc_id % 5 slice
+    * plays BOTH its roles consistently: benchmark for decontamination
+    * (q117) and LM training corpus (q235).
+    *
+    * Scale shape: q121's chain (each stage independently bounded) plus
+    * q235's (one pair explode + vocabulary-scale model + the
+    * GlobalOrder tercile); the gate lands as one doc-keyed semi-join
+    * on the survivor relation. One declarative plan end-to-end. */
+  def fullPipelineLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val lmKeep = TextAnalysis.lmQualityBucketsFrom(docs)
+      .filter(col("bucket") < TextAnalysis.LmQualityTiles)
+      .select(col("doc_id"))
+    val keep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
+      .select(col("g")).distinct()
+    val corpus = docs.join(keep, Seq("doc_id"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val contaminated = TextAnalysis.docGrams(corpus)
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .join(lmKeep, Seq("doc_id"), "left_semi")
+      .select(col("lang"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("t"),
+        TextAnalysis.topwordPm(col("text")).as("tw"),
+        TextAnalysis.dupBigramPm(col("text")).as("db"))
+      .filter(col("q") >= 300 && col("t") >= 50 &&
+        col("tw") <= 200 && col("db") <= 100)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("sum_tokens"),
+        sum(col("q")).as("sum_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Best-N-per-stratum selection — keep each language's top documents by
     * quality (champion selection before expensive downstream stages).
     * A per-stratum window: one hash exchange on `lang`, per-partition

@@ -3035,6 +3035,23 @@ class PipelineSpec extends AnyFunSuite {
       f"p32 ${got.map(_._3).sum / n}%.3f (${got.length} queries)")
   }
 
+  test("pipeline with LM gate (q242): a strict sub-mixture of q121 — the tail drop bites") {
+    import graft.operators.CorpusOps
+    def mix(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val base = mix(CorpusOps.fullPipeline(spark, sf))
+    val gated = mix(CorpusOps.fullPipelineLm(spark, sf))
+    assert(gated.nonEmpty)
+    gated.foreach { case (k, (nd, st, sq)) =>
+      val (bnd, bst, bsq) = base(k)
+      assert(nd <= bnd && st <= bst && sq <= bsq,
+        s"group $k grew under an extra gate")
+    }
+    assert(gated.values.map(_._1).sum < base.values.map(_._1).sum,
+      "the LM tail-drop must remove at least one q121 survivor")
+  }
+
   test("RAG MMR (q224): matches an in-JVM greedy replay; diversifies vs plain top-k") {
     val t = graft.Tables(spark, sf)
     val cv = Similarity.chunkVectors(t.documents, t.embeddings)
