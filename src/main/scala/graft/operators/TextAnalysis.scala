@@ -531,19 +531,28 @@ object TextAnalysis {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalFrom(Tables(spark, dir).documents)
 
+  /** The adjacent-pair explode shared by q228/q235: the token array is
+    * materialized as a COLUMN first (≥2 static uses → projection
+    * collapse refuses to inline it), so the pair lambda reads an
+    * attribute array — with the split inlined at every use site the
+    * interpreted lambda re-splits the document per pair element (the
+    * audio-tier re-evaluation trap, SCALING.md round-17). */
+  private def adjacentPairs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
+      // single-token documents out of the pair explosion (the Bpe rule)
+      .withColumn("idx",
+        when(size(col("w")) > 1, sequence(lit(1), size(col("w")) - 1))
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), explode(transform(col("idx"), i =>
+        struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def bigramSurprisalFrom(docs: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
-    // single-token documents out of the pair explosion (the Bpe rule)
-    val idx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
-      .otherwise(array().cast("array<int>"))
-    val pairs = bgCache.rotate(docs.select(col("doc_id"),
-        explode(transform(idx, i =>
-          struct(element_at(w, i).as("w1"),
-            element_at(w, i + 1).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .persist())
+    val pairs = bgCache.rotate(adjacentPairs(docs).persist())
     val cb = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
     val cp = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
@@ -649,15 +658,7 @@ object TextAnalysis {
   private[graft] def lmQualityBucketsFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = split(col("text"), " ")
-    val idx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
-      .otherwise(array().cast("array<int>"))
-    val pairs = lmqCache.rotate(docs.select(col("doc_id"),
-        explode(transform(idx, i =>
-          struct(element_at(w, i).as("w1"),
-            element_at(w, i + 1).as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .persist())
+    val pairs = lmqCache.rotate(adjacentPairs(docs).persist())
     val ref = pairs.filter(col("doc_id") % LmRefMod === 0)
     val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cp = ref.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
