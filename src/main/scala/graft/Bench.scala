@@ -124,11 +124,13 @@ object Bench {
     // absorbs load spikes but the min approximates the uncontended cost,
     // so the artifact adjudicates "slow machine vs slow code" by itself.
     val totalMin = results.map(_._4).filter(_ >= 0).sum
-    // The headline list grew in round 14 (q140/q159/q175/q188 added per
-    // the round-13 verdict); the pre-expansion subtotal keeps the
-    // round-over-round trend line comparable against the r07 anchor and
-    // BENCH_r01–r13 without re-deriving which rows are new.
-    val r14Added = Set("q140_jaccard_join", "q159_ivfadc_topk",
+    // The headline list grew from round 14 on (q140/q159/q175/q188
+    // added per the round-13 verdict, more each round since); the
+    // pre-expansion subtotal keeps the round-over-round trend line
+    // comparable against the r07 anchor and BENCH_r01–r13 without
+    // re-deriving which rows are new. Every post-r13 addition goes in
+    // this exclusion set.
+    val excludedFromR13Subtotal = Set("q140_jaccard_join", "q159_ivfadc_topk",
       "q175_ktruss", "q188_image_neardup",
       // the round-14-family representatives, also post-expansion
       "q193_span_dedup_clean", "q196_dsir_importance",
@@ -141,9 +143,11 @@ object Bench {
       // to 16.34); exclude the whole RAG pair so the field is again
       // the number the anchor comparison wants
       "q223_rag_retrieval", "q231_rag_serve",
-      "q235_lm_quality_buckets")
+      "q235_lm_quality_buckets",
+      // round-18 addition: the flagship LM-gated pipeline composition
+      "q242_full_pipeline_lm")
     val subtotalR13 = results
-      .filter { case (k, v, _, _) => v >= 0 && !r14Added(k) }
+      .filter { case (k, v, _, _) => v >= 0 && !excludedFromR13Subtotal(k) }
       .map(_._2).sum
     val gcJson = gcPerQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -634,7 +634,10 @@ object TextAnalysis {
     *
     * Model: add-one smoothing over the reference continuation
     * alphabet — P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) with V = distinct
-    * continuations in the reference bigrams — so unseen pairs and
+    * continuations in the reference bigrams, clamped to ≥ 1 so an
+    * EMPTY reference slice degrades to a finite all-zero readout on
+    * both engines instead of Spark-NULL vs DuckDB -inf — so unseen
+    * pairs and
     * unseen prefixes (impossible in q228, routine under a held-out
     * model) score finitely and every surprisal is ≥ 0 (c(w₁w₂) ≤
     * c(w₁·) and 1 ≤ V keep the ratio ≥ 1). Fixed-point: each pair
@@ -662,7 +665,11 @@ object TextAnalysis {
     val ref = pairs.filter(col("doc_id") % LmRefMod === 0)
     val cb = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cp = ref.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
-    val vv = ref.agg(count_distinct(col("w2")).as("v"))
+    // V clamped to ≥ 1 (oracle mirrors): an empty reference slice
+    // otherwise yields log(0) → NULL here but ln(0) = -inf in DuckDB —
+    // divergent failure modes; with the clamp both sides degrade to a
+    // finite all-zero-surprisal readout identically
+    val vv = ref.agg(greatest(count_distinct(col("w2")), lit(1L)).as("v"))
     val ds = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
       .join(cb, Seq("w1", "w2"), "left")

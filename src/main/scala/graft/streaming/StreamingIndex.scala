@@ -253,9 +253,16 @@ object StreamingIndex {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
     val (coarse, _) = Similarity.ivfAdcTrain(emb)
-    val farThreshold = Similarity.assignWithDist(emb, coarse)
-      .agg(max(col("dist_q"))).head().getLong(0)
+    val fr = Similarity.assignWithDist(emb, coarse)
+      .agg(max(col("dist_q"))).head()
+    require(!fr.isNullAt(0),
+      "streamingIndexDrift: empty embeddings relation — no calibration " +
+        "distances to derive the far threshold from")
+    val farThreshold = fr.getLong(0)
     val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    require(!mm.isNullAt(0),
+      "streamingIndexDrift: empty embeddings relation — no vec_id range " +
+        "to derive the feed's bin arithmetic from")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val binW = (hi - lo) / FileFeed.StreamChunks + 1L
     val driftLo = lo + (FileFeed.StreamChunks - 1L) * binW
@@ -328,16 +335,24 @@ object StreamingIndex {
       snapshot: DataFrame, stream: DataFrame,
       storeDir: String): DataFrame = {
     val (coarse, cb) = Similarity.ivfAdcTrain(snapshot)
-    val farThreshold = Similarity.assignWithDist(snapshot, coarse)
-      .agg(max(col("dist_q"))).head().getLong(0)
+    val fr = Similarity.assignWithDist(snapshot, coarse)
+      .agg(max(col("dist_q"))).head()
+    require(!fr.isNullAt(0),
+      "indexRefreshServe: empty snapshot relation — no calibration " +
+        "distances to derive the far threshold from")
+    val farThreshold = fr.getLong(0)
     FileFeed.run(spark, stream, nChunks = FileFeed.StreamChunks,
       col("vec_id"), ordered = true, purpose = "index_refresh") {
       (batch, batchId) =>
         indexBatch(batch, storeDir, coarse, cb, batchId)
         indexDriftBatch(batch, storeDir, coarse, farThreshold, batchId)
     }
-    val last = indexDriftTable(spark, storeDir)
-      .orderBy(col("batch_id").desc).limit(1).head()
+    val lastRows = indexDriftTable(spark, storeDir)
+      .orderBy(col("batch_id").desc).limit(1).collect()
+    require(lastRows.nonEmpty,
+      "indexRefreshServe: the drift store has no committed batches — " +
+        "the feed wrote nothing, so there is no drift stat to decide on")
+    val last = lastRows(0)
     val queries = stream.filter(col("vec_id") % 50 === 0)
     if (last.getAs[Long]("n_far") * RefreshFarDen >
         last.getAs[Long]("n_vecs")) {

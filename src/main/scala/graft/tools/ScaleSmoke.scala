@@ -1092,7 +1092,7 @@ object ScaleSmoke {
         val hashes = ph.as[(Long, Array[Byte])]
           .mapPartitions(_.flatMap { case (id, p) =>
             graft.operators.Multimodal.PpmDecoder.aHash(id, p) })
-          .toDF("doc_id", "phash")
+          .toDF("doc_id", "phash", "phash64")
         val groups = hashes.groupBy(col("phash")).count().count()
         val nd = graft.operators.Multimodal.imageNearDupFrom(hashes).count()
         println(s"[scale]   phash: distinct_hashes=$groups neardup_pairs=$nd")
