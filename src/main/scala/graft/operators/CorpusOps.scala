@@ -215,8 +215,15 @@ object CorpusOps {
     * contamination anti-join probes a broadcast benchmark gram set, the
     * repetition signals are per-row folds, and the only shuffles are the
     * dedup's digest group-by and the final mixture rollup. */
-  def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def fullPipeline(spark: SparkSession, dir: String): DataFrame =
+    cleaningPipeline(Tables(spark, dir).documents, lmGate = false)
+
+  /** The shared q121/q242 chain: exact dedup → benchmark
+    * decontamination → (optional reference-LM tail-drop) → heuristic
+    * quality/repetition gates → mixture rollup. One private builder so
+    * the two registered queries cannot drift apart stage-by-stage —
+    * q242 is BY CONSTRUCTION q121 plus exactly the one semi-join. */
+  private def cleaningPipeline(docs: DataFrame, lmGate: Boolean): DataFrame = {
     val keep = docs.groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -231,7 +238,15 @@ object CorpusOps {
     val contaminated = TextAnalysis.docGrams(corpus)
       .join(broadcast(bench), Seq("g"))
       .select(col("doc_id")).distinct()
-    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val gated =
+      if (!lmGate) decontaminated
+      else decontaminated.join(
+        TextAnalysis.lmQualityBucketsFrom(docs)
+          .filter(col("bucket") < TextAnalysis.LmQualityTiles)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    gated
       .select(col("lang"), col("source"),
         TextFunctions.qualityScore(col("text")).as("q"),
         TextFunctions.tokenCount(col("text")).cast("long").as("t"),
@@ -259,36 +274,8 @@ object CorpusOps {
     * q235's (one pair explode + vocabulary-scale model + the
     * GlobalOrder tercile); the gate lands as one doc-keyed semi-join
     * on the survivor relation. One declarative plan end-to-end. */
-  def fullPipelineLm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val lmKeep = TextAnalysis.lmQualityBucketsFrom(docs)
-      .filter(col("bucket") < TextAnalysis.LmQualityTiles)
-      .select(col("doc_id"))
-    val keep = docs.groupBy(md5(col("text")))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
-      .select(col("g")).distinct()
-    val corpus = docs.join(keep, Seq("doc_id"))
-      .filter(col("doc_id") % 5 =!= 0)
-    val contaminated = TextAnalysis.docGrams(corpus)
-      .join(broadcast(bench), Seq("g"))
-      .select(col("doc_id")).distinct()
-    corpus.join(contaminated, Seq("doc_id"), "left_anti")
-      .join(lmKeep, Seq("doc_id"), "left_semi")
-      .select(col("lang"), col("source"),
-        TextFunctions.qualityScore(col("text")).as("q"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("t"),
-        TextAnalysis.topwordPm(col("text")).as("tw"),
-        TextAnalysis.dupBigramPm(col("text")).as("db"))
-      .filter(col("q") >= 300 && col("t") >= 50 &&
-        col("tw") <= 200 && col("db") <= 100)
-      .groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("t")).as("sum_tokens"),
-        sum(col("q")).as("sum_quality"))
-      .orderBy(col("lang"), col("source"))
-  }
+  def fullPipelineLm(spark: SparkSession, dir: String): DataFrame =
+    cleaningPipeline(Tables(spark, dir).documents, lmGate = true)
 
   /** Best-N-per-stratum selection — keep each language's top documents by
     * quality (champion selection before expensive downstream stages).
