@@ -295,6 +295,7 @@ object SparkEntry {
     "q232_retrieval_eval" -> (Similarity.retrievalEval _),
     "q240_retrieval_eval_lex" -> (Similarity.retrievalEvalLex _),
     "q241_mrl_prefix_recall" -> (Similarity.mrlPrefixRecall _),
+    "q243_bm25_prune_report" -> (TextAnalysis.bm25PruneReport _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -2352,22 +2353,31 @@ object SparkEntry {
       |  FROM (SELECT t, count(*) AS df FROM ccb GROUP BY 1)
       |  CROSS JOIN bstats),
       |qsel AS (
-      |  SELECT query_id, t, idf_q FROM (
-      |    SELECT q.cid AS query_id, i.t, i.idf_q,
+      |  SELECT query_id, t FROM (
+      |    SELECT q.cid AS query_id, i.t,
       |      row_number() OVER (PARTITION BY q.cid
       |        ORDER BY i.idf_q DESC, i.t) AS trk
       |    FROM (SELECT DISTINCT cid, t FROM ccb WHERE cid % 50 = 0) q
       |    JOIN idf i USING (t))
       |  WHERE trk <= ${operators.TextAnalysis.Bm25QueryTermBound}),
+      |pkept AS (
+      |  SELECT t, cid, impact FROM (
+      |    SELECT c.t, c.cid,
+      |      CAST(floor(i.idf_q * ((c.tf * 2.2)
+      |        / (c.tf + 1.2 * (0.25 + 0.75 * c.len / s.avgdl))))
+      |        AS BIGINT) AS impact,
+      |      row_number() OVER (PARTITION BY c.t
+      |        ORDER BY CAST(floor(i.idf_q * ((c.tf * 2.2)
+      |          / (c.tf + 1.2 * (0.25 + 0.75 * c.len / s.avgdl))))
+      |          AS BIGINT) DESC, c.cid) AS prk
+      |    FROM ccb c JOIN idf i USING (t) CROSS JOIN bstats s)
+      |  WHERE prk <= ${operators.TextAnalysis.Bm25PostingBound}),
       |bpair AS (
-      |  SELECT q.query_id, c.cid AS cand,
-      |    CAST(sum(CAST(floor(q.idf_q * ((c.tf * 2.2)
-      |      / (c.tf + 1.2 * (0.25 + 0.75 * c.len / s.avgdl))))
-      |      AS BIGINT)) AS BIGINT) AS score_q
+      |  SELECT q.query_id, p.cid AS cand,
+      |    CAST(sum(p.impact) AS BIGINT) AS score_q
       |  FROM qsel q
-      |  JOIN ccb c USING (t)
-      |  CROSS JOIN bstats s
-      |  WHERE c.cid <> q.query_id
+      |  JOIN pkept p USING (t)
+      |  WHERE p.cid <> q.query_id
       |  GROUP BY 1, 2)""".stripMargin
 
   /** q229/q233's shared oracle: the BM25 chain over the chunk
@@ -3584,6 +3594,29 @@ object SparkEntry {
     // in between shares the Spark expression shape, so the ranking is
     // bit-stable.
     "q229_bm25_topk" -> bm25TopkOracle,
+    // q243: the posting-prune audit — kept(t) = min(df(t), P) by
+    // construction of the (impact desc, cid) rank prune, so the report
+    // derives from the vocabulary-scale df relation alone.
+    "q243_bm25_prune_report" -> {
+      val p = operators.TextAnalysis.Bm25PostingBound
+      s"""WITH $chunkCwCte,
+        |ct AS (
+        |  SELECT doc_id * 1048576 + chunk_idx AS cid,
+        |    len(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]) AS len,
+        |    unnest(w[chunk_idx * 20 + 1 : chunk_idx * 20 + 40]) AS t
+        |  FROM cw),
+        |dfs AS (
+        |  SELECT t, count(*) AS df FROM (
+        |    SELECT cid, len, t, count(*) AS tf FROM ct GROUP BY 1, 2, 3)
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CASE WHEN df > $p THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned_terms,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(least(df, $p)) AS BIGINT) AS n_kept_postings,
+        |  CAST(sum(greatest(df - $p, 0)) AS BIGINT) AS n_skipped_postings
+        |FROM dfs""".stripMargin
+    },
     // q233: streaming lexical-index ingest — per-batch posting
     // appends reconstruct the one-shot posting relation exactly (tf
     // and len are within-chunk facts; df/N/avgdl are sums over the

@@ -405,6 +405,33 @@ object TextAnalysis {
     * measured in TextAnalysisSpec and the 1×/10× cost in SCALING.md. */
   private[graft] val Bm25QueryTermBound = 16
 
+  /** Serving-time per-TERM posting-prefix bound (mirrored in the
+    * oracle) — the batch analogue of impact-ordered early termination
+    * (WAND/MaxScore): each kept query term scores only its
+    * [[Bm25PostingBound]] HIGHEST-impact postings, ranked by the same
+    * quantized integer contribution the scorer sums (deterministic
+    * (impact desc, cid) order, so the kept set is bit-stable
+    * cross-engine). [[Bm25QueryTermBound]] caps WHICH terms a query
+    * pays for; this caps HOW MUCH each of those terms can cost — the
+    * candidate mass per query drops from Σ_t df(t) to
+    * Σ_t min(df(t), P), so the scoring join's size is
+    * (queries × m × P) — a constant per query — instead of growing
+    * with the corpus's hottest posting list (the 30× squeeze's
+    * ~16 GB external-sort cliff was exactly that join). The dropped
+    * postings are each term's LOWEST-impact ones — the tail
+    * contributions a WAND scorer proves can't change the top-k in the
+    * common case; the fidelity trade is measured in PipelineSpec and
+    * the skipped mass is a first-class audited relation (q243). */
+  private[graft] val Bm25PostingBound = 128
+
+  /** Salt fan-out for the posting prune's two-phase per-term top-N: a
+    * stopword's corpus-wide posting list must never land in ONE window
+    * partition (the skew rule), so phase 1 ranks inside
+    * (term, cid % salt) buckets — each global top-N survivor is top-N
+    * in its own bucket, so phase 2's exact per-term rank runs over
+    * ≤ salt·bound rows per term, bounded by construction. */
+  private[graft] val Bm25PruneSalt = 32
+
   /** BM25 lexical retrieval over chunks (q229) — the SPARSE side of
     * hybrid retrieval: every RAG stack runs a lexical ranker next to
     * the dense index (q223) because exact-term evidence catches what
@@ -442,8 +469,10 @@ object TextAnalysis {
     * the corpus scales). */
   def bm25TopKFrom(docs: DataFrame, topK: Int = Bm25TopK,
       queryMod: Long = 50L,
-      termBound: Int = Bm25QueryTermBound): DataFrame =
-    bm25TopKFromPostings(bm25Postings(docs), topK, queryMod, termBound)
+      termBound: Int = Bm25QueryTermBound,
+      postingBound: Int = Bm25PostingBound): DataFrame =
+    bm25TopKFromPostings(bm25Postings(docs), topK, queryMod, termBound,
+      postingBound)
 
   /** The (cid, len, t, tf) chunk-term POSTING relation BM25 scores
     * over — one chunk explode + a (cid, term)-keyed count. Split out
@@ -466,7 +495,8 @@ object TextAnalysis {
     * accumulated lexical index, q233). */
   private[graft] def bm25TopKFromPostings(postings: DataFrame,
       topK: Int = Bm25TopK, queryMod: Long = 50L,
-      termBound: Int = Bm25QueryTermBound): DataFrame = {
+      termBound: Int = Bm25QueryTermBound,
+      postingBound: Int = Bm25PostingBound): DataFrame = {
     val cc = bmCache.rotate(postings.persist())
     val st = cc.groupBy(col("cid")).agg(first(col("len")).as("len"))
       .agg(count(lit(1)), sum(col("len"))).head()
@@ -487,24 +517,68 @@ object TextAnalysis {
     val qSel = qTerms.join(idf, Seq("t"))
       .withColumn("trk", row_number().over(wt))
       .filter(col("trk") <= termBound)
-      .select(col("query_id"), col("t"), col("idf_q"))
-    val contrib = floor(col("idf_q") *
+      .select(col("query_id"), col("t"))
+    // the posting bound (batch WAND/MaxScore): each term keeps only
+    // its top-`postingBound` postings by the SAME quantized integer
+    // impact the scorer sums — already proven bit-identical to the
+    // oracle's, so rank-thresholding it (impact desc, cid tie-break)
+    // keeps identical sets cross-engine. Two-phase rank: phase 1
+    // inside (t, cid % salt) buckets so a stopword's corpus-wide list
+    // never sorts in one partition; phase 2's exact per-term rank then
+    // runs over ≤ salt·bound survivors per term.
+    val impact = floor(col("idf_q") *
       ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("len") / lit(avgdl)))))
+        (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))))).cast("long")
+    val wLocal = Window.partitionBy(col("t"), col("salt"))
+      .orderBy(col("impact").desc, col("cid"))
+    val wTerm = Window.partitionBy(col("t"))
+      .orderBy(col("impact").desc, col("cid"))
+    val kept = cc.join(idf, Seq("t"))
+      .withColumn("impact", impact)
+      .withColumn("salt", pmod(col("cid"), lit(Bm25PruneSalt.toLong)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= postingBound)
+      .withColumn("prk", row_number().over(wTerm))
+      .filter(col("prk") <= postingBound)
+      .select(col("t"), col("cid").as("cand"), col("impact"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("cand"))
     qSel
-      .join(cc.select(col("cid").as("cand"), col("len"), col("t"),
-        col("tf")), Seq("t"))
+      .join(kept, Seq("t"))
       .filter(col("cand") =!= col("query_id"))
       .groupBy(col("query_id"), col("cand"))
-      .agg(sum(contrib.cast("long")).as("score_q"))
+      .agg(sum(col("impact")).as("score_q"))
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"),
         expr("cand div 1048576").as("doc_id"),
         expr("cand % 1048576").as("chunk_idx"), col("score_q"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Posting-prune audit (q243) — the sentinel report for
+    * [[Bm25PostingBound]] (the funnel-guard convention: a bound that
+    * drops mass must REPORT the dropped mass): per the whole corpus,
+    * how many terms exist, how many carry more than the bound, and the
+    * exact posting split kept/skipped. kept(t) = min(df(t), P) by
+    * construction of the rank prune, so the report needs only the
+    * vocabulary-scale df relation — no ranking, no posting join; it is
+    * the cheap query you run BEFORE deciding the bound fits a corpus.
+    * One row; every column integer. */
+  def bm25PruneReport(spark: SparkSession, dir: String): DataFrame =
+    bm25PruneReportFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text) corpus. */
+  private[graft] def bm25PruneReportFrom(docs: DataFrame,
+      postingBound: Int = Bm25PostingBound): DataFrame = {
+    val p = lit(postingBound.toLong)
+    bm25Postings(docs)
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("df") > p, 1L).otherwise(0L)).as("n_pruned_terms"),
+        sum(col("df")).as("n_postings"),
+        sum(least(col("df"), p)).as("n_kept_postings"),
+        sum(greatest(col("df") - p, lit(0L))).as("n_skipped_postings"))
   }
 
   /** Bigram-LM conditional surprisal scoring (q228) — the next model

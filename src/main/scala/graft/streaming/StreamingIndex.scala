@@ -144,7 +144,14 @@ object StreamingIndex {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (Snapshots.committed(spark, s"$storeDir/postings", batchId)) return
+    // layout: postings land term-grouped and impact-ordered WITHIN the
+    // term (tf desc, len asc — monotone in the serve-time impact for a
+    // fixed term up to the global idf/avgdl factors, which only exist
+    // at read time as union stats), so the serve's per-term
+    // top-[[operators.TextAnalysis.Bm25PostingBound]] prune reads a
+    // prefix-shaped row-group pattern instead of a full-list shuffle
     graft.operators.TextAnalysis.bm25Postings(batch)
+      .sortWithinPartitions(col("t"), col("tf").desc, col("len"))
       .write.mode("overwrite").parquet(s"$storeDir/postings/b=$batchId")
   }
 

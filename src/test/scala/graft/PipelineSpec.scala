@@ -2822,6 +2822,19 @@ class PipelineSpec extends AnyFunSuite {
       .map { case (w, g) => w -> g.length.toLong }
     val idfQ = df.map { case (w, d) =>
       w -> math.floor(math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e4).toLong }
+    // the serving-time posting bound: per term, top-P postings by the
+    // quantized impact, (impact desc, cid) rank — the same rule the
+    // engine and oracle apply
+    val keptPost: Map[String, Map[Long, Long]] = tf
+      .flatMap { case (cid, len, m) =>
+        m.map { case (w, f) => (w, cid, len, f) } }
+      .groupBy(_._1).map { case (w, ps) =>
+        w -> ps.map { case (_, cid, len, f) =>
+          (cid, math.floor(idfQ(w) * ((f * 2.2) /
+            (f + 1.2 * (0.25 + 0.75 * len / avgdl)))).toLong)
+        }.sortBy { case (cid, imp) => (-imp, cid) }
+          .take(graft.operators.TextAnalysis.Bm25PostingBound).toMap
+      }
     val want = tf.filter(_._1 % 50 == 0).flatMap { case (qid, _, qtf) =>
       // the serving-time query-term bound: top-m idf terms, (idf desc,
       // term) rank — the same rule the engine and oracle apply
@@ -2829,13 +2842,8 @@ class PipelineSpec extends AnyFunSuite {
         .sortBy { case (w, iq) => (-iq, w) }
         .take(graft.operators.TextAnalysis.Bm25QueryTermBound)
         .map(_._1)
-      val scored = tf.filter(_._1 != qid).map { case (cid, len, ctf) =>
-        val s = kept.flatMap { w =>
-          ctf.get(w).map { f =>
-            math.floor(idfQ(w) * ((f * 2.2) /
-              (f + 1.2 * (0.25 + 0.75 * len / avgdl)))).toLong
-          }
-        }
+      val scored = tf.filter(_._1 != qid).map { case (cid, _, _) =>
+        val s = kept.flatMap { w => keptPost(w).get(cid) }
         (cid, s.sum, s.nonEmpty)
       }.collect { case (cid, s, true) => (cid, s) }
       scored.sortBy { case (cid, s) => (-s, cid) }
@@ -2910,6 +2918,73 @@ class PipelineSpec extends AnyFunSuite {
     info(f"fixture (31-term worst case) served-set overlap = $fOv%.3f (n=$fN)")
     assert(fOv >= 0.3,
       f"even the degenerate-vocabulary overlap has a floor: $fOv%.3f")
+  }
+
+  test("BM25 posting bound (q229/q243): inert when lists fit; binding prune measured; report exact") {
+    import spark.implicits._
+    val t = graft.Tables(spark, sf)
+    def served(docs: org.apache.spark.sql.DataFrame, pb: Int) =
+      TextAnalysis.bm25TopKFrom(docs, postingBound = pb).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2) * 1048576L + r.getLong(3), r.getLong(4))).toSeq
+        .sortBy(x => (x._1, x._2))
+    // (a) INERT below the bound: every posting list fits → the prune
+    // drops nothing and serving is bit-identical (pure guard)
+    val narrow = (1L to 60L)
+      .map(i => (i, Seq.fill(40)("w" + (i % 12)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(served(narrow, TextAnalysis.Bm25PostingBound)
+        == served(narrow, Int.MaxValue),
+      "bound must be a no-op when every posting list fits inside it")
+    // (b) BINDING on the Zipf corpus (stopword lists ≫ bound): the
+    // dropped postings are each term's lowest-impact tail, so the
+    // served set tracks the unbounded definition
+    def zh(i: Long, j: Int): Long =
+      ((i * 1000003L + j * 7919L) * 2654435761L) & 0x7fffffffL
+    def zword(hv: Long): String = {
+      val b = hv % 100
+      if (b < 45) "c" + (hv % 5)
+      else if (b < 75) "m" + (hv % 30)
+      else "r" + (hv % 400)
+    }
+    val zipf = (1L to 300L).map(i =>
+        (i, (0 until 40).map(j => zword(zh(i, j))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pruned = TextAnalysis
+      .bm25PruneReportFrom(zipf).head()
+    assert(pruned.getLong(4) > 0,
+      s"the Zipf stopword lists must overflow the bound: $pruned")
+    def overlapOf(docs: org.apache.spark.sql.DataFrame): (Double, Int) = {
+      val bs = served(docs, TextAnalysis.Bm25PostingBound)
+        .map(x => (x._1, x._3)).toSet
+      val us = served(docs, Int.MaxValue).map(x => (x._1, x._3)).toSet
+      ((bs & us).size.toDouble / us.size, us.size)
+    }
+    val (zOv, zN) = overlapOf(zipf)
+    info(f"Zipf-vocab posting-bound served-set overlap = $zOv%.3f (n=$zN)")
+    assert(zOv >= 0.7,
+      f"bounded serving must track the definition on a Zipf vocabulary: $zOv%.3f")
+    // (c) the 31-term fixture is again the documented worst case —
+    // and a WORSE one than for the term bound: every posting list is
+    // corpus-wide, so pruning to 128 collapses the candidate pool to
+    // the globally shortest chunks while the unbounded near-tie top-5
+    // spreads over the whole corpus (measured 0.053 at sf0.001,
+    // SCALING.md). The Zipf row above is the regime the bound is FOR;
+    // this row is the honest floor on a corpus that cannot be pruned.
+    val (fOv, fN) = overlapOf(t.documents)
+    info(f"fixture posting-bound served-set overlap = $fOv%.3f (n=$fN)")
+    assert(fOv >= 0.04,
+      f"even the degenerate-vocabulary overlap has a floor: $fOv%.3f")
+    // (d) the q243 report is exact on a constructed corpus: one
+    // corpus-wide term (df 10) + ten singletons, bound 3 →
+    // 11 terms, 1 pruned, 20 postings = 13 kept + 7 skipped
+    val tiny = (1L to 10L)
+      .map(i => (i, ("x " + (s"u$i " * 39)).trim)).toDF("doc_id", "text")
+    val rep = TextAnalysis.bm25PruneReportFrom(tiny, postingBound = 3)
+      .head()
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2),
+        rep.getLong(3), rep.getLong(4)) == ((11L, 1L, 20L, 13L, 7L)),
+      s"prune report must be exact: $rep")
   }
 
   test("hybrid RRF (q230): matches the integer fusion replay; both rankers contribute") {
