@@ -296,6 +296,7 @@ object SparkEntry {
     "q240_retrieval_eval_lex" -> (Similarity.retrievalEvalLex _),
     "q241_mrl_prefix_recall" -> (Similarity.mrlPrefixRecall _),
     "q243_bm25_prune_report" -> (TextAnalysis.bm25PruneReport _),
+    "q244_mrl_prefix_ivfadc" -> (Similarity.mrlPrefixIvfAdc _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -2137,26 +2138,31 @@ object SparkEntry {
     * desynchronize between the operator and its oracle. Each block is
     * exactly the q142 replay shape restricted to one sub-space's 16
     * components; empty codewords carry the previous round's forward. */
-  private def pqLloydUnrollCtes: String =
+  private def pqLloydUnrollCtes: String = pqLloydUnrollCtes("")
+
+  /** Same, with every CTE name prefixed (the q244 two-chain
+    * composition). Sub-space width stays 16 — a prefix index differs
+    * in sub-space COUNT, not width. */
+  private def pqLloydUnrollCtes(pfx: String): String =
     (1 to operators.Similarity.PqTrainIters).map { i =>
-      s"""d$i AS MATERIALIZED (
+      s"""${pfx}d$i AS MATERIALIZED (
          |  SELECT v.vec_id, v.m, v.sv, c.j,
          |    CAST(list_sum(list_transform(range(1, 17),
          |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
-         |  FROM sv v JOIN cb${i - 1} c ON c.m = v.m),
-         |a$i AS MATERIALIZED (SELECT vec_id, m, sv, j FROM
+         |  FROM ${pfx}sv v JOIN ${pfx}cb${i - 1} c ON c.m = v.m),
+         |${pfx}a$i AS MATERIALIZED (SELECT vec_id, m, sv, j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
-         |     ORDER BY d, j) AS rk FROM d$i) WHERE rk = 1),
-         |u$i AS MATERIALIZED (
+         |     ORDER BY d, j) AS rk FROM ${pfx}d$i) WHERE rk = 1),
+         |${pfx}u$i AS MATERIALIZED (
          |  SELECT m, j, i.i AS comp,
          |    CAST(floor(CAST(CAST(sum(sv[i.i]) AS BIGINT) AS DOUBLE)
          |      / count(*)) AS BIGINT) AS v
-         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+         |  FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
          |  GROUP BY m, j, i.i),
-         |cb$i AS MATERIALIZED (
-         |  SELECT p.m, p.j, coalesce(u.c, p.c) AS c FROM cb${i - 1} p
+         |${pfx}cb$i AS MATERIALIZED (
+         |  SELECT p.m, p.j, coalesce(u.c, p.c) AS c FROM ${pfx}cb${i - 1} p
          |  LEFT JOIN (SELECT m, j, list(v ORDER BY comp) AS c
-         |             FROM u$i GROUP BY m, j) u USING (m, j))""".stripMargin
+         |             FROM ${pfx}u$i GROUP BY m, j) u USING (m, j))""".stripMargin
     }.mkString(",\n")
 
   /** The BPE training replay shared by q209/q210 — generated from the
@@ -2232,26 +2238,32 @@ object SparkEntry {
     * (Similarity.trainQuantizedCents): per round, corpus×K integer
     * squared-L2 distances, (d, j) argmin assignment, per-(cell,
     * component) floor-mean update, empty cells carrying forward. */
-  private def coarseLloydUnrollCtes: String =
+  private def coarseLloydUnrollCtes: String = coarseLloydUnrollCtes(64, "")
+
+  /** Same, parameterized for re-rooted chains: `dim` is the vector
+    * width and `pfx` prefixes every CTE name so two chains (q244's
+    * full + prefix indexes) coexist in one WITH. Defaults reproduce
+    * the shared 64-dim chain byte-for-byte. */
+  private def coarseLloydUnrollCtes(dim: Int, pfx: String): String =
     (1 to operators.Similarity.IvfCoarseIters).map { i =>
-      s"""kd$i AS MATERIALIZED (
+      s"""${pfx}kd$i AS MATERIALIZED (
          |  SELECT v.vec_id, v.e, c.j,
-         |    CAST(list_sum(list_transform(range(1, 65),
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
          |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT) AS d
-         |  FROM eq v CROSS JOIN kc${i - 1} c),
-         |ka$i AS MATERIALIZED (SELECT vec_id, e, j FROM
+         |  FROM ${pfx}eq v CROSS JOIN ${pfx}kc${i - 1} c),
+         |${pfx}ka$i AS MATERIALIZED (SELECT vec_id, e, j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY d, j) AS rk FROM kd$i) WHERE rk = 1),
-         |ku$i AS MATERIALIZED (
+         |     ORDER BY d, j) AS rk FROM ${pfx}kd$i) WHERE rk = 1),
+         |${pfx}ku$i AS MATERIALIZED (
          |  SELECT j, i.i AS comp,
          |    CAST(floor(CAST(CAST(sum(e[i.i]) AS BIGINT) AS DOUBLE)
          |      / count(*)) AS BIGINT) AS v
-         |  FROM ka$i CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+         |  FROM ${pfx}ka$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) i
          |  GROUP BY j, i.i),
-         |kc$i AS MATERIALIZED (
-         |  SELECT p.j, coalesce(u.c, p.c) AS c FROM kc${i - 1} p
+         |${pfx}kc$i AS MATERIALIZED (
+         |  SELECT p.j, coalesce(u.c, p.c) AS c FROM ${pfx}kc${i - 1} p
          |  LEFT JOIN (SELECT j, list(v ORDER BY comp) AS c
-         |             FROM ku$i GROUP BY j) u USING (j))""".stripMargin
+         |             FROM ${pfx}ku$i GROUP BY j) u USING (j))""".stripMargin
     }.mkString(",\n")
 
   /** The IVFADC CTE chain shared by q159 (top-k), q179 (recall) and
@@ -2472,23 +2484,27 @@ object SparkEntry {
   /** Same chain over an arbitrary (vec_id, embedding) relation/CTE —
     * the q223 RAG rung feeds it the chunk-vector fixture. */
   private def coarseAssignCtesOver(src: String): String =
-    s"""eq AS MATERIALIZED (
+    coarseAssignCtesOver(src, 64, "")
+
+  private def coarseAssignCtesOver(src: String, dim: Int,
+      pfx: String): String =
+    s"""${pfx}eq AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
       |  FROM $src),
-      |kc0 AS MATERIALIZED (
+      |${pfx}kc0 AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
-      |  FROM eq ORDER BY vec_id LIMIT 16),
-      |$coarseLloydUnrollCtes,
-      |kd AS (
+      |  FROM ${pfx}eq ORDER BY vec_id LIMIT 16),
+      |${coarseLloydUnrollCtes(dim, pfx)},
+      |${pfx}kd AS (
       |  SELECT v.vec_id, c.j,
-      |    CAST(list_sum(list_transform(range(1, 65),
+      |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
       |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT) AS d
-      |  FROM eq v CROSS JOIN kc${operators.Similarity.IvfCoarseIters} c),
-      |corpus AS (
+      |  FROM ${pfx}eq v CROSS JOIN ${pfx}kc${operators.Similarity.IvfCoarseIters} c),
+      |${pfx}corpus AS (
       |  SELECT vec_id AS nid, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY d, j) AS rk FROM kd)
+      |      ORDER BY d, j) AS rk FROM ${pfx}kd)
       |  WHERE rk = 1)""".stripMargin
 
   private def ivfAdcOracleChain: String = ivfAdcOracleChainOver("embeddings")
@@ -2505,56 +2521,64 @@ object SparkEntry {
       |WHERE rk <= ${Similarity.AnnTopK} ORDER BY query_id, rk""".stripMargin
 
   private def ivfAdcOracleChainOver(src: String): String =
-    s"""${coarseAssignCtesOver(src)},
-      |qprobe AS (
+    ivfAdcOracleChainOver(src, 64, 4, "")
+
+  /** Same, parameterized: `dim` = vector width, `m` = sub-space count
+    * (width stays 16 — dim must be 16·m), `pfx` prefixes every CTE
+    * name so two chains coexist in one WITH (q244's full + prefix
+    * indexes). Defaults reproduce the shared chain byte-for-byte. */
+  private def ivfAdcOracleChainOver(src: String, dim: Int, m: Int,
+      pfx: String): String =
+    s"""${coarseAssignCtesOver(src, dim, pfx)},
+      |${pfx}qprobe AS (
       |  SELECT vec_id AS query_id, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY d, j) AS pr FROM kd WHERE vec_id % 50 = 0)
+      |      ORDER BY d, j) AS pr FROM ${pfx}kd WHERE vec_id % 50 = 0)
       |  WHERE pr <= ${Similarity.AnnNprobe}),
-      |res AS MATERIALIZED (
+      |${pfx}res AS MATERIALIZED (
       |  SELECT v.vec_id, co.cell,
-      |    list_transform(range(1, 65), i -> v.e[i] - kc.c[i]) AS re
-      |  FROM eq v JOIN corpus co ON co.nid = v.vec_id
-      |  JOIN kc${Similarity.IvfCoarseIters} kc ON kc.j = co.cell),
-      |sv AS MATERIALIZED (
+      |    list_transform(range(1, ${dim + 1}), i -> v.e[i] - kc.c[i]) AS re
+      |  FROM ${pfx}eq v JOIN ${pfx}corpus co ON co.nid = v.vec_id
+      |  JOIN ${pfx}kc${Similarity.IvfCoarseIters} kc ON kc.j = co.cell),
+      |${pfx}sv AS MATERIALIZED (
       |  SELECT vec_id, m.m AS m, re[m.m*16+1 : m.m*16+16] AS sv
-      |  FROM res CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
-      |cb0 AS MATERIALIZED (
+      |  FROM ${pfx}res CROSS JOIN (SELECT unnest(range(0, $m)) AS m) m),
+      |${pfx}cb0 AS MATERIALIZED (
       |  SELECT s.m, q.j, s.sv AS c
       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM res ORDER BY vec_id LIMIT 16) q
-      |  JOIN sv s ON s.vec_id = q.vec_id),
-      |$pqLloydUnrollCtes,
-      |cd AS (
+      |        FROM ${pfx}res ORDER BY vec_id LIMIT 16) q
+      |  JOIN ${pfx}sv s ON s.vec_id = q.vec_id),
+      |${pqLloydUnrollCtes(pfx)},
+      |${pfx}cd AS (
       |  SELECT v.vec_id, v.m, c.j,
       |    CAST(list_sum(list_transform(range(1, 17),
       |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
-      |  FROM sv v JOIN cb${Similarity.PqTrainIters} c ON c.m = v.m),
-      |codes AS (
+      |  FROM ${pfx}sv v JOIN ${pfx}cb${Similarity.PqTrainIters} c ON c.m = v.m),
+      |${pfx}codes AS (
       |  SELECT vec_id, m, j AS code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY d, j) AS rk FROM cd)
+      |      ORDER BY d, j) AS rk FROM ${pfx}cd)
       |  WHERE rk = 1),
-      |qsv AS (
+      |${pfx}qsv AS (
       |  SELECT qp.query_id, qp.cell, m.m AS m,
       |    list_transform(range(1, 17),
       |      i -> q.e[m.m*16 + i] - kc.c[m.m*16 + i]) AS sv
-      |  FROM qprobe qp
-      |  JOIN eq q ON q.vec_id = qp.query_id
-      |  JOIN kc${Similarity.IvfCoarseIters} kc ON kc.j = qp.cell
-      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m),
-      |lut AS (
+      |  FROM ${pfx}qprobe qp
+      |  JOIN ${pfx}eq q ON q.vec_id = qp.query_id
+      |  JOIN ${pfx}kc${Similarity.IvfCoarseIters} kc ON kc.j = qp.cell
+      |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) m),
+      |${pfx}lut AS (
       |  SELECT r.query_id, r.cell, r.m, c.j,
       |    CAST(list_sum(list_transform(range(1, 17),
       |      i -> (r.sv[i] - c.c[i]) * (r.sv[i] - c.c[i]))) AS BIGINT) AS d
-      |  FROM qsv r JOIN cb${Similarity.PqTrainIters} c ON c.m = r.m),
-      |adc AS (
+      |  FROM ${pfx}qsv r JOIN ${pfx}cb${Similarity.PqTrainIters} c ON c.m = r.m),
+      |${pfx}adc AS (
       |  SELECT qp.query_id, x.vec_id AS neighbor_id,
       |    CAST(sum(l.d) AS BIGINT) AS adc_dist
-      |  FROM codes x
-      |  JOIN corpus co ON co.nid = x.vec_id
-      |  JOIN qprobe qp ON qp.cell = co.cell
-      |  JOIN lut l ON l.query_id = qp.query_id AND l.cell = co.cell
+      |  FROM ${pfx}codes x
+      |  JOIN ${pfx}corpus co ON co.nid = x.vec_id
+      |  JOIN ${pfx}qprobe qp ON qp.cell = co.cell
+      |  JOIN ${pfx}lut l ON l.query_id = qp.query_id AND l.cell = co.cell
       |    AND l.m = x.m AND l.j = x.code
       |  WHERE x.vec_id <> qp.query_id
       |  GROUP BY 1, 2)""".stripMargin
@@ -3736,6 +3760,66 @@ object SparkEntry {
         |           JOIN truth USING (query_id, cand) GROUP BY 1) hb
         |  USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
+    // q244: truncate-BEFORE-training MRL serving — the planted-prefix
+    // corpus (cluster offsets confined to dims 1..16, exact doubles),
+    // TWO full IVFADC chains (64-dim/4-sub vs 16-dim/1-sub, CTE names
+    // f-/p-prefixed), exact planted-space truth, per-query recall +
+    // LUT-read mass (probed-cell candidates × sub-space lookups).
+    "q244_mrl_prefix_ivfadc" -> {
+      val a = Similarity.MrlPrefixA
+      val kcl = Similarity.MrlPlantClusters
+      s"""WITH pemb AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN i <= $a THEN CAST(embedding[i] AS DOUBLE)
+        |      + (((vec_id % $kcl) * 31 + i * 17) % 7 - 3) * 4.0
+        |      ELSE CAST(embedding[i] AS DOUBLE)
+        |        * ${Similarity.MrlTailScale} END) AS embedding
+        |  FROM embeddings),
+        |ppemb AS (SELECT vec_id, embedding[1 : $a] AS embedding
+        |          FROM pemb),
+        |${ivfAdcOracleChainOver("pemb", 64, 4, "f")},
+        |${ivfAdcOracleChainOver("ppemb", a, 1, "p")},
+        |sfull AS (SELECT query_id, neighbor_id AS cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM fadc)
+        |  WHERE rk <= ${Similarity.AnnTopK}),
+        |spref AS (SELECT query_id, neighbor_id AS cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM padc)
+        |  WHERE rk <= ${Similarity.AnnTopK}),
+        |tp AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS dd
+        |  FROM feq q JOIN feq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |truth AS (SELECT query_id, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dd, cand) AS rk FROM tp) WHERE rk <= 3),
+        |fsz AS (SELECT cell, count(*) AS n FROM fcorpus GROUP BY 1),
+        |psz AS (SELECT cell, count(*) AS n FROM pcorpus GROUP BY 1),
+        |fread AS (SELECT qp.query_id,
+        |    CAST((sum(n) - 1) * 4 AS BIGINT) AS lut_reads_full
+        |  FROM fqprobe qp JOIN fsz USING (cell) GROUP BY 1),
+        |pread AS (SELECT qp.query_id,
+        |    CAST((sum(n) - 1) * 1 AS BIGINT) AS lut_reads_prefix
+        |  FROM pqprobe qp JOIN psz USING (cell) GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(coalesce(hf.c, 0) AS BIGINT) AS r3_full,
+        |  CAST(coalesce(hp.c, 0) AS BIGINT) AS r3_prefix,
+        |  fread.lut_reads_full, pread.lut_reads_prefix
+        |FROM (SELECT vec_id AS query_id FROM feq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM sfull
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) hf
+        |  USING (query_id)
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM spref
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) hp
+        |  USING (query_id)
+        |LEFT JOIN fread USING (query_id)
+        |LEFT JOIN pread USING (query_id)
+        |ORDER BY q.query_id""".stripMargin
+    },
     // q240: the lexical-truth complement of q232 — same three rankers
     // cut at the same depth, truth replaced by exact token-set Jaccard
     // over the chunk texts ((∩·10⁶) // ∪, (score desc, cand) ties).

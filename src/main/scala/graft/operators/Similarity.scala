@@ -1030,9 +1030,12 @@ object Similarity {
         p => p.getField("larr")).as("lut"))
   }
 
-  /** ADC distance from the query's LUT over the neighbor's codes. */
+  /** ADC distance from the query's LUT over the neighbor's codes — the
+    * sub-space count derives from the row's own codes array, so the
+    * same fold serves the 4-sub-space 64-dim index and the q244
+    * 1-sub-space prefix index. */
   private def adcDist: Column =
-    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+    aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0L), (acc, m) =>
       acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
         (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
 
@@ -1066,20 +1069,24 @@ object Similarity {
     * registered geometry) collected to the driver, the same
     * metadata-scale collect as kmeansCellsFrom's means. */
   private[graft] def pqTrainCodebook(eqd: DataFrame,
-      iters: Int, sampleMod: Long = 1L): Array[Array[Array[Long]]] = {
+      iters: Int, sampleMod: Long = 1L,
+      pqM: Int = PqM): Array[Array[Array[Long]]] = {
     // same bounded-training-sample knob as trainQuantizedCents: the
     // codebook trains on the vec_id % sampleMod == 0 subset (1 = all,
     // the registered fixture posture the oracles replay), encoding
-    // always covers the full relation.
+    // always covers the full relation. `pqM` selects the sub-space
+    // count for non-64-dim inputs (the q244 prefix index trains 1
+    // sub-space over its 16 dims); everything downstream derives the
+    // count from the codebook's own shape.
     val tr = if (sampleMod == 1L) eqd
       else eqd.filter(col("vec_id") % sampleMod === 0)
     val seeds: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toArray)
-    var cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(pqM) { m =>
       seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
     }
     val sub = tr.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+      posexplode(transform(sequence(lit(0), lit(pqM - 1)), m =>
         slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
         .as(Seq("m", "sv")))
     for (_ <- 1 to iters) {
@@ -1103,7 +1110,7 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
         .toMap
-      cb = Array.tabulate(PqM)(m =>
+      cb = Array.tabulate(pqM)(m =>
         Array.tabulate(PqK)(j => upd.getOrElse((m, j), cb(m)(j))))
     }
     cb
@@ -1191,7 +1198,8 @@ object Similarity {
       queryMod: Long = 50L,
       k: Int = 16, nprobe: Int = AnnNprobe,
       trainIters: Int = PqTrainIters,
-      coarseIters: Int = IvfCoarseIters): DataFrame = {
+      coarseIters: Int = IvfCoarseIters,
+      pqM: Int = PqM): DataFrame = {
     // TRAINED coarse quantizer (the q142 fixed-point Lloyd rule): cells
     // live in the same floor(x·1e6) integer space as the PQ codes, so
     // corpus assignment and query probes are integer L2 — bit-stable,
@@ -1205,8 +1213,9 @@ object Similarity {
     // and encodes x − centroid(cell(x)); its cache key carries the
     // coarse rung (k, coarseIters) the residuals depend on.
     val res = residualize(assigned, coarse)
-    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters))(
-      pqTrainCodebook(res.select(col("vec_id"), col("e")), trainIters))
+    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters, pqM))(
+      pqTrainCodebook(res.select(col("vec_id"), col("e")), trainIters,
+        pqM = pqM))
     val codes = (if (cb.length.toLong * PqK * PqSub
           <= MaxInlineCentroidDoubles)
         pqEncodeLit(res.select(col("vec_id"), col("e")), cb, queryMod)
@@ -1805,6 +1814,120 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col(s"r3_p$MrlPrefixA"), lit(0L)).as(s"r3_p$MrlPrefixA"),
         coalesce(col(s"r3_p$MrlPrefixB"), lit(0L)).as(s"r3_p$MrlPrefixB"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Planted-cluster count for the q244 MRL corpus — mirrored in the
+    * oracle's plant CTE. */
+  private[graft] val MrlPlantClusters = 8L
+
+  /** Tail damping for the planted MRL corpus — dims past the prefix
+    * scale by this EXACT power of two (2⁻⁴; squared contributions
+    * shrink 256×), reproducing the matryoshka training property that
+    * the gate looks for: distance mass decays along the dimension
+    * axis, so the full-dimension ordering is PREFIX-dominated.
+    * Mirrored in the oracle. */
+  private[graft] val MrlTailScale = 0.0625
+
+  /** The planted MRL corpus (q244 input): the fixture embeddings with
+    * the matryoshka structure injected deterministically — cluster
+    * c = vec_id % [[MrlPlantClusters]]; dims 1..[[MrlPrefixA]] gain
+    * the exact-double offset ((c·31 + j·17) mod 7 − 3)·4.0 (j
+    * 1-based — same-cluster offsets CANCEL in pairwise distances,
+    * cross-cluster pairs pay the offset mass, so the SEPARATION lives
+    * entirely in the prefix); dims past the prefix scale by
+    * [[MrlTailScale]] (information front-loading: the tail refines but
+    * cannot reorder what the prefix decides). All arithmetic is double
+    * (float → double promotion is exact on both engines; the offset is
+    * an exact small-integer multiple of 4.0 and the tail scale an
+    * exact power of two), so the plant replays bit-stably in SQL ahead
+    * of the shared floor(x·10⁶) quantization. */
+  private[graft] def mrlPlanted(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i < MrlPrefixA,
+          x.cast("double") +
+            ((pmod(col("vec_id"), lit(MrlPlantClusters)) * 31 +
+              (i + 1) * 17) % 7 - 3).cast("double") * lit(4.0))
+          .otherwise(x.cast("double") * lit(MrlTailScale))).as("embedding"))
+
+  /** Truncate-BEFORE-training MRL serving rung (q244) — the deployment
+    * move q241's gate decides on, exercised end-to-end: on the planted
+    * corpus (where prefixes DO carry the structure, [[mrlPlanted]])
+    * build TWO production indexes — the full 64-dim IVFADC (q159's
+    * posture, 4 sub-quantizers) and a 16-dim PREFIX IVFADC trained on
+    * the truncated vectors themselves (coarse cells AND residual
+    * codebook learned in prefix space — 1 sub-quantizer; truncation
+    * BEFORE training, not a truncated read of the full index) — and
+    * serve the same query batch from both. Per query the output reads
+    * recall against the exact full-dimension truth (r3_full vs
+    * r3_prefix) next to the measured serving read mass (lut_reads =
+    * scored candidates × sub-quantizer lookups — the prefix index pays
+    * 1 lookup per candidate where the full index pays 4, on top of
+    * storing 16/64 of the vector data). On an MRL corpus the two
+    * recall columns read level and the read column reads 4× apart —
+    * the measured case FOR truncating before training; on a corpus
+    * without prefix structure q241's gate already says don't.
+    *
+    * Scale shape: two q159 plans (each cell-bounded, training
+    * sample-bounded) + the q46 brute-force truth scan (offline-eval
+    * posture, query-sample bounded) + metadata-scale overlap joins;
+    * the candidate-count relation derives from (probed cells ×
+    * cell sizes) — vocabulary-scale, no corpus term. */
+  def mrlPrefixIvfAdc(spark: SparkSession, dir: String): DataFrame =
+    mrlPrefixIvfAdcFrom(graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  private[graft] def mrlPrefixIvfAdcFrom(vecs: DataFrame): DataFrame = {
+    val planted = mrlPlanted(vecs)
+    val prefix = planted.select(col("vec_id"),
+      slice(col("embedding"), 1, MrlPrefixA).as("embedding"))
+    // scored candidates per query = Σ_{probed cells} |cell| − 1 (the
+    // query's own cell is always its rank-1 probe, so self is counted
+    // exactly once); × sub-quantizer count = LUT lookups actually paid
+    def lutReads(corpus: DataFrame, m: Int, out: String): DataFrame = {
+      val eqd = pqCache.rotate(quantized(corpus).persist())
+      val coarse = coarseCache.getOrTrain(eqd, Seq(16, IvfCoarseIters))(
+        trainQuantizedCents(eqd, 16, IvfCoarseIters))
+      val sizes = assignQuantizedCells(eqd, coarse)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      probeQuantizedCells(eqd.filter(col("vec_id") % 50 === 0), coarse,
+          AnnNprobe)
+        .join(sizes, Seq("cell"))
+        .groupBy(col("query_id"))
+        .agg(((sum(col("n")) - 1L) * m).as(out))
+    }
+    val servedFull = ivfAdcTopKFrom(planted)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val readsFull = lutReads(planted, PqM, "lut_reads_full")
+    val eq = pqCache.rotate(quantized(planted).persist())
+    val queries = eq.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dd"), col("cand"))
+    val truth = eq.select(col("vec_id").as("cand"), col("e"))
+      .join(broadcast(queries), col("cand") =!= col("query_id"))
+      .withColumn("dd", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3).select(col("query_id"), col("cand"))
+    val servedPrefix = ivfAdcTopKFrom(prefix, pqM = 1)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val readsPrefix = lutReads(prefix, 1, "lut_reads_prefix")
+    def hits(r: DataFrame, name: String): DataFrame =
+      r.join(truth, Seq("query_id", "cand"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    queries.select(col("query_id"))
+      .join(hits(servedFull, "r3_full"), Seq("query_id"), "left")
+      .join(hits(servedPrefix, "r3_prefix"), Seq("query_id"), "left")
+      .join(readsFull, Seq("query_id"), "left")
+      .join(readsPrefix, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("r3_full"), lit(0L)).as("r3_full"),
+        coalesce(col("r3_prefix"), lit(0L)).as("r3_prefix"),
+        col("lut_reads_full"), col("lut_reads_prefix"))
       .orderBy(col("query_id"))
   }
 

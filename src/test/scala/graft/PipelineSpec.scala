@@ -3110,6 +3110,47 @@ class PipelineSpec extends AnyFunSuite {
       f"p32 ${got.map(_._3).sum / n}%.3f (${got.length} queries)")
   }
 
+  test("MRL truncate-before-training (q244): prefix index retains recall at 4x fewer reads") {
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = Similarity.mrlPrefixIvfAdcFrom(emb).collect()
+    assert(out.nonEmpty)
+    val fullSum = out.map(_.getLong(1)).sum
+    val prefSum = out.map(_.getLong(2)).sum
+    val readsF = out.map(_.getLong(3)).sum.toDouble
+    val readsP = out.map(_.getLong(4)).sum.toDouble
+    info(f"r3 full=${fullSum} prefix=${prefSum} over ${out.length} " +
+      f"queries; LUT-read ratio ${readsF / readsP}%.2f")
+    // the deployment claim: the prefix-trained index pays ~1/4 the LUT
+    // reads (1 sub-space vs 4; cell populations differ slightly so the
+    // ratio is near, not exactly, 4)...
+    assert(readsF / readsP > 3.5 && readsF / readsP < 4.5,
+      f"read-mass ratio must sit at the sub-space ratio: ${readsF / readsP}%.2f")
+    // ...while RETAINING recall on a corpus whose prefixes carry the
+    // structure (the planted matryoshka property): at least half the
+    // full index's hits, and a real reading (not zero)
+    assert(prefSum > 0, "prefix index must retrieve true neighbors")
+    assert(prefSum * 2 >= fullSum,
+      s"prefix recall must track the full index on an MRL corpus: " +
+        s"prefix $prefSum vs full $fullSum")
+    // the plant's same-cluster cancellation: two vectors of one
+    // planted cluster keep their ORIGINAL prefix distance (offsets
+    // cancel), so the planted corpus cannot degenerate to one point
+    val pl = Similarity.mrlPlanted(emb)
+      .filter(col("vec_id").isin(0L, Similarity.MrlPlantClusters))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val or = emb.filter(col("vec_id").isin(0L, Similarity.MrlPlantClusters))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val k = Similarity.MrlPlantClusters
+    val dPlant = (0 until Similarity.MrlPrefixA)
+      .map(i => pl(0L)(i) - pl(k)(i)).map(x => x * x).sum
+    val dOrig = (0 until Similarity.MrlPrefixA)
+      .map(i => or(0L)(i).toDouble - or(k)(i).toDouble)
+      .map(x => x * x).sum
+    assert(math.abs(dPlant - dOrig) < 1e-9,
+      "same-cluster prefix offsets must cancel exactly")
+  }
+
   test("pipeline with LM gate (q242): a strict sub-mixture of q121 — the tail drop bites") {
     import graft.operators.CorpusOps
     def mix(df: org.apache.spark.sql.DataFrame) = df.collect()
