@@ -297,6 +297,7 @@ object SparkEntry {
     "q241_mrl_prefix_recall" -> (Similarity.mrlPrefixRecall _),
     "q243_bm25_prune_report" -> (TextAnalysis.bm25PruneReport _),
     "q244_mrl_prefix_ivfadc" -> (Similarity.mrlPrefixIvfAdc _),
+    "q245_video_perceptual_neardup" -> (Multimodal.videoPerceptualNearDup _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -1627,50 +1628,46 @@ object SparkEntry {
     // q217: video temporal near-dup — the q199 chain over frame-digest
     // "words" (ordered 64-byte-frame md5s) with 3-gram temporal
     // shingles; byte-transparency gate, same cap/sentinel contract.
-    "q217_video_neardup" ->
-      s"""WITH ft AS (
+    "q217_video_neardup" -> frameContainmentOracle(
+      """ft AS (
         |  SELECT doc_id,
         |    array_to_string(list_transform(
         |      range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT)),
         |      i -> md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))),
         |      ' ') AS text
         |  FROM documents
+        |  WHERE strlen(text) = length(text))""".stripMargin),
+    // q245: perceptual video near-dup — the same temporal containment
+    // chain with each frame's word swapped from md5 to its aHash (the
+    // q187 list-lambda replay per 192-byte 8×8 frame: pixel gray =
+    // floor-mean of its 3 bytes, bit = gray > the frame's floor-mean),
+    // so re-encode noise that stays on one side of each frame's own
+    // mean leaves every shingle intact.
+    "q245_video_perceptual_neardup" -> frameContainmentOracle(
+      s"""fb AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ''),
+        |      c -> c != ''), c -> ascii(c)) AS bs,
+        |    strlen(text) // ${operators.Multimodal.VideoFrameBytes} AS nf
+        |  FROM documents
         |  WHERE strlen(text) = length(text)),
-        |w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM ft),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(ws) - 3 + 2),
-        |    i -> array_to_string(ws[i:i+2], ' ')))) AS h
-        |  FROM w),
-        |sz AS (SELECT doc_id, count(*) AS size_a FROM grams GROUP BY 1),
-        |hot AS (SELECT h, count(*) AS df FROM grams GROUP BY 1
-        |        HAVING count(*) > ${operators.Dedup.ContainmentGramCap}),
-        |skipped AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_grams,
-        |         CAST(coalesce(sum(df), 0) AS BIGINT) AS n_skipped_rows
-        |  FROM hot),
-        |inplay AS (SELECT g.* FROM grams g ANTI JOIN hot USING (h)),
-        |pairs AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    CAST(count(*) AS BIGINT) AS shared
-        |  FROM inplay a JOIN inplay b
-        |    ON a.h = b.h AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2),
-        |cpairs AS (
-        |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
-        |    CAST(p.shared * 1000000 // s.size_a AS BIGINT)
-        |      AS containment_ppm
-        |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
-        |  WHERE p.shared * 2 >= s.size_a)
-        |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows
-        |FROM cpairs c CROSS JOIN skipped s
-        |UNION ALL
-        |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |  s.n_skipped_grams, s.n_skipped_rows
-        |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
-        |ORDER BY 1, 2""".stripMargin,
+        |fg AS (
+        |  SELECT doc_id, f,
+        |    list_transform(range(0, 64), k ->
+        |      (bs[f*${operators.Multimodal.VideoFrameBytes} + 3*k + 1]
+        |       + bs[f*${operators.Multimodal.VideoFrameBytes} + 3*k + 2]
+        |       + bs[f*${operators.Multimodal.VideoFrameBytes} + 3*k + 3])
+        |      // 3) AS g
+        |  FROM (SELECT doc_id, bs, unnest(range(0, nf)) AS f FROM fb)),
+        |ft AS (
+        |  SELECT doc_id, array_to_string(list(fh ORDER BY f), ' ') AS text
+        |  FROM (
+        |    SELECT doc_id, f,
+        |      array_to_string(list_transform(g, x ->
+        |        CASE WHEN x > list_sum(g) // 64 THEN '1' ELSE '0' END),
+        |        '') AS fh
+        |    FROM fg)
+        |  GROUP BY doc_id)""".stripMargin),
     // q219: the q129 funnel's verified dup pairs (agree ≥ 32 ∪
     // escalated exacts) symmetrized into the near-dup graph, then the
     // q211 move-phase unroll over it — composition of two generated
@@ -2287,6 +2284,49 @@ object SparkEntry {
 
   /** q144's chunk windows as a CTE (cw keeps the word array — q225
     * reads token counts and q229 reads chunk terms off it). */
+  /** The q217/q245 shared temporal-containment tail: given CTEs ending
+    * at `ft(doc_id, text)` (the per-video frame-WORD sequence — exact
+    * digests for q217, perceptual hashes for q245), runs the q199
+    * 3-gram containment chain verbatim: distinct temporal shingles,
+    * hot-gram cap + sentinel report, directed ppm containment. */
+  private def frameContainmentOracle(frameCtes: String): String =
+    s"""WITH $frameCtes,
+      |w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM ft),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 3 + 2),
+      |    i -> array_to_string(ws[i:i+2], ' ')))) AS h
+      |  FROM w),
+      |sz AS (SELECT doc_id, count(*) AS size_a FROM grams GROUP BY 1),
+      |hot AS (SELECT h, count(*) AS df FROM grams GROUP BY 1
+      |        HAVING count(*) > ${operators.Dedup.ContainmentGramCap}),
+      |skipped AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_skipped_grams,
+      |         CAST(coalesce(sum(df), 0) AS BIGINT) AS n_skipped_rows
+      |  FROM hot),
+      |inplay AS (SELECT g.* FROM grams g ANTI JOIN hot USING (h)),
+      |pairs AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM inplay a JOIN inplay b
+      |    ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |cpairs AS (
+      |  SELECT p.ia, p.ib, p.shared, CAST(s.size_a AS BIGINT) AS size_a,
+      |    CAST(p.shared * 1000000 // s.size_a AS BIGINT)
+      |      AS containment_ppm
+      |  FROM pairs p JOIN sz s ON s.doc_id = p.ia
+      |  WHERE p.shared * 2 >= s.size_a)
+      |SELECT c.*, s.n_skipped_grams, s.n_skipped_rows
+      |FROM cpairs c CROSS JOIN skipped s
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  s.n_skipped_grams, s.n_skipped_rows
+      |FROM skipped s WHERE NOT EXISTS (SELECT 1 FROM cpairs)
+      |ORDER BY 1, 2""".stripMargin
+
   /** The q235 reference-LM bucket chain (CTE names lm-prefixed so the
     * chain composes with q121's inside q242) — ends at
     * `lmb(doc_id, n_bigrams, surprisal_q, mean_surprisal_q, bucket)`. */

@@ -115,6 +115,72 @@ object Multimodal {
     graft.operators.Dedup.containmentJoinFrom(frames, n = 3)
   }
 
+  /** Bytes per perceptual video frame (q245): one 8×8-pixel RGB frame
+    * = 8·8·3 bytes — mirrored in the oracle's frame arithmetic. */
+  private[graft] val VideoFrameBytes = 192
+
+  /** Perceptual video near-dup (q245) — q217's missing half: q217
+    * matches temporal copies on EXACT frame digests, so a RE-ENCODED
+    * video (the common real case — every pixel nudged by codec noise)
+    * defeats it even though every frame is visually identical. This
+    * rung swaps the frame word from md5(frame bytes) to the frame's
+    * PERCEPTUAL hash — [[PpmDecoder.aHash]]'s 8×8 grid applied to each
+    * [[VideoFrameBytes]]-byte frame (an 8×8 P6 image: cell = pixel
+    * gray (r+g+b)/3 floor, bit = gray > the frame's floor-mean; the
+    * per-frame hash is BIT-EQUAL to aHash on the P6-framed frame
+    * bytes, pinned in the spec) — and then runs the SAME temporal
+    * 3-gram containment funnel ([[graft.operators.Dedup
+    * .containmentJoinFrom]]): cap, sentinel report, ppm semantics and
+    * scale shape all inherited. Codec noise that moves grays without
+    * crossing the frame's own mean leaves every hash — and therefore
+    * every temporal shingle — unchanged, so the re-encoded clip still
+    * matches; shuffled frames still share no 3-gram (the q217
+    * argument). Hash computation is one per-partition JVM pass over
+    * the payload scan (the mapPartitions codec pattern); videos
+    * shorter than 3 frames have no shingles and no row.
+    *
+    * Scale shape: linear frame-hash map + q199's bucketed containment
+    * funnel (gram-keyed shuffle, hot-gram cap + report) — no new scale
+    * terms over q217. */
+  def videoPerceptualNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoPerceptualNearDupFrom(Tables(spark, dir).documents)
+
+  /** Same, over an arbitrary (doc_id, text-as-payload) relation. */
+  private[graft] def videoPerceptualNearDupFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val F = VideoFrameBytes
+    val frames = withPayload(docs)
+      .filter(expr("octet_length(text) = length(text)"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val nf = p.length / F
+        val sb = new StringBuilder(nf * 65)
+        var f = 0
+        while (f < nf) {
+          val off = f * F
+          val g = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            g(k) = ((p(off + 3 * k) & 0xff) + (p(off + 3 * k + 1) & 0xff) +
+              (p(off + 3 * k + 2) & 0xff)) / 3
+            k += 1
+          }
+          val mean = g.sum / 64
+          if (f > 0) sb.append(' ')
+          var i = 0
+          while (i < 64) {
+            sb.append(if (g(i) > mean) '1' else '0'); i += 1
+          }
+          f += 1
+        }
+        (id, sb.toString)
+      })
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.containmentJoinFrom(frames, n = 3)
+  }
+
   /** A real public codec: binary netpbm PPM, "P6" variant (the netpbm
     * format spec — magic `P6`, whitespace-and-`#`-comment separated ASCII
     * width/height/maxval, exactly one whitespace byte, then a

@@ -1709,6 +1709,51 @@ class PipelineSpec extends AnyFunSuite {
       s"skipped report: ${d2(0)}")
   }
 
+  test("video perceptual near-dup (q245): a re-encoded clip defeats q217 but not the aHash funnel") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val F = Multimodal.VideoFrameBytes
+    // base video: 20 frames, frame f = 64 pixels (3 identical bytes
+    // each); pixels k < 16+f are LOW (50), the rest HIGH (100) — a
+    // distinct hash per frame, bits well clear of the mean
+    def frame(f: Int, shift: Int): String =
+      (0 until 64).map { k =>
+        val c = (if (k < 16 + f) 50 else 100) + shift
+        s"${c.toChar}${c.toChar}${c.toChar}"
+      }.mkString
+    val base = (0 until 20).map(frame(_, 0)).mkString
+    // the "re-encoded" clip: frames 5..14 with EVERY byte + 1 — every
+    // md5 changes, every gray moves, no bit crosses its frame's mean
+    val clip = (5 until 15).map(frame(_, 1)).mkString
+    val docs = Seq((1L, base), (2L, clip)).toDF("doc_id", "text")
+    // q217 (exact digests): the codec noise defeats it — no pair
+    val exact = Multimodal.videoNearDupFrom(docs).collect()
+    assert(exact.forall(_.isNullAt(0)),
+      s"exact-digest temporal dedup must miss the re-encoded clip")
+    // q245 (perceptual hashes): the clip is CONTAINED in the base —
+    // 10 frames -> 8 temporal 3-grams, all present in the base
+    val got = Multimodal.videoPerceptualNearDupFrom(docs).collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.contains((2L, 1L, 8L, 8L, 1000000L)),
+      s"the re-encoded clip must be fully contained: ${got.toSeq}")
+    // the per-frame hash IS q187's aHash on the P6-framed frame bytes
+    val f0 = frame(3, 0)
+    val framed = (s"P6\n8 8\n255\n" + f0).getBytes("ISO-8859-1")
+    val viaAHash = Multimodal.PpmDecoder.aHash(0L, framed).get._2
+    val viaQuery = Multimodal
+      .videoPerceptualNearDupFrom(Seq((9L, f0)).toDF("doc_id", "text"))
+    val word = {
+      val g = (0 until 64).map(k => if (k < 19) 50L else 100L)
+      val mean = g.sum / 64
+      g.map(x => if (x > mean) '1' else '0').mkString
+    }
+    assert(viaAHash == word,
+      "the 8x8 frame hash must equal q187's aHash on the framed bytes")
+    viaQuery.collect() // chain runs green on a single sub-3-frame video
+  }
+
   test("corpus report: cells partition the corpus; duplicate mass matches q40") {
     val rows = operators.CorpusOps.corpusReport(spark, sf).collect()
     val docs = Tables(spark, sf).documents.count()
