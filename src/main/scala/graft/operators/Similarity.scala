@@ -1878,8 +1878,12 @@ object Similarity {
     mrlPrefixIvfAdcFrom(graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding")))
 
-  /** Same, over an arbitrary (vec_id, embedding) relation. */
-  private[graft] def mrlPrefixIvfAdcFrom(vecs: DataFrame): DataFrame = {
+  /** Same, over an arbitrary (vec_id, embedding) relation; `queryMod`
+    * thins the query batch (ScaleSmoke holds it fixed while the corpus
+    * scales — the exact-truth side is queries × corpus by design, the
+    * offline-eval posture). */
+  private[graft] def mrlPrefixIvfAdcFrom(vecs: DataFrame,
+      queryMod: Long = 50L): DataFrame = {
     val planted = mrlPlanted(vecs)
     val prefix = planted.select(col("vec_id"),
       slice(col("embedding"), 1, MrlPrefixA).as("embedding"))
@@ -1892,17 +1896,17 @@ object Similarity {
         trainQuantizedCents(eqd, 16, IvfCoarseIters))
       val sizes = assignQuantizedCells(eqd, coarse)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      probeQuantizedCells(eqd.filter(col("vec_id") % 50 === 0), coarse,
-          AnnNprobe)
+      probeQuantizedCells(eqd.filter(col("vec_id") % queryMod === 0),
+          coarse, AnnNprobe)
         .join(sizes, Seq("cell"))
         .groupBy(col("query_id"))
         .agg(((sum(col("n")) - 1L) * m).as(out))
     }
-    val servedFull = ivfAdcTopKFrom(planted)
+    val servedFull = ivfAdcTopKFrom(planted, queryMod = queryMod)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     val readsFull = lutReads(planted, PqM, "lut_reads_full")
     val eq = pqCache.rotate(quantized(planted).persist())
-    val queries = eq.filter(col("vec_id") % 50 === 0)
+    val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dd"), col("cand"))
@@ -1913,7 +1917,7 @@ object Similarity {
         lit(0L), (a, b) => a + b))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3).select(col("query_id"), col("cand"))
-    val servedPrefix = ivfAdcTopKFrom(prefix, pqM = 1)
+    val servedPrefix = ivfAdcTopKFrom(prefix, queryMod = queryMod, pqM = 1)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     val readsPrefix = lutReads(prefix, 1, "lut_reads_prefix")
     def hits(r: DataFrame, name: String): DataFrame =

@@ -290,6 +290,22 @@ object ScaleSmoke {
         println(s"[scale]   pq adc: result_rows=$n")
         n
       }
+      // MRL truncate-before-training (q244's shape): two trained
+      // IVFADC plans (cell-bounded) + the brute truth scan, query
+      // batch held ~fixed via queryMod — wall must track corpus mass
+      // linearly; the read-mass ratio must hold at the sub-space
+      // ratio (4x) independent of scale.
+      time(s"mrl_prefix_ivfadc") {
+        val r = graft.operators.Similarity
+          .mrlPrefixIvfAdcFrom(vecs, queryMod = 50L * mult).collect()
+        val rf = r.map(_.getLong(3)).sum.toDouble
+        val rp = r.map(_.getLong(4)).sum.toDouble
+        println(s"[scale]   mrl prefix: queries=${r.length} " +
+          s"r3_full=${r.map(_.getLong(1)).sum} " +
+          s"r3_prefix=${r.map(_.getLong(2)).sum} " +
+          f"read_ratio=${rf / rp}%.2f")
+        r.length.toLong
+      }
       time(s"semantic_keep_list") {
         val kl = graft.operators.Similarity
           .semanticKeepListFrom(vecs, 0.35, k = 16 * mult)
@@ -1000,6 +1016,16 @@ object ScaleSmoke {
         val v = graft.operators.Multimodal.videoNearDupFrom(longDocs)
         val n = v.filter(col("ia").isNotNull).count()
         println(s"[scale]   video longseq pairs=$n (len x$mult)")
+        n
+      }
+      // perceptual video near-dup (q245's shape): the same two axes as
+      // q217 collapse into one probe — the per-frame aHash map is one
+      // JVM pass over payload mass, and the funnel inherits q199's
+      // df-bounded candidate work; cost must track frame mass linearly.
+      time(s"video_perceptual_neardup") {
+        val v = graft.operators.Multimodal.videoPerceptualNearDupFrom(docs)
+        val n = v.filter(col("ia").isNotNull).count()
+        println(s"[scale]   video perceptual pairs=$n")
         n
       }
       // cross-source duplicate matrix (q174's shape) on a MANY-sources
