@@ -298,6 +298,8 @@ object SparkEntry {
     "q243_bm25_prune_report" -> (TextAnalysis.bm25PruneReport _),
     "q244_mrl_prefix_ivfadc" -> (Similarity.mrlPrefixIvfAdc _),
     "q245_video_perceptual_neardup" -> (Multimodal.videoPerceptualNearDup _),
+    "q246_streaming_lex_compact" ->
+      (graft.streaming.StreamingIndex.streamingLexCompactServe _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -3687,6 +3689,11 @@ object SparkEntry {
     // union), so the served ranking IS q229's and the oracle is
     // shared verbatim.
     "q233_streaming_lex_index" -> bm25TopkOracle,
+    // q246: lexical posting compaction + stored-rank serve — dedup and
+    // the impact-rank prefix materialized into one rewrite; the served
+    // ranking equals q229's for any batching/replay, so the oracle is
+    // again q229's SQL verbatim.
+    "q246_streaming_lex_compact" -> bm25TopkOracle,
     // q230: hybrid RRF fusion — the q223 dense chain and the q229 BM25
     // chain (both over the shared cw), each cut to RrfDepth ranks, the
     // pure-integer reciprocal-rank sum, fused rank by (score desc,

@@ -454,8 +454,12 @@ object TextAnalysis {
     * posting-list join), the standard query-term-pruning trade whose
     * dropped terms are exactly the long-posting-list low-idf ones.
     * The oracle replays the same (idf desc, term) rank, so bounded
-    * ranking is bit-stable cross-engine; TextAnalysisSpec measures
-    * the fixture divergence vs the unbounded definition. The
+    * ranking is bit-stable cross-engine; PipelineSpec measures the
+    * fixture divergence vs the unbounded definition. On top of the
+    * term bound, each KEPT term scores only its
+    * [[Bm25PostingBound]] highest-impact postings (impact-ordered
+    * early termination — the WAND/MaxScore batch analogue; see the
+    * constant's scaladoc and q243's audit relation). The
     * fixture's 31-term vocabulary makes every term frequent, which is
     * exactly the regime where length normalization and tf saturation
     * carry the ranking. Model relations (df, idf) live at vocabulary
@@ -498,15 +502,8 @@ object TextAnalysis {
       termBound: Int = Bm25QueryTermBound,
       postingBound: Int = Bm25PostingBound): DataFrame = {
     val cc = bmCache.rotate(postings.persist())
-    val st = cc.groupBy(col("cid")).agg(first(col("len")).as("len"))
-      .agg(count(lit(1)), sum(col("len"))).head()
-    val (nChunks, totLen) = (st.getLong(0), st.getLong(1))
-    val avgdl = totLen.toDouble / nChunks
-    val idf = cc.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .withColumn("idf_q", floor(
-        log((lit(nChunks) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)) * lit(1e4)))
-      .select(col("t"), col("idf_q"))
+    val (nChunks, avgdl) = bm25CorpusStats(cc)
+    val idf = bm25IdfOf(cc, nChunks)
     val qTerms = cc.filter(col("cid") % queryMod === 0)
       .select(col("cid").as("query_id"), col("t")).distinct()
     // the query-term bound: keep each query's top-`termBound` idf
@@ -522,25 +519,20 @@ object TextAnalysis {
     // its top-`postingBound` postings by the SAME quantized integer
     // impact the scorer sums — already proven bit-identical to the
     // oracle's, so rank-thresholding it (impact desc, cid tie-break)
-    // keeps identical sets cross-engine. Two-phase rank: phase 1
-    // inside (t, cid % salt) buckets so a stopword's corpus-wide list
-    // never sorts in one partition; phase 2's exact per-term rank then
-    // runs over ≤ salt·bound survivors per term.
-    val impact = floor(col("idf_q") *
-      ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))))).cast("long")
-    val wLocal = Window.partitionBy(col("t"), col("salt"))
-      .orderBy(col("impact").desc, col("cid"))
-    val wTerm = Window.partitionBy(col("t"))
-      .orderBy(col("impact").desc, col("cid"))
-    val kept = cc.join(idf, Seq("t"))
-      .withColumn("impact", impact)
-      .withColumn("salt", pmod(col("cid"), lit(Bm25PruneSalt.toLong)))
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= postingBound)
-      .withColumn("prk", row_number().over(wTerm))
-      .filter(col("prk") <= postingBound)
-      .select(col("t"), col("cid").as("cand"), col("impact"))
+    // keeps identical sets cross-engine. A store that already carries
+    // the materialized (impact, prk) annotation (q246's compaction)
+    // serves by FILTERING the stored rank — the two-phase windows run
+    // once at compaction, not per serve.
+    val kept =
+      if (cc.columns.contains("prk")) {
+        require(postingBound <= Bm25PostingBound,
+          s"stored posting ranks cover only prk <= $Bm25PostingBound; " +
+            s"asked for $postingBound — recompact or rank inline")
+        cc.filter(col("prk") <= postingBound)
+          .select(col("t"), col("cid").as("cand"), col("impact"))
+      } else
+        bm25KeptPostings(cc, idf, avgdl, postingBound)
+          .select(col("t"), col("cid").as("cand"), col("impact"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("cand"))
     qSel
@@ -555,6 +547,67 @@ object TextAnalysis {
         expr("cand % 1048576").as("chunk_idx"), col("score_q"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** The two-phase per-term top-`bound` posting prune: phase 1 ranks
+    * inside (t, cid % [[Bm25PruneSalt]]) buckets so a stopword's
+    * corpus-wide posting list never sorts in one window partition
+    * (every global top-`bound` row is top-`bound` in its own bucket);
+    * phase 2's exact per-term (impact desc, cid) rank runs over
+    * ≤ salt·bound survivors per term. Returns (t, cid, impact, prk)
+    * for the kept prefix. */
+  private[graft] def bm25KeptPostings(cc: DataFrame, idf: DataFrame,
+      avgdl: Double, postingBound: Int): DataFrame = {
+    val impact = floor(col("idf_q") *
+      ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("len") / lit(avgdl))))).cast("long")
+    val wLocal = Window.partitionBy(col("t"), col("salt"))
+      .orderBy(col("impact").desc, col("cid"))
+    val wTerm = Window.partitionBy(col("t"))
+      .orderBy(col("impact").desc, col("cid"))
+    cc.join(idf, Seq("t"))
+      .withColumn("impact", impact)
+      .withColumn("salt", pmod(col("cid"), lit(Bm25PruneSalt.toLong)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= postingBound)
+      .withColumn("prk", row_number().over(wTerm).cast("long"))
+      .filter(col("prk") <= postingBound)
+      .select(col("t"), col("cid"), col("impact"), col("prk"))
+  }
+
+  /** Annotate a FULL posting relation with the materialized prune —
+    * every row kept (df/N/avgdl must remain reconstructible from the
+    * stored relation), the kept prefix carrying (impact, prk), pruned
+    * rows null — the rewrite q246's lexical compaction persists so
+    * every later serve filters a stored column instead of re-running
+    * the two-phase rank. The annotation is computed over the
+    * accumulated corpus with the SAME stats a serve would derive, so
+    * the stored prefix equals the serve-time prune exactly (the
+    * oracle stays q229's SQL). */
+  private[graft] def bm25AnnotatePostings(postings: DataFrame): DataFrame = {
+    val (nChunks, avgdl) = bm25CorpusStats(postings)
+    val idf = bm25IdfOf(postings, nChunks)
+    postings.join(
+      bm25KeptPostings(postings, idf, avgdl, Bm25PostingBound),
+      Seq("t", "cid"), "left")
+  }
+
+  /** (N, avgdl) of a posting relation — one grouped pass; shared by
+    * the serve chain and the compaction annotation so the two cannot
+    * derive different corpus statistics. */
+  private[graft] def bm25CorpusStats(cc: DataFrame): (Long, Double) = {
+    val st = cc.groupBy(col("cid")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)), sum(col("len"))).head()
+    (st.getLong(0), st.getLong(1).toDouble / st.getLong(0))
+  }
+
+  /** The quantized (t, idf_q) model relation — vocabulary-scale;
+    * shared by serve and compaction (same drift argument). */
+  private[graft] def bm25IdfOf(cc: DataFrame, nChunks: Long): DataFrame =
+    cc.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_q", floor(
+        log((lit(nChunks) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * lit(1e4)))
+      .select(col("t"), col("idf_q"))
 
   /** Posting-prune audit (q243) — the sentinel report for
     * [[Bm25PostingBound]] (the funnel-guard convention: a bound that

@@ -191,6 +191,57 @@ object StreamingIndex {
       .bm25TopKFromPostings(lexIndexTable(spark, storeDir))
   }
 
+  /** One-time lexical posting compaction (q246) — the WAND story's
+    * last move: the accumulated store (per-read dedup window + the
+    * two-phase impact-rank prune paid on EVERY serve) is rewritten
+    * once as the deduplicated posting relation ANNOTATED with the
+    * materialized (impact, prk) prefix
+    * ([[graft.operators.TextAnalysis.bm25AnnotatePostings]] — every
+    * row kept so df/N/avgdl remain reconstructible; the kept prefix
+    * carries its rank, pruned rows null). Serves thereafter FILTER
+    * `prk <= bound` — a pushed-down column predicate over a store
+    * laid out (t, prk)-sorted — instead of re-running dedup + two
+    * windows per read. The annotation computes over the full
+    * accumulated corpus with the same stats a serve derives, so the
+    * stored prefix equals the serve-time prune exactly and the served
+    * ranking — hence the oracle — is unchanged. */
+  def compactLexIndex(spark: SparkSession, storeDir: String): Unit =
+    graft.operators.TextAnalysis
+      .bm25AnnotatePostings(lexIndexTable(spark, storeDir))
+      .sortWithinPartitions(col("t"),
+        coalesce(col("prk"), lit(Long.MaxValue)))
+      .write.mode("overwrite").parquet(s"$storeDir/compact")
+
+  /** The compacted annotated posting relation — deduped, rank
+    * materialized, no window on the read path. */
+  def compactLexTable(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/compact")
+
+  /** Registered q246 entry: q233's ingest PLUS an overlapping replay
+    * (a third of the corpus re-ingested under a later batch id — the
+    * duplicate mass compaction exists for), then one compaction
+    * rewrite materializing the dedup AND the impact-rank prefix, then
+    * the q229 query batch served from the compacted store through the
+    * stored-rank fast path. Posting building is deterministic, so the
+    * replayed rows dedup to the one-shot relation, the annotated
+    * prune equals the inline one, and the oracle is exactly q229's
+    * SQL — the spec additionally pins the fast path's parity and that
+    * the stored prefix respects the bound. */
+  def streamingLexCompactServe(spark: SparkSession, dir: String): DataFrame = {
+    val storeDir = Snapshots.storeDir(spark, "stream_lex_compact_store")
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    FileFeed.run(spark, docs, nChunks = 4, col("doc_id"),
+      ordered = false, purpose = "lex_compact") { (batch, batchId) =>
+      lexIndexBatch(batch, storeDir, batchId)
+    }
+    lexIndexBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      storeDir, 100L)
+    compactLexIndex(spark, storeDir)
+    graft.operators.TextAnalysis
+      .bm25TopKFromPostings(compactLexTable(spark, storeDir))
+  }
+
   // ----- index-staleness monitor (q227): the "when to retrain"
   // signal an ANN deployment watches. The quantizer was trained on a
   // snapshot and FROZEN (q226's posture); as ingested data drifts away

@@ -1419,6 +1419,56 @@ class StreamingSpec extends AnyFunSuite {
       "served BM25 top-k must equal the one-shot ranking for any batching")
   }
 
+  test("lexical compaction (q246): annotated rewrite dedups; stored-rank serve == inline prune") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamingIndex
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_lex_compact_spec").toString
+    (0 until 3).foreach { i =>
+      StreamingIndex.lexIndexBatch(
+        docs.filter(pmod(col("doc_id") * 7919, lit(3)) === i), storeDir, i)
+    }
+    // overlapping replay: raw store now carries duplicate posting rows
+    StreamingIndex.lexIndexBatch(
+      docs.filter(pmod(col("doc_id") * 7919, lit(3)) === 0), storeDir, 9L)
+    val rawRows = spark.read.parquet(s"$storeDir/postings").count()
+    StreamingIndex.compactLexIndex(spark, storeDir)
+    val compact = StreamingIndex.compactLexTable(spark, storeDir)
+    // the rewrite materialized the dedup (strictly smaller than the
+    // duplicated raw store) and equals the one-shot posting relation
+    assert(compact.count() < rawRows,
+      s"compaction must shrink the duplicated store: ${compact.count()} vs $rawRows")
+    assert(compact.select(col("cid"), col("len"), col("t"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+      == TextAnalysis.bm25Postings(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet,
+      "compacted postings must equal the one-shot relation")
+    // the stored prefix respects the bound: per term at most
+    // Bm25PostingBound ranked rows, ranks dense from 1
+    val badPrk = compact.filter(col("prk").isNotNull)
+      .groupBy(col("t")).agg(count(lit(1)).as("n"), max(col("prk")).as("mx"))
+      .filter(col("n") > TextAnalysis.Bm25PostingBound ||
+        col("mx") =!= col("n")).count()
+    assert(badPrk == 0, "stored ranks must be a dense per-term prefix")
+    // the stored-rank fast path serves the SAME ranking as the inline
+    // two-phase prune (and therefore as the one-shot q229)
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val servedCompact = topk(TextAnalysis.bm25TopKFromPostings(compact))
+    val direct = topk(TextAnalysis.bm25TopKFrom(docs))
+    assert(servedCompact.nonEmpty && servedCompact == direct,
+      "stored-rank serve must equal the inline-pruned one-shot ranking")
+    // asking past the stored bound must fail fast, not silently miss
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromPostings(compact,
+        postingBound = TextAnalysis.Bm25PostingBound + 1)
+    }
+  }
+
   test("index compaction (q234): rewrite shrinks the duplicated store; serve unchanged") {
     import graft.operators.Similarity
     import graft.streaming.StreamingIndex
