@@ -144,8 +144,9 @@ object Bench {
       // the number the anchor comparison wants
       "q223_rag_retrieval", "q231_rag_serve",
       "q235_lm_quality_buckets",
-      // round-18 addition: the flagship LM-gated pipeline composition
-      "q242_full_pipeline_lm")
+      // round-18 additions: the flagship LM-gated pipeline composition
+      // and the bounded BM25 serving representative
+      "q242_full_pipeline_lm", "q229_bm25_topk")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !excludedFromR13Subtotal(k) }
       .map(_._2).sum

@@ -300,6 +300,7 @@ object SparkEntry {
     "q245_video_perceptual_neardup" -> (Multimodal.videoPerceptualNearDup _),
     "q246_streaming_lex_compact" ->
       (graft.streaming.StreamingIndex.streamingLexCompactServe _),
+    "q247_mrl_prefix_ivfadc2" -> (Similarity.mrlPrefixIvfAdc2 _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -2137,16 +2138,16 @@ object SparkEntry {
     * desynchronize between the operator and its oracle. Each block is
     * exactly the q142 replay shape restricted to one sub-space's 16
     * components; empty codewords carry the previous round's forward. */
-  private def pqLloydUnrollCtes: String = pqLloydUnrollCtes("")
+  private def pqLloydUnrollCtes: String = pqLloydUnrollCtes("", 16)
 
-  /** Same, with every CTE name prefixed (the q244 two-chain
-    * composition). Sub-space width stays 16 — a prefix index differs
-    * in sub-space COUNT, not width. */
-  private def pqLloydUnrollCtes(pfx: String): String =
+  /** Same, with every CTE name prefixed and the sub-space WIDTH
+    * parameterized (the q244 two-chain composition uses 16; q247's
+    * finer prefix quantizer uses 8). */
+  private def pqLloydUnrollCtes(pfx: String, sub: Int): String =
     (1 to operators.Similarity.PqTrainIters).map { i =>
       s"""${pfx}d$i AS MATERIALIZED (
          |  SELECT v.vec_id, v.m, v.sv, c.j,
-         |    CAST(list_sum(list_transform(range(1, 17),
+         |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
          |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
          |  FROM ${pfx}sv v JOIN ${pfx}cb${i - 1} c ON c.m = v.m),
          |${pfx}a$i AS MATERIALIZED (SELECT vec_id, m, sv, j FROM
@@ -2156,7 +2157,7 @@ object SparkEntry {
          |  SELECT m, j, i.i AS comp,
          |    CAST(floor(CAST(CAST(sum(sv[i.i]) AS BIGINT) AS DOUBLE)
          |      / count(*)) AS BIGINT) AS v
-         |  FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1, 17)) AS i) i
+         |  FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS i) i
          |  GROUP BY m, j, i.i),
          |${pfx}cb$i AS MATERIALIZED (
          |  SELECT p.m, p.j, coalesce(u.c, p.c) AS c FROM ${pfx}cb${i - 1} p
@@ -2565,12 +2566,15 @@ object SparkEntry {
   private def ivfAdcOracleChainOver(src: String): String =
     ivfAdcOracleChainOver(src, 64, 4, "")
 
-  /** Same, parameterized: `dim` = vector width, `m` = sub-space count
-    * (width stays 16 — dim must be 16·m), `pfx` prefixes every CTE
-    * name so two chains coexist in one WITH (q244's full + prefix
+  private def ivfAdcOracleChainOver(src: String, dim: Int, m: Int,
+      pfx: String): String = ivfAdcOracleChainOver(src, dim, m, pfx, 16)
+
+  /** Same, parameterized: `dim` = vector width, `m` = sub-space count,
+    * `sub` = sub-space width (dim must be m·sub), `pfx` prefixes every
+    * CTE name so two chains coexist in one WITH (q244's full + prefix
     * indexes). Defaults reproduce the shared chain byte-for-byte. */
   private def ivfAdcOracleChainOver(src: String, dim: Int, m: Int,
-      pfx: String): String =
+      pfx: String, sub: Int): String =
     s"""${coarseAssignCtesOver(src, dim, pfx)},
       |${pfx}qprobe AS (
       |  SELECT vec_id AS query_id, j AS cell FROM (
@@ -2583,17 +2587,17 @@ object SparkEntry {
       |  FROM ${pfx}eq v JOIN ${pfx}corpus co ON co.nid = v.vec_id
       |  JOIN ${pfx}kc${Similarity.IvfCoarseIters} kc ON kc.j = co.cell),
       |${pfx}sv AS MATERIALIZED (
-      |  SELECT vec_id, m.m AS m, re[m.m*16+1 : m.m*16+16] AS sv
+      |  SELECT vec_id, m.m AS m, re[m.m*$sub+1 : m.m*$sub+$sub] AS sv
       |  FROM ${pfx}res CROSS JOIN (SELECT unnest(range(0, $m)) AS m) m),
       |${pfx}cb0 AS MATERIALIZED (
       |  SELECT s.m, q.j, s.sv AS c
       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
       |        FROM ${pfx}res ORDER BY vec_id LIMIT 16) q
       |  JOIN ${pfx}sv s ON s.vec_id = q.vec_id),
-      |${pqLloydUnrollCtes(pfx)},
+      |${pqLloydUnrollCtes(pfx, sub)},
       |${pfx}cd AS (
       |  SELECT v.vec_id, v.m, c.j,
-      |    CAST(list_sum(list_transform(range(1, 17),
+      |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
       |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
       |  FROM ${pfx}sv v JOIN ${pfx}cb${Similarity.PqTrainIters} c ON c.m = v.m),
       |${pfx}codes AS (
@@ -2603,15 +2607,15 @@ object SparkEntry {
       |  WHERE rk = 1),
       |${pfx}qsv AS (
       |  SELECT qp.query_id, qp.cell, m.m AS m,
-      |    list_transform(range(1, 17),
-      |      i -> q.e[m.m*16 + i] - kc.c[m.m*16 + i]) AS sv
+      |    list_transform(range(1, ${sub + 1}),
+      |      i -> q.e[m.m*$sub + i] - kc.c[m.m*$sub + i]) AS sv
       |  FROM ${pfx}qprobe qp
       |  JOIN ${pfx}eq q ON q.vec_id = qp.query_id
       |  JOIN ${pfx}kc${Similarity.IvfCoarseIters} kc ON kc.j = qp.cell
       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) m),
       |${pfx}lut AS (
       |  SELECT r.query_id, r.cell, r.m, c.j,
-      |    CAST(list_sum(list_transform(range(1, 17),
+      |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
       |      i -> (r.sv[i] - c.c[i]) * (r.sv[i] - c.c[i]))) AS BIGINT) AS d
       |  FROM ${pfx}qsv r JOIN ${pfx}cb${Similarity.PqTrainIters} c ON c.m = r.m),
       |${pfx}adc AS (
@@ -3864,6 +3868,54 @@ object SparkEntry {
         |           JOIN truth USING (query_id, cand) GROUP BY 1) hp
         |  USING (query_id)
         |LEFT JOIN fread USING (query_id)
+        |LEFT JOIN pread USING (query_id)
+        |ORDER BY q.query_id""".stripMargin
+    },
+    // q247: the finer-sub-quantization prefix rung — the SAME planted
+    // corpus, prefix, truth and query batch as q244, the 16-dim index
+    // split into 2×8-dim sub-spaces (chain generated with sub=8).
+    "q247_mrl_prefix_ivfadc2" -> {
+      val a = Similarity.MrlPrefixA
+      val kcl = Similarity.MrlPlantClusters
+      s"""WITH pemb AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN i <= $a THEN CAST(embedding[i] AS DOUBLE)
+        |      + (((vec_id % $kcl) * 31 + i * 17) % 7 - 3) * 4.0
+        |      ELSE CAST(embedding[i] AS DOUBLE)
+        |        * ${Similarity.MrlTailScale} END) AS embedding
+        |  FROM embeddings),
+        |ppemb AS (SELECT vec_id, embedding[1 : $a] AS embedding
+        |          FROM pemb),
+        |${ivfAdcOracleChainOver("ppemb", a, 2, "p", 8)},
+        |spref AS (SELECT query_id, neighbor_id AS cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS rk FROM padc)
+        |  WHERE rk <= ${Similarity.AnnTopK}),
+        |teq AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
+        |  FROM pemb),
+        |tp AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS cand,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT)
+        |      AS dd
+        |  FROM teq q JOIN teq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |truth AS (SELECT query_id, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dd, cand) AS rk FROM tp) WHERE rk <= 3),
+        |psz AS (SELECT cell, count(*) AS n FROM pcorpus GROUP BY 1),
+        |pread AS (SELECT qp.query_id,
+        |    CAST((sum(n) - 1) * 2 AS BIGINT) AS lut_reads_prefix2
+        |  FROM pqprobe qp JOIN psz USING (cell) GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(coalesce(hp.c, 0) AS BIGINT) AS r3_prefix2,
+        |  pread.lut_reads_prefix2
+        |FROM (SELECT vec_id AS query_id FROM teq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT query_id, count(*) AS c FROM spref
+        |           JOIN truth USING (query_id, cand) GROUP BY 1) hp
+        |  USING (query_id)
         |LEFT JOIN pread USING (query_id)
         |ORDER BY q.query_id""".stripMargin
     },
@@ -5453,5 +5505,10 @@ object SparkEntry {
     // dedup→decontaminate→gate chain + the q235 tail-drop semi-join) —
     // the judge asked for a round-over-round trend line on the full
     // composition, not just its newest stage:
-    "q242_full_pipeline_lm")
+    "q242_full_pipeline_lm",
+    // round 18: BM25 lexical serving under BOTH enforced bounds (the
+    // top-16-idf query-term window + the top-128-impact posting
+    // prune) — the round's serving-tier representative, so the
+    // impact-ordered read path gets a trend line:
+    "q229_bm25_topk")
 }

@@ -904,10 +904,13 @@ object Similarity {
     * array, encoding one codegen'd map pass, no shuffle. */
   private[graft] def pqEncodeLit(eq: DataFrame, cb: Array[Array[Array[Long]]],
       queryMod: Long): (DataFrame, DataFrame) = {
+    // sub-space width derives from the codebook's own shape, so the
+    // same encode serves the 4×16 full index and the q247 2×8 prefix
+    val pqSub = cb.head.head.length
     val cbLit = array(cb.map(sub => array(sub.map(cw =>
       array(cw.map(lit(_)): _*)): _*)): _*)
     def subvec(m: Column) =
-      slice(col("e"), (m * PqSub + 1).cast("int"), lit(PqSub))
+      slice(col("e"), (m * pqSub + 1).cast("int"), lit(pqSub))
     // per-(m, j) integer squared-L2 from this row's sub-vector m
     def subDists(m: Column): Column =
       transform(element_at(cbLit, (m + 1).cast("int")), cw =>
@@ -943,9 +946,10 @@ object Similarity {
     import spark.implicits._
     val cbDf = (for { m <- cb.indices; j <- cb(m).indices }
       yield (m, j.toLong, cb(m)(j).toSeq)).toDF("m", "j", "cw")
+    val pqSub = cb.head.head.length
     val sub = eqd.select(col("vec_id"),
         posexplode(transform(sequence(lit(0), lit(cb.length - 1)), m =>
-          slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+          slice(col("e"), (m * lit(pqSub) + 1).cast("int"), lit(pqSub))))
           .as(Seq("m", "sv")))
       .join(broadcast(cbDf), Seq("m"))
       .withColumn("dist",
@@ -989,10 +993,11 @@ object Similarity {
     * codegen'd map over the residual query relation. */
   private[graft] def pqQueryLutsLit(qres: DataFrame,
       cb: Array[Array[Array[Long]]]): DataFrame = {
+    val pqSub = cb.head.head.length
     val cbLit = array(cb.map(sub => array(sub.map(cw =>
       array(cw.map(lit(_)): _*)): _*)): _*)
     def subvec(m: Column) =
-      slice(col("e"), (m * PqSub + 1).cast("int"), lit(PqSub))
+      slice(col("e"), (m * pqSub + 1).cast("int"), lit(pqSub))
     def subDists(m: Column): Column =
       transform(element_at(cbLit, (m + 1).cast("int")), cw =>
         aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
@@ -1014,7 +1019,8 @@ object Similarity {
       yield (m, j.toLong, cb(m)(j).toSeq)).toDF("m", "j", "cw")
     qres.select(col("query_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(cb.length - 1)), m =>
-          slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+          slice(col("e"), (m * lit(cb.head.head.length) + 1).cast("int"),
+            lit(cb.head.head.length))))
           .as(Seq("m", "sv")))
       .join(broadcast(cbDf), Seq("m"))
       .withColumn("dist",
@@ -1070,7 +1076,7 @@ object Similarity {
     * metadata-scale collect as kmeansCellsFrom's means. */
   private[graft] def pqTrainCodebook(eqd: DataFrame,
       iters: Int, sampleMod: Long = 1L,
-      pqM: Int = PqM): Array[Array[Array[Long]]] = {
+      pqM: Int = PqM, pqSub: Int = PqSub): Array[Array[Array[Long]]] = {
     // same bounded-training-sample knob as trainQuantizedCents: the
     // codebook trains on the vec_id % sampleMod == 0 subset (1 = all,
     // the registered fixture posture the oracles replay), encoding
@@ -1083,11 +1089,11 @@ object Similarity {
     val seeds: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toArray)
     var cb: Array[Array[Array[Long]]] = Array.tabulate(pqM) { m =>
-      seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      seeds.map(_.slice(m * pqSub, (m + 1) * pqSub))
     }
     val sub = tr.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(pqM - 1)), m =>
-        slice(col("e"), (m * lit(PqSub) + 1).cast("int"), lit(PqSub))))
+        slice(col("e"), (m * lit(pqSub) + 1).cast("int"), lit(pqSub))))
         .as(Seq("m", "sv")))
     for (_ <- 1 to iters) {
       val cbLit = array(cb.map(s => array(s.map(cw =>
@@ -1199,7 +1205,7 @@ object Similarity {
       k: Int = 16, nprobe: Int = AnnNprobe,
       trainIters: Int = PqTrainIters,
       coarseIters: Int = IvfCoarseIters,
-      pqM: Int = PqM): DataFrame = {
+      pqM: Int = PqM, pqSub: Int = PqSub): DataFrame = {
     // TRAINED coarse quantizer (the q142 fixed-point Lloyd rule): cells
     // live in the same floor(x·1e6) integer space as the PQ codes, so
     // corpus assignment and query probes are integer L2 — bit-stable,
@@ -1213,9 +1219,10 @@ object Similarity {
     // and encodes x − centroid(cell(x)); its cache key carries the
     // coarse rung (k, coarseIters) the residuals depend on.
     val res = residualize(assigned, coarse)
-    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters, pqM))(
+    val cb = cbResCache.getOrTrain(eqd,
+        Seq(trainIters, k, coarseIters, pqM, pqSub))(
       pqTrainCodebook(res.select(col("vec_id"), col("e")), trainIters,
-        pqM = pqM))
+        pqM = pqM, pqSub = pqSub))
     val codes = (if (cb.length.toLong * PqK * PqSub
           <= MaxInlineCentroidDoubles)
         pqEncodeLit(res.select(col("vec_id"), col("e")), cb, queryMod)
@@ -1878,33 +1885,28 @@ object Similarity {
     mrlPrefixIvfAdcFrom(graft.Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding")))
 
-  /** Same, over an arbitrary (vec_id, embedding) relation; `queryMod`
-    * thins the query batch (ScaleSmoke holds it fixed while the corpus
-    * scales — the exact-truth side is queries × corpus by design, the
-    * offline-eval posture). */
-  private[graft] def mrlPrefixIvfAdcFrom(vecs: DataFrame,
-      queryMod: Long = 50L): DataFrame = {
-    val planted = mrlPlanted(vecs)
-    val prefix = planted.select(col("vec_id"),
-      slice(col("embedding"), 1, MrlPrefixA).as("embedding"))
-    // scored candidates per query = Σ_{probed cells} |cell| − 1 (the
-    // query's own cell is always its rank-1 probe, so self is counted
-    // exactly once); × sub-quantizer count = LUT lookups actually paid
-    def lutReads(corpus: DataFrame, m: Int, out: String): DataFrame = {
-      val eqd = pqCache.rotate(quantized(corpus).persist())
-      val coarse = coarseCache.getOrTrain(eqd, Seq(16, IvfCoarseIters))(
-        trainQuantizedCents(eqd, 16, IvfCoarseIters))
-      val sizes = assignQuantizedCells(eqd, coarse)
-        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      probeQuantizedCells(eqd.filter(col("vec_id") % queryMod === 0),
-          coarse, AnnNprobe)
-        .join(sizes, Seq("cell"))
-        .groupBy(col("query_id"))
-        .agg(((sum(col("n")) - 1L) * m).as(out))
-    }
-    val servedFull = ivfAdcTopKFrom(planted, queryMod = queryMod)
-      .select(col("query_id"), col("neighbor_id").as("cand"))
-    val readsFull = lutReads(planted, PqM, "lut_reads_full")
+  /** Scored candidates per query = Σ_{probed cells} |cell| − 1 (the
+    * query's own cell is always its rank-1 probe, so self is counted
+    * exactly once); × sub-quantizer count = LUT lookups actually paid
+    * — the q244/q247 read-mass column. */
+  private def mrlLutReads(corpus: DataFrame, m: Int, out: String,
+      queryMod: Long): DataFrame = {
+    val eqd = pqCache.rotate(quantized(corpus).persist())
+    val coarse = coarseCache.getOrTrain(eqd, Seq(16, IvfCoarseIters))(
+      trainQuantizedCents(eqd, 16, IvfCoarseIters))
+    val sizes = assignQuantizedCells(eqd, coarse)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    probeQuantizedCells(eqd.filter(col("vec_id") % queryMod === 0),
+        coarse, AnnNprobe)
+      .join(sizes, Seq("cell"))
+      .groupBy(col("query_id"))
+      .agg(((sum(col("n")) - 1L) * m).as(out))
+  }
+
+  /** Exact full-dimension top-3 truth over the planted corpus — the
+    * q46 brute-force shape, shared by q244/q247. */
+  private def mrlExactTruth(planted: DataFrame,
+      queryMod: Long): (DataFrame, DataFrame) = {
     val eq = pqCache.rotate(quantized(planted).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
@@ -1917,21 +1919,77 @@ object Similarity {
         lit(0L), (a, b) => a + b))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3).select(col("query_id"), col("cand"))
+    (queries.select(col("query_id")), truth)
+  }
+
+  private def mrlHits(r: DataFrame, truth: DataFrame,
+      name: String): DataFrame =
+    r.join(truth, Seq("query_id", "cand"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation; `queryMod`
+    * thins the query batch (ScaleSmoke holds it fixed while the corpus
+    * scales — the exact-truth side is queries × corpus by design, the
+    * offline-eval posture). */
+  private[graft] def mrlPrefixIvfAdcFrom(vecs: DataFrame,
+      queryMod: Long = 50L): DataFrame = {
+    val planted = mrlPlanted(vecs)
+    val prefix = planted.select(col("vec_id"),
+      slice(col("embedding"), 1, MrlPrefixA).as("embedding"))
+    val servedFull = ivfAdcTopKFrom(planted, queryMod = queryMod)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val readsFull = mrlLutReads(planted, PqM, "lut_reads_full", queryMod)
+    val (queries, truth) = mrlExactTruth(planted, queryMod)
     val servedPrefix = ivfAdcTopKFrom(prefix, queryMod = queryMod, pqM = 1)
       .select(col("query_id"), col("neighbor_id").as("cand"))
-    val readsPrefix = lutReads(prefix, 1, "lut_reads_prefix")
-    def hits(r: DataFrame, name: String): DataFrame =
-      r.join(truth, Seq("query_id", "cand"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
-    queries.select(col("query_id"))
-      .join(hits(servedFull, "r3_full"), Seq("query_id"), "left")
-      .join(hits(servedPrefix, "r3_prefix"), Seq("query_id"), "left")
+    val readsPrefix = mrlLutReads(prefix, 1, "lut_reads_prefix", queryMod)
+    queries
+      .join(mrlHits(servedFull, truth, "r3_full"), Seq("query_id"), "left")
+      .join(mrlHits(servedPrefix, truth, "r3_prefix"),
+        Seq("query_id"), "left")
       .join(readsFull, Seq("query_id"), "left")
       .join(readsPrefix, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("r3_full"), lit(0L)).as("r3_full"),
         coalesce(col("r3_prefix"), lit(0L)).as("r3_prefix"),
         col("lut_reads_full"), col("lut_reads_prefix"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Finer sub-quantization at the SAME stored prefix (q247) — the
+    * resolution knob q244's 10× squeeze named: with one 16-dim
+    * sub-space (M=1, K=16) near-tie candidates quantize to the same
+    * ADC distance and the id tie-break picks wrong once duplicates
+    * flood in; splitting the SAME 16-dim prefix into two 8-dim
+    * sub-spaces (M=2 — trained, encoded, and served through the
+    * identical machinery, which derives every width from the
+    * codebook's own shape) prices candidates at 16²=256 effective
+    * codewords instead of 16. Read mass doubles to 2 LUT lookups per
+    * candidate — still half the full index's 4, and the STORED vector
+    * data is the same 16/64 prefix. Output mirrors q244's prefix
+    * columns so the two rungs read side by side; the corpus, truth,
+    * and query batch are exactly q244's. */
+  def mrlPrefixIvfAdc2(spark: SparkSession, dir: String): DataFrame =
+    mrlPrefixIvfAdc2From(graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")))
+
+  /** Same, over an arbitrary (vec_id, embedding) relation. */
+  private[graft] def mrlPrefixIvfAdc2From(vecs: DataFrame,
+      queryMod: Long = 50L): DataFrame = {
+    val planted = mrlPlanted(vecs)
+    val prefix = planted.select(col("vec_id"),
+      slice(col("embedding"), 1, MrlPrefixA).as("embedding"))
+    val (queries, truth) = mrlExactTruth(planted, queryMod)
+    val served = ivfAdcTopKFrom(prefix, queryMod = queryMod,
+        pqM = 2, pqSub = 8)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    val reads = mrlLutReads(prefix, 2, "lut_reads_prefix2", queryMod)
+    queries
+      .join(mrlHits(served, truth, "r3_prefix2"), Seq("query_id"), "left")
+      .join(reads, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("r3_prefix2"), lit(0L)).as("r3_prefix2"),
+        col("lut_reads_prefix2"))
       .orderBy(col("query_id"))
   }
 

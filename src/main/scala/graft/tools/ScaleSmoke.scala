@@ -306,6 +306,16 @@ object ScaleSmoke {
           f"read_ratio=${rf / rp}%.2f")
         r.length.toLong
       }
+      // q247's shape: the same prefix re-quantized at 2×8 dims — the
+      // resolution knob for the duplicate-flood saturation the M=1
+      // row shows at 10×; wall tracks the same training+truth terms.
+      time(s"mrl_prefix_ivfadc2") {
+        val r = graft.operators.Similarity
+          .mrlPrefixIvfAdc2From(vecs, queryMod = 50L * mult).collect()
+        println(s"[scale]   mrl prefix M=2: queries=${r.length} " +
+          s"r3_prefix2=${r.map(_.getLong(1)).sum}")
+        r.length.toLong
+      }
       time(s"semantic_keep_list") {
         val kl = graft.operators.Similarity
           .semanticKeepListFrom(vecs, 0.35, k = 16 * mult)

@@ -3196,6 +3196,32 @@ class PipelineSpec extends AnyFunSuite {
       "same-cluster prefix offsets must cancel exactly")
   }
 
+  test("MRL finer prefix quantizer (q247): 2x8-dim sub-spaces lift recall; reads double, still half of full") {
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val one = Similarity.mrlPrefixIvfAdcFrom(emb).collect()
+    val two = Similarity.mrlPrefixIvfAdc2From(emb).collect()
+    val r1 = one.map(_.getLong(2)).sum            // M=1 prefix hits
+    val rf = one.map(_.getLong(1)).sum            // full-index hits
+    val r2 = two.map(_.getLong(1)).sum            // M=2 prefix hits
+    val reads1 = one.map(_.getLong(4)).sum.toDouble
+    val reads2 = two.map(_.getLong(2)).sum.toDouble
+    val readsF = one.map(_.getLong(3)).sum.toDouble
+    info(s"r3: full=$rf prefix(M=1)=$r1 prefix(M=2)=$r2; " +
+      f"reads M2/M1=${reads2 / reads1}%.2f M2/full=${reads2 / readsF}%.2f")
+    // same corpus, same truth, same stored 16-dim prefix — the finer
+    // sub-quantization must not rank worse, and here it resolves the
+    // near-ties the single 16-dim sub-space collapses
+    assert(r2 >= r1,
+      s"finer sub-quantization must not lose recall: M=2 $r2 vs M=1 $r1")
+    // read mass: exactly 2 LUT lookups per candidate vs 1 (same probed
+    // cells — the coarse quantizer is shared), still half of full's 4
+    assert(math.abs(reads2 / reads1 - 2.0) < 1e-9,
+      f"M=2 must pay exactly 2x the M=1 lookups: ${reads2 / reads1}%.3f")
+    assert(reads2 / readsF < 0.55,
+      f"M=2 prefix must stay near half the full index's reads: ${reads2 / readsF}%.3f")
+  }
+
   test("pipeline with LM gate (q242): a strict sub-mixture of q121 — the tail drop bites") {
     import graft.operators.CorpusOps
     def mix(df: org.apache.spark.sql.DataFrame) = df.collect()
