@@ -793,6 +793,13 @@ object Dedup {
     * decision, so the output is bit-stable across engines and
     * partitionings.
     *
+    * Representation: the vocabulary is dictionary-encoded once (tid =
+    * rank in the (df asc, term asc) total order, a GlobalOrder
+    * two-pass at vocabulary scale), so per-doc ordered sets, the
+    * prefix self-join key, and the verification intersect all carry
+    * LONGS — the strings leave the plan after the dictionary join
+    * (the q188 representation lesson applied to the PPJoin funnel).
+    *
     * Scale shape: tokens shuffle once on (doc_id, term) for the
     * distinct, once on term for df; per-doc prefix assembly is one
     * doc-keyed aggregation (state bounded by document vocabulary); the
@@ -816,24 +823,46 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct().persist())
     val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // per-doc tokens sorted by (df asc, term asc) — a total order, so the
-    // prefix is deterministic; L = n - ceil(tau*n) + 1 in exact integers.
-    // Persisted barrier: byDoc feeds both sides of the prefix self-join
-    // AND both verification joins (4 plan references), and the persist
-    // also gives the planner its true dimension-relation size so the
-    // verification joins broadcast.
-    val byDoc = jacDocCache.rotate(toks.join(dfreq, Seq("term"))
+    // DICTIONARY-ENCODE the vocabulary: tid = the term's 1-based rank
+    // in the (df asc, term asc) total order, assigned by the GlobalOrder
+    // two-pass (df value-bins keep df-ties together; the per-bucket
+    // window is vocabulary-scale). tid order ≡ the PPJoin total order,
+    // so prefixes, candidates, and verified pairs are IDENTICAL to the
+    // string form (property-tested) — but every downstream structure
+    // (per-doc sorted arrays, the prefix self-join key, the
+    // verification intersect) carries longs instead of (df, term)
+    // structs and strings: smaller shuffles, allocation-free compares.
+    val dict0 = GlobalOrder.bucketizeByValue(dfreq, col("df"),
+      desc = false)
+    val (tidBases, _) = GlobalOrder.exclusiveOffsets(dict0,
+      Seq(count(lit(1)).as("cnt")))
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val tidOffsets = tidBases.map { case (b, Seq(c)) => (b, c) }
+      .toDF("bucket", "tid_base")
+    val wd = Window.partitionBy(col("bucket"))
+      .orderBy(col("df"), col("term"))
+    val dict = dict0.join(broadcast(tidOffsets), Seq("bucket"))
+      .withColumn("tid",
+        (col("tid_base") + row_number().over(wd)).cast("long"))
+      .select(col("term"), col("tid"))
+    // per-doc tokens sorted by (df asc, term asc) ≡ tid asc — a total
+    // order, so the prefix is deterministic; L = n - ceil(tau*n) + 1 in
+    // exact integers. Persisted barrier: byDoc feeds both sides of the
+    // prefix self-join AND both verification joins (4 plan references),
+    // and the persist also gives the planner its true dimension-relation
+    // size so the verification joins broadcast.
+    val byDoc = jacDocCache.rotate(toks.join(dict, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
-        array_sort(collect_list(struct(col("df"), col("term"))))
-          .as("ordered"))
+        array_sort(collect_list(col("tid"))).as("ordered"))
       .persist())
     val lenP = (col("n") -
       expr(s"(n * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
     val prefix = byDoc.select(col("doc_id"), col("n"),
-      posexplode(slice(col("ordered"), lit(1), lenP)).as(Seq("p0", "p")))
+      posexplode(slice(col("ordered"), lit(1), lenP)).as(Seq("p0", "tid")))
       .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
-        col("p.term").as("term"))
+        col("tid"))
     // candidates: prefix collisions (ia < ib) surviving the length
     // filter AND the PPJoin positional filter (Xiao et al. WWW'08): a
     // collision at 1-based positions (posA, posB) of the shared
@@ -845,7 +874,7 @@ object Dedup {
     // overlap), so pruning later collisions loses nothing — exactness is
     // property-tested against brute force at three taus.
     val cand = prefix.alias("x").join(prefix.alias("y"),
-        col("x.term") === col("y.term") &&
+        col("x.tid") === col("y.tid") &&
         col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n"), col("y.n")) * tauDen >=
           greatest(col("x.n"), col("y.n")) * tauNum &&
@@ -855,14 +884,16 @@ object Dedup {
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
       .distinct()
     // exact verification: |A ∩ B| as a per-pair codegen'd
-    // array_intersect against the per-doc token arrays — the doc-array
-    // relation is one row per document (dimension-sized next to the
-    // candidate mass, so these joins broadcast; at corpus scales past
-    // broadcast they degrade to ia/ib-keyed shuffles, still linear in
-    // candidates). This beats re-exploding candidates × tokens through a
-    // (doc, term) shuffle by the average set size.
+    // array_intersect against the per-doc token-ID arrays — the
+    // doc-array relation is one row per document (dimension-sized next
+    // to the candidate mass, so these joins broadcast; at corpus scales
+    // past broadcast they degrade to ia/ib-keyed shuffles, still linear
+    // in candidates). This beats re-exploding candidates × tokens
+    // through a (doc, term) shuffle by the average set size; the
+    // intersect runs over longs (the dictionary is a bijection, so
+    // |A ∩ B| is unchanged).
     val withToks = byDoc.select(col("doc_id"), col("n"),
-      transform(col("ordered"), x => x.getField("term")).as("toks"))
+      col("ordered").as("toks"))
     cand
       .join(withToks.select(col("doc_id").as("ia"), col("n").as("size_a"),
         col("toks").as("ta")), Seq("ia"))

@@ -86,12 +86,13 @@ class RelationalSpec extends AnyFunSuite {
         // StreamingSpec
         Set("classifierTable", "classifierHeldoutTable")),
       ("StreamingIndex", streaming.StreamingIndex,
-        // store-assembly steps of the registered q226/q227/q233/q234
-        // wrappers (String param is the store dir); store ==
+        // store-assembly steps of the registered q226/q227/q233/q234/
+        // q246 wrappers (String param is the store dir); store ==
         // one-shot-encode / one-shot-postings, drift-replay, and
-        // compaction invariants asserted in StreamingSpec
+        // compaction invariants (dense + lexical) asserted in
+        // StreamingSpec
         Set("indexTable", "indexDriftTable", "lexIndexTable",
-          "compactTable")),
+          "compactTable", "compactLexTable")),
       // hotAggregate: the cached table BEHIND the registered q66 wrapper,
       // exposed so PlanSpec can pin InMemoryRelation + exercise unpersist
       ("Sources", operators.Sources, Set("hotAggregate")),
