@@ -43,6 +43,12 @@ object Bench {
     // stages so timed runs measure the operators, not JIT/codegen
     // startup (mirrors the reference's warmup iteration,
     // scanfilter_regtest.cpp:68-73).
+    // PRE-warmup host loadavg (the round-18 adjudication lesson): the
+    // post-warmup "load_avg_start" is dominated by this bench's own
+    // warmup threads (reads ≈4 even on an idle box), so only this
+    // pre-launch reading can adjudicate co-tenant contention.
+    val loadPrelaunch = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       val warmDir = "/root/testdata/sf0.001"
       names.foreach { name =>
@@ -153,8 +159,10 @@ object Bench {
     val gcJson = gcPerQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJson = String.format(java.util.Locale.ROOT,
-      """"load_avg_start":%.2f,"load_avg_end":%.2f,"gc_ms_total":%d""",
-      Double.box(loadAtStart), Double.box(loadAvg), Long.box(gcMillis))
+      """"load_avg_prelaunch":%.2f,"load_avg_start":%.2f,""" +
+        """"load_avg_end":%.2f,"gc_ms_total":%d""",
+      Double.box(loadPrelaunch), Double.box(loadAtStart),
+      Double.box(loadAvg), Long.box(gcMillis))
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","value_min":$totalMin,"subtotal_r13_list":$subtotalR13,$loadJson,"gc_ms":$gcJson,"queries":$qs,"iterations":$its,"errors":$errs,"sf":"$sfDir"}"""
     // The stdout line gets buried in sbt/log4j noise ("parsed": null in the
