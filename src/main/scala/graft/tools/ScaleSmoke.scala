@@ -929,6 +929,39 @@ object ScaleSmoke {
         println(s"[scale]   bm25 served_rows=$n")
         n
       }
+      // q246's shape: what the one-time compaction rewrite buys the
+      // serve path — (a) serve from the RAW accumulated store (per-read
+      // dedup window + the inline two-phase prune) vs (b) one
+      // compaction then serve from the annotated store (stored-rank
+      // filter). Same ranking by construction; the delta is the
+      // window mass that left the read path.
+      time(s"lex_compact_serve") {
+        import graft.streaming.StreamingIndex
+        val storeDir = java.nio.file.Files
+          .createTempDirectory(s"graft_smoke_lexc_$mult").toString
+        (0 until 3).foreach { i =>
+          StreamingIndex.lexIndexBatch(
+            docs.filter(pmod(col("doc_id") * 7919, lit(3)) === i),
+            storeDir, i)
+        }
+        val t0 = System.nanoTime()
+        val rawServed = graft.operators.TextAnalysis.bm25TopKFromPostings(
+          StreamingIndex.lexIndexTable(spark, storeDir),
+          queryMod = 50L * mult).count()
+        val tRaw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        StreamingIndex.compactLexIndex(spark, storeDir)
+        val tCompact = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val fastServed = graft.operators.TextAnalysis.bm25TopKFromPostings(
+          StreamingIndex.compactLexTable(spark, storeDir),
+          queryMod = 50L * mult).count()
+        val tFast = (System.nanoTime() - t2) / 1e9
+        println(f"[scale]   lex compact: raw_serve=$tRaw%.2f s " +
+          f"compact_once=$tCompact%.2f s fast_serve=$tFast%.2f s " +
+          s"(rows $rawServed/$fastServed)")
+        fastServed
+      }
       // bigram surprisal (q228's shape): one adjacent-pair explode
       // (≈ token mass) off a persisted barrier feeding three aggregates
       // + a pair-keyed scoring join — wall must track token mass
