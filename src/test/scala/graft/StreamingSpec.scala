@@ -1467,6 +1467,29 @@ class StreamingSpec extends AnyFunSuite {
       TextAnalysis.bm25TopKFromPostings(compact,
         postingBound = TextAnalysis.Bm25PostingBound + 1)
     }
+    // the fast path's POINT, pinned in the plan: serving from the
+    // compacted store carries only the two per-QUERY windows (the
+    // query-term rank and the final top-k) — the per-read dedup window
+    // and the two posting-prune windows are gone from the read path.
+    // Counted on the optimized LOGICAL plan; a logical tree repeats
+    // shared subtrees per reference, so the raw path's store-dedup +
+    // prune windows count ≥ once each on top of the two query windows.
+    def windowCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.length
+    val fastW = windowCount(
+      TextAnalysis.bm25TopKFromPostings(compact))
+    val rawW = windowCount(TextAnalysis.bm25TopKFromPostings(
+      StreamingIndex.lexIndexTable(spark, storeDir)))
+    assert(fastW == 2,
+      s"fast path must carry ONLY the two per-query windows: $fastW")
+    // (the store-dedup window hides inside the persisted-scan cache
+    // node once materialized, so the visible raw overhead is the two
+    // PRUNE windows — the ranking work the compaction moved off the
+    // read path)
+    assert(rawW >= fastW + 2,
+      s"raw path must still pay the per-term prune windows: $rawW")
   }
 
   test("index compaction (q234): rewrite shrinks the duplicated store; serve unchanged") {
