@@ -301,6 +301,7 @@ object SparkEntry {
     "q246_streaming_lex_compact" ->
       (graft.streaming.StreamingIndex.streamingLexCompactServe _),
     "q247_mrl_prefix_ivfadc2" -> (Similarity.mrlPrefixIvfAdc2 _),
+    "q248_ivfadc_sampletrain" -> (Similarity.ivfAdcSampleTrainRecall _),
     "q233_streaming_lex_index" ->
       (graft.streaming.StreamingIndex.streamingLexServe _),
     "q234_index_compaction" ->
@@ -2144,12 +2145,19 @@ object SparkEntry {
     * parameterized (the q244 two-chain composition uses 16; q247's
     * finer prefix quantizer uses 8). */
   private def pqLloydUnrollCtes(pfx: String, sub: Int): String =
+    pqLloydUnrollCtes(pfx, sub, s"${pfx}sv")
+
+  /** Same, training over an arbitrary sub-vector relation — the q248
+    * sampled rung unrolls over the sampled sub-vectors while the
+    * final encode covers the full `sv`. */
+  private def pqLloydUnrollCtes(pfx: String, sub: Int,
+      trainSv: String): String =
     (1 to operators.Similarity.PqTrainIters).map { i =>
       s"""${pfx}d$i AS MATERIALIZED (
          |  SELECT v.vec_id, v.m, v.sv, c.j,
          |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
          |      i -> (v.sv[i] - c.c[i]) * (v.sv[i] - c.c[i]))) AS BIGINT) AS d
-         |  FROM ${pfx}sv v JOIN ${pfx}cb${i - 1} c ON c.m = v.m),
+         |  FROM $trainSv v JOIN ${pfx}cb${i - 1} c ON c.m = v.m),
          |${pfx}a$i AS MATERIALIZED (SELECT vec_id, m, sv, j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id, m
          |     ORDER BY d, j) AS rk FROM ${pfx}d$i) WHERE rk = 1),
@@ -2245,12 +2253,19 @@ object SparkEntry {
     * full + prefix indexes) coexist in one WITH. Defaults reproduce
     * the shared 64-dim chain byte-for-byte. */
   private def coarseLloydUnrollCtes(dim: Int, pfx: String): String =
+    coarseLloydUnrollCtes(dim, pfx, s"${pfx}eq")
+
+  /** Same, training over an arbitrary relation — the q248 sampled
+    * rung unrolls over the `vec_id % sampleMod = 0` subset while the
+    * final assignment still covers the full `eq`. */
+  private def coarseLloydUnrollCtes(dim: Int, pfx: String,
+      trainRel: String): String =
     (1 to operators.Similarity.IvfCoarseIters).map { i =>
       s"""${pfx}kd$i AS MATERIALIZED (
          |  SELECT v.vec_id, v.e, c.j,
          |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
          |      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS BIGINT) AS d
-         |  FROM ${pfx}eq v CROSS JOIN ${pfx}kc${i - 1} c),
+         |  FROM $trainRel v CROSS JOIN ${pfx}kc${i - 1} c),
          |${pfx}ka$i AS MATERIALIZED (SELECT vec_id, e, j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id
          |     ORDER BY d, j) AS rk FROM ${pfx}kd$i) WHERE rk = 1),
@@ -2530,15 +2545,31 @@ object SparkEntry {
     coarseAssignCtesOver(src, 64, "")
 
   private def coarseAssignCtesOver(src: String, dim: Int,
-      pfx: String): String =
+      pfx: String): String = coarseAssignCtesOver(src, dim, pfx, "")
+
+  /** Same, with the TRAINING relation restricted to `trainPred` (the
+    * q248 sampled-train rung): seeds and every Lloyd round run over
+    * `treq` = the sample; the final corpus assignment (`kd`) is
+    * unchanged over the full `eq` — exactly the Spark side's
+    * trainQuantizedCents(sampleMod) split. Empty pred reproduces the
+    * shared chain byte-for-byte. */
+  private def coarseAssignCtesOver(src: String, dim: Int,
+      pfx: String, trainPred: String): String = {
+    val sampled = trainPred.nonEmpty
+    val trainRel = if (sampled) s"${pfx}treq" else s"${pfx}eq"
+    val trainCte = if (sampled)
+      s"""|${pfx}treq AS MATERIALIZED (
+          |  SELECT * FROM ${pfx}eq WHERE $trainPred),
+          |""".stripMargin.stripPrefix("|")
+    else ""
     s"""${pfx}eq AS MATERIALIZED (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT)) AS e
       |  FROM $src),
-      |${pfx}kc0 AS MATERIALIZED (
+      |$trainCte${pfx}kc0 AS MATERIALIZED (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS c
-      |  FROM ${pfx}eq ORDER BY vec_id LIMIT 16),
-      |${coarseLloydUnrollCtes(dim, pfx)},
+      |  FROM $trainRel ORDER BY vec_id LIMIT 16),
+      |${coarseLloydUnrollCtes(dim, pfx, trainRel)},
       |${pfx}kd AS (
       |  SELECT v.vec_id, c.j,
       |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
@@ -2549,6 +2580,7 @@ object SparkEntry {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY d, j) AS rk FROM ${pfx}kd)
       |  WHERE rk = 1)""".stripMargin
+  }
 
   private def ivfAdcOracleChain: String = ivfAdcOracleChainOver("embeddings")
 
@@ -2575,7 +2607,27 @@ object SparkEntry {
     * indexes). Defaults reproduce the shared chain byte-for-byte. */
   private def ivfAdcOracleChainOver(src: String, dim: Int, m: Int,
       pfx: String, sub: Int): String =
-    s"""${coarseAssignCtesOver(src, dim, pfx)},
+    ivfAdcOracleChainOver(src, dim, m, pfx, sub, "")
+
+  /** Same, with BOTH quantizers trained on the `trainPred` subset
+    * (q248's sampled-train rung): the coarse unroll runs over `treq`,
+    * the PQ seeds and Lloyd rounds over the sampled residual
+    * sub-vectors (`trsv`), while corpus assignment, encoding and the
+    * probe/LUT/ADC tail are unchanged over the full relations —
+    * exactly the Spark side's sampleMod split. Empty pred reproduces
+    * the shared chain byte-for-byte. */
+  private def ivfAdcOracleChainOver(src: String, dim: Int, m: Int,
+      pfx: String, sub: Int, trainPred: String): String = {
+    val sampled = trainPred.nonEmpty
+    val trainSv = if (sampled) s"${pfx}trsv" else s"${pfx}sv"
+    val trsvCte = if (sampled)
+      s"""|${pfx}trsv AS MATERIALIZED (
+          |  SELECT * FROM ${pfx}sv WHERE $trainPred),
+          |""".stripMargin.stripPrefix("|")
+    else ""
+    val seedSrc =
+      if (sampled) s"${pfx}res WHERE $trainPred" else s"${pfx}res"
+    s"""${coarseAssignCtesOver(src, dim, pfx, trainPred)},
       |${pfx}qprobe AS (
       |  SELECT vec_id AS query_id, j AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -2589,12 +2641,12 @@ object SparkEntry {
       |${pfx}sv AS MATERIALIZED (
       |  SELECT vec_id, m.m AS m, re[m.m*$sub+1 : m.m*$sub+$sub] AS sv
       |  FROM ${pfx}res CROSS JOIN (SELECT unnest(range(0, $m)) AS m) m),
-      |${pfx}cb0 AS MATERIALIZED (
+      |$trsvCte${pfx}cb0 AS MATERIALIZED (
       |  SELECT s.m, q.j, s.sv AS c
       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
-      |        FROM ${pfx}res ORDER BY vec_id LIMIT 16) q
+      |        FROM $seedSrc ORDER BY vec_id LIMIT 16) q
       |  JOIN ${pfx}sv s ON s.vec_id = q.vec_id),
-      |${pqLloydUnrollCtes(pfx, sub)},
+      |${pqLloydUnrollCtes(pfx, sub, trainSv)},
       |${pfx}cd AS (
       |  SELECT v.vec_id, v.m, c.j,
       |    CAST(list_sum(list_transform(range(1, ${sub + 1}),
@@ -2628,6 +2680,7 @@ object SparkEntry {
       |    AND l.m = x.m AND l.j = x.code
       |  WHERE x.vec_id <> qp.query_id
       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   // SemDeDup decision-table replay shared by q128 (batch) and q135
   // (streaming): the q68 cell assignment, the within-cell pairwise
@@ -4513,6 +4566,35 @@ object SparkEntry {
     // per-query number an ANN deployment reads before picking nprobe.
     "q179_ivfadc_recall" ->
       s"""WITH $ivfAdcOracleChain,
+        |appx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, neighbor_id) AS rk FROM adc)
+        |  WHERE rk <= 3),
+        |ed AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (q.e[i] - x.e[i]) * (q.e[i] - x.e[i]))) AS BIGINT) AS d
+        |  FROM eq q JOIN eq x ON x.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 50 = 0),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d, neighbor_id) AS rk FROM ed) WHERE rk <= 3)
+        |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS recall3
+        |FROM (SELECT vec_id AS query_id FROM eq WHERE vec_id % 50 = 0) q
+        |LEFT JOIN (SELECT a.query_id, count(*) AS hits FROM appx a
+        |           JOIN ex USING (query_id, neighbor_id) GROUP BY 1) h
+        |  USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
+    // q248: sampled-train IVFADC recall — the q179 gate with both
+    // quantizers trained on the vec_id % sampleMod = 0 quarter (the
+    // Jegou fixed-size-sample deployment posture): train CTEs filtered
+    // to the sample, assignment/encoding/probing/truth over the full
+    // corpus — the Spark side's trainQuantizedCents/pqTrainCodebook
+    // sampleMod split replayed exactly.
+    "q248_ivfadc_sampletrain" ->
+      s"""WITH ${ivfAdcOracleChainOver("embeddings", 64, 4, "", 16,
+          s"vec_id % ${operators.Similarity.IvfTrainSampleMod} = 0")},
         |appx AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id

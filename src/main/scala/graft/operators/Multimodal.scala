@@ -419,9 +419,16 @@ object Multimodal {
       if (ph.columns.contains("phash64")) ph.select(col("doc_id"), col("phash64"))
       else ph.select(col("doc_id"),
         // '' split keeps a trailing empty token on some engines —
-        // filter before folding so only real bit chars shift
-        expr("""aggregate(filter(split(phash, ''), c -> c != ''), 0L,
-                (acc, c) -> shiftleft(acc, 1) | if(c = '1', 1L, 0L))""")
+        // filter before folding so only real bit chars shift. A hash
+        // that is not exactly 64 '0'/'1' chars would fold into a
+        // MISALIGNED long (bands and hamming silently diverge from the
+        // string semantics), so the fallback fails fast instead.
+        when(length(col("phash")) === 64 && !col("phash").rlike("[^01]"),
+          expr("""aggregate(filter(split(phash, ''), c -> c != ''), 0L,
+                  (acc, c) -> shiftleft(acc, 1) | if(c = '1', 1L, 0L))"""))
+          .otherwise(raise_error(concat(
+            lit("phash fallback expects exactly 64 '0'/'1' chars, got: "),
+            col("phash"))))
           .as("phash64"))
     val bands = ph64.select(col("doc_id"), col("phash64"),
         explode(sequence(lit(0), lit(PhashBands - 1))).as("band_idx"))

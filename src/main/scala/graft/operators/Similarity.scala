@@ -879,6 +879,18 @@ object Similarity {
   private val PqSub = 16     // dims per sub-space (M × Sub = Dim = 64)
   private val PqK = 16       // codewords per sub-space
 
+  /** One sizing rule for every codebook literal/broadcast dispatch:
+    * the component count is M·K·(ACTUAL sub-space width) — read off
+    * the codebook's own shape, not the PqSub constant, because the
+    * width-parameterized rungs (q244's 1×16, q247's 2×8) carry
+    * non-default widths and the constant would mis-size them (2× over
+    * for 2×8; a hypothetical sub > 16 would under-size and inline an
+    * over-large literal tree). */
+  private[graft] def cbFitsInline(cb: Array[Array[Array[Long]]]): Boolean =
+    cb.length.toLong * PqK *
+      cb.headOption.flatMap(_.headOption).map(_.length).getOrElse(0) <=
+      MaxInlineCentroidDoubles
+
   /** PQ encode + query-LUT core shared by q148 (flat ADC) and q159
     * (IVFADC): returns (codes: (neighbor_id, codes), queries:
     * (query_id, lut)). One quantized scan feeds both. The codebook
@@ -895,7 +907,7 @@ object Similarity {
     val cb: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
       seeds.map(_.slice(m * PqSub, (m + 1) * PqSub))
     }
-    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+    if (cbFitsInline(cb))
       pqEncodeLit(eq, cb, queryMod)
     else pqEncodeBcast(eq, cb, queryMod)
   }
@@ -985,7 +997,7 @@ object Similarity {
     * dispatch and (j-, m-)ordered reassembly as the encode family. */
   private[graft] def pqQueryLuts(qres: DataFrame,
       cb: Array[Array[Array[Long]]]): DataFrame =
-    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+    if (cbFitsInline(cb))
       pqQueryLutsLit(qres, cb)
     else pqQueryLutsBcast(qres, cb)
 
@@ -1137,7 +1149,7 @@ object Similarity {
       iters: Int): (DataFrame, DataFrame) = {
     val eqd = pqCache.rotate(quantized(vecs).persist())
     val cb = cbCache.getOrTrain(eqd, Seq(iters))(pqTrainCodebook(eqd, iters))
-    if (cb.length.toLong * PqK * PqSub <= MaxInlineCentroidDoubles)
+    if (cbFitsInline(cb))
       pqEncodeLit(eqd, cb, queryMod)
     else pqEncodeBcast(eqd, cb, queryMod)
   }
@@ -1196,6 +1208,18 @@ object Similarity {
   private[graft] val AnnTopK = 3
   private[graft] val AnnNprobe = 4
 
+  /** Training-sample modulus for the SAMPLED-train rung (q248): both
+    * quantizers (coarse cells + residual PQ codebook) train on the
+    * deterministic `vec_id % 4 == 0` quarter of the corpus while
+    * assignment, encoding and serving still cover everything — the
+    * Jégou et al. deployment posture (codebook quality needs ~100·K
+    * training points, not the corpus; at 100 TB a Lloyd pass over
+    * everything is the one thing in this tier you'd never run). The
+    * oracle replays the same sampled unroll; the recall cost of
+    * sampling vs the full-train index is measured in SimilaritySpec
+    * and SCALING.md. */
+  private[graft] val IvfTrainSampleMod = 4L
+
   /** Same, over an arbitrary (vec_id, embedding) relation. `trainIters`
     * selects the PQ codebook rung and `coarseIters` the coarse-cell
     * rung (0 = the untrained seeds — the prior-round baselines the
@@ -1205,26 +1229,27 @@ object Similarity {
       k: Int = 16, nprobe: Int = AnnNprobe,
       trainIters: Int = PqTrainIters,
       coarseIters: Int = IvfCoarseIters,
-      pqM: Int = PqM, pqSub: Int = PqSub): DataFrame = {
+      pqM: Int = PqM, pqSub: Int = PqSub,
+      sampleMod: Long = 1L): DataFrame = {
     // TRAINED coarse quantizer (the q142 fixed-point Lloyd rule): cells
     // live in the same floor(x·1e6) integer space as the PQ codes, so
     // corpus assignment and query probes are integer L2 — bit-stable,
     // and the oracle replays the coarse training unroll exactly like
     // the PQ one.
     val eqd = pqCache.rotate(quantized(vecs).persist())
-    val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
-      trainQuantizedCents(eqd, k, coarseIters))
+    val coarse = coarseCache.getOrTrain(eqd,
+        Seq(k, coarseIters, sampleMod.toInt))(
+      trainQuantizedCents(eqd, k, coarseIters, sampleMod))
     val assigned = assignQuantizedCells(eqd, coarse)
     // RESIDUAL encoding (the Jégou IVFADC rule): the codebook trains on
     // and encodes x − centroid(cell(x)); its cache key carries the
     // coarse rung (k, coarseIters) the residuals depend on.
     val res = residualize(assigned, coarse)
     val cb = cbResCache.getOrTrain(eqd,
-        Seq(trainIters, k, coarseIters, pqM, pqSub))(
+        Seq(trainIters, k, coarseIters, pqM, pqSub, sampleMod.toInt))(
       pqTrainCodebook(res.select(col("vec_id"), col("e")), trainIters,
-        pqM = pqM, pqSub = pqSub))
-    val codes = (if (cb.length.toLong * PqK * PqSub
-          <= MaxInlineCentroidDoubles)
+        sampleMod, pqM = pqM, pqSub = pqSub))
+    val codes = (if (cbFitsInline(cb))
         pqEncodeLit(res.select(col("vec_id"), col("e")), cb, queryMod)
       else pqEncodeBcast(res.select(col("vec_id"), col("e")), cb,
         queryMod))._1
@@ -1284,8 +1309,7 @@ object Similarity {
     val eqb = quantized(batch)
     val assigned = assignQuantizedCells(eqb, coarse)
     val res = residualize(assigned, coarse).select(col("vec_id"), col("e"))
-    val codes = (if (cb.length.toLong * PqK * PqSub
-          <= MaxInlineCentroidDoubles) pqEncodeLit(res, cb, Long.MaxValue)
+    val codes = (if (cbFitsInline(cb)) pqEncodeLit(res, cb, Long.MaxValue)
       else pqEncodeBcast(res, cb, Long.MaxValue))._1
     assigned.select(col("vec_id"), col("cell"))
       .join(codes.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"))
@@ -2208,16 +2232,32 @@ object Similarity {
   def ivfAdcRecallEval(spark: SparkSession, dir: String): DataFrame =
     ivfAdcRecallEvalFrom(graft.Tables(spark, dir).embeddings)
 
+  /** Sampled-train IVFADC recall (q248) — q179's recall gate with BOTH
+    * quantizers trained on the `vec_id % IvfTrainSampleMod == 0`
+    * sample (seeds included: they are the sample's K lowest ids) while
+    * assignment, encoding, probing and the exact truth side still
+    * cover the whole corpus. This is the deployed training posture at
+    * 100 TB — Lloyd passes scan a fixed-size sample, never the corpus
+    * — registered as its own rung so the recall cost of sampling is an
+    * oracle-checked number next to q179's full-train one, not a
+    * spec-only claim. The oracle replays the SAME sampled unroll
+    * (train CTEs filtered to the sample, everything downstream over
+    * the full relation), so a drift in either engine's sampling rule
+    * hash-mismatches immediately. */
+  def ivfAdcSampleTrainRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcRecallEvalFrom(graft.Tables(spark, dir).embeddings,
+      sampleMod = IvfTrainSampleMod)
+
   /** Same, over an arbitrary (vec_id, embedding) relation; `nprobe`,
     * `trainIters` and `coarseIters` expose the knobs the SCALING.md
     * sensitivity sweep reads (iters = 0 reproduces the untrained
     * composition). */
   def ivfAdcRecallEvalFrom(vecs: DataFrame, queryMod: Long = 50L,
       nprobe: Int = 4, trainIters: Int = PqTrainIters,
-      coarseIters: Int = IvfCoarseIters): DataFrame = {
+      coarseIters: Int = IvfCoarseIters, sampleMod: Long = 1L): DataFrame = {
     val approx = ivfAdcTopKFrom(vecs, topK = 3, queryMod = queryMod,
         nprobe = nprobe, trainIters = trainIters,
-        coarseIters = coarseIters)
+        coarseIters = coarseIters, sampleMod = sampleMod)
       .select(col("query_id"), col("neighbor_id"))
     val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % queryMod === 0)

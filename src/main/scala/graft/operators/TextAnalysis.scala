@@ -519,20 +519,12 @@ object TextAnalysis {
     // its top-`postingBound` postings by the SAME quantized integer
     // impact the scorer sums — already proven bit-identical to the
     // oracle's, so rank-thresholding it (impact desc, cid tie-break)
-    // keeps identical sets cross-engine. A store that already carries
-    // the materialized (impact, prk) annotation (q246's compaction)
-    // serves by FILTERING the stored rank — the two-phase windows run
-    // once at compaction, not per serve.
-    val kept =
-      if (cc.columns.contains("prk")) {
-        require(postingBound <= Bm25PostingBound,
-          s"stored posting ranks cover only prk <= $Bm25PostingBound; " +
-            s"asked for $postingBound — recompact or rank inline")
-        cc.filter(col("prk") <= postingBound)
-          .select(col("t"), col("cid").as("cand"), col("impact"))
-      } else
-        bm25KeptPostings(cc, idf, avgdl, postingBound)
-          .select(col("t"), col("cid").as("cand"), col("impact"))
+    // keeps identical sets cross-engine. One shared entry point
+    // ([[bm25KeptFor]]) dispatches the stored-rank fast path (q246's
+    // compacted store) vs the inline two-phase rank, guards both, and
+    // computes the prune audit both ways.
+    val kept = bm25KeptFor(cc, idf, avgdl, postingBound)
+      .select(col("t"), col("cid").as("cand"), col("impact"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("cand"))
     qSel
@@ -546,6 +538,51 @@ object TextAnalysis {
         expr("cand div 1048576").as("doc_id"),
         expr("cand % 1048576").as("chunk_idx"), col("score_q"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The last serve's prune audit — the q243 kept/skipped split at
+    * the SERVED corpus's shape plus which prune path ran, published so
+    * a deployment sees what the bound is dropping on ITS data without
+    * a separate audit query. Lazy (an unexecuted plan over the
+    * persisted posting relation): reading it costs one vocabulary-
+    * scale aggregate; never reading it costs nothing. */
+  @volatile private var lastAuditVar: Option[DataFrame] = None
+  def lastServeAudit: Option[DataFrame] = lastAuditVar
+
+  /** The ONE kept-posting entry point both serve paths go through —
+    * the guard and the audit live here so the two paths cannot
+    * diverge. Stored-rank path (the relation carries q246's
+    * materialized `prk` annotation): validate the requested bound
+    * against the bound the store was ACTUALLY compacted with (the
+    * row-constant `pbound` column the annotation writes — NOT the
+    * current compile-time constant, which a later build could raise
+    * and silently serve truncated prefixes from an old store), then
+    * filter the stored rank. Inline path: the two-phase salted rank.
+    * Either way [[lastServeAudit]] gets the q243 kept/skipped split
+    * over this corpus at this bound, tagged with the path taken. */
+  private[graft] def bm25KeptFor(cc: DataFrame, idf: DataFrame,
+      avgdl: Double, postingBound: Int): DataFrame = {
+    val stored = cc.columns.contains("prk")
+    lastAuditVar = Some(
+      bm25PruneAuditOf(cc.select(col("cid"), col("t")), postingBound)
+        .withColumn("prune_path",
+          lit(if (stored) "stored_rank" else "inline_rank")))
+    if (stored) {
+      // legacy annotated stores (pre-pbound) fall back to the
+      // compile-time constant they were necessarily compacted with
+      val storedBound =
+        if (cc.columns.contains("pbound"))
+          cc.select(first(col("pbound"))).head().getLong(0)
+        else Bm25PostingBound.toLong
+      require(postingBound <= storedBound,
+        s"store was compacted with posting ranks only to prk <= " +
+          s"$storedBound; asked for $postingBound — recompact or rank " +
+          "inline")
+      cc.filter(col("prk") <= postingBound)
+        .select(col("t"), col("cid"), col("impact"))
+    } else
+      bm25KeptPostings(cc, idf, avgdl, postingBound)
+        .select(col("t"), col("cid"), col("impact"))
   }
 
   /** The two-phase per-term top-`bound` posting prune: phase 1 ranks
@@ -589,6 +626,12 @@ object TextAnalysis {
     postings.join(
       bm25KeptPostings(postings, idf, avgdl, Bm25PostingBound),
       Seq("t", "cid"), "left")
+      // the bound this store is ranked to, carried ON the store (one
+      // RLE-constant column): the serve guard validates requests
+      // against what was ACTUALLY compacted, so raising the compile-
+      // time constant can never silently serve an old store's
+      // shorter prefixes
+      .withColumn("pbound", lit(Bm25PostingBound.toLong))
   }
 
   /** (N, avgdl) of a posting relation — one grouped pass; shared by
@@ -623,9 +666,17 @@ object TextAnalysis {
 
   /** Same, over an arbitrary (doc_id, text) corpus. */
   private[graft] def bm25PruneReportFrom(docs: DataFrame,
-      postingBound: Int = Bm25PostingBound): DataFrame = {
+      postingBound: Int = Bm25PostingBound): DataFrame =
+    bm25PruneAuditOf(bm25Postings(docs), postingBound)
+
+  /** The audit itself, over a POSTING relation — shared by q243 (one-
+    * shot corpus report) and [[bm25KeptFor]] (the per-serve summary),
+    * so the report a deployment plans with and the split a serve
+    * publishes are the same construction by definition. */
+  private[graft] def bm25PruneAuditOf(postings: DataFrame,
+      postingBound: Int): DataFrame = {
     val p = lit(postingBound.toLong)
-    bm25Postings(docs)
+    postings
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
       .agg(count(lit(1)).as("n_terms"),
         sum(when(col("df") > p, 1L).otherwise(0L)).as("n_pruned_terms"),

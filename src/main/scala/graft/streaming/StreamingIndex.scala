@@ -70,22 +70,50 @@ object StreamingIndex {
       col("id").as("cell"), array().cast("array<long>").as("codes"))
   }
 
+  /** Write one compaction snapshot under the [[Snapshots]]
+    * commit-marker convention — versioned `compact/b=<v>/` dirs whose
+    * `_SUCCESS` is the commit. The batch ingests already follow this
+    * discipline; the compaction rewrite — the ONE operation that
+    * touches the whole store — must too: a bare `compact/` overwrite
+    * that dies mid-rewrite on an object store leaves a partial dir a
+    * later serve would trust. Here a crashed rewrite leaves an
+    * UNcommitted `b=v` that readers never see (they fall back to the
+    * uncompacted path) and the next compaction overwrites. Older
+    * committed snapshots are pruned only AFTER the new one commits. */
+  private def writeCompactSnapshot(spark: SparkSession,
+      compactRoot: String, df: DataFrame): Unit = {
+    val next = Snapshots.committedIds(spark, compactRoot)
+      .sorted.lastOption.map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$compactRoot/b=$next")
+    Snapshots.prune(spark, compactRoot, next + 1)
+  }
+
+  /** The latest COMMITTED compaction snapshot, if any — the read-side
+    * barrier: a half-written rewrite (no _SUCCESS) stays invisible. */
+  private def committedCompact(spark: SparkSession,
+      compactRoot: String): Option[DataFrame] =
+    Snapshots.latest(spark, compactRoot, Long.MaxValue)
+      .map(spark.read.parquet(_))
+
   /** Compact the dense index store: ONE rewrite that materializes the
-    * per-read vec_id dedup ([[indexTable]]'s window) into a flat
-    * `compact/` snapshot — the maintenance job an accumulating store
-    * needs so SERVE reads stop paying the dedup shuffle (at 100 TB
-    * this is the cell-partitioned metadata rewrite the module doc
-    * promises: it touches codes rows once and never re-encodes). The
-    * write's own _SUCCESS is the marker; rerunning overwrites
-    * idempotently. */
+    * per-read vec_id dedup ([[indexTable]]'s window) into a
+    * commit-markered `compact/b=<v>/` snapshot — the maintenance job
+    * an accumulating store needs so SERVE reads stop paying the dedup
+    * shuffle (at 100 TB this is the cell-partitioned metadata rewrite
+    * the module doc promises: it touches codes rows once and never
+    * re-encodes). */
   def compactIndex(spark: SparkSession, storeDir: String): Unit =
-    indexTable(spark, storeDir)
-      .write.mode("overwrite").parquet(s"$storeDir/compact")
+    writeCompactSnapshot(spark, s"$storeDir/compact",
+      indexTable(spark, storeDir))
 
   /** The compacted (vec_id, cell, codes) relation — already deduped,
-    * no window on the read path. */
+    * no window on the read path. Falls back to the UNcompacted
+    * [[indexTable]] (same logical contract, dedup window paid
+    * per-read) when no compaction has COMMITTED — a crashed rewrite
+    * degrades to the slow path, never to a partial store. */
   def compactTable(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/compact")
+    committedCompact(spark, s"$storeDir/compact")
+      .getOrElse(indexTable(spark, storeDir))
 
   /** Registered q234 entry: q226's ingest PLUS an overlapping replay
     * (a third of the corpus re-ingested under a later batch id — the
@@ -206,16 +234,20 @@ object StreamingIndex {
     * stored prefix equals the serve-time prune exactly and the served
     * ranking — hence the oracle — is unchanged. */
   def compactLexIndex(spark: SparkSession, storeDir: String): Unit =
-    graft.operators.TextAnalysis
-      .bm25AnnotatePostings(lexIndexTable(spark, storeDir))
-      .sortWithinPartitions(col("t"),
-        coalesce(col("prk"), lit(Long.MaxValue)))
-      .write.mode("overwrite").parquet(s"$storeDir/compact")
+    writeCompactSnapshot(spark, s"$storeDir/compact",
+      graft.operators.TextAnalysis
+        .bm25AnnotatePostings(lexIndexTable(spark, storeDir))
+        .sortWithinPartitions(col("t"),
+          coalesce(col("prk"), lit(Long.MaxValue))))
 
   /** The compacted annotated posting relation — deduped, rank
-    * materialized, no window on the read path. */
+    * materialized, no window on the read path. Falls back to the
+    * UNcompacted [[lexIndexTable]] (per-read dedup window + inline
+    * two-phase rank — same served ranking, slow path) when no
+    * compaction has COMMITTED. */
   def compactLexTable(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/compact")
+    committedCompact(spark, s"$storeDir/compact")
+      .getOrElse(lexIndexTable(spark, storeDir))
 
   /** Registered q246 entry: q233's ingest PLUS an overlapping replay
     * (a third of the corpus re-ingested under a later batch id — the

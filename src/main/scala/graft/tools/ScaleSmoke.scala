@@ -962,6 +962,96 @@ object ScaleSmoke {
           s"(rows $rawServed/$fastServed)")
         fastServed
       }
+      // END-TO-END platform composition (the number a platform team
+      // quotes): corpus in → cleaned/deduped/decontaminated/LM-gated
+      // corpus out → BOTH serving indexes built from the kept corpus
+      // (q246's compacted lexical store + q231's dense IVFADC store)
+      // → one serve from each. Stage-by-stage wall + shuffle-write +
+      // spill split, so the dominant term at each scale is named by
+      // the probe itself, not inferred.
+      time(s"e2e_platform") {
+        import graft.operators.{TextAnalysis, Similarity}
+        import graft.functions.TextFunctions
+        import graft.streaming.StreamingIndex
+        val shW = new java.util.concurrent.atomic.AtomicLong(0)
+        val spB = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null) {
+              shW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+              spB.addAndGet(te.taskMetrics.memoryBytesSpilled +
+                te.taskMetrics.diskBytesSpilled)
+            }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def stage(label: String)(f: => Long): Long = {
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+          val (s0, p0) = (shW.get, spB.get)
+          val t0 = System.nanoTime()
+          val rows = f
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+          println(f"[scale]   e2e $label%-13s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+            f"  rows=$rows%-9d shuffle_mb=${(shW.get - s0) / 1000000L}%-7d" +
+            f" spill_mb=${(spB.get - p0) / 1000000L}%d")
+          rows
+        }
+        // stage 1: the q242 cleaning chain, ending at the KEPT corpus
+        // relation instead of the mixture rollup (same stages, same
+        // gates) — persisted because both index builds read it
+        val keep = docs.groupBy(md5(col("text")))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val bench = TextAnalysis.docGrams(docs.filter(col("doc_id") % 5 === 0))
+          .select(col("g")).distinct()
+        val corpus = docs.join(keep, Seq("doc_id"))
+          .filter(col("doc_id") % 5 =!= 0)
+        val contaminated = TextAnalysis.docGrams(corpus)
+          .join(broadcast(bench), Seq("g")).select(col("doc_id")).distinct()
+        val lmKeep = TextAnalysis.lmQualityBucketsFrom(docs)
+          .filter(col("bucket") < TextAnalysis.LmQualityTiles)
+          .select(col("doc_id"))
+        val kept = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          .join(lmKeep, Seq("doc_id"), "left_semi")
+          .filter(TextFunctions.qualityScore(col("text")) >= 300 &&
+            TextFunctions.tokenCount(col("text")).cast("long") >= 50 &&
+            TextAnalysis.topwordPm(col("text")) <= 200 &&
+            TextAnalysis.dupBigramPm(col("text")) <= 100)
+          .select(col("doc_id"), col("text"))
+          .persist()
+        val nKept = stage("clean")(kept.count())
+        // stage 2: lexical store — ingest the kept corpus, one
+        // compaction rewrite, serve through the stored-rank fast path
+        val lexDir = java.nio.file.Files
+          .createTempDirectory(s"graft_smoke_e2e_lex_$mult").toString
+        stage("lex_build") {
+          StreamingIndex.lexIndexBatch(kept, lexDir, 0L)
+          spark.read.parquet(s"$lexDir/postings").count()
+        }
+        stage("lex_compact") {
+          StreamingIndex.compactLexIndex(spark, lexDir)
+          1L
+        }
+        stage("lex_serve") {
+          TextAnalysis.bm25TopKFromPostings(
+            StreamingIndex.compactLexTable(spark, lexDir),
+            queryMod = 50L * mult).count()
+        }
+        // stage 3: dense store — chunk-vector fixture over the kept
+        // corpus, train + encode once, serve from the stored codes
+        val cv = Similarity.chunkVectors(kept, t.embeddings)
+        val (coarse, cbk) = Similarity.ivfAdcTrain(cv)
+        val stored = Similarity.ivfAdcEncode(cv, coarse, cbk).persist()
+        stage("dense_build")(stored.count())
+        stage("dense_serve") {
+          Similarity.ivfAdcServe(stored,
+            cv.filter(col("vec_id") % (50L * mult) === 0),
+            coarse, cbk).count()
+        }
+        stored.unpersist()
+        kept.unpersist()
+        spark.sparkContext.removeSparkListener(listener)
+        nKept
+      }
       // bigram surprisal (q228's shape): one adjacent-pair explode
       // (≈ token mass) off a persisted barrier feeding three aggregates
       // + a pair-keyed scoring join — wall must track token mass
@@ -1069,6 +1159,21 @@ object ScaleSmoke {
         val v = graft.operators.Multimodal.videoPerceptualNearDupFrom(docs)
         val n = v.filter(col("ia").isNotNull).count()
         println(s"[scale]   video perceptual pairs=$n")
+        n
+      }
+      // perceptual video near-dup, SEQUENCE-LENGTH axis (q245's second
+      // axis — q217's longseq probe with the aHash frame words): fixed
+      // corpus, payloads repeated mult× so per-video frame count grows
+      // mult×. The aHash adds one JVM map pass over frame mass that the
+      // md5 form didn't have; cost must still track total frame-shingle
+      // mass linearly, never frames-per-video².
+      time(s"video_perceptual_longseq") {
+        val longDocs = t.documents.select(col("doc_id"),
+          concat_ws(" ", array_repeat(col("text"), mult)).as("text"))
+        val v = graft.operators.Multimodal
+          .videoPerceptualNearDupFrom(longDocs)
+        val n = v.filter(col("ia").isNotNull).count()
+        println(s"[scale]   video perceptual longseq pairs=$n (len x$mult)")
         n
       }
       // cross-source duplicate matrix (q174's shape) on a MANY-sources

@@ -1709,6 +1709,90 @@ class PipelineSpec extends AnyFunSuite {
       s"skipped report: ${d2(0)}")
   }
 
+  test("string-phash fallback fails fast on malformed hashes") {
+    import spark.implicits._
+    // a 63-char (or non-binary) hash would fold into a MISALIGNED
+    // packed long — bands and hamming silently diverging from the
+    // string semantics — so the fallback must raise, not mis-pack
+    val bad = Seq((1L, "0" * 63), (2L, "0" * 64))
+    val ex = intercept[Exception] {
+      operators.Multimodal.imageNearDupFrom(bad.toDF("doc_id", "phash"))
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("64"), s"unexpected: ${ex.getMessage}")
+    val nonBinary = Seq((1L, "0" * 63 + "x"), (2L, "0" * 64))
+    intercept[Exception] {
+      operators.Multimodal
+        .imageNearDupFrom(nonBinary.toDF("doc_id", "phash")).collect()
+    }
+  }
+
+  test("BM25 prune audit: both serve paths publish the q243 split; stored bound guards the fast path") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    def auditRow(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))
+    }
+    val want = TextAnalysis.bm25PruneReportFrom(docs).collect().head
+    // inline path: constructing the serve publishes the audit
+    TextAnalysis.bm25TopKFrom(docs)
+    val inl = auditRow(TextAnalysis.lastServeAudit.get)
+    assert(inl._6 == "inline_rank")
+    assert((inl._1, inl._2, inl._3, inl._4, inl._5) ==
+      (want.getLong(0), want.getLong(1), want.getLong(2),
+        want.getLong(3), want.getLong(4)),
+      s"inline audit $inl != q243 report $want")
+    // stored-rank path over the annotated store: same split, tagged
+    val annotated = TextAnalysis.bm25AnnotatePostings(
+      TextAnalysis.bm25Postings(docs))
+    TextAnalysis.bm25TopKFromPostings(annotated)
+    val st = auditRow(TextAnalysis.lastServeAudit.get)
+    assert(st._6 == "stored_rank")
+    assert((st._1, st._2, st._3, st._4, st._5) ==
+      (inl._1, inl._2, inl._3, inl._4, inl._5),
+      s"stored audit $st != inline audit $inl")
+    // the guard validates against the bound the store was ACTUALLY
+    // compacted with, not the compile-time constant: an old store
+    // ranked only to 64 must refuse a 128-posting serve even though
+    // the current constant is 128
+    val oldStore = annotated
+      .withColumn("pbound", lit(64L))
+      .filter(col("prk").isNull || col("prk") <= 64)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromPostings(oldStore,
+        postingBound = TextAnalysis.Bm25PostingBound)
+    }
+    assert(ex.getMessage.contains("compacted"), ex.getMessage)
+    // a request WITHIN the old store's bound serves fine
+    assert(TextAnalysis.bm25TopKFromPostings(oldStore, postingBound = 64)
+      .collect().nonEmpty)
+  }
+
+  test("sampled-train IVFADC (q248): quarter-sample training serves full-corpus queries; recall near full-train") {
+    import graft.operators.Similarity
+    val vecs = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    def meanRecall(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      (rows.length.toLong, rows.map(_._2).sum.toDouble / rows.length)
+    }
+    val (nFull, full) = meanRecall(Similarity.ivfAdcRecallEvalFrom(vecs))
+    val (nSamp, samp) = meanRecall(
+      Similarity.ivfAdcSampleTrainRecall(spark, sf))
+    // same query set (training never thins serving), and the quarter-
+    // sample codebook must hold recall within one hit of full-train —
+    // the Jégou posture's whole claim (codebook quality needs ~100·K
+    // points, not the corpus)
+    assert(nSamp == nFull, s"query sets differ: $nSamp vs $nFull")
+    assert(samp > 0.0, "sampled-train index must retrieve true neighbors")
+    assert(samp >= full - 1.0,
+      s"sampled-train recall $samp collapsed vs full-train $full")
+  }
+
   test("video perceptual near-dup (q245): a re-encoded clip defeats q217 but not the aHash funnel") {
     import spark.implicits._
     import graft.operators.Multimodal

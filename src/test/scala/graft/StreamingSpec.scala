@@ -1492,6 +1492,74 @@ class StreamingSpec extends AnyFunSuite {
       s"raw path must still pay the per-term prune windows: $rawW")
   }
 
+  test("compaction commit marker: a partial rewrite is invisible; serves fall back to the uncompacted path") {
+    import graft.operators.{Similarity, TextAnalysis}
+    import graft.streaming.StreamingIndex
+    import org.apache.hadoop.fs.Path
+    def fs(p: String) = new Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // ---- lexical side
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val lexDir = java.nio.file.Files
+      .createTempDirectory("graft_lex_marker_spec").toString
+    (0 until 2).foreach { i =>
+      StreamingIndex.lexIndexBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === i), lexDir, i)
+    }
+    val direct = topk(TextAnalysis.bm25TopKFrom(docs))
+    // BEFORE any compaction: compactLexTable must degrade to the
+    // uncompacted path (per-read dedup + inline prune), not fail
+    assert(topk(TextAnalysis.bm25TopKFromPostings(
+      StreamingIndex.compactLexTable(spark, lexDir))) == direct,
+      "no-compact fallback must serve the one-shot ranking")
+    StreamingIndex.compactLexIndex(spark, lexDir)
+    assert(StreamingIndex.compactLexTable(spark, lexDir)
+      .columns.contains("prk"), "committed compact must serve fast path")
+    // kill the commit marker — the snapshot is now a crashed partial
+    // rewrite; serves must NOT trust it
+    assert(fs(lexDir).delete(new Path(s"$lexDir/compact/b=0/_SUCCESS"), false))
+    val fb = StreamingIndex.compactLexTable(spark, lexDir)
+    assert(!fb.columns.contains("prk"),
+      "a partial compact snapshot must be invisible to readers")
+    assert(topk(TextAnalysis.bm25TopKFromPostings(fb)) == direct,
+      "partial-compact fallback must serve the one-shot ranking")
+    // recompact: a fresh committed snapshot lands and the fast path
+    // returns, ranking unchanged
+    StreamingIndex.compactLexIndex(spark, lexDir)
+    val re = StreamingIndex.compactLexTable(spark, lexDir)
+    assert(re.columns.contains("prk"))
+    assert(topk(TextAnalysis.bm25TopKFromPostings(re)) == direct)
+    // ---- dense side
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, cb) = Similarity.ivfAdcTrain(emb)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_marker_spec").toString
+    (0 until 2).foreach { i =>
+      StreamingIndex.indexBatch(
+        emb.filter(pmod(col("vec_id"), lit(2)) === i),
+        annDir, coarse, cb, i)
+    }
+    def serveAnn(st: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAdcServe(st, emb.filter(col("vec_id") % 50 === 0),
+        coarse, cb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val oneShot = serveAnn(StreamingIndex.indexTable(spark, annDir))
+    StreamingIndex.compactIndex(spark, annDir)
+    assert(fs(annDir).delete(new Path(s"$annDir/compact/b=0/_SUCCESS"), false))
+    assert(serveAnn(StreamingIndex.compactTable(spark, annDir)) == oneShot,
+      "dense partial-compact fallback must serve the uncompacted store")
+    StreamingIndex.compactIndex(spark, annDir)
+    assert(fs(annDir).exists(new Path(s"$annDir/compact/b=0/_SUCCESS")),
+      "recompaction must land a committed snapshot")
+    assert(serveAnn(StreamingIndex.compactTable(spark, annDir)) == oneShot,
+      "recompacted serve must equal the one-shot ranking")
+  }
+
   test("index compaction (q234): rewrite shrinks the duplicated store; serve unchanged") {
     import graft.operators.Similarity
     import graft.streaming.StreamingIndex
