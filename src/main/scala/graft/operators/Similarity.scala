@@ -721,6 +721,16 @@ object Similarity {
       else eq.filter(col("vec_id") % sampleMod === 0)
     var cents: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
+    // An empty (or sub-K) sample would train an empty codebook and
+    // surface later as an opaque analysis error inside the assignment
+    // map — fail here with the actual cause instead. (Found live: a
+    // composite-id corpus where vec_id = doc_id·2^20 + chunk_idx and a
+    // sampleMod sharing factors with 2^20 selected only ids a prior
+    // filter had removed.)
+    require(cents.length == k,
+      s"coarse training sample has only ${cents.length} of $k needed " +
+        s"seed vectors (sampleMod=$sampleMod) — lower sampleMod or check " +
+        "the id structure against the modulus")
     for (_ <- 1 to iters) {
       val means = assignQuantizedCells(tr, cents)
         .select(col("cell"), posexplode(col("e")).as(Seq("comp", "v")))
@@ -1100,6 +1110,10 @@ object Similarity {
       else eqd.filter(col("vec_id") % sampleMod === 0)
     val seeds: Array[Array[Long]] = tr.orderBy(col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == PqK,
+      s"PQ training sample has only ${seeds.length} of $PqK needed seed " +
+        s"vectors (sampleMod=$sampleMod) — lower sampleMod or check the " +
+        "id structure against the modulus")
     var cb: Array[Array[Array[Long]]] = Array.tabulate(pqM) { m =>
       seeds.map(_.slice(m * pqSub, (m + 1) * pqSub))
     }
@@ -1285,15 +1299,17 @@ object Similarity {
     * session. */
   private[graft] def ivfAdcTrain(vecs: DataFrame, k: Int = 16,
       coarseIters: Int = IvfCoarseIters,
-      trainIters: Int = PqTrainIters)
+      trainIters: Int = PqTrainIters, sampleMod: Long = 1L)
       : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val eqd = pqCache.rotate(quantized(vecs).persist())
-    val coarse = coarseCache.getOrTrain(eqd, Seq(k, coarseIters))(
-      trainQuantizedCents(eqd, k, coarseIters))
+    val coarse = coarseCache.getOrTrain(eqd,
+        Seq(k, coarseIters, sampleMod.toInt))(
+      trainQuantizedCents(eqd, k, coarseIters, sampleMod))
     val cbEqd = assignQuantizedCells(eqd, coarse)
-    val cb = cbResCache.getOrTrain(eqd, Seq(trainIters, k, coarseIters))(
+    val cb = cbResCache.getOrTrain(eqd,
+        Seq(trainIters, k, coarseIters, sampleMod.toInt))(
       pqTrainCodebook(residualize(cbEqd, coarse)
-        .select(col("vec_id"), col("e")), trainIters))
+        .select(col("vec_id"), col("e")), trainIters, sampleMod))
     (coarse, cb)
   }
 

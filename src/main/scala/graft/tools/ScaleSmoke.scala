@@ -1010,15 +1010,28 @@ object ScaleSmoke {
         val lmKeep = TextAnalysis.lmQualityBucketsFrom(docs)
           .filter(col("bucket") < TextAnalysis.LmQualityTiles)
           .select(col("doc_id"))
-        val kept = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        val keptPlan = corpus.join(contaminated, Seq("doc_id"), "left_anti")
           .join(lmKeep, Seq("doc_id"), "left_semi")
           .filter(TextFunctions.qualityScore(col("text")) >= 300 &&
             TextFunctions.tokenCount(col("text")).cast("long") >= 50 &&
             TextAnalysis.topwordPm(col("text")) <= 200 &&
             TextAnalysis.dupBigramPm(col("text")) <= 100)
           .select(col("doc_id"), col("text"))
-          .persist()
-        val nKept = stage("clean")(kept.count())
+        // The cleaned corpus is the stage's DELIVERABLE: write it out
+        // and re-read, so the index builds plan against a parquet scan
+        // instead of dragging the whole cleaning lineage into every
+        // downstream job (measured: with the lineage attached, each of
+        // the ~17 training/serve actions re-plans a 30-way-union tree
+        // and the dense stages read 10-60x slower; a persist() does
+        // NOT cut logical lineage, a store boundary does — and the
+        // store boundary is what a production pipeline has anyway).
+        val keptDir = java.nio.file.Files
+          .createTempDirectory(s"graft_smoke_e2e_kept_$mult").toString
+        val nKept = stage("clean") {
+          keptPlan.write.mode("overwrite").parquet(keptDir)
+          spark.read.parquet(keptDir).count()
+        }
+        val kept = spark.read.parquet(keptDir)
         // stage 2: lexical store — ingest the kept corpus, one
         // compaction rewrite, serve through the stored-rank fast path
         val lexDir = java.nio.file.Files
@@ -1037,9 +1050,29 @@ object ScaleSmoke {
             queryMod = 50L * mult).count()
         }
         // stage 3: dense store — chunk-vector fixture over the kept
-        // corpus, train + encode once, serve from the stored codes
-        val cv = Similarity.chunkVectors(kept, t.embeddings)
-        val (coarse, cbk) = Similarity.ivfAdcTrain(cv)
+        // corpus (persisted: training, encoding AND the query batch
+        // read it — at deployment the chunk vectors are a materialized
+        // relation, not re-derived per consumer), train + encode once,
+        // serve from the stored codes. Training is its own stage AND
+        // runs q248's fixed-size-sample posture (sampleMod scales with
+        // the corpus so Lloyd passes scan ~the same vector mass at
+        // every amplification — the Jégou rule; full-train at 30× was
+        // measured once at 158.8 s = 54% of the whole composition,
+        // which is exactly the posture you'd never deploy).
+        val cv = Similarity.chunkVectors(kept, t.embeddings).persist()
+        // The sample modulus must be ODD: vec_id here is the composite
+        // doc_id*2^20 + chunk_idx, and an even modulus shares factors
+        // with 2^20 — at m=120 the only solutions were chunk 0 of
+        // doc_id % 15 == 0 docs, ALL of which the decontamination %5
+        // split had removed, so the training sample was exactly empty
+        // (the engine now fails fast on that; this probe picks a
+        // structure-safe modulus).
+        var trained: (Array[Array[Long]], Array[Array[Array[Long]]]) = null
+        stage("dense_train") {
+          trained = Similarity.ivfAdcTrain(cv, sampleMod = 4L * mult + 1L)
+          trained._1.length.toLong
+        }
+        val (coarse, cbk) = trained
         val stored = Similarity.ivfAdcEncode(cv, coarse, cbk).persist()
         stage("dense_build")(stored.count())
         stage("dense_serve") {
@@ -1048,7 +1081,7 @@ object ScaleSmoke {
             coarse, cbk).count()
         }
         stored.unpersist()
-        kept.unpersist()
+        cv.unpersist()
         spark.sparkContext.removeSparkListener(listener)
         nKept
       }
