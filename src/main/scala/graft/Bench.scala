@@ -200,7 +200,9 @@ object Bench {
       "q235_lm_quality_buckets",
       // round-18 additions: the flagship LM-gated pipeline composition
       // and the bounded BM25 serving representative
-      "q242_full_pipeline_lm", "q229_bm25_topk")
+      "q242_full_pipeline_lm", "q229_bm25_topk",
+      // round-19 addition: the z-order layout audit
+      "q249_zorder_layout")
     val subtotalR13 = results
       .filter { case (k, v, _, _) => v >= 0 && !excludedFromR13Subtotal(k) }
       .map(_._2).sum

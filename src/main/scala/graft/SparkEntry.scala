@@ -45,6 +45,7 @@ object SparkEntry {
     "q28_range_join_binned" -> (graft.operators.Joins.rangeJoinBinned _),
     "q203_interval_join"    -> (graft.operators.Joins.intervalOverlapJoin _),
     "q204_hierarchy_rollup" -> (Relational.hierarchyRollup _),
+    "q249_zorder_layout"    -> (graft.operators.Layout.zorderLayout _),
     "q163_point_in_time"    -> (graft.operators.Joins.pointInTime _),
     "q29_dense_groupby"     -> (Relational.denseGroupBy _),
     "q54_approx_distinct"   -> (Relational.approxDistinct _),
@@ -513,6 +514,40 @@ object SparkEntry {
         |FROM anc JOIN part v ON v.p_partkey = anc.node
         |WHERE a < 50
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q249: the definitional per-bucket bounding boxes under the two
+    // layouts — fixed-width linear ck buckets vs the top-6-bit Morton
+    // buckets; the interleave SQL is emitted by the same Scala code the
+    // engine expression is built from, so a bit-order drift
+    // hash-mismatches immediately. All-integer quantization (DuckDB
+    // `//` == Spark `div` on non-negative BIGINTs).
+    "q249_zorder_layout" ->
+      s"""WITH o AS (
+        |  SELECT o_custkey AS ck,
+        |    date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS dy
+        |  FROM orders),
+        |b AS (SELECT min(ck) AS minck, max(ck) AS maxck,
+        |             min(dy) AS mindy, max(dy) AS maxdy FROM o),
+        |q AS (
+        |  SELECT ck, dy,
+        |    ((ck - minck) * ${(1L << operators.Layout.ZBits) - 1})
+        |      // greatest(maxck - minck, 1) AS xq,
+        |    ((dy - mindy) * ${(1L << operators.Layout.ZBits) - 1})
+        |      // greatest(maxdy - mindy, 1) AS yq,
+        |    ((ck - minck) * ${1 << operators.Layout.ZBucketBits})
+        |      // greatest(maxck - minck + 1, 1) AS lb
+        |  FROM o CROSS JOIN b),
+        |z AS (SELECT ck, dy, lb,
+        |  ${operators.Layout.zInterleaveSql("xq", "yq")} AS zv FROM q),
+        |pairs AS (
+        |  SELECT 'linear' AS layout, lb AS bucket, ck, dy FROM z
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout,
+        |    zv >> ${2 * operators.Layout.ZBits - operators.Layout.ZBucketBits}
+        |      AS bucket, ck, dy FROM z)
+        |SELECT layout, bucket, count(*) AS n_rows,
+        |  min(ck) AS min_ck, max(ck) AS max_ck,
+        |  min(dy) AS min_day, max(dy) AS max_day
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q29_dense_groupby" ->
       """SELECT CAST(l_linenumber AS BIGINT) AS linenumber, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -5592,5 +5627,10 @@ object SparkEntry {
     // top-16-idf query-term window + the top-128-impact posting
     // prune) — the round's serving-tier representative, so the
     // impact-ordered read path gets a trend line:
-    "q229_bm25_topk")
+    "q229_bm25_topk",
+    // round 19: data-layout management (Morton/z-order bucketing +
+    // per-bucket bounding boxes) — the layout audit is metadata-cheap
+    // by design, so its row doubles as a regression tripwire for the
+    // codegen'd 32-term interleave projection:
+    "q249_zorder_layout")
 }

@@ -235,7 +235,18 @@ object CorpusOps {
     // 4.9 s cached vs 3.0 s recomputed at sf0.1.
     val corpus = docs.join(keep, Seq("doc_id"))
       .filter(col("doc_id") % 5 =!= 0)
-    val contaminated = TextAnalysis.docGrams(corpus)
+    // Gram-probe the SCAN, not the deduped corpus: contamination is a
+    // per-doc_id fact, so probing the dedup losers too changes nothing
+    // (the anti-join below restricts to the kept corpus), while probing
+    // corpus-after-join would chain the explode behind the keep join —
+    // past broadcast scale that join becomes a shuffle whose output AQE
+    // coalesces by PRE-explode byte size, and the whole gram explode
+    // lands on a handful of tasks (found live at 100×: the 500k-doc
+    // shingle pass ran on 2 AQE-coalesced partitions, >20× the stage
+    // wall). Scan-attached, the explode keeps scan parallelism at any
+    // corpus size and the doc_id filter still pushes down.
+    val contaminated = TextAnalysis.docGrams(
+        docs.filter(col("doc_id") % 5 =!= 0))
       .join(broadcast(bench), Seq("g"))
       .select(col("doc_id")).distinct()
     val decontaminated = corpus.join(contaminated, Seq("doc_id"), "left_anti")

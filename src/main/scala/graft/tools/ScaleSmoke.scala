@@ -962,6 +962,102 @@ object ScaleSmoke {
           s"(rows $rawServed/$fastServed)")
         fastServed
       }
+      // Z-ORDER LAYOUT PRUNING (q249's shape, physically measured):
+      // write the orders dims twice under the same granule budget —
+      // lexicographically range-sorted by (ck, dy) vs range-sorted by
+      // the Morton code — then count, from the parquet FOOTERS, the
+      // granules a stats-pruning reader must touch for a 2-D box
+      // predicate (each granule is one row group by construction, so
+      // file min/max == row-group stats == what any engine's skipping
+      // uses). Rows are amplified WITHOUT key shifts: layout pruning is
+      // about value locality, and the shifted-island amplification
+      // would fabricate empty value space. Two boxes measured: aligned
+      // to the 8x8 Morton cell grid (the average selective query) and
+      // straddling four cells (the worst placement). Both layouts must
+      // return identical query answers; the delta is granules read.
+      time(s"zorder_pruning") {
+        import graft.operators.Layout
+        import scala.jdk.CollectionConverters._
+        val dims0 = t.orders.select(col("o_custkey").as("ck"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("dy"), col("o_totalprice"))
+        val dims = (0 until mult).map(_ => dims0).reduce(_ union _)
+        val b = dims.agg(min("ck"), max("ck"), min("dy"), max("dy")).head()
+        val (minck, maxck, mindy, maxdy) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val mask = (1L << Layout.ZBits) - 1
+        val q = dims
+          .withColumn("xq", expr(
+            s"((ck - $minck) * $mask) div ${math.max(maxck - minck, 1)}"))
+          .withColumn("yq", expr(
+            s"((dy - $mindy) * $mask) div ${math.max(maxdy - mindy, 1)}"))
+          .withColumn("zv", Layout.zInterleave(col("xq"), col("yq")))
+        val granules = 512
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_smoke_zorder_$mult").toString
+        q.repartitionByRange(granules, col("ck"), col("dy"))
+          .sortWithinPartitions("ck", "dy")
+          .write.mode("overwrite").parquet(s"$base/linear")
+        q.repartitionByRange(granules, col("zv"))
+          .sortWithinPartitions("zv")
+          .write.mode("overwrite").parquet(s"$base/zorder")
+        def stats(dir: String, ckLo: Long, ckHi: Long, dyLo: Long,
+            dyHi: Long): (Int, Int, Long) = {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
+          var total = 0; var overlap = 0; var rowsTouched = 0L
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf))
+              val blocks =
+                try rdr.getFooter.getBlocks.asScala.toList
+                finally rdr.close()
+              blocks.foreach { blk =>
+                total += 1
+                def mm(name: String): (Long, Long) = {
+                  val st = blk.getColumns.asScala
+                    .find(_.getPath.toDotString == name).get.getStatistics
+                    .asInstanceOf[org.apache.parquet.column.statistics
+                      .LongStatistics]
+                  (st.getMin, st.getMax)
+                }
+                val (cMin, cMax) = mm("ck"); val (dMin, dMax) = mm("dy")
+                if (cMin <= ckHi && cMax >= ckLo &&
+                    dMin <= dyHi && dMax >= dyLo) {
+                  overlap += 1; rowsTouched += blk.getRowCount
+                }
+              }
+            }
+          (total, overlap, rowsTouched)
+        }
+        def box(label: String, ckLo: Long, ckHi: Long, dyLo: Long,
+            dyHi: Long): Long = {
+          val (lt, lo, lr) = stats(s"$base/linear", ckLo, ckHi, dyLo, dyHi)
+          val (zt, zo, zr) = stats(s"$base/zorder", ckLo, ckHi, dyLo, dyHi)
+          def run(d: String) = spark.read.parquet(d)
+            .filter(col("ck") >= ckLo && col("ck") <= ckHi &&
+              col("dy") >= dyLo && col("dy") <= dyHi).count()
+          val (nl, nz) = (run(s"$base/linear"), run(s"$base/zorder"))
+          require(nl == nz, s"layout changed query results: $nl vs $nz")
+          println(f"[scale]   zorder pruning [$label]: " +
+            f"linear $lo/$lt granules rows=$lr vs " +
+            f"zorder $zo/$zt granules rows=$zr " +
+            f"(read-mass ${lr.toDouble / math.max(zr, 1)}%.1fx, " +
+            f"result rows $nl)")
+          nl
+        }
+        val (rck, rdy) = (maxck - minck, maxdy - mindy)
+        // aligned: exactly cell (col 2, row 5) of the 8x8 Morton grid
+        val a = box("aligned", minck + 2 * rck / 8, minck + 3 * rck / 8 - 1,
+          mindy + 5 * rdy / 8, mindy + 6 * rdy / 8 - 1)
+        // straddling: same size shifted half a cell in both dims
+        box("straddle", minck + rck / 16, minck + 3 * rck / 16,
+          mindy + 9 * rdy / 16, mindy + 11 * rdy / 16)
+        a
+      }
       // END-TO-END platform composition (the number a platform team
       // quotes): corpus in → cleaned/deduped/decontaminated/LM-gated
       // corpus out → BOTH serving indexes built from the kept corpus
@@ -1005,7 +1101,14 @@ object ScaleSmoke {
           .select(col("g")).distinct()
         val corpus = docs.join(keep, Seq("doc_id"))
           .filter(col("doc_id") % 5 =!= 0)
-        val contaminated = TextAnalysis.docGrams(corpus)
+        // Scan-attached gram probe (same fix as cleaningPipeline): at
+        // 100× the keep join stops broadcasting, and an explode chained
+        // behind the resulting shuffle join runs on AQE-coalesced
+        // partitions sized by PRE-explode bytes — measured here as the
+        // 500k-doc shingle pass on 2 tasks. Contamination is a
+        // per-doc_id fact; probing dedup losers too is harmless.
+        val contaminated = TextAnalysis.docGrams(
+            docs.filter(col("doc_id") % 5 =!= 0))
           .join(broadcast(bench), Seq("g")).select(col("doc_id")).distinct()
         val lmKeep = TextAnalysis.lmQualityBucketsFrom(docs)
           .filter(col("bucket") < TextAnalysis.LmQualityTiles)
@@ -1044,10 +1147,23 @@ object ScaleSmoke {
           StreamingIndex.compactLexIndex(spark, lexDir)
           1L
         }
+        // Serve moduli must be ODD AND 5-coprime (the training-modulus
+        // lesson, found again live on the serve side): cid is the
+        // composite doc_id*2^20 + chunk_idx, so a modulus sharing
+        // factors with 2^20 admits only low chunk indexes ≡ 0 mod
+        // gcd(m, 2^20), and a multiple of 5 then forces doc_id ≡ 0 mod
+        // 5^k — the exact ids the decontamination split removed. At
+        // m = 5000 the query batch was structurally EMPTY and the
+        // "serve" measured a no-op. m = 50·mult + 1 is odd, 5-coprime,
+        // and keeps the batch ≈ corpus/m as intended; the require
+        // makes an empty batch fail the probe instead of flattering it.
+        val serveMod = 50L * mult + 1L
         stage("lex_serve") {
-          TextAnalysis.bm25TopKFromPostings(
+          val n = TextAnalysis.bm25TopKFromPostings(
             StreamingIndex.compactLexTable(spark, lexDir),
-            queryMod = 50L * mult).count()
+            queryMod = serveMod).count()
+          require(n > 0, s"empty lexical query batch at serveMod=$serveMod")
+          n
         }
         // stage 3: dense store — chunk-vector fixture over the kept
         // corpus (persisted: training, encoding AND the query batch
@@ -1076,9 +1192,11 @@ object ScaleSmoke {
         val stored = Similarity.ivfAdcEncode(cv, coarse, cbk).persist()
         stage("dense_build")(stored.count())
         stage("dense_serve") {
-          Similarity.ivfAdcServe(stored,
-            cv.filter(col("vec_id") % (50L * mult) === 0),
+          val n = Similarity.ivfAdcServe(stored,
+            cv.filter(col("vec_id") % serveMod === 0),
             coarse, cbk).count()
+          require(n > 0, s"empty dense query batch at serveMod=$serveMod")
+          n
         }
         stored.unpersist()
         cv.unpersist()
