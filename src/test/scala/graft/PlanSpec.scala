@@ -227,4 +227,40 @@ class PlanSpec extends AnyFunSuite {
         s"$name lost the WindowGroupLimit group-limit optimization:\n$p")
     }
   }
+
+  test("cleaning chain: every explode is scan-attached, even past broadcast scale") {
+    // The 100× composition found the gram explode chained behind the
+    // md5-keep join: once that join outgrows broadcast it becomes a
+    // shuffle whose output AQE coalesces by PRE-explode byte size, and
+    // the whole shingle pass lands on a couple of tasks (measured: the
+    // 500k-doc explode on 2 partitions, >20× the stage wall). Pin the
+    // fixed shape — no join anywhere beneath a Generate — in BOTH the
+    // broadcastable regime and the at-scale one (broadcast threshold
+    // off, which forces the keep join to sort-merge exactly as a
+    // 100 TB corpus would). AQE disabled so the plan tree is walkable;
+    // the property is about logical structure, not AQE's re-planning.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (thresh <- Seq(prevB, "-1");
+           q <- Seq("q121_full_pipeline", "q242_full_pipeline_lm")) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val offenders = p.collect {
+          case g: GenerateExec if g.children.exists(
+              _.collect { case j: BaseJoinExec => j }.nonEmpty) => g
+        }
+        assert(offenders.isEmpty,
+          s"$q at broadcastThreshold=$thresh: explode planned downstream " +
+            s"of a join (AQE would coalesce it by pre-explode size):\n" +
+            offenders.map(_.simpleStringWithNodeId()).mkString("\n"))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }
