@@ -126,17 +126,28 @@ object Bench {
     }
     // Outlier re-run (the gate's second half): an iteration spread
     // past 3× on a non-trivial query means a transient hit it mid-run
-    // (GC storm, co-tenant burst). If the box is quiet NOW, re-measure
-    // once and keep the better median — the code's cost is the quiet
-    // one — with the re-run's iterations appended to the artifact and
-    // the query named in "reran", so the adjudication is in the
-    // artifact instead of in a judge session.
+    // (GC storm, co-tenant burst). Re-measure once and keep the better
+    // median — the code's cost is the quiet one — with the re-run's
+    // iterations appended to the artifact and the query named in
+    // "reran", so the adjudication is in the artifact instead of in a
+    // judge session. The re-run is NOT gated on the current loadavg:
+    // after a full 32-thread bench pass the 1-min loadavg reflects
+    // this JVM's own just-finished tasks (observed ≥3.7 on an
+    // otherwise-idle box), so a loadavg-gated re-run never fired — the
+    // round-18 flaw this mechanism was built to fix, reproduced by the
+    // mechanism itself. A bounded settle wait lets the host's 1-min
+    // average drain first; min(med, med2) means a still-noisy re-run
+    // can never make the artifact worse.
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
+    var settleBudgetMs = 120000L
     val results = firstPass.map { case r @ (name, med, ts, mn) =>
       val ok = ts.filter(_ >= 0)
       val spreadBad = med >= 0 && med > 0.5 && ok.nonEmpty &&
         ok.max / math.max(ok.min, 1e-9) > 3.0
-      if (spreadBad && loadAvg < loadGate) {
+      if (spreadBad) {
+        while (loadAvg >= loadGate && settleBudgetMs > 0) {
+          Thread.sleep(5000L); settleBudgetMs -= 5000L
+        }
         System.err.println(f"BENCH RERUN $name: spread " +
           f"${ok.max / math.max(ok.min, 1e-9)}%.1fx at median $med%.2f s")
         reran += name

@@ -610,9 +610,12 @@ object Similarity {
     * definition so the cross-engine determinism contract cannot
     * desynchronize between operators and their oracles. */
   private def quantized(vecs: DataFrame): DataFrame =
+    // fused codegen kernel ≡ transform(embedding,
+    //   x => floor(x.cast("double") * 1e6).cast("long")) — the HOF form
+    // is CodegenFallback (interpreted lambda per element); bit-equality
+    // asserted in QuantKernelsSpec
     vecs.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e"))
+      graft.functions.QuantKernels.quantize_vec(col("embedding")).as("e"))
 
   /** Bounded cache slot for the quantized-embedding scan (see
     * [[RotatingCache]]) — it feeds every Lloyd iteration. */
@@ -651,17 +654,15 @@ object Similarity {
     * cell id). Output: (vec_id, e, cell, dist_q). */
   private[graft] def assignQuantizedCellsLit(eq: DataFrame,
       cents: Array[Array[Long]]): DataFrame = {
-    val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-    val d = transform(sequence(lit(0), lit(cents.length - 1)), j =>
-      aggregate(
-        zip_with(col("e"), element_at(cl, j + 1),
-          (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
-    eq.withColumn("d", d)
-      .withColumn("cell",
-        (array_position(col("d"), array_min(col("d"))) - 1).cast("long"))
-      .select(col("vec_id"), col("e"), col("cell"),
-        element_at(col("d"), (col("cell") + 1).cast("int")).as("dist_q"))
+    // fused argmin kernel ≡ the transform/zip_with/aggregate distance
+    // array + array_position(array_min) first-min rule (the HOF chain
+    // is CodegenFallback — ~K·Dim boxed ops and K allocations per row
+    // interpreted; QuantKernelsSpec asserts bit-equality)
+    val ad = graft.functions.QuantKernels.cent_argmin(col("e"), cents)
+    eq.withColumn("ad", ad)
+      .select(col("vec_id"), col("e"),
+        element_at(col("ad"), 1).as("cell"),
+        element_at(col("ad"), 2).as("dist_q"))
   }
 
   /** Broadcast-relation quantized assignment — the scale path past the
@@ -681,8 +682,7 @@ object Similarity {
       .orderBy(col("dist_q").asc, col("cell").asc)
     eqd.join(broadcast(centDf))
       .withColumn("dist_q",
-        aggregate(zip_with(col("e"), col("c"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
+        graft.functions.QuantKernels.vec_l2q(col("e"), col("c")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("cell"), col("dist_q"))
@@ -786,12 +786,9 @@ object Similarity {
     val scored =
       if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
           <= MaxInlineCentroidDoubles) {
-        val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
-        val d = transform(sequence(lit(0), lit(cents.length - 1)), j =>
-          aggregate(
-            zip_with(col("e"), element_at(cl, j + 1),
-              (x, y) => (x - y) * (x - y)),
-            lit(0L), (a, b) => a + b))
+        // fused all-distances kernel ≡ the transform/zip_with/aggregate
+        // distance array (QuantKernelsSpec asserts bit-equality)
+        val d = graft.functions.QuantKernels.cent_dists(col("e"), cents)
         eqQ.select(col("vec_id").as("query_id"),
           posexplode(d).as(Seq("cell", "dist_c")))
       } else {
@@ -802,8 +799,7 @@ object Similarity {
         eqQ.select(col("vec_id").as("query_id"), col("e"))
           .join(broadcast(centDf))
           .withColumn("dist_c",
-            aggregate(zip_with(col("e"), col("c"),
-              (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+            graft.functions.QuantKernels.vec_l2q(col("e"), col("c")))
       }
     scored.withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
@@ -824,10 +820,10 @@ object Similarity {
       cents: Array[Array[Long]]): DataFrame =
     if (cents.length.toLong * cents.headOption.map(_.length).getOrElse(0)
         <= MaxInlineCentroidDoubles) {
-      val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+      // fused kernel ≡ zip_with(e, cents[cell], _ - _)
       assigned.select(col("vec_id"), col("cell"),
-        zip_with(col("e"), element_at(cl, (col("cell") + 1).cast("int")),
-          (x, c) => x - c).as("e"))
+        graft.functions.QuantKernels
+          .cent_residual(col("e"), col("cell"), cents).as("e"))
     } else {
       val spark = assigned.sparkSession
       import spark.implicits._
@@ -835,7 +831,7 @@ object Similarity {
         .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "rc")
       assigned.join(broadcast(centDf), Seq("cell"))
         .select(col("vec_id"), col("cell"),
-          zip_with(col("e"), col("rc"), (x, c) => x - c).as("e"))
+          graft.functions.QuantKernels.vec_sub_q(col("e"), col("rc")).as("e"))
     }
 
   // --------------------------------------- product quantization + ADC
@@ -926,30 +922,19 @@ object Similarity {
     * array, encoding one codegen'd map pass, no shuffle. */
   private[graft] def pqEncodeLit(eq: DataFrame, cb: Array[Array[Array[Long]]],
       queryMod: Long): (DataFrame, DataFrame) = {
-    // sub-space width derives from the codebook's own shape, so the
-    // same encode serves the 4×16 full index and the q247 2×8 prefix
-    val pqSub = cb.head.head.length
-    val cbLit = array(cb.map(sub => array(sub.map(cw =>
-      array(cw.map(lit(_)): _*)): _*)): _*)
-    def subvec(m: Column) =
-      slice(col("e"), (m * pqSub + 1).cast("int"), lit(pqSub))
-    // per-(m, j) integer squared-L2 from this row's sub-vector m
-    def subDists(m: Column): Column =
-      transform(element_at(cbLit, (m + 1).cast("int")), cw =>
-        aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
+    // fused codegen kernels ≡ the per-(m, j) transform/zip_with/
+    // aggregate sub-distance chain with array_position(array_min)
+    // first-min encode — sub-space width still derives from the
+    // codebook's own shape (4×16 full index, q247 2×8 prefix);
+    // QuantKernelsSpec asserts bit-equality against the HOF forms.
     // ENCODE: codes[m] = argmin_j (ties → lowest j); one map pass
     val codes = eq.withColumn("codes",
-      transform(sequence(lit(0), lit(cb.length - 1)), m => {
-        val d = subDists(m)
-        (array_position(d, array_min(d)) - 1).cast("long")
-      }))
+      graft.functions.QuantKernels.pq_codes(col("e"), cb))
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     // queries: LUT[m][j] = exact dist from query sub-vector m to cw[m][j]
     val queries = eq.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"),
-        transform(sequence(lit(0), lit(cb.length - 1)),
-          m => subDists(m)).as("lut"))
+        graft.functions.QuantKernels.pq_lut(col("e"), cb).as("lut"))
     (codes, queries)
   }
 
@@ -975,8 +960,7 @@ object Similarity {
           .as(Seq("m", "sv")))
       .join(broadcast(cbDf), Seq("m"))
       .withColumn("dist",
-        aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
+        graft.functions.QuantKernels.vec_l2q(col("sv"), col("cw")))
     val codes = sub.groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
       .groupBy(col("vec_id"))
@@ -1014,20 +998,10 @@ object Similarity {
   /** Literal-path per-(query, cell) LUTs: codebook inlined, one
     * codegen'd map over the residual query relation. */
   private[graft] def pqQueryLutsLit(qres: DataFrame,
-      cb: Array[Array[Array[Long]]]): DataFrame = {
-    val pqSub = cb.head.head.length
-    val cbLit = array(cb.map(sub => array(sub.map(cw =>
-      array(cw.map(lit(_)): _*)): _*)): _*)
-    def subvec(m: Column) =
-      slice(col("e"), (m * pqSub + 1).cast("int"), lit(pqSub))
-    def subDists(m: Column): Column =
-      transform(element_at(cbLit, (m + 1).cast("int")), cw =>
-        aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
+      cb: Array[Array[Array[Long]]]): DataFrame =
+    // fused kernel ≡ the per-(m, j) sub-distance HOF chain
     qres.select(col("query_id"), col("cell"),
-      transform(sequence(lit(0), lit(cb.length - 1)),
-        m => subDists(m)).as("lut"))
-  }
+      graft.functions.QuantKernels.pq_lut(col("e"), cb).as("lut"))
 
   /** Broadcast-path per-(query, cell) LUTs — the scale branch past the
     * inline budget, (j-, m-)ordered reassembly exactly like
@@ -1046,8 +1020,7 @@ object Similarity {
           .as(Seq("m", "sv")))
       .join(broadcast(cbDf), Seq("m"))
       .withColumn("dist",
-        aggregate(zip_with(col("sv"), col("cw"),
-          (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+        graft.functions.QuantKernels.vec_l2q(col("sv"), col("cw")))
       .groupBy(col("query_id"), col("cell"), col("m"))
       .agg(transform(
         array_sort(collect_list(struct(col("j"), col("dist")))),
@@ -1063,9 +1036,10 @@ object Similarity {
     * same fold serves the 4-sub-space 64-dim index and the q244
     * 1-sub-space prefix index. */
   private def adcDist: Column =
-    aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0L), (acc, m) =>
-      acc + element_at(element_at(col("lut"), (m + 1).cast("int")),
-        (element_at(col("codes"), (m + 1).cast("int")) + 1).cast("int")))
+    // fused kernel ≡ aggregate(sequence(0, size(codes)-1), 0L,
+    //   (acc, m) => acc + lut[m+1][codes[m+1]+1]) — the sub-space count
+    // still derives from the row's own codes array
+    graft.functions.QuantKernels.adc_dist_lut(col("lut"), col("codes"))
 
   /** Per-query ADC top-k ranking over (codes, queries) — shared by the
     * untrained (q148) and trained (q158) tiers. */
@@ -1122,11 +1096,10 @@ object Similarity {
         slice(col("e"), (m * lit(pqSub) + 1).cast("int"), lit(pqSub))))
         .as(Seq("m", "sv")))
     for (_ <- 1 to iters) {
-      val cbLit = array(cb.map(s => array(s.map(cw =>
-        array(cw.map(lit(_)): _*)): _*)): _*)
-      val d = transform(element_at(cbLit, (col("m") + 1).cast("int")), cw =>
-        aggregate(zip_with(col("sv"), cw, (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b))
+      // fused kernel ≡ transform(cbLit[m], cw =>
+      //   aggregate(zip_with(sv, cw, (x,y) => (x-y)*(x-y)), 0L, _+_))
+      val d = graft.functions.QuantKernels
+        .sub_cent_dists(col("sv"), col("m"), cb)
       val upd = sub.withColumn("d", d)
         .withColumn("code",
           (array_position(col("d"), array_min(col("d"))) - 1).cast("int"))
@@ -1403,9 +1376,7 @@ object Similarity {
       .orderBy(col("d"), col("neighbor_id"))
     val exact = eq.select(col("vec_id").as("neighbor_id"), col("e"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("d", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("d", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("neighbor_id"))
@@ -1471,9 +1442,7 @@ object Similarity {
     eq.select(col("vec_id").as("neighbor_id"), col("e"))
       .join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(queries), Seq("query_id"))
-      .withColumn("exact_dist", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("exact_dist", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("rk", row_number().over(wq).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
@@ -1523,9 +1492,7 @@ object Similarity {
       .orderBy(col("dd"), col("neighbor_id"))
     val pos = eq.select(col("vec_id").as("neighbor_id"), col("e"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dd", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("dd", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("prk", row_number().over(wp))
       .filter(col("prk") <= HardNegPositives)
       .select(col("query_id"), col("neighbor_id"))
@@ -1780,9 +1747,7 @@ object Similarity {
       .orderBy(col("dd"), col("cand"))
     val truth = eq.select(col("vec_id").as("cand"), col("e"))
       .join(broadcast(queries), col("cand") =!= col("query_id"))
-      .withColumn("dd", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("dd", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= d)
       .select(col("query_id"), col("cand"))
@@ -1836,10 +1801,8 @@ object Similarity {
     val eq = pqCache.rotate(quantized(vecs).persist())
     val queries = eq.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    def dist(d: Int): Column = aggregate(
-      zip_with(slice(col("e"), 1, d), slice(col("qe"), 1, d),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, b) => a + b)
+    def dist(d: Int): Column = graft.functions.QuantKernels.vec_l2q(
+      slice(col("e"), 1, d), slice(col("qe"), 1, d))
     val pairs = eq.select(col("vec_id").as("cand"), col("e"))
       .join(broadcast(queries), col("cand") =!= col("query_id"))
       .withColumn("d64", dist(64))
@@ -1954,9 +1917,7 @@ object Similarity {
       .orderBy(col("dd"), col("cand"))
     val truth = eq.select(col("vec_id").as("cand"), col("e"))
       .join(broadcast(queries), col("cand") =!= col("query_id"))
-      .withColumn("dd", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("dd", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3).select(col("query_id"), col("cand"))
     (queries.select(col("query_id")), truth)
@@ -2146,9 +2107,7 @@ object Similarity {
     // pairwise exact L2 inside each query's candidate pool — ≤ s²
     // rows per query, metadata (lineage cut so the greedy rounds
     // never replay the index pass)
-    val d2 = aggregate(
-      zip_with(col("ea"), col("eb"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, b) => a + b)
+    val d2 = graft.functions.QuantKernels.vec_l2q(col("ea"), col("eb"))
     val pw = cand.select(col("query_id"), col("neighbor_id").as("ca"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("cb")),
         Seq("query_id"))
@@ -2282,9 +2241,7 @@ object Similarity {
       .orderBy(col("d"), col("neighbor_id"))
     val exact = eq.select(col("vec_id").as("neighbor_id"), col("e"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
-      .withColumn("d", aggregate(
-        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b))
+      .withColumn("d", graft.functions.QuantKernels.vec_l2q(col("e"), col("qe")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("neighbor_id"))

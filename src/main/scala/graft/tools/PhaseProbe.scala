@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-phase wall-clock probe for the expensive bench rows (guide §1:
+  * decide WHERE the time goes before touching anything). Each phase is
+  * forced with the same noop-sink action the bench uses, so phase sums
+  * are comparable to bench rows. Usage: PhaseProbe <sfDir> [probe,...]
+  */
+object PhaseProbe {
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.lift(1).getOrElse("rag,jaccard,pipeline")
+      .split(",").toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = graft.Tables(spark, dir)
+
+    if (which("rag")) {
+      // q223 decomposition: chunk+embed fixture, coarse Lloyd,
+      // residual PQ train, encode+probe+rank tail. Two passes: pass 1
+      // pays codegen/JIT of the literal-tree generated classes, pass 2
+      // is the warm per-phase cost (what bench iterations 2-3 see).
+      for (pass <- 1 to 2) {
+        val cv = time(s"rag p$pass: chunkVectors materialize") {
+          val cv = graft.operators.Similarity.chunkVectors(t.documents, t.embeddings)
+          noop(cv); cv
+        }
+        val (coarse, cb) = time(s"rag p$pass: ivfAdcTrain (coarse 5 + pq 10 iters)") {
+          graft.operators.Similarity.ivfAdcTrain(cv)
+        }
+        val enc = time(s"rag p$pass: encode corpus under frozen quantizer") {
+          val e = graft.operators.Similarity.ivfAdcEncode(cv, coarse, cb)
+          noop(e); e
+        }
+        time(s"rag p$pass: serve tail (probe+LUT+rank)") {
+          val q = cv.filter(col("vec_id") % 50 === 0)
+          noop(graft.operators.Similarity.ivfAdcServe(enc, q, coarse, cb))
+        }
+        time(s"rag p$pass: q223 end-to-end (one-shot)") {
+          noop(graft.operators.Similarity.ragRetrieval(spark, dir))
+        }
+      }
+    }
+
+    if (which("jaccard")) {
+      // q140 decomposition: token explode+distinct, dictionary rank,
+      // byDoc build, prefix self-join candidates, verification.
+      time("jaccard: q140 end-to-end") {
+        noop(graft.operators.Dedup.jaccardJoin(spark, dir))
+      }
+      val docs = t.documents
+      val toks = time("jaccard: tokens distinct") {
+        val tk = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term")).distinct().persist()
+        noop(tk); tk
+      }
+      time("jaccard: df + dictionary (GlobalOrder rank)") {
+        val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        noop(dfreq)
+      }
+      toks.unpersist()
+    }
+
+    if (which("pipeline")) {
+      time("pipeline: q242 end-to-end") {
+        noop(graft.operators.CorpusOps.fullPipelineLm(spark, dir))
+      }
+      time("pipeline: q121 end-to-end") {
+        noop(graft.operators.CorpusOps.fullPipeline(spark, dir))
+      }
+    }
+    spark.stop()
+  }
+}

