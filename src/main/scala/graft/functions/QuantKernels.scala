@@ -618,6 +618,76 @@ case class VecSubQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of DISTINCT common elements of two SORTED (ascending) long
+  * arrays — a linear, allocation-free merge ≡
+  * `size(array_intersect(a, b))` on sorted inputs (array_intersect
+  * hash-builds a set and materializes the intersection array per row
+  * just to take its size; q140 runs this per candidate pair).
+  * Duplicate runs on either side count once, matching
+  * array_intersect's dedup. Caller contract: both arrays ascending
+  * (q140's are array_sort'ed); unsorted input gives an undercount, so
+  * keep this next to an array_sort producer only. */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count expects two array<long> arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        cnt += 1
+        val v = xv
+        while (i < nx && x.getLong(i) == v) i += 1
+        while (j < ny && y.getLong(j) == v) j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val v = ctx.freshName("v")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $cnt++;
+         |    long $v = $xv;
+         |    while ($i < $nx && $x.getLong($i) == $v) { $i++; }
+         |    while ($j < $ny && $y.getLong($j) == $v) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object QuantKernels {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -640,4 +710,6 @@ object QuantKernels {
     column(VecL2Q(expression(a), expression(b)))
   def vec_sub_q(a: Column, b: Column): Column =
     column(VecSubQ(expression(a), expression(b)))
+  def sorted_inter_count(a: Column, b: Column): Column =
+    column(SortedInterCount(expression(a), expression(b)))
 }

@@ -899,8 +899,15 @@ object Dedup {
         col("toks").as("ta")), Seq("ia"))
       .join(withToks.select(col("doc_id").as("ib"), col("n").as("size_b"),
         col("toks").as("tb")), Seq("ib"))
+      // fused merge-count ≡ size(array_intersect(ta, tb)) on these
+      // array_sort'ed unique-tid arrays: array_intersect hash-builds a
+      // set and materializes the intersection array per candidate pair
+      // just to take its size — the verification stage's allocation
+      // hot spot at millions of candidates (QuantKernelsSpec asserts
+      // count-equality incl. duplicate runs)
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        graft.functions.QuantKernels
+          .sorted_inter_count(col("ta"), col("tb")))
       .withColumn("u", col("size_a") + col("size_b") - col("inter"))
       .filter(col("inter") * tauDen >= col("u") * tauNum)
       .select(col("ia"), col("ib"), col("inter"), col("size_a"),

@@ -59,22 +59,16 @@ object PhaseProbe {
     }
 
     if (which("jaccard")) {
-      // q140 decomposition: token explode+distinct, dictionary rank,
-      // byDoc build, prefix self-join candidates, verification.
-      time("jaccard: q140 end-to-end") {
-        noop(graft.operators.Dedup.jaccardJoin(spark, dir))
-      }
-      val docs = t.documents
-      val toks = time("jaccard: tokens distinct") {
-        val tk = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("term")).distinct().persist()
-        noop(tk); tk
-      }
-      time("jaccard: df + dictionary (GlobalOrder rank)") {
-        val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        noop(dfreq)
-      }
-      toks.unpersist()
+      // q140 decomposition (two passes: p2 = warm): candidate-stage
+      // mass + end-to-end, then the diag counts for stage attribution.
+      for (pass <- 1 to 2)
+        time(s"jaccard p$pass: q140 end-to-end") {
+          noop(graft.operators.Dedup.jaccardJoin(spark, dir))
+        }
+      val (collisions, prefLen, prefPos, verified) =
+        graft.operators.Dedup.jaccardCandidateDiag(t.documents)
+      println(s"[phase] jaccard diag: collisions=$collisions " +
+        s"prefix+len=$prefLen prefix+len+pos=$prefPos verified=$verified")
     }
 
     if (which("pipeline")) {

@@ -93,6 +93,21 @@ class QuantKernelsSpec extends AnyFunSuite {
     assert(q.filter(col("dh") =!= col("dk")).count() == 0L)
   }
 
+  test("sorted_inter_count ≡ size(array_intersect) on sorted arrays") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 300).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong)
+        .sorted ++ (if (i % 7 == 0) Seq(5L, 5L, 5L) else Nil)
+      (i.toLong, arr().sorted, arr().sorted)
+    } :+ ((300L, Seq.empty[Long], Seq(1L, 2L))) :+
+      ((301L, Seq(1L, 1L, 2L), Seq(1L, 1L, 1L, 2L, 2L)))
+    val df = spark.createDataFrame(rows).toDF("id", "ta", "tb")
+    val q = df
+      .withColumn("h", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("k", sorted_inter_count(col("ta"), col("tb")))
+    assert(q.filter(col("h") =!= col("k")).count() == 0L)
+  }
+
   private def cbShapes(df: DataFrame): Seq[Array[Array[Array[Long]]]] = {
     val seeds = centsOf(df, 16)
     Seq(
