@@ -185,25 +185,26 @@ object TextAnalysis {
     * sorted word array — shuffle-free). */
   private[graft] def topwordPm(text: Column): Column = {
     val ws = split(text, " ")
-    val maxWordCnt = aggregate(
-      array_sort(ws),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, w) => {
-        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(w.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // fused hash-count kernel ≡ the longest-equal-run fold over
+    // array_sort(ws) (sorting only groups equal words; max run = max
+    // multiplicity — QuantKernelsSpec asserts value-equality incl. the
+    // fold's empty-string seed edge). The HOF original sorted every
+    // word array with an interpreted comparator and allocated a
+    // 3-field struct per word.
+    val maxWordCnt = graft.functions.TextKernels.max_elem_count(ws)
     (lit(1000L) * maxWordCnt / greatest(size(ws).cast("long"), lit(1L)))
       .cast("long")
   }
 
   /** Duplicate-bigram fraction in per-mille. */
   private[graft] def dupBigramPm(text: Column): Column = {
-    val bi = wordGrams(text, 2)
-    val nBi = size(bi).cast("long")
-    val uBi = size(array_distinct(bi)).cast("long")
+    // fused kernel ≡ size(wordGrams(text,2)) /
+    // size(array_distinct(wordGrams(text,2))) — counts only, no bigram
+    // array materialization (split tokens cannot contain spaces, so
+    // joined-string equality is pair equality; spec-asserted)
+    val st = graft.functions.TextKernels.bigram_stats(split(text, " "))
+    val nBi = element_at(st, 1)
+    val uBi = element_at(st, 2)
     (lit(1000L) * (nBi - uBi) / greatest(nBi, lit(1L))).cast("long")
   }
 

@@ -108,6 +108,39 @@ class QuantKernelsSpec extends AnyFunSuite {
     assert(q.filter(col("h") =!= col("k")).count() == 0L)
   }
 
+  test("max_elem_count / bigram_stats ≡ the sorted-run fold / wordGrams counts") {
+    import graft.functions.TextKernels._
+    val rnd = new scala.util.Random(11L)
+    val words = Seq("a", "b", "cc", "ddd", "a", "", "b b")  // incl. empty
+    val texts = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } :+ ((300L, "")) :+ ((301L, "x")) :+ ((302L, "a a a"))
+    val df = spark.createDataFrame(texts).toDF("id", "text")
+    val ws = split(col("text"), " ")
+    // the replaced HOF formulations, verbatim
+    val foldRun = aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bi = graft.functions.TextFunctions.wordGrams(col("text"), 2)
+    val q = df
+      .withColumn("mh", foldRun)
+      .withColumn("mk", max_elem_count(ws))
+      .withColumn("nh", size(bi).cast("long"))
+      .withColumn("uh", size(array_distinct(bi)).cast("long"))
+      .withColumn("bs", bigram_stats(ws))
+    assert(q.filter(col("mh") =!= col("mk")).count() == 0L)
+    assert(q.filter(col("nh") =!= element_at(col("bs"), 1) ||
+      col("uh") =!= element_at(col("bs"), 2)).count() == 0L)
+  }
+
   private def cbShapes(df: DataFrame): Seq[Array[Array[Array[Long]]]] = {
     val seeds = centsOf(df, 16)
     Seq(
