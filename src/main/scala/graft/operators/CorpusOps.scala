@@ -343,6 +343,22 @@ object CorpusOps {
 
   /** Same, over an arbitrary (doc_id, text) corpus. */
   def chunkWindowsFrom(docs: DataFrame, sizeW: Int = 40,
+      stride: Int = 20): DataFrame =
+    chunkWindowArrays(docs, sizeW, stride)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("arr")).cast("long").as("n_chunk_tokens"),
+        array_join(col("arr"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk windows with the token ARRAY kept (no chunk_text
+    * materialization): consumers that need tokens — the BM25 posting
+    * build re-split `chunk_text` right after q144 array_join'ed it,
+    * paying one string build + one regex split per chunk for nothing —
+    * explode `arr` directly instead. `split(array_join(arr, " "), " ")
+    * == arr` exactly here (split-on-space tokens cannot contain
+    * spaces; `arr` is never empty because `split(text, " ")` never is),
+    * so both consumers see identical rows. */
+  private[graft] def chunkWindowArrays(docs: DataFrame, sizeW: Int = 40,
       stride: Int = 20): DataFrame = {
     val nChunks = lit(1) + greatest(lit(0L),
       expr(s"(size(split(text, ' ')) - $sizeW + ${stride - 1}) div $stride"))
@@ -352,10 +368,6 @@ object CorpusOps {
         posexplode(transform(sequence(lit(0L), col("nc") - 1),
           i => slice(col("w"), (i * stride + 1).cast("int"), lit(sizeW))))
           .as(Seq("chunk_idx", "arr")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(col("arr")).cast("long").as("n_chunk_tokens"),
-        array_join(col("arr"), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Training-shard assignment (q141) — the WebDataset-style layout step

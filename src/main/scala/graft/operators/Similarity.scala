@@ -2185,8 +2185,10 @@ object Similarity {
   private[graft] def chunkVectors(docs: DataFrame,
       emb: DataFrame): DataFrame = {
     val nv = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx")
-    CorpusOps.chunkWindowsFrom(docs)
+    val cid = col("doc_id") * lit(1048576L) + col("chunk_idx").cast("long")
+    // array-form chunk relation: only (doc_id, chunk_idx) is consumed,
+    // so neither chunk_text nor the q144 presentation sort is built
+    CorpusOps.chunkWindowArrays(docs)
       .select(cid.as("cid"),
         pmod(cid * lit(37L) + lit(11L), lit(nv)).as("v"))
       .join(emb.select(col("vec_id").as("v"), col("embedding")), Seq("v"))

@@ -486,10 +486,15 @@ object TextAnalysis {
     * within-chunk facts), and df/N/avgdl are sums over the union, so
     * appending per-batch postings reconstructs this relation exactly. */
   private[graft] def bm25Postings(docs: DataFrame): DataFrame =
-    CorpusOps.chunkWindowsFrom(docs)
-      .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
-        col("n_chunk_tokens").as("len"),
-        explode(split(col("chunk_text"), " ")).as("t"))
+    // explode the chunk token ARRAY directly — the previous form went
+    // through q144's chunk_text (array_join) and re-split it; rows are
+    // identical (see chunkWindowArrays' roundtrip note) without one
+    // string build + regex split per chunk
+    CorpusOps.chunkWindowArrays(docs)
+      .select((col("doc_id") * lit(1048576L) +
+          col("chunk_idx").cast("long")).as("cid"),
+        size(col("arr")).cast("long").as("len"),
+        explode(col("arr")).as("t"))
       .groupBy(col("cid"), col("len"), col("t"))
       .agg(count(lit(1)).as("tf"))
 
