@@ -618,6 +618,55 @@ case class VecSubQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two equal-length long arrays agree ≡
+  * `size(filter(zip_with(a, b, _ === _), identity))` — the minhash
+  * signature-agreement estimator (q42/q129/q168 funnel verify and the
+  * streaming dedup), evaluated per candidate pair. */
+case class VecEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_eq_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_eq_count expects two array<long> arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n,
+      s"vec_eq_count: length mismatch ($n vs ${y.numElements()})")
+    var cnt = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) cnt += 1; i += 1 }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) throw new IllegalArgumentException(
+         |  "vec_eq_count: length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Count of DISTINCT common elements of two SORTED (ascending) long
   * arrays — a linear, allocation-free merge ≡
   * `size(array_intersect(a, b))` on sorted inputs (array_intersect
@@ -712,4 +761,6 @@ object QuantKernels {
     column(VecSubQ(expression(a), expression(b)))
   def sorted_inter_count(a: Column, b: Column): Column =
     column(SortedInterCount(expression(a), expression(b)))
+  def vec_eq_count(a: Column, b: Column): Column =
+    column(VecEqCount(expression(a), expression(b)))
 }

@@ -167,8 +167,7 @@ object Dedup {
       .join(sigArr.select(col("doc_id").as("ia"), col("sig").as("sa")), Seq("ia"))
       .join(sigArr.select(col("doc_id").as("ib"), col("sig").as("sb")), Seq("ib"))
       .select(col("ia"), col("ib"),
-        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-          x => x)).as("agree"))
+        graft.functions.QuantKernels.vec_eq_count(col("sa"), col("sb")).as("agree"))
     (sigs, withEst, skipped, escPairs)
   }
 

@@ -267,8 +267,7 @@ object StreamingDedup {
         .join(allSigs.select(col("doc_id").as("ib"), col("sig").as("sb")),
           Seq("ib"))
         .select(col("ia"), col("ib"),
-          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-            x => x)).as("agree"))
+          graft.functions.QuantKernels.vec_eq_count(col("sa"), col("sb")).as("agree"))
         .filter(col("agree") >= Dedup.NumHashes / 2)
         .select(col("ia"), col("ib"))
       val verified = cand.join(dupPairs, Seq("ia", "ib"), "left_semi")

@@ -108,6 +108,17 @@ class QuantKernelsSpec extends AnyFunSuite {
     assert(q.filter(col("h") =!= col("k")).count() == 0L)
   }
 
+  test("vec_eq_count ≡ size(filter(zip_with(_ === _)))") {
+    val df = vecsDf(64, 200, 9L)
+    val q = df.select(quantHof)
+      .withColumn("qe", when(col("e").getItem(0) % 2 === 0,
+        reverse(col("e"))).otherwise(col("e")))
+      .withColumn("h", size(filter(
+        zip_with(col("e"), col("qe"), (x, y) => x === y), x => x)))
+      .withColumn("k", vec_eq_count(col("e"), col("qe")))
+    assert(q.filter(col("h") =!= col("k")).count() == 0L)
+  }
+
   test("max_elem_count / bigram_stats ≡ the sorted-run fold / wordGrams counts") {
     import graft.functions.TextKernels._
     val rnd = new scala.util.Random(11L)
