@@ -69,6 +69,62 @@ object PhaseProbe {
         graft.operators.Dedup.jaccardCandidateDiag(t.documents)
       println(s"[phase] jaccard diag: collisions=$collisions " +
         s"prefix+len=$prefLen prefix+len+pos=$prefPos verified=$verified")
+      // stage walls, mirroring jaccardJoinFrom's structure with explicit
+      // materialization barriers so each stage is timed alone
+      val docs = t.documents
+      val toks = time("jaccard stage: tokens distinct") {
+        val tk = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term")).distinct().persist()
+        noop(tk); tk
+      }
+      val dfreq = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val dict = time("jaccard stage: dictionary rank") {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("term"))
+        val d = dfreq.withColumn("tid", row_number().over(w).cast("long"))
+          .select(col("term"), col("tid")).persist()
+        noop(d); d
+      }
+      val byDoc = time("jaccard stage: byDoc arrays") {
+        val b = toks.join(dict, Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(col("tid"))).as("ordered")).persist()
+        noop(b); b
+      }
+      val prefix = byDoc.select(col("doc_id"), col("n"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int")))
+          .as(Seq("p0", "tid")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("tid"))
+      val cand = time("jaccard stage: prefix self-join + distinct") {
+        val c = prefix.alias("x").join(prefix.alias("y"),
+            col("x.tid") === col("y.tid") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.n"), col("y.n")) * 5 >=
+              greatest(col("x.n"), col("y.n")) * 4 &&
+            (lit(1) + least(col("x.n") - col("x.pos"),
+                col("y.n") - col("y.pos"))) * 9 >=
+              (col("x.n") + col("y.n")) * 4)
+          .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+          .distinct().persist()
+        noop(c); c
+      }
+      time("jaccard stage: verification joins + merge count") {
+        val withToks = byDoc.select(col("doc_id"), col("n"),
+          col("ordered").as("toks"))
+        noop(cand
+          .join(withToks.select(col("doc_id").as("ia"), col("n").as("size_a"),
+            col("toks").as("ta")), Seq("ia"))
+          .join(withToks.select(col("doc_id").as("ib"), col("n").as("size_b"),
+            col("toks").as("tb")), Seq("ib"))
+          .withColumn("inter", graft.functions.QuantKernels
+            .sorted_inter_count(col("ta"), col("tb")))
+          .withColumn("u", col("size_a") + col("size_b") - col("inter"))
+          .filter(col("inter") * 5 >= col("u") * 4))
+      }
+      toks.unpersist(); dict.unpersist(); byDoc.unpersist(); cand.unpersist()
     }
 
     if (which("pipeline")) {
