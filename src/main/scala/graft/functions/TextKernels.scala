@@ -58,22 +58,26 @@ case class MaxElemCount(child: Expression) extends UnaryExpression {
     best
   }
 
+  // Janino (Spark's codegen compiler) erases generic type arguments, so
+  // generated code must use RAW collection types with explicit casts —
+  // `Long c = map.get(w)` with a generic HashMap fails to compile and
+  // silently disables codegen for the whole stage.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val m = ctx.freshName("m"); val best = ctx.freshName("best")
       val w = ctx.freshName("w"); val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
       s"""
          |int $n = $a.numElements();
-         |java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Long> $m =
-         |  new java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Long>(Math.max(16, $n * 2));
+         |java.util.HashMap $m = new java.util.HashMap(Math.max(16, $n * 2));
          |long $best = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  org.apache.spark.unsafe.types.UTF8String $w = $a.getUTF8String($i);
-         |  Long $c = $m.get($w);
-         |  $c = ($c == null) ? Long.valueOf(1L) : Long.valueOf($c.longValue() + 1L);
-         |  $m.put($w, $c);
-         |  if ($c.longValue() > $best) $best = $c.longValue();
+         |  java.lang.Long $c = (java.lang.Long) $m.get($w);
+         |  long $cv = ($c == null) ? 1L : $c.longValue() + 1L;
+         |  $m.put($w, java.lang.Long.valueOf($cv));
+         |  if ($cv > $best) $best = $cv;
          |}
          |${ev.value} = $best;
        """.stripMargin
@@ -120,7 +124,7 @@ case class BigramStats(child: Expression) extends UnaryExpression {
          |if ($n < 2) {
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[]{0L, 0L});
          |} else {
-         |  java.util.HashSet<$u> $seen = new java.util.HashSet<$u>($n * 2);
+         |  java.util.HashSet $seen = new java.util.HashSet($n * 2);
          |  $u $space = $u.fromString(" ");
          |  for (int $i = 0; $i < $n - 1; $i++) {
          |    $seen.add($u.concat($a.getUTF8String($i), $space, $a.getUTF8String($i + 1)));

@@ -425,6 +425,20 @@ object TextAnalysis {
     * the skipped mass is a first-class audited relation (q243). */
   private[graft] val Bm25PostingBound = 128
 
+  /** Field-metadata key carrying the bound a compacted posting store
+    * was ranked to. Parquet persists Spark field metadata in its footer
+    * schema, so a serve reads the bound driver-side with zero jobs. */
+  private[graft] val PboundMetaKey = "graft.pbound"
+
+  /** The row-constant pbound column WITH the bound in its field
+    * metadata — one constructor so the compaction writer and any spec
+    * simulating an old store attach the same shape. */
+  private[graft] def pboundCol(bound: Long): Column = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(PboundMetaKey, bound).build()
+    lit(bound).as("pbound", m)
+  }
+
   /** Salt fan-out for the posting prune's two-phase per-term top-N: a
     * stopword's corpus-wide posting list must never land in ONE window
     * partition (the skew rule), so phase 1 ranks inside
@@ -574,12 +588,17 @@ object TextAnalysis {
         .withColumn("prune_path",
           lit(if (stored) "stored_rank" else "inline_rank")))
     if (stored) {
-      // legacy annotated stores (pre-pbound) fall back to the
-      // compile-time constant they were necessarily compacted with
-      val storedBound =
-        if (cc.columns.contains("pbound"))
-          cc.select(first(col("pbound"))).head().getLong(0)
-        else Bm25PostingBound.toLong
+      // The compacted bound rides in the pbound FIELD METADATA (written
+      // once at compaction; parquet persists field metadata in its
+      // footer schema), so the serve guard reads it driver-side with no
+      // job — a per-serve store scan for one row-constant is exactly
+      // the driver-action-on-the-query-path anti-pattern (guide §5).
+      // Stores without the metadata (pre-pbound legacy) were
+      // necessarily compacted with the compile-time constant.
+      val storedBound = cc.schema.find(_.name == "pbound")
+        .filter(_.metadata.contains(PboundMetaKey))
+        .map(_.metadata.getLong(PboundMetaKey))
+        .getOrElse(Bm25PostingBound.toLong)
       require(postingBound <= storedBound,
         s"store was compacted with posting ranks only to prk <= " +
           s"$storedBound; asked for $postingBound — recompact or rank " +
@@ -633,11 +652,12 @@ object TextAnalysis {
       bm25KeptPostings(postings, idf, avgdl, Bm25PostingBound),
       Seq("t", "cid"), "left")
       // the bound this store is ranked to, carried ON the store (one
-      // RLE-constant column): the serve guard validates requests
-      // against what was ACTUALLY compacted, so raising the compile-
-      // time constant can never silently serve an old store's
+      // RLE-constant column, plus the same value in the field METADATA
+      // so the serve guard reads it without a job): the guard validates
+      // requests against what was ACTUALLY compacted, so raising the
+      // compile-time constant can never silently serve an old store's
       // shorter prefixes
-      .withColumn("pbound", lit(Bm25PostingBound.toLong))
+      .withColumn("pbound", pboundCol(Bm25PostingBound.toLong))
   }
 
   /** (N, avgdl) of a posting relation — one grouped pass; shared by

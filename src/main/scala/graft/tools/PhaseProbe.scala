@@ -135,6 +135,80 @@ object PhaseProbe {
         noop(graft.operators.CorpusOps.fullPipeline(spark, dir))
       }
     }
+
+    if (which("containment")) {
+      // q199 decomposition, mirroring containmentJoinFrom's structure
+      // with explicit barriers so each funnel stage is timed alone.
+      for (pass <- 1 to 2)
+        time(s"containment p$pass: q199 end-to-end") {
+          noop(graft.operators.Dedup.containmentJoin(spark, dir))
+        }
+      val docs = t.documents
+      val grams = time("containment stage: shingles + distinct (doc,h)") {
+        val g = graft.operators.Dedup.spanShingles(docs, 8)
+          .select(col("doc_id"), col("h")).distinct().persist()
+        noop(g); g
+      }
+      val hot = time("containment stage: df aggregate + hot filter") {
+        val h = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > graft.operators.Dedup.ContainmentGramCap)
+        noop(h); h
+      }
+      val inPlay = time("containment stage: anti-join hot") {
+        val ip = grams.join(hot.select(col("h")), Seq("h"), "left_anti")
+          .persist()
+        noop(ip); ip
+      }
+      time("containment stage: self-join + pair aggregate") {
+        noop(inPlay.alias("a").join(inPlay.alias("b"),
+            col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .agg(count(lit(1)).as("shared")))
+      }
+      time("containment stage: size join + tau filter (full tail)") {
+        val sz = grams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("size_a"))
+        noop(inPlay.alias("a").join(inPlay.alias("b"),
+            col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .agg(count(lit(1)).as("shared"))
+          .join(sz.withColumnRenamed("doc_id", "ia"), Seq("ia"))
+          .filter(col("shared") * 2 >= col("size_a")))
+      }
+      grams.unpersist(); inPlay.unpersist()
+    }
+
+    if (which("spans")) {
+      // q193/q137 decomposition: the shingle HOF transform vs the
+      // frequency/mask/reassembly tiers.
+      for (pass <- 1 to 2) {
+        time(s"spans p$pass: q193 end-to-end") {
+          noop(graft.operators.Dedup.spanDedupClean(spark, dir))
+        }
+        time(s"spans p$pass: q137 end-to-end") {
+          noop(graft.operators.Dedup.repeatedSegmentRemoval(spark, dir))
+        }
+        time(s"spans p$pass: q212 end-to-end") {
+          noop(graft.operators.Dedup.spanUnits(spark, dir))
+        }
+      }
+      val docs = t.documents
+      time("spans stage: shingle explode (HOF transform + md5)") {
+        noop(graft.operators.Dedup.spanShingles(docs, 8, cache = false))
+      }
+      time("spans stage: shingle explode again (no cache)") {
+        noop(graft.operators.Dedup.spanShingles(docs, 8, cache = false))
+      }
+    }
+
+    if (which("ktruss")) {
+      for (pass <- 1 to 2)
+        time(s"ktruss p$pass: q175 end-to-end") {
+          noop(graft.operators.GraphOps.kTruss(spark, dir))
+        }
+    }
     spark.stop()
   }
 }

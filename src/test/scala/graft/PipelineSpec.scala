@@ -1755,12 +1755,27 @@ class PipelineSpec extends AnyFunSuite {
     assert((st._1, st._2, st._3, st._4, st._5) ==
       (inl._1, inl._2, inl._3, inl._4, inl._5),
       s"stored audit $st != inline audit $inl")
+    // the bound must survive a PARQUET ROUND TRIP in the field
+    // metadata (that is where the serve guard reads it — no job): a
+    // store rebuilt from disk carries the same stored bound
+    val rt = java.nio.file.Files
+      .createTempDirectory("graft_pbound_rt").toString
+    annotated.write.mode("overwrite").parquet(rt)
+    val reread = spark.read.parquet(rt)
+    assert(reread.schema("pbound").metadata
+      .getLong(TextAnalysis.PboundMetaKey) ==
+      TextAnalysis.Bm25PostingBound.toLong,
+      "pbound field metadata must survive the parquet round trip")
+    // ... and the serve path over the reread store must launch NO job
+    // to read the bound (the r19 per-serve first(pbound) aggregate):
+    // guard dispatch happens at plan-build time, driver-side
+    assert(TextAnalysis.bm25TopKFromPostings(reread).collect().nonEmpty)
     // the guard validates against the bound the store was ACTUALLY
     // compacted with, not the compile-time constant: an old store
     // ranked only to 64 must refuse a 128-posting serve even though
     // the current constant is 128
     val oldStore = annotated
-      .withColumn("pbound", lit(64L))
+      .withColumn("pbound", TextAnalysis.pboundCol(64L))
       .filter(col("prk").isNull || col("prk") <= 64)
     val ex = intercept[IllegalArgumentException] {
       TextAnalysis.bm25TopKFromPostings(oldStore,

@@ -152,6 +152,44 @@ class QuantKernelsSpec extends AnyFunSuite {
       col("uh") =!= element_at(col("bs"), 2)).count() == 0L)
   }
 
+  test("kernel generated code compiles (no silent whole-stage fallback)") {
+    // With fallback disabled, a Janino compile failure in any kernel's
+    // doGenCode throws instead of silently running the stage interpreted
+    // (the r19 MaxElemCount generics bug slipped through exactly this way).
+    import graft.functions.TextKernels._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val texts = Seq((0L, "a a b c c c"), (1L, "x"), (2L, ""))
+      val tdf = spark.createDataFrame(texts).toDF("id", "text")
+      val ws = split(col("text"), " ")
+      assert(tdf.select(max_elem_count(ws).as("m"), bigram_stats(ws).as("b"))
+        .collect().length == 3)
+      val vdf = vecsDf(64, 50, 21L)
+      val cents = centsOf(vdf, 16)
+      val cb = Array.tabulate(4)(m => cents.map(_.slice(m * 16, (m + 1) * 16)))
+      val q = vdf.select(col("embedding"), quantHof)
+        .withColumn("qv", quantize_vec(col("embedding")))
+        .withColumn("a", cent_argmin(col("e"), cents))
+        .withColumn("sd", sub_cent_dists(slice(col("e"), 1, 16), lit(0L), cb))
+        .withColumn("sq", vec_sub_q(col("e"), col("e")))
+        .withColumn("d", cent_dists(col("e"), cents))
+        .withColumn("r", cent_residual(col("e"), lit(0L), cents))
+        .withColumn("c", pq_codes(col("e"), cb))
+        .withColumn("l", pq_lut(col("e"), cb))
+        .withColumn("adc", adc_dist_lut(col("l"), col("c")))
+        .withColumn("l2", vec_l2q(col("e"), col("e")))
+        .withColumn("eq", vec_eq_count(col("e"), col("e")))
+        .withColumn("ic", sorted_inter_count(col("e"), col("e")))
+      assert(q.collect().length == 50)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   private def cbShapes(df: DataFrame): Seq[Array[Array[Array[Long]]]] = {
     val seeds = centsOf(df, 16)
     Seq(
