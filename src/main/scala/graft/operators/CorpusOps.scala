@@ -360,13 +360,13 @@ object CorpusOps {
     * so both consumers see identical rows. */
   private[graft] def chunkWindowArrays(docs: DataFrame, sizeW: Int = 40,
       stride: Int = 20): DataFrame = {
-    val nChunks = lit(1) + greatest(lit(0L),
-      expr(s"(size(split(text, ' ')) - $sizeW + ${stride - 1}) div $stride"))
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"),
-        nChunks.as("nc"))
+    // fused kernel ≡ the HOF form transform(sequence(0, nc-1), i =>
+    //   slice(w, i*stride+1, sizeW)) with nc = 1 + greatest(0,
+    //   (size(w) - sizeW + stride-1) div stride) folded in (spec-pinned)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0L), col("nc") - 1),
-          i => slice(col("w"), (i * stride + 1).cast("int"), lit(sizeW))))
+        posexplode(graft.functions.ShingleKernels
+          .chunk_windows(col("w"), sizeW, stride))
           .as(Seq("chunk_idx", "arr")))
   }
 

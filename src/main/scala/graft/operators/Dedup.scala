@@ -59,15 +59,19 @@ object Dedup {
     * the whole pipeline onto one core. */
   private def shingleRows(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
+    // fused kernel ≡ TextFunctions.shingles (array_distinct over the
+    // lower+substr HOF transform) — spec-pinned bit-equality
     docs.repartition(p)
-      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), K)).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleKernels.char_shingles(col("text"), K))).as("sh"))
   }
 
   /** Same, multiset shingles (cheaper; what minhash consumes). */
   private def shingleRowsAll(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     docs.repartition(p)
-      .select(col("doc_id"), explode(TextFunctions.shinglesAll(col("text"), K)).as("sh"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleKernels.char_shingles(col("text"), K)).as("sh"))
   }
 
   /** Exact n-gram Jaccard top-k similar pairs over a bounded id range
@@ -482,9 +486,11 @@ object Dedup {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val words = docs.repartition(p)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val nseg = ceil(size(col("w")) / lit(segWords.toDouble)).cast("int")
-    val segArr = transform(sequence(lit(0), nseg - 1),
-      i => array_join(slice(col("w"), i * segWords + 1, lit(segWords)), " "))
+    // fused kernel ≡ transform(sequence(0, ceil(size(w)/segWords)-1),
+    //   i => array_join(slice(w, i*segWords+1, segWords), " ")) —
+    // one pass, no interpreted lambda / per-segment slice (spec-pinned)
+    val segArr = graft.functions.ShingleKernels
+      .word_segments(col("w"), segWords)
     // persisted barrier: the explosion feeds the frequency tier, the
     // anti-join probe side and the per-doc totals
     val segs = segCache.rotate(words
@@ -558,13 +564,15 @@ object Dedup {
     * these per query — rotating both would evict each other). */
   private[graft] def spanShingles(docs: DataFrame, n: Int,
       cache: Boolean = true): DataFrame = {
+    // fused kernel ≡ the HOF form `when(size(w) >= n,
+    // transform(sequence(1, size(w)-(n-1)), i =>
+    //   md5(array_join(slice(w, i, n), " ")))).otherwise(array())`
+    // — one pass per document instead of an interpreted lambda + a
+    // sliced array + a joined string per window (spec-pinned)
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
-        posexplode(when(size(col("w")) >= n,
-          transform(sequence(lit(1), size(col("w")) - (n - 1)),
-            i => md5(array_join(slice(col("w"), i, lit(n)), " "))))
-          .otherwise(array().cast("array<string>")))
+        posexplode(graft.functions.ShingleKernels.window_md5(col("w"), n))
           .as(Seq("off", "h")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
         col("h"))
@@ -995,28 +1003,49 @@ object Dedup {
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
     containmentJoinFrom(Tables(spark, dir).documents)
 
+  /** Bounded cache slots for the containment funnel: the distinct gram
+    * relation feeds FOUR plan arms (sizes, df/hot, pair generation, the
+    * sentinel probe) and the verified pair relation feeds two (the
+    * result rows and the sentinel's emptiness probe) — unpersisted,
+    * every arm recomputed the shingle+distinct pipeline from the scan
+    * (the r20-before plan ran the distinct+df aggregates 8×). */
+  private val contGramCache = new RotatingCache
+  private val contPairCache = new RotatingCache
+
   /** Same, over an arbitrary (doc_id, text) corpus; τ = tauNum/tauDen
     * on the contained side's gram count. */
   private[graft] def containmentJoinFrom(docs: DataFrame, n: Int = 8,
       tauNum: Int = 1, tauDen: Int = 2,
       maxDf: Int = ContainmentGramCap): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
-    val grams = spanShingles(docs, n)
-      .select(col("doc_id"), col("h")).distinct()
+    val grams = contGramCache.rotate(spanShingles(docs, n)
+      .select(col("doc_id"), col("h")).distinct().persist())
     val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("size_a"))
     val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
     val skipped = hot.agg(count(lit(1)).as("n_skipped_grams"),
       coalesce(sum(col("df")), lit(0L)).as("n_skipped_rows"))
     val inPlay = grams.join(hot.select(col("h")), Seq("h"), "left_anti")
-    val pairs = inPlay.alias("a").join(inPlay.alias("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // Group-once pair generation replaces the h-keyed self-join: ONE
+    // exchange of the in-play gram mass builds each gram's doc list
+    // (|list| ≤ maxDf by construction — the cap is the skew guard), and
+    // the ordered pairs explode LOCALLY into the same (ia, ib) partial
+    // aggregate. The self-join shuffled the in-play mass twice and —
+    // worse — recomputed its whole upstream per join arm.
+    val byGram = inPlay.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = contPairCache.rotate(byGram
+      .select(explode(col("ds")).as("ia"), col("ds"))
+      .select(col("ia"), explode(col("ds")).as("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("shared"))
       .join(sz.withColumnRenamed("doc_id", "ia"), Seq("ia"))
       .filter(col("shared") * tauDen >= col("size_a") * tauNum)
       .withColumn("containment_ppm",
         expr("shared * 1000000 div size_a"))
+      .persist())
     val sentinel = skipped.join(pairs.limit(1), lit(true), "left_anti")
       .select(lit(null).cast("long").as("ia"),
         lit(null).cast("long").as("ib"),

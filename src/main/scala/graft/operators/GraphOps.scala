@@ -103,6 +103,22 @@ object GraphOps {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
      Graph[Long, Long])] = None
 
+  /** Edge RDD placed by [[PartitionStrategy.EdgePartition2D]] BEFORE the
+    * graph is built — same placement as `graph.partitionBy`, but the
+    * vertex routing tables are constructed once against the final edge
+    * layout instead of being invalidated by a post-construction edge
+    * shuffle (the "Joining two VertexPartitions with different indexes
+    * is slow" rebuild on every Pregel superstep). */
+  private def prePartitioned[E: scala.reflect.ClassTag](
+      edgeRdd: org.apache.spark.rdd.RDD[Edge[E]],
+      parts: Int): org.apache.spark.rdd.RDD[Edge[E]] = {
+    val strat = PartitionStrategy.EdgePartition2D
+    edgeRdd
+      .map(e => (strat.getPartition(e.srcId, e.dstId, parts), e))
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
+      .map(_._2)
+  }
+
   private def toGraph(edges: DataFrame): Graph[Long, Long] = synchronized {
     val plan = edges.queryExecution.analyzed
     lastGraph match {
@@ -125,10 +141,17 @@ object GraphOps {
         val edgeRdd = edges.select(col("src"), col("dst")).rdd
           .map(r => Edge(r.getLong(0), r.getLong(1), 1L))
           .coalesce(parts)
-        val g = Graph.fromEdges(edgeRdd, defaultValue = 0L,
+        // Pre-partition the edges with the SAME 2D strategy instead of
+        // graph.partitionBy: partitionBy re-shuffles edges AFTER the
+        // graph exists, so the vertex routing tables are rebuilt against
+        // mismatched indexes on first use — every Pregel superstep then
+        // pays the "Joining two VertexPartitions with different indexes
+        // is slow" full-rebuild path. Identical placement (the strategy
+        // maps each edge to the same partition id), routing built once.
+        val g = Graph.fromEdges(
+            prePartitioned(edgeRdd, parts), defaultValue = 0L,
             edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
             vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-          .partitionBy(PartitionStrategy.EdgePartition2D)
         lastGraph = Some((plan, g))
         g
     }
@@ -274,10 +297,12 @@ object GraphOps {
       val (s, d) = (r.getLong(0), r.getLong(1))
       Edge(s, d, edgeWeightJvm(s, d))
     }
-    val g = Graph.fromEdges(edgeRdd, 0L,
+    // pre-partitioned for the same reason as toGraph: partitionBy after
+    // construction leaves stale vertex routing (different-index joins)
+    val g = Graph.fromEdges(
+        prePartitioned(edgeRdd, edgeRdd.getNumPartitions), 0L,
         edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
         vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .partitionBy(PartitionStrategy.EdgePartition2D)
     val init = g.mapVertices((id, _) => if (id == source) 0L else Long.MaxValue)
     val res = init.pregel(Long.MaxValue, maxIterations = maxHops)(
       (_, dist, msg) => math.min(dist, msg),
@@ -1000,17 +1025,28 @@ object GraphOps {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("support"))
     }
+    // The converged (confirming) round's support IS the final edge
+    // set's support — the semi-join kept every edge — so keeping the
+    // round's materialized support saves the output line a whole extra
+    // triangle-enumeration pass (the loop's dominant cost). The eager
+    // localCheckpoint that enables the reuse replaces the inline
+    // computation the semi-join paid anyway.
+    var lastSup: Option[DataFrame] = None
     while (!converged && round < rounds) {
+      val sup = support(edges).localCheckpoint(true)
       edges = edges
-        .join(support(edges).filter(col("support") >= minSup)
+        .join(sup.filter(col("support") >= minSup)
           .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       val m = edges.count()
       converged = m == nEdges
+      if (converged) lastSup = Some(sup)
       nEdges = m
       round += 1
     }
-    (edges.join(support(edges), Seq("a", "b"), "left")
+    // truncated (round cap) or empty-input exits recompute as before
+    val supFinal = lastSup.getOrElse(support(edges))
+    (edges.join(supFinal, Seq("a", "b"), "left")
       .select(col("a").as("src"), col("b").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))
       .orderBy(col("src"), col("dst")), round)

@@ -88,8 +88,11 @@ object TextAnalysis {
   /** Per-document distinct word-8-grams of an arbitrary (doc_id, text)
     * relation (streaming or batch). */
   def docGrams(docs: DataFrame): DataFrame =
+    // fused kernel ≡ wordGrams(text, 8) (spec-pinned) — one pass per
+    // document instead of an interpreted lambda + slice + join per gram
     docs.select(col("doc_id"),
-      explode(array_distinct(wordGrams(col("text"), 8))).as("g"))
+      explode(array_distinct(graft.functions.ShingleKernels
+        .word_grams_arr(split(col("text"), " "), 8))).as("g"))
 
   /** Per-document n-gram NOVELTY score (q213) — the inverse quality
     * signal of the dup tier: the per-mille-of-million fraction of a
@@ -264,7 +267,8 @@ object TextAnalysis {
     * shuffle is on the gram key. */
   def ngramTopK(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(explode(wordGrams(col("text"), 3)).as("g"))
+      .select(explode(graft.functions.ShingleKernels
+        .word_grams_arr(split(col("text"), " "), 3)).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("g"))

@@ -152,6 +152,45 @@ class QuantKernelsSpec extends AnyFunSuite {
       col("uh") =!= element_at(col("bs"), 2)).count() == 0L)
   }
 
+  test("shingle kernels ≡ their HOF forms (window_md5 / word_segments / word_grams_arr / char_shingles / chunk_windows)") {
+    import graft.functions.ShingleKernels._
+    val rnd = new scala.util.Random(13L)
+    val words = Seq("a", "bb", "ccc", "dddd", "a", "", "Üßx")
+    val texts = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } :+ ((300L, "")) :+ ((301L, "x")) :+ ((302L, "a a a a a a a a a a a a")) :+
+      ((303L, "ÜBERß mixed Ça"))
+    val df = spark.createDataFrame(texts).toDF("id", "text")
+    val w = split(col("text"), " ")
+    // verbatim HOF forms being replaced
+    val hofWin = when(size(w) >= 8,
+      transform(sequence(lit(1), size(w) - 7),
+        i => md5(array_join(slice(w, i, lit(8)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val nseg = ceil(size(w) / lit(10.0)).cast("int")
+    val hofSeg = transform(sequence(lit(0), nseg - 1),
+      i => array_join(slice(w, i * 10 + 1, lit(10)), " "))
+    val hofGrams = graft.functions.TextFunctions.wordGrams(col("text"), 3)
+    val hofShingles = graft.functions.TextFunctions.shinglesAll(col("text"), 9)
+    val nc = lit(1) + greatest(lit(0L),
+      expr("(size(split(text, ' ')) - 40 + 19) div 20"))
+    val hofChunks = transform(sequence(lit(0L), nc - 1),
+      i => slice(w, (i * 20 + 1).cast("int"), lit(40)))
+    val q = df
+      .withColumn("wh", hofWin).withColumn("wk", window_md5(w, 8))
+      .withColumn("sh", hofSeg).withColumn("sk", word_segments(w, 10))
+      .withColumn("gh", hofGrams).withColumn("gk", word_grams_arr(w, 3))
+      .withColumn("ch", hofShingles)
+      .withColumn("ck", char_shingles(col("text"), 9))
+      .withColumn("kh", hofChunks).withColumn("kk", chunk_windows(w, 40, 20))
+    assert(q.filter(col("wh") =!= col("wk")).count() == 0L, "window_md5")
+    assert(q.filter(col("sh") =!= col("sk")).count() == 0L, "word_segments")
+    assert(q.filter(col("gh") =!= col("gk")).count() == 0L, "word_grams_arr")
+    assert(q.filter(col("ch") =!= col("ck")).count() == 0L, "char_shingles")
+    assert(q.filter(col("kh") =!= col("kk")).count() == 0L, "chunk_windows")
+  }
+
   test("kernel generated code compiles (no silent whole-stage fallback)") {
     // With fallback disabled, a Janino compile failure in any kernel's
     // doGenCode throws instead of silently running the stage interpreted
@@ -165,6 +204,11 @@ class QuantKernelsSpec extends AnyFunSuite {
       val ws = split(col("text"), " ")
       assert(tdf.select(max_elem_count(ws).as("m"), bigram_stats(ws).as("b"))
         .collect().length == 3)
+      import graft.functions.ShingleKernels._
+      assert(tdf.select(window_md5(ws, 2).as("w"),
+        word_segments(ws, 3).as("s"), word_grams_arr(ws, 2).as("g"),
+        char_shingles(col("text"), 4).as("c"),
+        chunk_windows(ws, 4, 2).as("k")).collect().length == 3)
       val vdf = vecsDf(64, 50, 21L)
       val cents = centsOf(vdf, 16)
       val cb = Array.tabulate(4)(m => cents.map(_.slice(m * 16, (m + 1) * 16)))
