@@ -221,6 +221,116 @@ object ShingleKernelRuntime {
   }
 }
 
+private[functions] object OmitRuntime {
+  /** Join the unmarked words with single spaces (array_join semantics:
+    * a separator between every pair of kept elements, empties kept). */
+  private[functions] def joinKept(a: ArrayData, keep: Array[Boolean]): UTF8String = {
+    val len = a.numElements()
+    var nBytes = 0
+    var i = 0
+    while (i < len) {
+      if (keep(i) && !a.isNullAt(i)) nBytes += a.getUTF8String(i).numBytes() + 1
+      i += 1
+    }
+    val buf = new Array[Byte](math.max(0, nBytes - 1))
+    var off = 0
+    var first = true
+    i = 0
+    while (i < len) {
+      if (keep(i) && !a.isNullAt(i)) {
+        val w = a.getUTF8String(i)
+        if (!first) { buf(off) = ' '.toByte; off += 1 }
+        w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += w.numBytes()
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(buf)
+  }
+
+  /** Words minus the 1-based positions in `drop`, rejoined with " " —
+    * the local form of "explode tokens, anti-join covered positions,
+    * re-collect in order" (out-of-range drop entries are ignored). */
+  def omitTokens(a: ArrayData, drop: ArrayData): UTF8String = {
+    val len = a.numElements()
+    val keep = Array.fill(len)(true)
+    var i = 0
+    val nd = drop.numElements()
+    while (i < nd) {
+      val p = drop.getLong(i)
+      if (p >= 1 && p <= len) keep((p - 1).toInt) = false
+      i += 1
+    }
+    joinKept(a, keep)
+  }
+
+  /** Words minus the 0-based `segWords`-wide segments in `dropIdx`,
+    * rejoined with " " — the local form of "explode segments, anti-join
+    * hot digests, re-collect in order" (consecutive fixed segments
+    * joined with " " reproduce the original word sequence exactly). */
+  def omitSegments(a: ArrayData, segWords: Int, dropIdx: ArrayData): UTF8String = {
+    val len = a.numElements()
+    val keep = Array.fill(len)(true)
+    var i = 0
+    val nd = dropIdx.numElements()
+    while (i < nd) {
+      val s = dropIdx.getLong(i)
+      if (s >= 0 && s * segWords < len) {
+        var j = (s * segWords).toInt
+        val until = math.min(len, j + segWords)
+        while (j < until) { keep(j) = false; j += 1 }
+      }
+      i += 1
+    }
+    joinKept(a, keep)
+  }
+}
+
+case class OmitTokens(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "omit_tokens"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"omit_tokens expects (array<string>, array<bigint>), got $other")
+    }
+  override def nullSafeEval(words: Any, drop: Any): Any =
+    OmitRuntime.omitTokens(words.asInstanceOf[ArrayData],
+      drop.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, d) =>
+      s"${ev.value} = graft.functions.OmitRuntime.omitTokens($w, $d);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class OmitSegments(left: Expression, right: Expression, segWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "omit_segments"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"omit_segments expects (array<string>, array<bigint>), got $other")
+    }
+  override def nullSafeEval(words: Any, dropIdx: Any): Any =
+    OmitRuntime.omitSegments(words.asInstanceOf[ArrayData], segWords,
+      dropIdx.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, d) =>
+      s"${ev.value} = graft.functions.OmitRuntime.omitSegments($w, $segWords, $d);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 private[functions] trait StringArrayKernel extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -314,4 +424,8 @@ object ShingleKernels {
     column(CharShingles(expression(text), k))
   def chunk_windows(w: Column, sizeW: Int, stride: Int): Column =
     column(ChunkWindows(expression(w), sizeW, stride))
+  def omit_tokens(w: Column, drop: Column): Column =
+    column(OmitTokens(expression(w), expression(drop)))
+  def omit_segments(w: Column, dropIdx: Column, segWords: Int): Column =
+    column(OmitSegments(expression(w), expression(dropIdx), segWords))
 }

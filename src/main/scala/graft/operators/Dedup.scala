@@ -484,38 +484,50 @@ object Dedup {
   def repeatedSegmentRemovalFrom(docs: DataFrame, segWords: Int = 10,
       minDocs: Int = 2): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val words = docs.repartition(p)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // hash-by-doc_id, not round-robin: same input spread (doc_id is
+    // unique), no sort-before-repartition, and the final per-doc
+    // assembly join can reuse this partitioning instead of paying a
+    // second text-mass exchange
+    val words = docs.repartition(p, col("doc_id"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
     // fused kernel ≡ transform(sequence(0, ceil(size(w)/segWords)-1),
     //   i => array_join(slice(w, i*segWords+1, segWords), " ")) —
     // one pass, no interpreted lambda / per-segment slice (spec-pinned)
     val segArr = graft.functions.ShingleKernels
       .word_segments(col("w"), segWords)
-    // persisted barrier: the explosion feeds the frequency tier, the
-    // anti-join probe side and the per-doc totals
+    // The digest relation carries (doc_id, seg_idx, h) ONLY — segment
+    // text never leaves the scan task. The prior formulation shuffled
+    // segment TEXT through a digest-keyed anti-join and a doc-keyed
+    // sort-collect reassembly; now the frequency tier elects hot
+    // digests, each doc collects its DROPPED segment indices into one
+    // array row (dropped mass only), and the cleaned text is rebuilt
+    // LOCALLY from the doc row's own word array (omit_segments —
+    // consecutive fixed segments joined with " " reproduce the original
+    // word sequence exactly, so keeping all segments ≡ the original
+    // text). §2.3 / guide §8: shuffle the lightweight proxy, move the
+    // heavy bytes once.
     val segs = segCache.rotate(words
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
-      .withColumn("h", md5(col("seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("seg")).as("h"))
       .persist())
     val hot = segs.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    val kept = segs.join(hot, Seq("h"), "left_anti")
-    val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-        x => x.getField("seg")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"))
-      .join(tot, Seq("doc_id"), "left")
-      .join(agg, Seq("doc_id"), "left")
+    val dropped = segs.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("seg_idx")).as("drop_idx"))
+    val nseg = ceil(size(col("w")) / lit(segWords.toDouble)).cast("long")
+    words
+      .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        (coalesce(col("n_segments"), lit(0L)) -
-          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        nseg.as("n_segments"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
+        when(col("drop_idx").isNull, col("text"))
+          .otherwise(graft.functions.ShingleKernels
+            .omit_segments(col("w"), col("drop_idx"), segWords))
+          .as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -702,28 +714,32 @@ object Dedup {
     * reassembly is one per-doc aggregate bounded by document length. */
   private[graft] def dropCoveredTokens(docs: DataFrame, masked: DataFrame,
       n: Int): DataFrame = {
+    // Collect each doc's covered positions into ONE array row and drop
+    // the tokens LOCALLY (omit_tokens) — the prior formulation exploded
+    // EVERY token of EVERY document through a (doc, ti)-keyed anti-join
+    // and re-collected the survivors through a doc-keyed sort-collect
+    // aggregate: two full shuffles of the corpus token mass to rebuild
+    // text that the doc row already carries (§2.3 / guide §8: decide on
+    // the lightweight proxy, move the heavy bytes once). covered mass
+    // (≤ n × masked windows) is the only thing shuffled now. Covered
+    // positions are in [1, len] by construction; collect_set ≡ the old
+    // distinct. A doc with no masked window keeps its text verbatim
+    // (the old path re-joined all its tokens — identical string, since
+    // split/join on single spaces round-trips exactly).
     val covered = masked
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
-      .distinct()
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("off", "tok")))
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("ti"),
-        col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "ti"), "left_anti")
-    val agg = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("ti"), col("tok")))),
-        x => x.getField("tok")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ti")).as("drop"))
+    docs.select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("w"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("drop")), lit(0)).cast("long").as("n_dropped"),
+        when(col("drop").isNull, col("text"))
+          .otherwise(graft.functions.ShingleKernels
+            .omit_tokens(col("w"), col("drop"))).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 

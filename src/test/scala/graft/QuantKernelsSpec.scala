@@ -189,6 +189,30 @@ class QuantKernelsSpec extends AnyFunSuite {
     assert(q.filter(col("gh") =!= col("gk")).count() == 0L, "word_grams_arr")
     assert(q.filter(col("ch") =!= col("ck")).count() == 0L, "char_shingles")
     assert(q.filter(col("kh") =!= col("kk")).count() == 0L, "chunk_windows")
+    // omit_tokens / omit_segments ≡ the filter-and-rejoin HOF forms
+    // (drop sets derived deterministically per row, incl. empty and
+    // all-dropped edges)
+    val drop = filter(sequence(lit(1L), size(w).cast("long")),
+      i => (i + col("id")) % 3 === 0)
+    val zipped = arrays_zip(
+      sequence(lit(1L), size(w).cast("long")).as("i"), w.as("t"))
+    val hofOmit = array_join(transform(
+      filter(zipped, s => !array_contains(drop, s.getField("i"))),
+      s => s.getField("t")), " ")
+    val segDrop = filter(sequence(lit(0L),
+      ceil(size(w) / lit(10.0)).cast("long") - 1),
+      i => (i + col("id")) % 2 === 0)
+    val hofSegOmit = array_join(transform(
+      filter(zipped, s => !array_contains(segDrop,
+        floor((s.getField("i") - 1) / 10.0).cast("long"))),
+      s => s.getField("t")), " ")
+    val o = df
+      .withColumn("oh", hofOmit)
+      .withColumn("ok", omit_tokens(w, drop))
+      .withColumn("sh2", hofSegOmit)
+      .withColumn("sk2", omit_segments(w, segDrop, 10))
+    assert(o.filter(col("oh") =!= col("ok")).count() == 0L, "omit_tokens")
+    assert(o.filter(col("sh2") =!= col("sk2")).count() == 0L, "omit_segments")
   }
 
   test("kernel generated code compiles (no silent whole-stage fallback)") {
