@@ -103,11 +103,30 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Structural equality for kernels carrying codebook ARRAY fields:
+  * case-class equality on arrays is reference-based, so two
+  * semantically identical kernel expressions would never compare equal
+  * — defeating Catalyst subexpression elimination and plan
+  * canonicalization for repeated uses (unlike the CreateArray literal
+  * trees the kernels replaced). */
+private[functions] object DeepEq {
+  def eq(a: AnyRef, b: AnyRef): Boolean =
+    java.util.Arrays.deepEquals(Array(a), Array(b))
+  def hash(a: AnyRef): Int = java.util.Arrays.deepHashCode(Array(a))
+}
+
 /** Integer squared-L2 to EVERY centroid row: array<long> of
   * `cents.length` distances — the probe-side kernel
   * (`probeQuantizedCells`' scored relation). */
 case class CentDists(child: Expression, cents: Array[Array[Long]])
     extends UnaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: CentDists => child == that.child && DeepEq.eq(cents, that.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (child.hashCode()) + DeepEq.hash(cents)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cent_dists"
 
@@ -164,6 +183,13 @@ case class CentDists(child: Expression, cents: Array[Array[Long]])
   * `array_position(d, array_min(d)) - 1` over [[CentDists]]'s d. */
 case class CentArgmin(child: Expression, cents: Array[Array[Long]])
     extends UnaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: CentArgmin => child == that.child && DeepEq.eq(cents, that.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (child.hashCode()) + DeepEq.hash(cents)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cent_argmin"
 
@@ -221,6 +247,13 @@ case class CentArgmin(child: Expression, cents: Array[Array[Long]])
   * residualize kernel; `cell` is the row's assigned coarse cell. */
 case class CentResidual(left: Expression, right: Expression,
     cents: Array[Array[Long]]) extends BinaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: CentResidual => left == that.left && right == that.right && DeepEq.eq(cents, that.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (left.hashCode() + 31 * right.hashCode()) + DeepEq.hash(cents)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cent_residual"
 
@@ -278,6 +311,13 @@ case class CentResidual(left: Expression, right: Expression,
   * vector throws. */
 case class PqCodes(child: Expression, cb: Array[Array[Array[Long]]])
     extends UnaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: PqCodes => child == that.child && DeepEq.eq(cb, that.cb)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (child.hashCode()) + DeepEq.hash(cb)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_codes"
 
@@ -349,6 +389,13 @@ case class PqCodes(child: Expression, cb: Array[Array[Array[Long]]])
   * the fused `pqQueryLutsLit` / `pqEncodeLit` query kernel. */
 case class PqLut(child: Expression, cb: Array[Array[Array[Long]]])
     extends UnaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: PqLut => child == that.child && DeepEq.eq(cb, that.cb)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (child.hashCode()) + DeepEq.hash(cb)
+
   override def dataType: DataType =
     ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_lut"
@@ -418,6 +465,13 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Long]]])
   * the per-(m, sv) kernel of `pqTrainCodebook`'s assignment step. */
 case class SubCentDists(left: Expression, right: Expression,
     cb: Array[Array[Array[Long]]]) extends BinaryExpression {
+  override def equals(o: Any): Boolean = o match {
+    case that: SubCentDists => left == that.left && right == that.right && DeepEq.eq(cb, that.cb)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (left.hashCode() + 31 * right.hashCode()) + DeepEq.hash(cb)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sub_cent_dists"
 

@@ -209,6 +209,31 @@ object PhaseProbe {
           noop(graft.operators.GraphOps.kTruss(spark, dir))
         }
     }
+
+    if (which("corescale")) {
+      // Amplified-mass core-scaling probe (the r19 verdict's scaling
+      // complaint: at sf0.1 half the bench rows are overhead-bound and
+      // 8 cores beats 32 — ratios there measure the scheduler, not the
+      // operator). Same near-dup amplification as ScaleSmoke's LLM
+      // rows; run with SPARK_GRAFT_CPUS=8 and =32 and compare walls.
+      val mult = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "30").toInt
+      val docs = (0 until mult).map { i =>
+        t.documents.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copyvariant$i tail")).as("text"))
+      }.reduce(_ union _)
+      for (pass <- 1 to 2) {
+        time(s"corescale p$pass: q137 shape at ${mult}x ($cpus cores)") {
+          noop(graft.operators.Dedup.repeatedSegmentRemovalFrom(docs))
+        }
+        time(s"corescale p$pass: q193 shape at ${mult}x ($cpus cores)") {
+          noop(graft.operators.Dedup.spanDedupCleanFrom(docs))
+        }
+        time(s"corescale p$pass: q199 shape at ${mult}x ($cpus cores)") {
+          noop(graft.operators.Dedup.containmentJoinFrom(docs))
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -258,6 +258,29 @@ class QuantKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("codebook kernels compare structurally equal across instances") {
+    // case-class equality on Array fields is reference-based; without
+    // the DeepEq overrides two semantically identical kernels never
+    // compare equal, defeating Catalyst subexpression elimination
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit = Literal.create(Seq(1L, 2L), ArrayType(LongType))
+    def cents = Array(Array(1L, 2L), Array(3L, 4L))
+    def cb = Array(Array(Array(1L, 2L)), Array(Array(3L, 4L)))
+    assert(CentDists(lit, cents) == CentDists(lit, cents))
+    assert(CentDists(lit, cents).hashCode == CentDists(lit, cents).hashCode)
+    assert(CentArgmin(lit, cents) == CentArgmin(lit, cents))
+    assert(CentResidual(lit, lit, cents) == CentResidual(lit, lit, cents))
+    assert(PqCodes(lit, cb) == PqCodes(lit, cb))
+    assert(PqLut(lit, cb) == PqLut(lit, cb))
+    assert(SubCentDists(lit, lit, cb) == SubCentDists(lit, lit, cb))
+    assert(PqCodes(lit, cb).semanticEquals(PqCodes(lit, cb)))
+    // different codebooks must NOT compare equal
+    val cents2 = Array(Array(1L, 2L), Array(3L, 5L))
+    assert(CentDists(lit, cents) != CentDists(lit, cents2))
+  }
+
   private def cbShapes(df: DataFrame): Seq[Array[Array[Array[Long]]]] = {
     val seeds = centsOf(df, 16)
     Seq(
