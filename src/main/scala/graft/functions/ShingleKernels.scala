@@ -195,6 +195,25 @@ object ShingleKernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** All adjacent word pairs as struct rows — the array form of
+    * `transform(sequence(1, len-1), i => struct(element_at(w, i),
+    * element_at(w, i+1)))` with the single-token guard folded in. */
+  def adjacentPairs(a: ArrayData): ArrayData = {
+    val len = a.numElements()
+    if (len < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - 1)
+    var i = 0
+    var prev: UTF8String = if (a.isNullAt(0)) null else a.getUTF8String(0)
+    while (i < len - 1) {
+      val next = if (a.isNullAt(i + 1)) null else a.getUTF8String(i + 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, next))
+      prev = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Strided fixed-size chunk windows over the word array — the array
     * form of `transform(sequence(0, nc-1), i => slice(w, i*stride+1,
     * sizeW))` with `nc = 1 + greatest(0, (len - sizeW + stride - 1)
@@ -285,6 +304,25 @@ private[functions] object OmitRuntime {
     }
     joinKept(a, keep)
   }
+}
+
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "adjacent_pairs"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType), StructField("w2", StringType))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_pairs expects array<string>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernelRuntime.adjacentPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernelRuntime.adjacentPairs($a);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class OmitTokens(left: Expression, right: Expression)
@@ -424,6 +462,7 @@ object ShingleKernels {
     column(CharShingles(expression(text), k))
   def chunk_windows(w: Column, sizeW: Int, stride: Int): Column =
     column(ChunkWindows(expression(w), sizeW, stride))
+  def adjacent_pairs(w: Column): Column = column(AdjacentPairs(expression(w)))
   def omit_tokens(w: Column, drop: Column): Column =
     column(OmitTokens(expression(w), expression(drop)))
   def omit_segments(w: Column, dropIdx: Column, segWords: Int): Column =

@@ -746,16 +746,13 @@ object TextAnalysis {
     * interpreted lambda re-splits the document per pair element (the
     * audio-tier re-evaluation trap, SCALING.md round-17). */
   private def adjacentPairs(docs: DataFrame): DataFrame =
+    // fused kernel ≡ transform(sequence(1, size(w)-1), i =>
+    //   struct(element_at(w, i), element_at(w, i+1))) with the
+    // single-token guard folded in (spec-pinned)
     docs
       .withColumn("w", split(col("text"), " "))
-      // Spark's sequence(1, 0) DESCENDS instead of being empty — guard
-      // single-token documents out of the pair explosion (the Bpe rule)
-      .withColumn("idx",
-        when(size(col("w")) > 1, sequence(lit(1), size(col("w")) - 1))
-          .otherwise(array().cast("array<int>")))
-      .select(col("doc_id"), explode(transform(col("idx"), i =>
-        struct(element_at(col("w"), i).as("w1"),
-          element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), explode(graft.functions.ShingleKernels
+        .adjacent_pairs(col("w"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
   /** Same, over an arbitrary (doc_id, text) corpus. */

@@ -8,8 +8,14 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val pats = args.lift(1).getOrElse("").split(",").filter(_.nonEmpty)
+    // SPARK_GRAFT_AQE=0: with AQE on, explain() of the initial plan
+    // carries no WholeStageCodegen spans (AQE inserts them per stage at
+    // execution) — dump with AQE off when the evidence wanted is the
+    // codegen-span shape rather than the adaptive plan.
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -213,6 +213,14 @@ class QuantKernelsSpec extends AnyFunSuite {
       .withColumn("sk2", omit_segments(w, segDrop, 10))
     assert(o.filter(col("oh") =!= col("ok")).count() == 0L, "omit_tokens")
     assert(o.filter(col("sh2") =!= col("sk2")).count() == 0L, "omit_segments")
+    // adjacent_pairs ≡ the guarded transform over element_at
+    val idx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
+      .otherwise(array().cast("array<int>"))
+    val hofPairs = transform(idx, i =>
+      struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2")))
+    val a2 = df.withColumn("ph", hofPairs)
+      .withColumn("pk", adjacent_pairs(w))
+    assert(a2.filter(col("ph") =!= col("pk")).count() == 0L, "adjacent_pairs")
   }
 
   test("kernel generated code compiles (no silent whole-stage fallback)") {
@@ -232,7 +240,11 @@ class QuantKernelsSpec extends AnyFunSuite {
       assert(tdf.select(window_md5(ws, 2).as("w"),
         word_segments(ws, 3).as("s"), word_grams_arr(ws, 2).as("g"),
         char_shingles(col("text"), 4).as("c"),
-        chunk_windows(ws, 4, 2).as("k")).collect().length == 3)
+        chunk_windows(ws, 4, 2).as("k"),
+        adjacent_pairs(ws).as("p"),
+        omit_tokens(ws, array(lit(1L))).as("ot"),
+        omit_segments(ws, array(lit(0L)), 3).as("os"))
+        .collect().length == 3)
       val vdf = vecsDf(64, 50, 21L)
       val cents = centsOf(vdf, 16)
       val cb = Array.tabulate(4)(m => cents.map(_.slice(m * 16, (m + 1) * 16)))
