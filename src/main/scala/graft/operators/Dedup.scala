@@ -838,9 +838,16 @@ object Dedup {
   def jaccardJoin(spark: SparkSession, dir: String): DataFrame =
     jaccardJoinFrom(Tables(spark, dir).documents)
 
+  /** q140's registered τ = [[JaccardTauNum]]/[[JaccardTauDen]] — one
+    * definition, referenced by the oracle SQL generator and the
+    * PhaseProbe diagnostic so a τ change cannot leave a tool silently
+    * measuring a different query. */
+  private[graft] val JaccardTauNum = 4
+  private[graft] val JaccardTauDen = 5
+
   /** Same, over an arbitrary (doc_id, text) corpus; τ = tauNum/tauDen. */
-  def jaccardJoinFrom(docs: DataFrame, tauNum: Int = 4,
-      tauDen: Int = 5): DataFrame = {
+  def jaccardJoinFrom(docs: DataFrame, tauNum: Int = JaccardTauNum,
+      tauDen: Int = JaccardTauDen): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, "need 0 < tau <= 1")
     val toks = tokCache.rotate(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

@@ -93,20 +93,24 @@ object PhaseProbe {
             array_sort(collect_list(col("tid"))).as("ordered")).persist()
         noop(b); b
       }
+      // tau referenced from Dedup (not re-hardcoded): a tauNum/tauDen
+      // change there cannot leave this probe measuring a different query
+      val (tn, td) = (graft.operators.Dedup.JaccardTauNum,
+        graft.operators.Dedup.JaccardTauDen)
       val prefix = byDoc.select(col("doc_id"), col("n"),
         posexplode(slice(col("ordered"), lit(1),
-          (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int")))
+          (col("n") - expr(s"(n * $tn + ${td - 1}) div $td") + 1).cast("int")))
           .as(Seq("p0", "tid")))
         .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("tid"))
       val cand = time("jaccard stage: prefix self-join + distinct") {
         val c = prefix.alias("x").join(prefix.alias("y"),
             col("x.tid") === col("y.tid") &&
             col("x.doc_id") < col("y.doc_id") &&
-            least(col("x.n"), col("y.n")) * 5 >=
-              greatest(col("x.n"), col("y.n")) * 4 &&
+            least(col("x.n"), col("y.n")) * td >=
+              greatest(col("x.n"), col("y.n")) * tn &&
             (lit(1) + least(col("x.n") - col("x.pos"),
-                col("y.n") - col("y.pos"))) * 9 >=
-              (col("x.n") + col("y.n")) * 4)
+                col("y.n") - col("y.pos"))) * (tn + td) >=
+              (col("x.n") + col("y.n")) * tn)
           .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
           .distinct().persist()
         noop(c); c
@@ -122,7 +126,7 @@ object PhaseProbe {
           .withColumn("inter", graft.functions.QuantKernels
             .sorted_inter_count(col("ta"), col("tb")))
           .withColumn("u", col("size_a") + col("size_b") - col("inter"))
-          .filter(col("inter") * 5 >= col("u") * 4))
+          .filter(col("inter") * td >= col("u") * tn))
       }
       toks.unpersist(); dict.unpersist(); byDoc.unpersist(); cand.unpersist()
     }
