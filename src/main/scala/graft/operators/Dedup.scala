@@ -519,14 +519,18 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("seg_idx")).as("drop_idx"))
     val nseg = ceil(size(col("w")) / lit(segWords.toDouble)).cast("long")
+    // null-text parity with the pre-restructure assembly (a null text
+    // produced no exploded segments, so every column coalesced):
+    // n_segments/cleaned_text coalesce to 0/"" exactly as the old
+    // LEFT-join-the-aggregates shape did
     words
       .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        nseg.as("n_segments"),
+        coalesce(nseg, lit(0L)).as("n_segments"),
         coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
-        when(col("drop_idx").isNull, col("text"))
+        coalesce(when(col("drop_idx").isNull, col("text"))
           .otherwise(graft.functions.ShingleKernels
-            .omit_segments(col("w"), col("drop_idx"), segWords))
+            .omit_segments(col("w"), col("drop_idx"), segWords)), lit(""))
           .as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
@@ -731,15 +735,21 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("ti"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("ti")).as("drop"))
+    // null-text parity with the pre-restructure assembly: n_tokens was
+    // size(split(null)) = NULL there too, n_dropped = NULL − 0 = NULL
+    // (propagate via n_tokens), cleaned_text coalesced to ""
     docs.select(col("doc_id"), col("text"),
         split(col("text"), " ").as("w"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        coalesce(size(col("drop")), lit(0)).cast("long").as("n_dropped"),
-        when(col("drop").isNull, col("text"))
+        when(col("w").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(size(col("drop")), lit(0)).cast("long"))
+          .as("n_dropped"),
+        coalesce(when(col("drop").isNull, col("text"))
           .otherwise(graft.functions.ShingleKernels
-            .omit_tokens(col("w"), col("drop"))).as("cleaned_text"))
+            .omit_tokens(col("w"), col("drop"))), lit(""))
+          .as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 

@@ -448,6 +448,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2(100L) == "", "all-boilerplate doc must clean to empty")
     assert(out2(101L) == "entirely unique words here",
       "unique doc must be untouched")
+    // null-text parity with the pre-r20 assembly: a null text produced
+    // no exploded segments/tokens, so q137 coalesced every column
+    // (0/0/"") and q193 kept n_tokens/n_dropped NULL with cleaned ""
+    val withNull = docs.union(Seq((200L, null: String)).toDF("doc_id", "text"))
+    val segRow = Dedup.repeatedSegmentRemovalFrom(withNull)
+      .filter(col("doc_id") === 200L).collect().head
+    assert(segRow.getLong(1) == 0L && segRow.getLong(2) == 0L &&
+      segRow.getString(3) == "", s"q137 null-text row: $segRow")
+    val spanRow = Dedup.spanDedupCleanFrom(withNull)
+      .filter(col("doc_id") === 200L).collect().head
+    assert(spanRow.isNullAt(1) && spanRow.isNullAt(2) &&
+      spanRow.getString(3) == "", s"q193 null-text row: $spanRow")
   }
 
   test("PII redaction scrubs planted emails/IPs/phones, counts per class, keeps clean text") {
