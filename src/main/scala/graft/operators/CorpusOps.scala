@@ -362,7 +362,12 @@ object CorpusOps {
       stride: Int = 20): DataFrame = {
     // fused kernel ≡ the HOF form transform(sequence(0, nc-1), i =>
     //   slice(w, i*stride+1, sizeW)) with nc = 1 + greatest(0,
-    //   (size(w) - sizeW + stride-1) div stride) folded in (spec-pinned)
+    //   (size(w) - sizeW + stride-1) div stride) folded in (spec-pinned).
+    // Null-text note: the HOF form emitted ONE (0, null) chunk row for a
+    // null text (greatest(0, null) = 0 → nc = 1 → slice(null) = null);
+    // the kernel emits none — unreachable either way (documents.text is
+    // non-null by fixture contract; both oracle gates pass at both SFs)
+    // and no consumer distinguishes the two (all aggregate per chunk).
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         posexplode(graft.functions.ShingleKernels
